@@ -1,0 +1,113 @@
+"""NLP enrichment pandas UDFs (the engine's entire Python-UDF surface).
+
+The reference runs sentiment (NLTK VADER) and NER (spaCy) *producer-side*
+(``fake_producer.py:43-51``, ``twitter_producer.py:33-39``); this engine
+runs them engine-side as Arrow-batched pandas UDFs (SURVEY.md §2.4) —
+the only two places Python touches data.
+
+Neither VADER nor spaCy is installed in this container, so each UDF has:
+- a deterministic, dependency-free fallback (lexicon scorer /
+  capitalized-token NER) that defines the testable semantics, and
+- a clearly-marked hook where the real model loads once per executor
+  (broadcast-friendly lazy init) when the library is present.
+
+Scale posture: pandas UDFs move data over Arrow in columnar batches;
+model load happens once per python worker, not per row. Keep these off
+the relational hot path — they exist for the enrich stage only.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StringType
+
+#: Tiny fixed sentiment lexicon — the deterministic fallback semantics.
+_POSITIVE = frozenset(
+    "good great fast excellent love win best happy nice clean simple useful".split()
+)
+_NEGATIVE = frozenset(
+    "bad slow terrible hate lose worst sad broken dirty complex useless error".split()
+)
+
+_VADER = None
+_VADER_TRIED = False
+
+
+def _load_vader():
+    """Per-executor lazy VADER load; None if unavailable (stubbed env)."""
+    global _VADER, _VADER_TRIED
+    if not _VADER_TRIED:
+        _VADER_TRIED = True
+        try:  # pragma: no cover - library absent in this container
+            from nltk.sentiment.vader import SentimentIntensityAnalyzer
+
+            _VADER = SentimentIntensityAnalyzer()
+        except Exception:
+            _VADER = None
+    return _VADER
+
+
+def _lexicon_compound(text: str) -> float:
+    toks = text.lower().split()
+    if not toks:
+        return 0.0
+    score = sum((t in _POSITIVE) - (t in _NEGATIVE) for t in toks)
+    return score / len(toks)
+
+
+@F.pandas_udf(DoubleType())
+def sentiment_compound(texts: pd.Series) -> pd.Series:
+    """Compound sentiment score in [-1, 1] per text (vectorized)."""
+    vader = _load_vader()
+    if vader is not None:  # pragma: no cover
+        return texts.fillna("").map(lambda t: vader.polarity_scores(t)["compound"])
+    return texts.fillna("").map(_lexicon_compound)
+
+
+def sentiment_label(compound):
+    """VADER thresholding (reference F4: ±0.05 → Positive/Negative)."""
+    return (
+        F.when(compound >= 0.05, F.lit("Positive"))
+        .when(compound <= -0.05, F.lit("Negative"))
+        .otherwise(F.lit("Neutral"))
+    )
+
+
+_CAPWORD_RE = re.compile(r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\b")
+
+_SPACY = None
+_SPACY_TRIED = False
+
+
+def _load_spacy():
+    """Per-executor lazy spaCy load; None if unavailable (stubbed env)."""
+    global _SPACY, _SPACY_TRIED
+    if not _SPACY_TRIED:
+        _SPACY_TRIED = True
+        try:  # pragma: no cover - model absent in this container
+            import spacy
+
+            _SPACY = spacy.load("en_core_web_sm")
+        except Exception:
+            _SPACY = None
+    return _SPACY
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_entities(texts: pd.Series) -> pd.Series:
+    """PERSON/ORG entity texts per document (reference N2/F3 semantics).
+
+    With spaCy present: ``[e.text for e in doc.ents if e.label_ in
+    {PERSON, ORG}]``. Fallback: capitalized multi-word spans — a
+    deterministic stand-in with the same column shape
+    (``array<string>``), so the plumbing is testable without the model.
+    """
+    nlp = _load_spacy()
+    if nlp is not None:  # pragma: no cover
+        return texts.fillna("").map(
+            lambda t: [e.text for e in nlp(t).ents if e.label_ in {"PERSON", "ORG"}]
+        )
+    return texts.fillna("").map(_CAPWORD_RE.findall)

@@ -1,0 +1,92 @@
+"""Text-analysis column expressions (tokenization, lang-ID, quality).
+
+The reference tokenizes by whitespace on the driver after a collect()
+(``processing/cms_stream.py:94-97``) — the single biggest scale defect
+in the reference. Here tokenization is ``split()``/``explode()``:
+distributed, codegen'd, shuffle-free until an aggregation asks for one.
+
+The LLM-pipeline additions (language-ID heuristic, quality scoring,
+token counting, fingerprinting) are likewise pure column expressions so
+they run at full scan speed over 100 TB of documents — no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small, fixed English stopword list used by the lang-ID / quality
+#: heuristics. Deliberately tiny & frozen: it is part of the declared
+#: semantics (the DuckDB oracle embeds the same list).
+EN_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "by", "at", "from", "that", "this", "be",
+)
+
+#: Word-ish token pattern shared with the oracle (ASCII alpha runs or
+#: digit runs — deliberately regex-dialect-neutral between Java regex
+#: and RE2-style engines).
+WORD_TOKEN_RE = "[A-Za-z]+|[0-9]+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (reference A4 semantics: ``str.split(' ')``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def n_tokens(text: Column | str) -> Column:
+    """Whitespace token count as a long."""
+    return F.size(tokens(text)).cast("long")
+
+
+def n_word_tokens(text: Column | str) -> Column:
+    """BPE-ish token count: number of WORD_TOKEN_RE matches."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(WORD_TOKEN_RE), 0)).cast("long")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of whitespace tokens that are EN stopwords (double)."""
+    toks = tokens(text)
+    stop = F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    return F.size(stop).cast("double") / F.size(toks).cast("double")
+
+
+def lang_id_en(text: Column | str, threshold: float = 0.08) -> Column:
+    """Heuristic language-ID: 'en' if stopword ratio ≥ threshold.
+
+    A deliberately simple, deterministic n-gram-free heuristic (the
+    container has no langdetect/fasttext); the point is the *shape* —
+    a scan-speed classifier column a 100 TB filter can push on.
+    """
+    return F.when(stopword_ratio(text) >= F.lit(threshold), F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic for training-data filtering.
+
+    mean of three bounded signals: length score (chars/500 capped at 1),
+    mean-token-length score (len/8 capped at 1), stopword score
+    (ratio/0.2 capped at 1). Pure arithmetic — oracle-expressible.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    mean_tok = F.length(c).cast("double") / n_tokens(c).cast("double")
+    tok_score = F.least(mean_tok / F.lit(8.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) / F.lit(0.2), F.lit(1.0))
+    return (len_score + tok_score + stop_score) / F.lit(3.0)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of lowercased text.
+
+    md5 is available verbatim in both Spark and DuckDB, which makes the
+    fingerprint an oracle-checkable exact-dedup key. (Near-dup
+    fingerprints — MinHash/SimHash — live in ``operators/dedup.py``.)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(c))

@@ -1,0 +1,267 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+North-star LLM-pipeline components (BASELINE.json): at 100 TB the only
+viable near-dup strategies are the ones here — candidate generation by
+*locality-sensitive bucketing* (a hash-partitioned equi-join) followed
+by exact verification on the candidate set. Nothing does an O(n²)
+cross join; every stage is explode → groupBy → join, i.e. shuffles on
+bounded keys with map-side partial aggregation.
+
+All hashes are Spark's ``xxhash64`` with explicit integer salts —
+deterministic across runs, partitionings, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: MinHash signature size / banding (b bands of r rows; with 16 perms,
+#: 8 bands × 2 rows → LSH threshold (1/b)^(1/r) ≈ 0.35, comfortably
+#: below the 0.6 Jaccard cut so recall at the cut is ~1.
+MINHASH_PERMS = 16
+MINHASH_BANDS = 8
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact text dedup: keep the min doc_id per distinct text.
+
+    groupBy(text).min(doc_id) — one shuffle on the text (or its hash at
+    scale; Spark hashes the key either way), map-side combine. This is
+    the canonical "keep one representative" exact dedup, vs
+    ``dropDuplicates`` whose survivor is partition-order-dependent.
+    """
+    return documents.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+
+
+def _doc_tokens(documents: DataFrame) -> DataFrame:
+    """Distinct (doc_id, token) pairs — the shingle relation."""
+    return documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+
+
+def minhash_signatures(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """Per-doc MinHash signature: min over tokens of xxhash64(token, i).
+
+    One explode + one groupBy computing all ``perms`` mins in a single
+    aggregation pass (not ``perms`` passes).
+    """
+    toks = _doc_tokens(documents)
+    aggs = [
+        F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(perms)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash(
+    documents: DataFrame,
+    threshold: float = 0.6,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH banding + exact Jaccard verify.
+
+    shingle → minhash → band → bucket-join → verify:
+    1. signatures (one groupBy);
+    2. band hashes, exploded to (band_id, band_hash, doc_id);
+    3. self-equi-join on the bucket → candidate pairs (doc_a < doc_b);
+    4. exact Jaccard on collected token sets for candidates only;
+    5. filter jaccard ≥ threshold.
+
+    The bucket join is an equi-join on (band_id, band_hash): hash-
+    partitioned, broadcast-free, skew handled by AQE. Output columns:
+    (doc_id_a, doc_id_b, jaccard).
+    """
+    rows = perms // bands
+    sigs = minhash_signatures(documents, perms)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+    token_sets = _doc_tokens(documents).groupBy("doc_id").agg(
+        F.collect_set("token").alias("toks")
+    )
+    return (
+        candidates.join(
+            token_sets.select(F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("toks_a")),
+            "doc_id_a",
+        )
+        .join(
+            token_sets.select(F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("toks_b")),
+            "doc_id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+                / F.size(F.array_union("toks_a", "toks_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands × 8 bits; pairs sharing any band are candidates
+
+
+def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: sign of per-bit sums of ±1 token-hash bits.
+
+    All ``bits`` bit-sums are computed in one aggregation pass over the
+    exploded token relation; the fingerprint is assembled with plain
+    integer arithmetic — all JVM expressions.
+    """
+    toks = _doc_tokens(documents).withColumn("h", F.xxhash64("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = sum(
+        [
+            F.when(F.col(f"bit_{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(bits)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
+
+
+def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash banding + Hamming verification.
+
+    Pigeonhole: any pair within Hamming distance 3 of a 32-bit
+    fingerprint agrees exactly on at least one of 4 disjoint 8-bit
+    bands, so the band equi-join has full recall at the cut. Output:
+    (doc_id_a, doc_id_b, hamming).
+    """
+    fps = simhash_fingerprints(documents)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    buckets = fps.select("doc_id", "simhash", F.explode(band_structs).alias("band")).select(
+        "doc_id", "simhash", "band.band_id", "band.band_val"
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 20,
+) -> DataFrame:
+    """Near-dup pairs by word n-gram Jaccard with an inverted-index join.
+
+    Candidate generation: explode n-gram shingles, drop shingles with
+    document frequency > ``max_df`` (stop-shingles generate quadratic
+    candidates for no recall — the classic inverted-index pruning), then
+    self-join on the shingle. Verification: exact Jaccard over full
+    shingle sets for candidates only. Output: (doc_id_a, doc_id_b,
+    jaccard).
+    """
+    shingles = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) - {n}),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+    doc_freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = shingles.join(
+        doc_freq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    left = rare.alias("l")
+    right = rare.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    shingle_sets = shingles.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    return (
+        candidates.join(
+            shingle_sets.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")),
+            "doc_id_a",
+        )
+        .join(
+            shingle_sets.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")),
+            "doc_id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )

@@ -1,0 +1,134 @@
+"""Relational core: projections, filters, joins, set ops, rollup.
+
+The reference has *no* joins/groupBy at all (SURVEY.md §2.1 "Not
+present"); these operators are the north-star relational core that a
+100 TB deployment needs. Scale notes per operator are inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_trend_analysis_spark.functions.numeric import exact_avg, exact_sum
+
+
+def scan_project(lineitem: DataFrame) -> DataFrame:
+    """Projection + cast directly over the scan (SURVEY §2.3 scan_project).
+
+    Catalyst pushes the 4-column ReadSchema into the parquet reader —
+    at 100 TB this reads ~1/3 of the table's bytes. Verified via
+    ``.explain``: ReadSchema lists exactly these columns.
+    """
+    return lineitem.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_returnflag"),
+    )
+
+
+def filter_pred(lineitem: DataFrame) -> DataFrame:
+    """Conjunctive range + IN predicates (SURVEY §2.3 filter_pred).
+
+    All three predicates are parquet-pushable (``PushedFilters`` in the
+    scan node) → row-group skipping at scale.
+    """
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_returnflag")
+
+
+def join_hash(orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region chain (SURVEY §2.3 join_hash).
+
+    customer↔nation↔region are dimensions → Catalyst broadcasts them
+    (within autoBroadcastJoinThreshold); the orders↔customer join is the
+    only potentially-shuffled join, and AQE converts it to broadcast
+    when customer fits. Aggregated output keeps the result bounded at
+    any scale factor.
+    """
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .join(nation, customer.c_nationkey == nation.n_nationkey, "inner")
+        .join(region, nation.n_regionkey == region.r_regionkey, "inner")
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("sum_totalprice"),
+        )
+    )
+
+
+def join_broadcast(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """lineitem ⋈ broadcast(part) (SURVEY §2.3 join_broadcast).
+
+    Explicit ``broadcast()`` hint: part is a classic small dimension;
+    broadcasting turns a 100 TB-side shuffle into a map-side hash join.
+    """
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+def join_semi_anti(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers with (semi) / without (anti) orders, tagged + unioned.
+
+    left_semi/left_anti never materialize the right side's columns —
+    at scale Spark builds the join with only o_custkey (pruned scan).
+    """
+    with_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .withColumn("tag", F.lit("has_orders"))
+    )
+    without_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .withColumn("tag", F.lit("no_orders"))
+    )
+    return with_orders.unionByName(without_orders)
+
+
+def set_ops(events: DataFrame) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT ALL over two event slices, tagged.
+
+    Spark ``union`` is bag semantics (UNION ALL), ``intersect`` is set
+    semantics, ``exceptAll`` is bag semantics — the oracle SQL mirrors
+    each exactly (SURVEY §2.3 set_ops).
+    """
+    a = events.filter(F.col("event_type") == "purchase").select("user_id")
+    b = events.filter(F.col("value") > 100.0).select("user_id")
+    return (
+        a.union(b).withColumn("tag", F.lit("union_all"))
+        .unionByName(a.intersect(b).withColumn("tag", F.lit("intersect")))
+        .unionByName(a.exceptAll(b).withColumn("tag", F.lit("except_all")))
+    )
+
+
+def rollup_agg(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """ROLLUP(nation, mktsegment) totals (SURVEY §2.3 rollup_agg).
+
+    Spark expands rollup into a single-pass Expand+partial-agg — one
+    shuffle regardless of grouping-set count.
+    """
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
+    )
+    return joined.rollup(
+        F.col("n_name").alias("nation_name"), F.col("c_mktsegment").alias("mktsegment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        exact_sum("c_acctbal").alias("sum_acctbal"),
+        exact_avg("c_acctbal").alias("avg_acctbal"),
+    )

@@ -1,0 +1,62 @@
+"""Text-analysis operators over the documents table (north-star).
+
+Scan-speed column expressions only (functions/text.py): language-ID,
+quality scoring, token counting, fingerprinting — the per-document
+enrichments a training-data pipeline computes on every one of its
+10^11 documents, so they must stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_trend_analysis_spark.functions.numeric import exact_avg
+from big_data_trend_analysis_spark.functions.text import (
+    fingerprint,
+    lang_id_en,
+    n_tokens,
+    n_word_tokens,
+    quality_score,
+)
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-language doc counts / char stats / token totals (§2.3)."""
+    return (
+        documents.withColumn("n_toks", n_tokens("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum("n_toks").alias("sum_tokens"),
+        )
+    )
+
+
+def doc_profile(documents: DataFrame) -> DataFrame:
+    """Per-document enrichment row: lang guess, quality, token counts,
+    fingerprint — the canonical "annotate every document" pass."""
+    return documents.select(
+        "doc_id",
+        lang_id_en("text").alias("lang_pred"),
+        F.round(quality_score("text"), 6).alias("quality"),
+        n_tokens("text").alias("n_tok"),
+        n_word_tokens("text").alias("n_word_tok"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def quality_filter(documents: DataFrame, min_quality: float = 0.55) -> DataFrame:
+    """Training-data quality gate: keep docs above the quality cut.
+
+    The filter is a pure expression → Catalyst pushes the cheap parts
+    (length) toward the scan; the survivors keep their profile columns.
+    """
+    profiled = documents.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    return profiled.filter(F.col("quality") >= min_quality)

@@ -1,0 +1,125 @@
+"""Trend analytics: tokenization, keyword frequency, top-k, decay trend.
+
+This is the reference's raison d'être (``README.md:7`` "trending
+topics, keyword frequency"), re-expressed distributed:
+
+- reference: ``collect()`` → Python loop → driver CMS matrix
+  (``cms_stream.py:94-97``);
+- engine: ``explode(split())`` → ``groupBy().count()`` — partial
+  aggregation map-side, one shuffle on the token, no driver data path.
+
+``streaming_decay_trend`` is the flagship (SURVEY §7.1): the
+reference's entire semantic pipeline (scan → JSON parse → conditional
+score → decay weight → windowed agg → order) as one deterministic batch
+query; ``streaming/decay_trend.py`` re-triggers the same plan as a
+Structured Streaming job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_trend_analysis_spark.functions.decay import DEFAULT_ANCHOR, decay_weight
+from big_data_trend_analysis_spark.functions.numeric import rounded_sum
+from big_data_trend_analysis_spark.functions.scoring import event_type_score
+
+
+def tokenize_explode(documents: DataFrame) -> DataFrame:
+    """(doc_id, token) pairs by whitespace split (reference A4)."""
+    return documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+def keyword_freq(documents: DataFrame) -> DataFrame:
+    """Exact token frequency — the exact twin of the reference's CMS
+    probes (``cms_stream.py:110-116``)."""
+    return (
+        tokenize_explode(documents)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def keyword_topk(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k tokens by frequency, deterministic tie-break on the token.
+
+    TakeOrdered (partial top-k per partition, merge on driver of k rows
+    only) — the orderBy+limit pattern Spark turns into a bounded
+    selection, safe at any scale.
+    """
+    return keyword_freq(documents).orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    ).limit(k)
+
+
+def json_extract(events: DataFrame) -> DataFrame:
+    """Parse ``events.props`` JSON and extract ``k`` (reference P2/P5)."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+def conditional_score(events: DataFrame) -> DataFrame:
+    """3-way when/otherwise scoring on event_type (reference P8)."""
+    return events.select(
+        "event_id",
+        F.col("event_type"),
+        event_type_score("event_type").alias("score"),
+    )
+
+
+def decay_weight_per_event(events: DataFrame, anchor: str = DEFAULT_ANCHOR) -> DataFrame:
+    """Per-event exponential decay weight vs fixed anchor (reference M2)."""
+    return events.select(
+        "event_id",
+        F.round(decay_weight("ts", anchor), 6).alias("weight"),
+    )
+
+
+def streaming_decay_trend(
+    events: DataFrame,
+    anchor: str = DEFAULT_ANCHOR,
+    window_width: str = "1 hour",
+) -> DataFrame:
+    """Flagship: decay-weighted event-type trend per hour (SURVEY §7.1).
+
+    events → from_json(props) → when/otherwise score → decay weight →
+    groupBy(window(ts), event_type) → Σ(weight·score), Σ(weight·k), n →
+    orderBy. Composes every reference-core operator; the JSON parse
+    (from_json with declared schema, reference P2) feeds a measure so
+    it is oracle-covered too. Decimal-summed → deterministic under any
+    partitioning.
+    """
+    parsed = events.withColumn(
+        "props_k",
+        F.from_json("props", "struct<k:int>").getField("k"),
+    )
+    scored = parsed.select(
+        "ts",
+        "event_type",
+        event_type_score("event_type").alias("score"),
+        decay_weight("ts", anchor).alias("weight"),
+        "props_k",
+    )
+    return (
+        scored.groupBy(
+            F.window("ts", window_width).alias("w"),
+            "event_type",
+        )
+        .agg(
+            rounded_sum(F.col("weight") * F.col("score")).alias("decayed_score"),
+            rounded_sum(F.col("weight") * F.col("props_k").cast("double")).alias("decayed_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "decayed_score",
+            "decayed_k",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )

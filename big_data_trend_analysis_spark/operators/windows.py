@@ -1,0 +1,54 @@
+"""Event-time tumbling windows + analytic (ranking) windows.
+
+The reference's only time semantics is processing-time decay anchored
+to driver wall-clock (``edw_stream.py:75``); proper event-time windows
+are what its README promises ("trending topics per window") — realized
+here with ``window()`` over the event-time column (SURVEY §2.2 row 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+
+def window_tumbling(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Per-10-minute event counts + value sum (SURVEY §2.3 window_tumbling).
+
+    ``window().start`` is surfaced as a plain timestamp column
+    (``window_start``) so the result is a flat relation. Tumbling
+    windows are a plain hash aggregation — one shuffle on the bucket.
+    DuckDB twin: ``time_bucket(INTERVAL '10 minutes', ts)`` (same
+    epoch-aligned bucketing).
+    """
+    return (
+        events.groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def window_rank(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k events per user by value (SURVEY §2.3 window_rank).
+
+    ``row_number`` over (user_id, value desc, event_id) — the tie-break
+    on event_id makes ranking deterministic, which both the oracle and
+    any re-run at different parallelism require. At scale this is one
+    shuffle on user_id; skewed users are handled by AQE skew-join-style
+    partition splitting in the sort, and k-per-key output keeps the
+    result bounded.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.select("user_id", "event_id", "value")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

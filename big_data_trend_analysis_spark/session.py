@@ -1,0 +1,113 @@
+"""SparkSession construction and tuning.
+
+Scale posture: these configs are chosen so the same plans that pass the
+sf0.01 correctness gate keep working on a 1000-executor cluster at
+100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast demotion/promotion from runtime stats).
+- ``spark.sql.shuffle.partitions`` sized to the local core count for
+  tests; on a real cluster AQE's coalescing makes the initial number a
+  ceiling, not a constant cost.
+- Arrow execution for the (few) pandas UDFs.
+- Session timezone pinned to UTC so event-time semantics are identical
+  across driver, executors, and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session the engine builds. Every one of
+#: these is a stock Spark conf — no custom extensions (SURVEY.md §4.2:
+#: no custom Catalyst rules are required for this capability surface).
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # Driver testdata stores events.ts as TIMESTAMP(NANOS), which stock
+    # Spark rejects; read as long and convert in sources/tables.py.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 10 MB default; dimension tables (region/nation/part at test SF)
+    # broadcast automatically, and `broadcast()` hints cover the rest.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Read-side parallelism: one task per ~128 MB of parquet, the sweet
+    # spot for the vectorized reader at cluster scale too.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor python workers.
+
+    Zips the package once per version into the temp dir and
+    ``addPyFile``s it — the same mechanism that ships code to a real
+    cluster's executors, so pandas-UDF/mapInPandas plans work no matter
+    where the driver process started or how workers are spawned.
+    """
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"bdta_spark_pkg_{os.getuid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, os.path.join(pkg_dir.name, py.relative_to(pkg_dir)))
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        # Spark Connect has no sparkContext; workers there get code via
+        # the session's artifact API instead.
+        try:
+            spark.addArtifacts(zip_path, pyfile=True)
+        except Exception:
+            pass
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Used when the harness hands us a session we didn't build (the
+    driver's ``entry(spark)`` contract). Only runtime-mutable confs are
+    touched; static ones (already-started executor settings) are left
+    alone.
+    """
+    for key, value in ENGINE_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Static conf on a running session — keep whatever it has.
+            pass
+    ship_package(spark)
+    return spark
+
+
+def get_spark(app_name: str = "bdta-spark", master: str | None = None) -> SparkSession:
+    """Build (or get) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local runs;
+    on a cluster, leave it unset and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for key, value in ENGINE_CONF.items():
+        builder = builder.config(key, value)
+    # Local-mode niceties; harmless on a cluster.
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    spark = builder.getOrCreate()
+    return tune_session(spark)
