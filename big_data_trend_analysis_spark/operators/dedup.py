@@ -36,19 +36,39 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 
 def _doc_tokens(documents: DataFrame) -> DataFrame:
-    """Distinct (doc_id, token) pairs — the shingle relation."""
+    """Distinct (doc_id, token) pairs — the unigram relation."""
     return documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
 
 
+def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs over word n-grams.
+
+    MinHash runs over *shingles*, not unigram tokens: with a small
+    vocabulary (driver fixtures have ~31 distinct words) unigram sets
+    are nearly identical across documents, so unigram-LSH candidates
+    explode quadratically; n-gram shingles (vocab^n space) keep sets
+    discriminative — the standard shingle→minhash construction.
+    """
+    return documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(split(text, ' ')) - {n}, 0)),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+            )
+        ).alias("token"),
+    ).distinct()
+
+
 def minhash_signatures(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """Per-doc MinHash signature: min over tokens of xxhash64(token, i).
+    """Per-doc MinHash signature: min over shingles of xxhash64(sh, i).
 
     One explode + one groupBy computing all ``perms`` mins in a single
     aggregation pass (not ``perms`` passes).
     """
-    toks = _doc_tokens(documents)
+    toks = _doc_shingles(documents)
     aggs = [
         F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"mh_{i}")
         for i in range(perms)
@@ -68,7 +88,7 @@ def dedup_minhash(
     1. signatures (one groupBy);
     2. band hashes, exploded to (band_id, band_hash, doc_id);
     3. self-equi-join on the bucket → candidate pairs (doc_a < doc_b);
-    4. exact Jaccard on collected token sets for candidates only;
+    4. exact Jaccard on collected shingle sets for candidates only;
     5. filter jaccard ≥ threshold.
 
     The bucket join is an equi-join on (band_id, band_hash): hash-
@@ -108,7 +128,7 @@ def dedup_minhash(
         .distinct()
     )
 
-    token_sets = _doc_tokens(documents).groupBy("doc_id").agg(
+    token_sets = _doc_shingles(documents).groupBy("doc_id").agg(
         F.collect_set("token").alias("toks")
     )
     return (
@@ -141,10 +161,11 @@ def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> Data
     """Per-doc SimHash: sign of per-bit sums of ±1 token-hash bits.
 
     All ``bits`` bit-sums are computed in one aggregation pass over the
-    exploded token relation; the fingerprint is assembled with plain
-    integer arithmetic — all JVM expressions.
+    exploded shingle relation (shingles, not unigrams — see
+    ``_doc_shingles``); the fingerprint is assembled with plain integer
+    arithmetic — all JVM expressions.
     """
-    toks = _doc_tokens(documents).withColumn("h", F.xxhash64("token"))
+    toks = _doc_shingles(documents).withColumn("h", F.xxhash64("token"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -208,16 +229,24 @@ def ngram_jaccard(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int = 20,
+    max_df: int = 5,
+    min_shared: int = 2,
 ) -> DataFrame:
     """Near-dup pairs by word n-gram Jaccard with an inverted-index join.
 
     Candidate generation: explode n-gram shingles, drop shingles with
     document frequency > ``max_df`` (stop-shingles generate quadratic
     candidates for no recall — the classic inverted-index pruning), then
-    self-join on the shingle. Verification: exact Jaccard over full
+    self-join on the shingle keeping pairs that co-occur in at least
+    ``min_shared`` rare shingles (a count aggregation, far cheaper than
+    array work on junk pairs). Verification: exact Jaccard over full
     shingle sets for candidates only. Output: (doc_id_a, doc_id_b,
     jaccard).
+
+    Recall argument: a true near-dup pair at Jaccard ≥ 0.5 shares ~half
+    its shingles; near-dup-only shingles have df≈2 ≤ max_df, so such
+    pairs co-occur in many rare shingles — the prefilter only prunes
+    pairs whose overlap is a handful of common trigrams.
     """
     shingles = documents.select(
         "doc_id",
@@ -241,8 +270,12 @@ def ngram_jaccard(
             (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b"))
-        .distinct()
+        .groupBy(
+            F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_id_a", "doc_id_b")
     )
     shingle_sets = shingles.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
     return (
