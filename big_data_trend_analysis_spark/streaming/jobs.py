@@ -1,0 +1,85 @@
+"""Streaming jobs: event-time decay trend + cumulative keyword counts.
+
+Each job re-triggers an oracle-verified batch plan (streaming/__init__
+design rule). These are the streaming twins of the reference's four
+jobs, rebuilt on event-time:
+
+- ``decay_trend_stream``: the EDW job (edw_stream.py) with the
+  wall-clock anchor replaced by a fixed/parameterized anchor and the
+  per-batch JDBC append replaced by a windowed watermarked aggregation.
+- ``running_keyword_counts``: the CMS job's *cumulative* semantics
+  (cms_stream.py's driver-resident matrix accumulating across batches)
+  expressed as what it actually is — a streaming groupBy whose state
+  Spark checkpoints and updates exactly-once. No sketch needed for
+  correctness; ``count_min_sketch`` remains available for bounded-space
+  serving (operators/aggregates.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_trend_analysis_spark.functions.decay import DEFAULT_ANCHOR, decay_weight
+from big_data_trend_analysis_spark.functions.numeric import rounded_sum
+from big_data_trend_analysis_spark.functions.scoring import event_type_score
+
+
+def decay_trend_stream(
+    events: DataFrame,
+    anchor: str = DEFAULT_ANCHOR,
+    window_width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked streaming version of the flagship decay trend.
+
+    Same expressions as ``operators/trend.streaming_decay_trend`` (the
+    oracle-checked batch twin), plus an event-time watermark bounding
+    window state: windows older than the watermark are finalized and
+    evicted — the property that lets this run forever at 100 TB/day.
+    """
+    watermarked = events.withWatermark("ts", watermark)
+    parsed = watermarked.withColumn(
+        "props_k", F.from_json("props", "struct<k:int>").getField("k")
+    )
+    scored = parsed.select(
+        "ts",
+        "event_type",
+        event_type_score("event_type").alias("score"),
+        decay_weight("ts", anchor).alias("weight"),
+        "props_k",
+    )
+    return (
+        scored.groupBy(F.window("ts", window_width).alias("w"), "event_type")
+        .agg(
+            rounded_sum(F.col("weight") * F.col("score")).alias("decayed_score"),
+            rounded_sum(F.col("weight") * F.col("props_k").cast("double")).alias(
+                "decayed_k"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "decayed_score",
+            "decayed_k",
+            "n_events",
+        )
+    )
+
+
+def running_keyword_counts(texts: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cumulative token frequencies across all micro-batches.
+
+    The reference accumulates these in a driver-memory CMS matrix that
+    is neither distributed nor fault-tolerant (cms_stream.py:69,94-97).
+    A streaming groupBy *is* cross-batch cumulative state — partitioned
+    across executors, checkpointed, exactly-once — so the engine's
+    answer is exact where the reference's was approximate and volatile.
+    Use with outputMode("update")/("complete") sinks.
+    """
+    return (
+        texts.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )

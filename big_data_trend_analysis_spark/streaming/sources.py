@@ -1,0 +1,95 @@
+"""Streaming sources: Kafka tweet stream, file streams, rate test source.
+
+Kafka parity (reference S1, ``processing/spark_stream.py:24-29``): the
+scan options are reproduced verbatim, but parsing is factored into
+``parse_tweet_frame`` which works on *any* DataFrame with a binary
+``value`` column — streaming or batch — so the parse logic is testable
+without a broker (this container has neither Kafka nor the
+spark-sql-kafka connector jar).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Tweet message schema (FIXTURES.md A.1). The reference declares
+#: ``entities: array<struct<>>`` which silently nulls every entity
+#: (SURVEY §1.2 schema bug); we declare array<string>, matching what
+#: producers actually emit (fake_producer.py:49-51).
+TWEET_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("created_at", TimestampType()),
+        StructField("sentiment", StringType()),
+        StructField("entities", ArrayType(StringType())),
+    ]
+)
+
+
+def read_tweet_stream(
+    spark: SparkSession,
+    bootstrap_servers: str = "localhost:9092",
+    topic: str = "twitter_sentiment",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka streaming scan of the tweet topic (reference S1).
+
+    Requires the spark-sql-kafka connector on the classpath. The
+    reference uses ``startingOffsets=latest`` (spark_stream.py:28),
+    which silently skips pre-launch data; we default to ``earliest``
+    and make it a parameter.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .transform(parse_tweet_frame)
+    )
+
+
+def parse_tweet_frame(raw: DataFrame) -> DataFrame:
+    """binary ``value`` → typed tweet columns (reference P1-P5).
+
+    CAST(value AS STRING) → from_json(declared schema) → flatten.
+    Unparseable JSON yields null columns (Spark PERMISSIVE mode), the
+    same contract the reference relies on — but unlike the reference we
+    keep ``entities`` as a real array column instead of re-serializing
+    to a JSON string (spark_stream.py:37).
+    """
+    return (
+        raw.select(F.col("value").cast("string").alias("json_str"))
+        .select(F.from_json("json_str", TWEET_SCHEMA).alias("data"))
+        .select("data.*")
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the events table.
+
+    ``readStream`` on the same parquet the batch path reads — the
+    standard pattern for replay/backfill on a real deployment (the
+    100 TB analog streams a date-partitioned directory). Handles the
+    fixtures' TIMESTAMP(NANOS) storage exactly like
+    ``sources/tables.py``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ts arrives as long nanoseconds (nanosAsLong) and is converted below.
+    ddl = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw = (
+        spark.readStream.schema(ddl)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(os.path.join(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,147 @@
+"""Unit tests on tiny literal DataFrames — edge cases the reference
+mishandles (SURVEY.md §5.2-2) plus operator invariants."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_trend_analysis_spark.functions.decay import decay_weight
+from big_data_trend_analysis_spark.functions.nlp import extract_entities, sentiment_compound
+from big_data_trend_analysis_spark.functions.scoring import sentiment_label_score
+from big_data_trend_analysis_spark.functions.text import fingerprint, lang_id_en, n_tokens
+from big_data_trend_analysis_spark.operators.dedup import dedup_exact, dedup_minhash
+from big_data_trend_analysis_spark.operators.multimodal import multimodal_decode
+from big_data_trend_analysis_spark.operators.similarity import sim_search
+
+
+def test_sentiment_case_mismatch_bug_fixed(spark):
+    """Reference P8 bug: lowercase compare vs producer-cased labels →
+    every score 0.0 (edw_stream.py:94-95 vs fake_producer.py:46). Our
+    scoring normalizes case, so producer-cased labels score correctly."""
+    df = spark.createDataFrame(
+        [("Positive",), ("Negative",), ("Neutral",), ("POSITIVE",), (None,)],
+        "sentiment string",
+    )
+    scores = [
+        r.score
+        for r in df.select(
+            sentiment_label_score("sentiment").alias("score")
+        ).collect()
+    ]
+    assert scores == [1.0, -1.0, 0.0, 1.0, 0.0]
+
+
+def test_decay_weight_known_values(spark):
+    """weight = exp(-0.1 * age_sec / 60): age 0 → 1.0; age 416 s ≈ 0.5
+    (the reference's effective half-weight point, SURVEY §2.1 M2)."""
+    anchor = "2024-02-01 00:00:00"
+    df = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 2, 1, 0, 0, 0),),
+            (datetime.datetime(2024, 1, 31, 23, 53, 4),),  # 416 s before
+        ],
+        "ts timestamp",
+    )
+    w = [r.w for r in df.select(decay_weight("ts", anchor).alias("w")).collect()]
+    assert w[0] == 1.0
+    assert abs(w[1] - 0.5) < 0.001
+
+
+def test_empty_input_aggregations(spark):
+    """Empty-batch guard analog (reference F1): empty inputs produce
+    empty (not erroring) aggregates."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_exact(empty).count() == 0
+    assert dedup_minhash(empty).count() == 0
+
+
+def test_dedup_exact_keeps_min_doc_id(spark):
+    df = spark.createDataFrame(
+        [(5, "a b"), (2, "a b"), (9, "c d"), (1, "x")],
+        "doc_id long, text string",
+    )
+    kept = {r.text: r.doc_id for r in dedup_exact(df).collect()}
+    assert kept == {"a b": 2, "c d": 9, "x": 1}
+
+
+def test_dedup_minhash_finds_planted_near_dups(spark):
+    """Two 30-token docs differing in one token (J≈0.87) must pair;
+    an unrelated doc must not appear in any pair."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(29)) + " other"
+    unrelated = " ".join(f"zzz{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, unrelated)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in dedup_minhash(df).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_sim_search_self_excluded_and_k_bounded(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(8).astype(float).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim_search(df, probe_ids=(0, 1), k=3).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.vec_id != r.probe_id
+        assert 1 <= r.rnk <= 3
+        assert -1.000001 <= r.sim <= 1.000001
+
+
+def test_lang_id_and_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat with a hat",),  # stopword-rich → en
+            ("rojo azul verde amarillo morado naranja gris negro blanco rosa",),
+        ],
+        "text string",
+    )
+    out = df.select(
+        lang_id_en("text").alias("lang"), n_tokens("text").alias("n")
+    ).collect()
+    assert out[0].lang == "en" and out[0].n == 9
+    assert out[1].lang == "other" and out[1].n == 10
+
+
+def test_fingerprint_normalizes_case(spark):
+    df = spark.createDataFrame([("Hello World",), ("hello world",)], "text string")
+    fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert len(fps[0]) == 32
+
+
+def test_sentiment_udf_deterministic_lexicon(spark):
+    df = spark.createDataFrame(
+        [("good great day",), ("bad terrible hate",), ("",), (None,)],
+        "text string",
+    )
+    out = df.select(sentiment_compound(F.col("text")).alias("c")).collect()
+    assert out[0].c > 0
+    assert out[1].c < 0
+    assert out[2].c == 0.0
+    assert out[3].c == 0.0
+
+
+def test_ner_udf_stub_shape(spark):
+    df = spark.createDataFrame(
+        [("I met Alice Smith at Acme Corp yesterday",)], "text string"
+    )
+    out = df.select(extract_entities(F.col("text")).alias("e")).collect()
+    assert isinstance(out[0].e, list)
+    assert "Alice Smith" in out[0].e
+
+
+def test_multimodal_decode_deterministic(spark):
+    df = spark.createDataFrame([(1, "abcd"), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: r for r in multimodal_decode(df).collect()}
+    assert out[1].n_bytes == 4
+    assert out[1].width == 64 + 4 % 512
+    assert out[2].n_bytes == 0
+    assert out[2].width == 64

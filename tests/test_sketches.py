@@ -1,0 +1,70 @@
+"""Sketch-accuracy property tests (SURVEY.md §5.2-4): the approximate
+aggregates must satisfy their published error contracts on seeded data,
+mirroring the reference algorithms' guarantees (CMS: overestimate only,
+within εN w.h.p. — cms_stream.py:42-47; FM/HLL: within rsd —
+flajolent_stream.py:23-28)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def seeded_tokens(spark):
+    """Zipf-ish token stream with known exact counts, seed=7."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    weights = [1.0 / (i + 1) for i in range(200)]
+    toks = rng.choices(vocab, weights=weights, k=20_000)
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    exact = {}
+    for t in toks:
+        exact[t] = exact.get(t, 0) + 1
+    return df, exact
+
+
+def test_count_min_sketch_overestimates_within_eps(spark, seeded_tokens):
+    """CMS contract: estimate ≥ true, and ≤ true + εN w.h.p."""
+    df, exact = seeded_tokens
+    eps, n = 0.001, sum(exact.values())
+    sk = (
+        df.agg(
+            F.count_min_sketch("token", F.lit(eps), F.lit(0.99), F.lit(42)).alias("s")
+        )
+        .collect()[0]
+        .s
+    )
+    # The sketch builds distributed (mergeable partial aggregates); only
+    # the ~depth×width byte blob returns. Probe it with the same JVM
+    # sketch library Spark used to build it.
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
+    assert cms.totalCount() == n
+    hot = sorted(exact, key=exact.get, reverse=True)[:5]
+    for key in hot + ["w150", "w199", "never-seen"]:
+        est = cms.estimateCount(key)
+        assert est >= exact.get(key, 0)
+        assert est <= exact.get(key, 0) + eps * n * 3
+
+
+def test_approx_count_distinct_within_rsd(spark, seeded_tokens):
+    df, exact = seeded_tokens
+    rsd = 0.05
+    est = df.agg(F.approx_count_distinct("token", rsd).alias("d")).collect()[0].d
+    true = len(exact)
+    assert abs(est - true) <= max(4 * rsd * true, 10)
+
+
+def test_hll_sketch_agg_mergeable(spark, seeded_tokens):
+    """HLL sketches built on halves and merged ≈ sketch on the union —
+    the mergeability that makes distributed distinct-count work."""
+    df, exact = seeded_tokens
+    halves = df.withColumn("half", (F.monotonically_increasing_id() % 2))
+    per_half = halves.groupBy("half").agg(F.hll_sketch_agg("token").alias("sk"))
+    merged = per_half.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("d")
+    ).collect()[0].d
+    true = len(exact)
+    assert abs(merged - true) <= max(0.1 * true, 10)
