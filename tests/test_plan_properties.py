@@ -1,0 +1,128 @@
+"""Physical-plan invariants (SURVEY.md §5.2-5 "scale smoke").
+
+These assertions encode the 100 TB posture: predicates and projections
+must reach the parquet scan, small dimensions must broadcast, narrow
+pipelines must not shuffle, and nothing may fall back to a cartesian
+join except the two declared broadcast-probe patterns (sim_search /
+ann_ivf, where the build side is a handful of probe vectors).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from big_data_trend_analysis_spark.plans.registry import QUERIES
+
+#: Queries whose plan legitimately contains a cross join: the build
+#: side is a broadcast of O(probes) rows, i.e. a map-side scan pattern.
+CROSS_JOIN_ALLOWED = {"sim_search", "ann_ivf"}
+
+#: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
+#: Exchange here is a regression (a shuffle of the full table).
+NARROW = {
+    "scan_project",
+    "filter_pred",
+    "json_extract",
+    "conditional_score",
+    "decay_weight",
+    "quality_filter",
+    "doc_profile",
+    "tokenize_explode",
+    "sentiment_score",
+    "multimodal_decode",
+}
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {name: plan_of(q(spark, sf_dir)) for name, q in QUERIES.items()}
+
+
+def test_no_unexpected_cartesian_joins(plans):
+    for name, plan in plans.items():
+        if name in CROSS_JOIN_ALLOWED:
+            continue
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_narrow_pipelines_do_not_shuffle(plans):
+    for name in NARROW:
+        assert "Exchange" not in plans[name], f"{name} shuffles a narrow pipeline"
+
+
+def test_scan_projection_is_pruned(plans):
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plans["scan_project"])
+    assert m, "no ReadSchema in scan_project plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"}
+
+
+def test_filter_predicates_are_pushed(plans):
+    plan = plans["filter_pred"]
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "In(l_returnflag" in plan
+
+
+def test_dimension_joins_broadcast(plans):
+    assert "BroadcastHashJoin" in plans["join_broadcast"]
+    # the orders⋈customer⋈nation⋈region chain: every dim side broadcasts
+    assert plans["join_hash"].count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plans["join_broadcast"]
+
+
+def test_aggregations_have_partial_phase(plans):
+    # partial (map-side) + final HashAggregate pairs around one shuffle
+    for name in ("agg_basic", "keyword_freq", "window_tumbling"):
+        assert plans[name].count("HashAggregate") >= 2, name
+        assert plans[name].count("Exchange") <= 2, name
+
+
+def test_topk_uses_bounded_selection(plans):
+    # orderBy+limit must compile to TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plans["keyword_topk"]
+
+
+def test_semi_anti_join_strategies(plans):
+    plan = plans["join_semi_anti"]
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_covers_core_paths(spark, sf_dir):
+    """Partial AND final aggregate stages must be codegen'd (starred).
+
+    Checked with AQE disabled because the AdaptiveSparkPlan wrapper
+    hides codegen annotation until the plan is finalized — with AQE on,
+    explain shows no stars even for fully codegen'd stages.
+    """
+    import re
+
+    from big_data_trend_analysis_spark.operators.aggregates import agg_basic
+    from big_data_trend_analysis_spark.operators.trend import keyword_freq
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for df in (
+            agg_basic(load_table(spark, sf_dir, "lineitem")),
+            keyword_freq(load_table(spark, sf_dir, "documents")),
+        ):
+            simple = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+            assert len(re.findall(r"\*\(\d+\) HashAggregate", simple)) >= 2, simple
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,100 @@
+"""Scale-utility tests: salted joins, date partitioning, bucketed joins,
+and the SQL entry point over registered views."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_trend_analysis_spark.operators.skew import hot_keys, salted_join
+from big_data_trend_analysis_spark.sources.lakehouse import (
+    write_bucketed,
+    write_date_partitioned,
+)
+from big_data_trend_analysis_spark.sources.tables import load_table, register_views
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    plain = lineitem.join(
+        part, lineitem.l_partkey == part.p_partkey
+    ).select("l_orderkey", "l_linenumber", "p_brand")
+    salted = salted_join(
+        lineitem.withColumnRenamed("l_partkey", "p_partkey"), part, on="p_partkey"
+    ).select("l_orderkey", "l_linenumber", "p_brand")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_hot_keys_census(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    hot = {r.k: r.n for r in hot_keys(df, "k", min_count=10).collect()}
+    assert hot == {"a": 100}
+
+
+def test_date_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_date")
+    write_date_partitioned(events, path, "ts")
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("p_date") == "2024-01-03")
+    plan = _plan(one_day)
+    assert "PartitionFilters" in plan and "p_date" in plan
+    # pruning must not change results
+    expected = events.filter(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == expected
+    assert expected > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        customer = load_table(spark, sf_dir, "customer")
+        write_bucketed(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            "orders_b", "o_custkey", 8,
+        )
+        write_bucketed(
+            customer.select("c_custkey", "c_name"), "customer_b", "c_custkey", 8
+        )
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_sql_entry_point(spark, sf_dir):
+    """spark.sql over registered views — the SQL surface the reference
+    never had (SURVEY §2.1: 'spark.sql never called')."""
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT r_name, COUNT(*) AS n
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY n DESC
+        """
+    ).collect()
+    assert len(out) == 5
+    assert sum(r.n for r in out) == load_table(spark, sf_dir, "customer").count()
