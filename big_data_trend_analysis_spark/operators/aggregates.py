@@ -52,6 +52,108 @@ def agg_basic(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def pivot_counts(events: DataFrame) -> DataFrame:
+    """Per-user event-type counts pivoted to columns.
+
+    The pivot values are declared explicitly (the fixture's event-type
+    domain) so the plan is a single-pass conditional aggregation — no
+    extra job to discover distinct values, which matters when the
+    input is 100 TB. DuckDB twin: FILTER'd counts.
+    """
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def percentile_agg(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of quantity per returnflag.
+
+    ``percentile`` is the exact (sort-based) aggregate — the oracle
+    twin of ``approx_percentile`` below; at 100 TB you run the sketch
+    version and accept the documented error instead.
+    """
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95_qty"),
+    )
+
+
+def approx_percentile_agg(lineitem: DataFrame) -> DataFrame:
+    """KLL-style approximate percentiles (rows-only; exact twin above)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_qty"),
+        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95_qty"),
+    )
+
+
+def stats_moments(lineitem: DataFrame) -> DataFrame:
+    """Second-moment statistics: stddev/variance/correlation/covariance.
+
+    Spark computes these with single-pass co-moment merging (Chan et
+    al.) — distributed and mergeable; rounded to 6dp for cross-engine
+    stability of the last ulp.
+    """
+    return lineitem.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qty_price"),
+    )
+
+
+def minmax_by(orders: DataFrame) -> DataFrame:
+    """Per-customer argmax/argmin: the order ids of the priciest and
+    cheapest orders (``max_by``/``min_by`` ≙ DuckDB arg_max/arg_min).
+
+    Tie-safe on this data: (o_totalprice, o_orderkey) pairs are unique
+    per customer at every SF (asserted by the oracle match itself).
+    """
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+            "best_order"
+        ),
+        F.min_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+            "worst_order"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def multi_distinct(events: DataFrame) -> DataFrame:
+    """Several COUNT(DISTINCT) over different columns in one query.
+
+    Catalyst rewrites multi-distinct into a single Expand-based
+    aggregation (one shuffle), not one job per distinct — worth
+    asserting because the naive plan is N full passes.
+    """
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def array_agg_sorted(events: DataFrame) -> DataFrame:
+    """Deterministic collect: per-user sorted array of event types used.
+
+    ``collect_set`` order is partition-dependent; sorting makes the
+    array a canonical value. Surfaced as a CSV string because array
+    columns round-trip differently through Arrow/pandas across engines
+    (list vs ndarray), which would break value comparison even when the
+    contents are identical.
+    """
+    return events.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types_csv")
+    )
+
+
 def distinct_count(documents: DataFrame) -> DataFrame:
     """Exact distinct texts per source (FM's target quantity, A3)."""
     return documents.groupBy("source").agg(

@@ -1,0 +1,69 @@
+"""Scalar function parity: date/time, string, and null-handling suites.
+
+The reference's scalar surface is casts + ``split`` only (SURVEY.md
+§2.1 "Not present"); these queries declare the engine's broader scalar
+function coverage with cross-engine-stable semantics (every expression
+chosen to behave identically in Spark and DuckDB, or mapped explicitly
+in the oracle — e.g. day-of-week numbering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def date_parts(orders: DataFrame) -> DataFrame:
+    """Date decomposition + truncation + arithmetic on order dates.
+
+    dow is normalized to ISO (Mon=1..Sun=7) via ``dayofweek`` remap —
+    Spark's native numbering (Sun=1) differs from DuckDB's (Sun=0), so
+    the engine exposes the ISO form both sides agree on.
+    """
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1).alias("o_isodow"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2025-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2025"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+def string_funcs(part: DataFrame) -> DataFrame:
+    """String manipulation suite over part names/brands."""
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_brand", 7, 2).alias("brand_code"),
+        F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").like("%red%").alias("has_red"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+    )
+
+
+def null_handling(orders: DataFrame) -> DataFrame:
+    """NULL-logic suite: nullif/coalesce/nvl2-style branching.
+
+    The fixtures are null-free, so nulls are *manufactured* with
+    ``nullif`` — the point is the null-propagation semantics, checked
+    against the oracle's identical expressions.
+    """
+    status_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return orders.select(
+        "o_orderkey",
+        status_null.alias("status_or_null"),
+        F.coalesce(status_null, F.lit("OPEN")).alias("status_filled"),
+        F.when(status_null.isNull(), F.lit("is_open")).otherwise(F.lit("closed")).alias(
+            "openness"
+        ),
+        F.isnull(status_null).alias("is_open_flag"),
+    )

@@ -34,6 +34,59 @@ def window_tumbling(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     )
 
 
+def window_sliding(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (overlapping counts).
+
+    Spark expands each event into width/slide window copies before the
+    aggregation — still one shuffle. DuckDB twin: UNION ALL of the two
+    shifted 10-minute bucketings.
+    """
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def window_session(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    ``session_window`` merges events whose gaps are < ``gap`` into one
+    window per user — the canonical sessionization operator. Works in
+    batch and (with a watermark) streaming. DuckDB twin: classic
+    gaps-and-islands (lag + cumulative flag sum).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def window_lag_lead(events: DataFrame) -> DataFrame:
+    """Analytic lag/lead/ntile over each user's event timeline.
+
+    Deterministic because the ordering key (ts, event_id) is unique.
+    One shuffle on user_id; state is one partition's sort — the same
+    plan shape at any scale.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return events.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def window_rank(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-k events per user by value (SURVEY §2.3 window_rank).
 

@@ -39,6 +39,7 @@ from big_data_trend_analysis_spark.operators import (
     dedup,
     multimodal,
     relational,
+    scalar,
     similarity,
     textstats,
     trend,
@@ -78,6 +79,36 @@ def _sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_decay_trend_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming execution inside the correctness gate.
+
+    Drains the watermarked streaming decay trend with an availableNow
+    trigger into a memory sink and returns the resulting table — so the
+    driver's oracle check covers the actual streaming path, not just
+    its batch twin. Checkpoint/table names are unique per invocation.
+    """
+    import tempfile
+    import uuid
+
+    from big_data_trend_analysis_spark.streaming.jobs import decay_trend_stream
+    from big_data_trend_analysis_spark.streaming.sources import stream_events
+
+    tune_session(spark)
+    name = f"decay_live_{uuid.uuid4().hex[:12]}"
+    query = (
+        decay_trend_stream(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdta_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    query.stop()
+    return spark.table(name)
+
+
 QUERIES: dict[str, QueryFn] = {
     # -- reference-core semantics (SURVEY §2.1/§2.2) --
     "scan_project": _q(relational.scan_project, "lineitem"),
@@ -92,10 +123,24 @@ QUERIES: dict[str, QueryFn] = {
     "approx_distinct": _q(aggregates.approx_distinct, "documents"),
     "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
     "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
+    "stream_decay_trend_live": _stream_decay_trend_live,
     # -- relational core (north-star) --
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
     "window_tumbling": _q(windows.window_tumbling, "events"),
+    "window_sliding": _q(windows.window_sliding, "events"),
+    "window_session": _q(windows.window_session, "events"),
     "window_rank": _q(windows.window_rank, "events"),
+    "window_lag_lead": _q(windows.window_lag_lead, "events"),
+    "pivot_counts": _q(aggregates.pivot_counts, "events"),
+    "percentile_agg": _q(aggregates.percentile_agg, "lineitem"),
+    "approx_percentile": _q(aggregates.approx_percentile_agg, "lineitem"),
+    "stats_moments": _q(aggregates.stats_moments, "lineitem"),
+    "minmax_by": _q(aggregates.minmax_by, "orders"),
+    "multi_distinct": _q(aggregates.multi_distinct, "events"),
+    "array_agg_sorted": _q(aggregates.array_agg_sorted, "events"),
+    "date_parts": _q(scalar.date_parts, "orders"),
+    "string_funcs": _q(scalar.string_funcs, "part"),
+    "null_handling": _q(scalar.null_handling, "orders"),
     "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region"),
     "join_broadcast": _q(relational.join_broadcast, "lineitem", "part"),
     "join_semi_anti": _q(relational.join_semi_anti, "customer", "orders"),
@@ -236,6 +281,142 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1
+    """,
+    "stream_decay_trend_live": f"""
+        WITH scored AS (
+            SELECT ts, event_type,
+                   {_SCORE} AS score,
+                   {_DECAY} AS weight,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               CAST(SUM(CAST(round(weight * score, 6) AS DECIMAL(28,6))) AS DOUBLE) AS decayed_score,
+               CAST(SUM(CAST(round(weight * CAST(k AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) AS decayed_k,
+               COUNT(*) AS n_events
+        FROM scored
+        GROUP BY 1, 2
+    """,
+    "window_sliding": """
+        WITH w AS (
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events
+        )
+        SELECT window_start, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM w GROUP BY 1
+    """,
+    "window_session": """
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), s AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sess_id
+            FROM o
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sess_id
+    """,
+    "window_lag_lead": """
+        SELECT user_id, event_id,
+               lag(event_id) OVER w AS prev_event_id,
+               lead(event_id) OVER w AS next_event_id,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    "pivot_counts": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "percentile_agg": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6)  AS p50_qty,
+               round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "stats_moments": """
+        SELECT l_linestatus,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_discount), 6) AS var_disc,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    "minmax_by": """
+        WITH r AS (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+            FROM orders
+        )
+        SELECT o_custkey,
+               MAX(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+               MAX(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
+               COUNT(*) AS n_orders
+        FROM r GROUP BY o_custkey
+    """,
+    "multi_distinct": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "array_agg_sorted": """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+        FROM events GROUP BY user_id
+    """,
+    "date_parts": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               CAST(day(o_orderdate) AS INTEGER) AS o_day,
+               CAST(isodow(o_orderdate) AS INTEGER) AS o_isodow,
+               CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INTEGER) AS days_to_2025,
+               CAST(o_orderdate AS DATE) + 30 AS due_date
+        FROM orders
+    """,
+    "string_funcs": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               substring(p_brand, 7, 2) AS brand_code,
+               concat_ws('/', p_type, p_brand) AS type_brand,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               p_name LIKE '%red%' AS has_red,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               string_split(p_type, ' ')[1] AS type_head
+        FROM part
+    """,
+    "null_handling": """
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'O') AS status_or_null,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+               CASE WHEN nullif(o_orderstatus, 'O') IS NULL
+                    THEN 'is_open' ELSE 'closed' END AS openness,
+               nullif(o_orderstatus, 'O') IS NULL AS is_open_flag
+        FROM orders
     """,
     "window_rank": """
         SELECT user_id, event_id, value, rnk FROM (
