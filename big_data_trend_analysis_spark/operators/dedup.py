@@ -128,8 +128,19 @@ def dedup_minhash(
         .distinct()
     )
 
-    token_sets = _doc_shingles(documents).groupBy("doc_id").agg(
-        F.collect_set("token").alias("toks")
+    # Collect shingle sets ONLY for candidate docs: at scale the
+    # candidate set is a vanishing fraction of the corpus, so the
+    # semi-join prunes the expensive collect_set to that fraction.
+    candidate_ids = (
+        candidates.select(F.col("doc_id_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    token_sets = (
+        _doc_shingles(documents)
+        .join(candidate_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("token").alias("toks"))
     )
     return (
         candidates.join(
@@ -277,7 +288,18 @@ def ngram_jaccard(
         .filter(F.col("n_shared") >= min_shared)
         .select("doc_id_a", "doc_id_b")
     )
-    shingle_sets = shingles.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    # Same candidate-pruned collect as dedup_minhash: shingle sets are
+    # built only for docs that appear in some candidate pair.
+    candidate_ids = (
+        candidates.select(F.col("doc_id_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    shingle_sets = (
+        shingles.join(candidate_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
     return (
         candidates.join(
             shingle_sets.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")),

@@ -116,6 +116,55 @@ def set_ops(events: DataFrame) -> DataFrame:
     )
 
 
+def correlated_subquery(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Customers above their nation's average balance.
+
+    Declared as the classic correlated scalar subquery shape; built
+    here as the decorrelated plan Catalyst produces anyway (aggregate →
+    broadcast join back), so the intent is visible in the code: one
+    pass for per-nation averages, one broadcast join — never a
+    per-row subquery execution.
+    """
+    nation_avg = customer.groupBy("c_nationkey").agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "nation_avg_bal"
+        )
+    )
+    return (
+        customer.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg_bal"))
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation_name"),
+            "c_acctbal",
+            F.round("nation_avg_bal", 6).alias("nation_avg_bal"),
+        )
+    )
+
+
+def cube_agg(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """CUBE(nation, mktsegment) with explicit grouping indicators.
+
+    Like rollup_agg but over the full 2^k grouping-set lattice; the
+    ``is_total`` flags are derived with ``grouping()`` so the oracle
+    (whose NULL-vs-total ambiguity differs) compares explicit booleans.
+    """
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
+    ).select(
+        F.col("n_name").alias("nation_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "c_acctbal",
+    )
+    return joined.cube("nation_name", "mktsegment").agg(
+        F.grouping("nation_name").cast("int").alias("nation_total"),
+        F.grouping("mktsegment").cast("int").alias("segment_total"),
+        F.count(F.lit(1)).alias("n_customers"),
+        exact_sum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
 def rollup_agg(customer: DataFrame, nation: DataFrame) -> DataFrame:
     """ROLLUP(nation, mktsegment) totals (SURVEY §2.3 rollup_agg).
 

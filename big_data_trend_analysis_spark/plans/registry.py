@@ -146,6 +146,8 @@ QUERIES: dict[str, QueryFn] = {
     "join_semi_anti": _q(relational.join_semi_anti, "customer", "orders"),
     "set_ops": _q(relational.set_ops, "events"),
     "rollup_agg": _q(relational.rollup_agg, "customer", "nation"),
+    "cube_agg": _q(relational.cube_agg, "customer", "nation"),
+    "correlated_subquery": _q(relational.correlated_subquery, "customer", "nation"),
     # -- dedup (north-star) --
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
@@ -470,6 +472,27 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP(n_name, c_mktsegment)
+    """,
+    "cube_agg": """
+        SELECT n_name AS nation_name, c_mktsegment AS mktsegment,
+               CAST(CASE WHEN GROUPING(n_name) = 1 THEN 1 ELSE 0 END AS INTEGER) AS nation_total,
+               CAST(CASE WHEN GROUPING(c_mktsegment) = 1 THEN 1 ELSE 0 END AS INTEGER) AS segment_total,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY CUBE(n_name, c_mktsegment)
+    """,
+    "correlated_subquery": """
+        SELECT c_custkey, n_name AS nation_name, c_acctbal,
+               round(nation_avg_bal, 6) AS nation_avg_bal
+        FROM (
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg_bal
+            FROM customer
+        )
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > nation_avg_bal
     """,
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text

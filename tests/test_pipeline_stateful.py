@@ -1,0 +1,99 @@
+"""Reference-EDW pipeline parity + custom stateful streaming tests."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_trend_analysis_spark.streaming.pipeline import edw_transform
+from big_data_trend_analysis_spark.streaming.stateful import (
+    decayed_token_scores,
+    tokens_from_text_stream,
+)
+
+
+def _tweets(spark):
+    rows = [
+        ("spark is fast", datetime.datetime(2024, 1, 15, 10, 0, 0), "Positive", ["Spark"]),
+        ("kafka is down", datetime.datetime(2024, 1, 15, 9, 53, 4), "Negative", []),
+        ("meh", datetime.datetime(2024, 1, 15, 9, 0, 0), "Neutral", None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "text string, created_at timestamp, sentiment string, entities array<string>",
+    )
+
+
+def test_edw_transform_reference_semantics(spark):
+    """Column-for-column parity with edw_stream.py:64-105 (fixed anchor;
+    case bug corrected — SURVEY §7.3)."""
+    anchor = "2024-01-15 10:00:00"
+    out = {r.text: r for r in edw_transform(_tweets(spark), anchor, batch_id=3).collect()}
+
+    assert set(out["meh"].asDict()) == {
+        "text", "created_at", "sentiment", "entities",
+        "weight", "weighted_sentiment", "processing_time", "batch_id",
+    }
+    # age 0 → weight 1, positive → +1.0
+    assert out["spark is fast"].weight == pytest.approx(1.0)
+    assert out["spark is fast"].weighted_sentiment == pytest.approx(1.0)
+    # age 416 s → weight ≈ 0.5, negative → ≈ -0.5
+    assert out["kafka is down"].weight == pytest.approx(0.5, abs=1e-3)
+    assert out["kafka is down"].weighted_sentiment == pytest.approx(-0.5, abs=1e-3)
+    # neutral → 0 regardless of weight
+    assert out["meh"].weighted_sentiment == 0.0
+    assert out["meh"].batch_id == 3
+    # exact formula parity: exp(-rate * Δt / half_life)
+    assert out["meh"].weight == pytest.approx(math.exp(-0.1 * 3600 / 60))
+
+
+def test_decayed_token_scores_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: state must decay-and-accumulate across
+    batches; with a single availableNow batch, score == count."""
+    docs_stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    scored = decayed_token_scores(tokens_from_text_stream(docs_stream))
+    query = (
+        scored.writeStream.format("memory")
+        .queryName("tok_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    got = {r.token: r for r in spark.table("tok_state").collect()}
+
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    exact = {
+        r.token: r.cnt
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for token, row in got.items():
+        assert row.total_count == exact[token]
+        # one batch → no decay applied yet: score == batch count
+        assert row.decayed_score == pytest.approx(float(exact[token]))
+
+
+def test_decay_formula_across_two_updates(spark):
+    """The decay recurrence itself (score·d + n), checked directly."""
+    decay = 0.9
+    score = 0.0
+    for n in (10, 4):
+        score = score * decay + n
+    assert score == pytest.approx(10 * 0.9 + 4)
