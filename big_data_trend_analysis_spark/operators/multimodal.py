@@ -20,7 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -95,3 +97,102 @@ def decode_meta(blobs: DataFrame) -> DataFrame:
 def multimodal_decode(documents: DataFrame) -> DataFrame:
     """documents → blob column → stub-decoded metadata (end-to-end)."""
     return decode_meta(with_blob(documents))
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+EMBED_DIM = 16
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def frame_sample(blobs: DataFrame, stride: int = 3) -> DataFrame:
+    """Sample "frames" from each payload (video-style fan-out).
+
+    One input row yields ``n_frames`` output rows — the row-expanding
+    mapInPandas shape a video pipeline needs (explode can't do it: the
+    frames are *derived from the bytes*, not a pre-existing array).
+    STUB: a frame is a byte-slice; a real pipeline calls the demuxer
+    here. Output stays bounded per Arrow batch.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                n = max(1, len(content) // (stride * 16))
+                for i in range(min(n, 4)):
+                    lo = i * stride * 16
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(bytes(content[lo : lo + 16]))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def fake_embed(frames: DataFrame) -> DataFrame:
+    """Feature-extract each frame into a dense embedding (STUB model).
+
+    Deterministic stand-in for an image/audio encoder: bytes → fixed
+    16-d vector via a simple rolling formula. The Spark-side contract —
+    ``array<float>`` column, Arrow batches, one model load per worker —
+    is exactly what a real encoder needs; the output feeds the same
+    similarity operators as the ``embeddings`` table.
+    """
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def vec(b: bytes) -> list[float]:
+            v = [0.0] * EMBED_DIM
+            for i, byte in enumerate(b):
+                v[i % EMBED_DIM] += ((byte % 64) - 32) / 32.0
+            return v
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "embedding": pdf["frame_bytes"].map(vec),
+                }
+            )
+
+    return frames.mapInPandas(embed, EMBED_SCHEMA)
+
+
+def multimodal_pipeline(documents: DataFrame) -> DataFrame:
+    """blob → frame-sample → embed → per-doc mean-pooled vector norm.
+
+    The full multimodal ingestion shape: opaque bytes fan out to
+    frames, frames embed to vectors, vectors mean-pool per document.
+    Surfaced as (doc_id, n_frames, round(norm,6)) so the result is a
+    flat, comparable relation.
+    """
+    from big_data_trend_analysis_spark.functions.vectors import as_double
+
+    embedded = fake_embed(frame_sample(with_blob(documents)))
+    pooled = (
+        embedded.select(
+            "doc_id", F.posexplode(as_double("embedding")).alias("pos", "val")
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("vec_norm"))
+    )
+    n_frames = embedded.groupBy("doc_id").agg(
+        F.countDistinct("frame_idx").alias("n_frames")
+    )
+    return n_frames.join(pooled, "doc_id")

@@ -106,6 +106,28 @@ def ann_ivf(
     )
 
 
+def embed_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid statistics: element-wise mean vector's norm.
+
+    The vector-aggregation shape (posexplode → per-position mean →
+    re-reduce) that underlies k-means/IVF training at scale: one
+    shuffle on (label, position), everything JVM-side. Surfaced as a
+    scalar norm so the oracle compares doubles, not array encodings.
+    """
+    per_pos = (
+        embeddings.select(
+            "label", F.posexplode(as_double("embedding")).alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    norms = per_pos.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
+    counts = embeddings.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return counts.join(norms, "label")
+
+
 def _hyperplanes(n_planes: int, dim: int = EMBEDDING_DIM) -> list[list[float]]:
     """Deterministic random hyperplanes (fixed seed → plan-stable)."""
     rng = np.random.default_rng(42)

@@ -157,6 +157,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_search": _q(similarity.sim_search, "embeddings"),
     "ann_ivf": _q(similarity.ann_ivf, "embeddings"),
     "embed_neardup": _q(similarity.embed_neardup, "embeddings"),
+    "embed_centroids": _q(similarity.embed_centroids, "embeddings"),
     # -- text analysis (north-star) --
     "text_stats": _q(textstats.text_stats, "documents"),
     "doc_profile": _q(textstats.doc_profile, "documents"),
@@ -164,6 +165,7 @@ QUERIES: dict[str, QueryFn] = {
     "sentiment_score": _sentiment_score,
     # -- multimodal plumbing (north-star; stub decode, real Spark path) --
     "multimodal_decode": _q(multimodal.multimodal_decode, "documents"),
+    "multimodal_pipeline": _q(multimodal.multimodal_pipeline, "documents"),
 }
 
 
@@ -515,6 +517,22 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS INTEGER) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """,
+    "embed_centroids": """
+        WITH pos AS (
+            SELECT label,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val
+            FROM embeddings
+        ), m AS (
+            SELECT label, pos, avg(val) AS m FROM pos GROUP BY label, pos
+        ), norms AS (
+            SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+            FROM m GROUP BY label
+        )
+        SELECT e.label, COUNT(*) AS n_vecs, any_value(n.centroid_norm) AS centroid_norm
+        FROM embeddings e JOIN norms n ON e.label = n.label
+        GROUP BY e.label
     """,
     "text_stats": """
         SELECT lang,

@@ -138,6 +138,34 @@ def test_ner_udf_stub_shape(spark):
     assert "Alice Smith" in out[0].e
 
 
+def test_multimodal_pipeline_fanout_and_determinism(spark):
+    from big_data_trend_analysis_spark.operators.multimodal import (
+        fake_embed,
+        frame_sample,
+        multimodal_pipeline,
+        with_blob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x" * 200), (2, "short")], "doc_id long, text string"
+    )
+    frames = frame_sample(with_blob(df)).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 4  # 200 bytes → capped at 4 frames
+    assert len(by_doc[2]) == 1
+    assert all(len(r.frame_bytes) <= 16 for r in frames)
+
+    emb = fake_embed(frame_sample(with_blob(df))).collect()
+    assert all(len(r.embedding) == 16 for r in emb)
+
+    out1 = sorted(map(tuple, multimodal_pipeline(df).collect()))
+    out2 = sorted(map(tuple, multimodal_pipeline(df).collect()))
+    assert out1 == out2  # stub pipeline is deterministic end-to-end
+    assert out1[0][1] == 4 and out1[1][1] == 1  # n_frames column
+
+
 def test_multimodal_decode_deterministic(spark):
     df = spark.createDataFrame([(1, "abcd"), (2, "")], "doc_id long, text string")
     out = {r.doc_id: r for r in multimodal_decode(df).collect()}
