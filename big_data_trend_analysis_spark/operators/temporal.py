@@ -1,0 +1,90 @@
+"""Temporal joins Spark lacks as primitives: as-of join, range join.
+
+Both are composed from DataFrame ops with the *scale-correct* plan —
+not a naive inequality join (which Spark would execute as a
+broadcast-nested-loop or cartesian):
+
+- **As-of join**: union the two sides tagged, sort within each key
+  partition by event time, carry the last-seen right-side value
+  forward with ``last(..., ignorenulls)``. One shuffle on the key, one
+  sort — O(n log n) per partition, no pair explosion. (The same plan
+  kdb/QuestDB/Flink use for as-of.)
+- **Range join**: for uniform bands, derive the band key
+  arithmetically and equi-join on it — the "bucketed range join"
+  rewrite (DuckDB/Trino do this internally as IEJoin/bucketing; Spark
+  needs it spelled out or it falls back to NLJ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+
+def asof_join(events: DataFrame) -> DataFrame:
+    """For each purchase event: the user's most recent signup at-or-before.
+
+    Semantics of ``purchases ASOF LEFT JOIN signups ON user_id,
+    p.ts >= s.ts`` (DuckDB's native operator is the oracle twin).
+    At equal timestamps the signup is visible to the purchase, hence
+    the (ts, side) sort order with the right side first.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    tagged = purchases.withColumn("side", F.lit(1)).unionByName(
+        signups.select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("signup_ts").alias("ts"),
+        ).withColumn("side", F.lit(0)),
+        allowMissingColumns=False,
+    ).withColumn(
+        "signup_ts_or_null", F.when(F.col("side") == 0, F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_signup_ts", F.last("signup_ts_or_null", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "last_signup_ts"
+    )
+
+
+def range_join(lineitem: DataFrame, band_width: float = 10000.0, n_bands: int = 12) -> DataFrame:
+    """Aggregate lineitem into uniform price bands via a range join.
+
+    Declared semantics: ``lineitem JOIN bands ON price >= lo AND
+    price < hi``. Executed as the bucketed rewrite: band key =
+    ``floor(price / width)``, equi-joined against the broadcast bands
+    dimension — Catalyst plans a BroadcastHashJoin instead of the
+    nested-loop a raw inequality join would force.
+    """
+    spark = lineitem.sparkSession
+    bands = spark.range(n_bands).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * band_width).alias("lo"),
+        ((F.col("id") + 1) * band_width).alias("hi"),
+    )
+    keyed = lineitem.withColumn(
+        "band_id", F.floor(F.col("l_extendedprice") / F.lit(band_width)).cast("int")
+    )
+    return (
+        keyed.join(F.broadcast(bands), "band_id")
+        .filter((F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum("l_extendedprice").alias("sum_price"),
+        )
+    )

@@ -41,6 +41,7 @@ from big_data_trend_analysis_spark.operators import (
     relational,
     scalar,
     similarity,
+    temporal,
     textstats,
     trend,
     windows,
@@ -87,6 +88,7 @@ def _stream_decay_trend_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's oracle check covers the actual streaming path, not just
     its batch twin. Checkpoint/table names are unique per invocation.
     """
+    import shutil
     import tempfile
     import uuid
 
@@ -95,17 +97,21 @@ def _stream_decay_trend_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     name = f"decay_live_{uuid.uuid4().hex[:12]}"
-    query = (
-        decay_trend_stream(stream_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdta_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
-    query.stop()
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    try:
+        query = (
+            decay_trend_stream(stream_events(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -148,6 +154,8 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_agg": _q(relational.rollup_agg, "customer", "nation"),
     "cube_agg": _q(relational.cube_agg, "customer", "nation"),
     "correlated_subquery": _q(relational.correlated_subquery, "customer", "nation"),
+    "asof_join": _q(temporal.asof_join, "events"),
+    "range_join": _q(temporal.range_join, "lineitem"),
     # -- dedup (north-star) --
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
@@ -495,6 +503,29 @@ ORACLE_SQL: dict[str, str] = {
         )
         JOIN nation ON c_nationkey = n_nationkey
         WHERE c_acctbal > nation_avg_bal
+    """,
+    "asof_join": """
+        WITH purchases AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        ), signups AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'signup'
+        )
+        SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
+        FROM purchases p
+        ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    "range_join": """
+        WITH bands AS (
+            SELECT CAST(i AS INTEGER) AS band_id,
+                   i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
+            FROM range(12) t(i)
+        )
+        SELECT band_id, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN bands
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY band_id
     """,
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text

@@ -32,6 +32,9 @@ NARROW = {
     "tokenize_explode",
     "sentiment_score",
     "multimodal_decode",
+    "date_parts",
+    "string_funcs",
+    "null_handling",
 }
 
 
