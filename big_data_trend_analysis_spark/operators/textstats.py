@@ -48,6 +48,54 @@ def doc_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+def text_clean(documents: DataFrame) -> DataFrame:
+    """Normalization/masking pass: the canonical pre-training cleanup.
+
+    lowercase → mask URLs/emails → strip non-alphanumerics → collapse
+    whitespace. All regexes use conservative character-class syntax
+    that Java regex and RE2-family engines interpret identically, so
+    the oracle twin is byte-for-byte comparable.
+    """
+    c = F.lower(F.col("text"))
+    c = F.regexp_replace(c, "https?://[^ ]+", "<url>")
+    c = F.regexp_replace(c, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>")
+    c = F.regexp_replace(c, "[^a-z0-9<> ]", " ")
+    c = F.trim(F.regexp_replace(c, "  +", " "))
+    return documents.select("doc_id", c.alias("clean_text"))
+
+
+def tfidf_top_term(documents: DataFrame) -> DataFrame:
+    """Each document's most characteristic token by TF-IDF.
+
+    tf = in-doc count, idf = ln(N/df); the winner is max_by on the
+    (rounded weight, token) pair — deterministic under ties. Plan
+    shape at scale: one explode, two hash aggregations, one broadcast
+    of the tiny df relation — the inverted-index build every text
+    pipeline runs.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.countDistinct("doc_id").alias("n"))
+    weighted = (
+        tf.join(F.broadcast(df_rel), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.max_by("token", F.struct(F.col("tfidf"), F.col("token"))).alias("top_token"),
+        F.max(F.struct(F.col("tfidf"), F.col("token"))).getField("tfidf").alias("top_tfidf"),
+    )
+
+
 def quality_filter(documents: DataFrame, min_quality: float = 0.55) -> DataFrame:
     """Training-data quality gate: keep docs above the quality cut.
 

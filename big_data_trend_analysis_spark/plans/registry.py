@@ -170,6 +170,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": _q(textstats.text_stats, "documents"),
     "doc_profile": _q(textstats.doc_profile, "documents"),
     "quality_filter": _q(textstats.quality_filter, "documents"),
+    "text_clean": _q(textstats.text_clean, "documents"),
+    "tfidf_top_term": _q(textstats.tfidf_top_term, "documents"),
     "sentiment_score": _sentiment_score,
     # -- multimodal plumbing (north-star; stub decode, real Spark path) --
     "multimodal_decode": _q(multimodal.multimodal_decode, "documents"),
@@ -582,6 +584,40 @@ ORACLE_SQL: dict[str, str] = {
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_word_tok,
                md5(lower(text)) AS fp
         FROM documents
+    """,
+    "text_clean": """
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(text), 'https?://[^ ]+', '<url>', 'g'),
+                           '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+                       '[^a-z0-9<> ]', ' ', 'g'),
+                   '  +', ' ', 'g')) AS clean_text
+        FROM documents
+    """,
+    "tfidf_top_term": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+        ), dfr AS (
+            SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks)
+            GROUP BY token
+        ), n AS (
+            SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+        ), weighted AS (
+            SELECT tf.doc_id, tf.token,
+                   round(tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(dfr.df AS DOUBLE)), 6) AS tfidf
+            FROM tf JOIN dfr USING (token) CROSS JOIN n
+        ), ranked AS (
+            SELECT doc_id, token, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, token DESC) AS r
+            FROM weighted
+        )
+        SELECT doc_id, token AS top_token, tfidf AS top_tfidf
+        FROM ranked WHERE r = 1
     """,
     "quality_filter": f"""
         SELECT doc_id, lang, quality FROM (
