@@ -68,6 +68,60 @@ def decay_trend_stream(
     )
 
 
+def purchases_after_signup(
+    events: DataFrame,
+    within: str = "INTERVAL 2 HOURS",
+    watermark: str = "4 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Stream-stream join: purchases within 2 h after the user's signup.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the join state and evict expired rows —
+    the requirements for an unbounded stream-stream inner join. With
+    ``streaming=False`` the same expression runs in batch (the parity
+    twin; tested equal).
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    if streaming:
+        purchases = purchases.withWatermark("p_ts", watermark)
+        signups = signups.withWatermark("s_ts", watermark)
+    joined = purchases.join(
+        signups,
+        F.expr(
+            f"p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + {within}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"), "purchase_id", "p_ts", "s_ts"
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked streaming deduplication on the natural key.
+
+    ``dropDuplicates`` over a watermarked stream keeps per-key state
+    only until the watermark passes — bounded-state exactly-once dedup,
+    the streaming twin of the batch dedup operators. Keyed on
+    (user_id, event_type, ts) — a true identity, so batch and stream
+    agree on the surviving set.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type", "ts"]
+    )
+
+
 def running_keyword_counts(texts: DataFrame, text_col: str = "text") -> DataFrame:
     """Cumulative token frequencies across all micro-batches.
 

@@ -53,6 +53,34 @@ def jdbc_append_writer(
     return write
 
 
+def kafka_json_writer(
+    bootstrap_servers: str,
+    topic: str,
+) -> WriteFn:
+    """Kafka producer sink (reference K2: JSON-serialized rows → topic).
+
+    The reference serializes dict→JSON→UTF-8 on a host Python process
+    (fake_producer.py:38-41); here the executors serialize with
+    ``to_json(struct(*))`` and publish in parallel, one producer per
+    partition. Requires the spark-sql-kafka connector jar.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        (
+            batch_df.select(
+                F.to_json(F.struct(*batch_df.columns)).alias("value")
+            )
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .save()
+        )
+
+    return write
+
+
 def parquet_append_writer(path: str) -> WriteFn:
     """Test/lakehouse sink: append the batch to a parquet directory."""
 

@@ -12,6 +12,8 @@ from big_data_trend_analysis_spark.operators.trend import streaming_decay_trend
 from big_data_trend_analysis_spark.sources.tables import load_table
 from big_data_trend_analysis_spark.streaming.jobs import (
     decay_trend_stream,
+    dedup_events_stream,
+    purchases_after_signup,
     running_keyword_counts,
 )
 from big_data_trend_analysis_spark.streaming.sinks import (
@@ -70,6 +72,50 @@ def test_running_keyword_counts_cumulative(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_stream_join_parity(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream join must equal the batch join."""
+    stream_out = purchases_after_signup(stream_events(spark, sf_dir), streaming=True)
+    query = (
+        stream_out.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    streamed = sorted(map(tuple, spark.table("ss_join").collect()))
+    batch = sorted(
+        map(
+            tuple,
+            purchases_after_signup(
+                load_table(spark, sf_dir, "events"), streaming=False
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir, tmp_path):
+    """Watermarked dropDuplicates keeps one row per identity key."""
+    deduped = dedup_events_stream(stream_events(spark, sf_dir))
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    got = spark.table("dedup_stream")
+    events = load_table(spark, sf_dir, "events")
+    expected_keys = events.select("user_id", "event_type", "ts").distinct().count()
+    assert got.count() == expected_keys
+    assert got.select("user_id", "event_type", "ts").distinct().count() == expected_keys
 
 
 def test_parse_tweet_frame_roundtrip(spark):
