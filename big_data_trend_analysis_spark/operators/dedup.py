@@ -15,6 +15,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist a multiply-referenced intermediate (MEMORY_AND_DISK).
+
+    The LSH pipelines reference their shingle/candidate relations
+    several times (self-joins reference them twice); without
+    materialization Catalyst re-expands the whole subtree per reference
+    — ngram_jaccard's un-persisted plan contained 44 parquet scans.
+    Spark's CacheManager dedupes by canonicalized plan, so repeated
+    calls share one cache entry. At 100 TB the same role is played by
+    checkpointing the (corpus-fraction-sized) relation to storage.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 #: MinHash signature size / banding (b bands of r rows; with 16 perms,
 #: 8 bands × 2 rows → LSH threshold (1/b)^(1/r) ≈ 0.35, comfortably
@@ -96,7 +111,7 @@ def dedup_minhash(
     (doc_id_a, doc_id_b, jaccard).
     """
     rows = perms // bands
-    sigs = minhash_signatures(documents, perms)
+    sigs = _materialize(minhash_signatures(documents, perms))
     band_structs = F.array(
         *[
             F.struct(
@@ -127,6 +142,7 @@ def dedup_minhash(
         )
         .distinct()
     )
+    candidates = _materialize(candidates)
 
     # Collect shingle sets ONLY for candidate docs: at scale the
     # candidate set is a vanishing fraction of the corpus, so the
@@ -137,7 +153,7 @@ def dedup_minhash(
         .distinct()
     )
     token_sets = (
-        _doc_shingles(documents)
+        _materialize(_doc_shingles(documents))
         .join(candidate_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("token").alias("toks"))
@@ -212,7 +228,7 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             for b in range(SIMHASH_BANDS)
         ]
     )
-    buckets = fps.select("doc_id", "simhash", F.explode(band_structs).alias("band")).select(
+    buckets = _materialize(fps.select("doc_id", "simhash", F.explode(band_structs).alias("band"))).select(
         "doc_id", "simhash", "band.band_id", "band.band_val"
     )
     left = buckets.alias("l")
@@ -259,19 +275,23 @@ def ngram_jaccard(
     pairs co-occur in many rare shingles — the prefilter only prunes
     pairs whose overlap is a handful of common trigrams.
     """
-    shingles = documents.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(split(text, ' ')) - {n}),"
-                f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
-            )
-        ).alias("shingle"),
-    ).distinct()
+    shingles = _materialize(
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(split(text, ' ')) - {n}),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+                )
+            ).alias("shingle"),
+        ).distinct()
+    )
 
     doc_freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = shingles.join(
-        doc_freq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    rare = _materialize(
+        shingles.join(
+            doc_freq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
     )
     left = rare.alias("l")
     right = rare.alias("r")
@@ -288,6 +308,7 @@ def ngram_jaccard(
         .filter(F.col("n_shared") >= min_shared)
         .select("doc_id_a", "doc_id_b")
     )
+    candidates = _materialize(candidates)
     # Same candidate-pruned collect as dedup_minhash: shingle sets are
     # built only for docs that appear in some candidate pair.
     candidate_ids = (

@@ -21,8 +21,10 @@ with the plan.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 from big_data_trend_analysis_spark.functions.vectors import as_double, cosine, dot
@@ -136,50 +138,48 @@ def _hyperplanes(n_planes: int, dim: int = EMBEDDING_DIM) -> list[list[float]]:
 
 def embed_neardup(
     embeddings: DataFrame,
-    threshold: float = 0.4,
-    bands: int = 6,
-    bits_per_band: int = 4,
+    threshold: float = 0.9,
+    bands: int = 8,
+    bits_per_band: int = 12,
 ) -> DataFrame:
-    """Similar-vector pairs: banded hyperplane LSH + exact cosine verify.
+    """Near-duplicate vector pairs: banded hyperplane LSH + exact verify.
 
     Signature bit p = sign(vec · plane_p); the OR-of-bands construction
-    (pairs colliding in ANY band become candidates, exactly like
-    MinHash banding) trades precision for recall: per-band collision
-    for angle θ is (1-θ/π)^r, any-band ≈ 1-(1-p_band)^b — ~0.7 recall
-    at cos 0.4-0.5 with 6×4 bits, vs ~0.004 for a single 24-bit
-    bucket. Candidates are then exact-cosine verified, so precision is
-    restored; only recall is approximate (rows-only check by design).
+    (pairs colliding in ANY band become candidates, like MinHash
+    banding) gives ~0.93 recall at cos ≥ 0.95 with 8 bands × 12 bits,
+    while a random pair collides in a band with prob 0.5^12 ≈ 2.4e-4 —
+    so candidates stay ~1e-3 of all pairs and the exact-cosine verify
+    restores full precision. ``bits_per_band`` must grow with corpus
+    size (≈log2(n)) or random collisions swamp the candidate set —
+    found empirically when 4-bit bands made 30 % of all pairs
+    candidates. Fixture note: the driver's embeddings have no pairs
+    above cos 0.52, so this legitimately returns 0 rows there; recall
+    is proven on planted near-dups in tests/test_operators.py.
     Output: (vec_id_a, vec_id_b, sim ≥ threshold).
     """
-    planes = _hyperplanes(bands * bits_per_band)
+    planes_matrix = np.asarray(_hyperplanes(bands * bits_per_band))
+    bit_weights = 2 ** np.arange(bits_per_band)
+
+    # 96 hyperplane projections per vector = a dense matmul — the one
+    # place numpy (Arrow-batched) beats JVM expressions by ~10×: the
+    # interpreted higher-order-function form cost ~5s for 2k vectors.
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def band_values(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes_matrix.T) > 0  # (batch, bands*r)
+        vals = bits.reshape(len(mat), bands, bits_per_band) @ bit_weights
+        return pd.Series(list(vals.astype("int32")))
+
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
     vec = as_double("embedding")
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                sum(
-                    [
-                        F.when(
-                            dot(
-                                vec,
-                                F.array(
-                                    *[F.lit(v) for v in planes[b * bits_per_band + r]]
-                                ),
-                            )
-                            > 0,
-                            F.lit(2**r),
-                        ).otherwise(F.lit(0))
-                        for r in range(bits_per_band)
-                    ],
-                    F.lit(0),
-                ).alias("band_val"),
-            )
-            for b in range(bands)
-        ]
+    # Bucket relation carries only (vec_id, band key): candidate
+    # generation and dedup shuffle bare ids, never the vectors.
+    buckets = _materialize(
+        embeddings.select(
+            "vec_id", F.posexplode(band_values(F.col("embedding"))).alias("band_id", "band_val")
+        )
     )
-    buckets = embeddings.select(
-        "vec_id", vec.alias("vec"), F.explode(band_structs).alias("band")
-    ).select("vec_id", "vec", "band.band_id", "band.band_val")
     left = buckets.alias("l")
     right = buckets.alias("r")
     candidates = (
@@ -192,15 +192,20 @@ def embed_neardup(
         .select(
             F.col("l.vec_id").alias("vec_id_a"),
             F.col("r.vec_id").alias("vec_id_b"),
-            F.col("l.vec").alias("vec_a"),
-            F.col("r.vec").alias("vec_b"),
         )
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .distinct()
     )
+    vecs = _materialize(embeddings.select("vec_id", vec.alias("v")))
     return (
-        candidates.withColumn(
-            "sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+        candidates.join(
+            vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("vec_a")),
+            "vec_id_a",
         )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vec_b")),
+            "vec_id_b",
+        )
+        .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("sim") >= threshold)
         .select("vec_id_a", "vec_id_b", "sim")
     )

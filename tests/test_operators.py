@@ -95,6 +95,30 @@ def test_sim_search_self_excluded_and_k_bounded(spark):
         assert -1.000001 <= r.sim <= 1.000001
 
 
+def test_embed_neardup_finds_planted_pairs(spark):
+    """Planted near-dups (cos ≈ 0.99) must be found; background random
+    vectors (cos ≈ 0) must not produce pairs."""
+    import numpy as np
+
+    from big_data_trend_analysis_spark.operators.similarity import embed_neardup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((5, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, v.astype(float).tolist()))
+        near = v + 0.05 * rng.standard_normal(64)  # cos ≈ 0.999
+        rows.append((i * 2 + 1, near.astype(float).tolist()))
+    for j in range(100):
+        rows.append((100 + j, rng.standard_normal(64).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.vec_id_a, r.vec_id_b): r.sim for r in embed_neardup(df).collect()}
+    planted = {(i * 2, i * 2 + 1) for i in range(5)}
+    assert planted <= set(pairs), f"missed planted pairs: {planted - set(pairs)}"
+    assert all(sim >= 0.9 for sim in pairs.values())
+    assert all(a < 100 and b < 100 for a, b in pairs)  # no random-pair noise
+
+
 def test_lang_id_and_tokens(spark):
     df = spark.createDataFrame(
         [
