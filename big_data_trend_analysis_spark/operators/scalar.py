@@ -50,6 +50,20 @@ def string_funcs(part: DataFrame) -> DataFrame:
     )
 
 
+def unpivot_measures(lineitem: DataFrame) -> DataFrame:
+    """Wide→long unpivot of the lineitem measures (melt).
+
+    The inverse of pivot_counts: one output row per (row, measure).
+    Spark's ``unpivot`` is an Expand node — no shuffle, scan-speed.
+    """
+    return lineitem.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
 def null_handling(orders: DataFrame) -> DataFrame:
     """NULL-logic suite: nullif/coalesce/nvl2-style branching.
 

@@ -147,6 +147,7 @@ QUERIES: dict[str, QueryFn] = {
     "date_parts": _q(scalar.date_parts, "orders"),
     "string_funcs": _q(scalar.string_funcs, "part"),
     "null_handling": _q(scalar.null_handling, "orders"),
+    "unpivot_measures": _q(scalar.unpivot_measures, "lineitem"),
     "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region"),
     "join_broadcast": _q(relational.join_broadcast, "lineitem", "part"),
     "join_semi_anti": _q(relational.join_semi_anti, "customer", "orders"),
@@ -431,6 +432,16 @@ ORACLE_SQL: dict[str, str] = {
                     THEN 'is_open' ELSE 'closed' END AS openness,
                nullif(o_orderstatus, 'O') IS NULL AS is_open_flag
         FROM orders
+    """,
+    "unpivot_measures": """
+        SELECT l_orderkey, l_linenumber, measure, value
+        FROM (
+            UNPIVOT (SELECT l_orderkey, l_linenumber,
+                            l_quantity, l_extendedprice, l_discount
+                     FROM lineitem)
+            ON l_quantity, l_extendedprice, l_discount
+            INTO NAME measure VALUE value
+        )
     """,
     "window_rank": """
         SELECT user_id, event_id, value, rnk FROM (
