@@ -67,32 +67,49 @@ def ann_ivf(
     n_centroids: int = 8,
     probe_ids: tuple[int, ...] = (100, 101, 102),
     k: int = 5,
+    nprobe: int = 2,
 ) -> DataFrame:
-    """IVF-flat ANN: nearest-centroid cells, search the probe's cell.
+    """IVF-flat ANN: nearest-centroid cells, search the probe's cells.
 
     Centroids here are the first ``n_centroids`` corpus vectors (a
     deterministic, training-free codebook — at scale you'd k-means a
-    sample, same plan shape). Assignment = broadcast join + row_number;
-    the search then touches one cell instead of the corpus.
+    sample via ``embed_centroids``, same plan shape). Cell assignment
+    runs as one Arrow-batched numpy matmul per batch (the dense
+    all-centroids projection that interpreted expressions evaluate
+    ~10× slower). Corpus vectors land in 1 cell; probes search their
+    ``nprobe`` nearest cells (multi-probe: recovers most of the recall
+    lost at cell boundaries for one extra cell's worth of work).
     """
-    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), as_double("embedding").alias("cvec")
+    centroid_rows = (
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
     )
-    corpus = embeddings.select("vec_id", as_double("embedding").alias("vec"))
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id").asc()
+    cmat = np.stack(
+        [np.asarray(r.v) for r in sorted(centroid_rows, key=lambda r: r.vec_id)]
     )
-    assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", F.round(cosine(F.col("vec"), F.col("cvec")), 6))
-        .withColumn("crnk", F.row_number().over(assign_w))
-        .filter(F.col("crnk") == 1)
-        .select("vec_id", "centroid_id", "vec")
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(float)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cmat.T  # (batch, n_centroids)
+        order = np.argsort(-sims, axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe].astype("int32")))
+
+    corpus = embeddings.select(
+        "vec_id",
+        as_double("embedding").alias("vec"),
+        nearest_cells(F.col("embedding")).alias("cells"),
     )
-    probes = assigned.filter(F.col("vec_id").isin(*probe_ids)).select(
+    assigned = corpus.select(
+        "vec_id", "vec", F.col("cells").getItem(0).alias("centroid_id")
+    )
+    probes = corpus.filter(F.col("vec_id").isin(*probe_ids)).select(
         F.col("vec_id").alias("probe_id"),
-        F.col("centroid_id").alias("probe_cell"),
         F.col("vec").alias("probe_vec"),
+        F.explode(F.slice("cells", 1, nprobe)).alias("probe_cell"),
     )
     in_cell = assigned.join(
         F.broadcast(probes), assigned.centroid_id == probes.probe_cell

@@ -48,6 +48,15 @@ def doc_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+def _clean_expr(col):
+    """The normalization expression shared by text_clean/pipeline_curate."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "https?://[^ ]+", "<url>")
+    c = F.regexp_replace(c, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>")
+    c = F.regexp_replace(c, "[^a-z0-9<> ]", " ")
+    return F.trim(F.regexp_replace(c, "  +", " "))
+
+
 def text_clean(documents: DataFrame) -> DataFrame:
     """Normalization/masking pass: the canonical pre-training cleanup.
 
@@ -56,12 +65,7 @@ def text_clean(documents: DataFrame) -> DataFrame:
     that Java regex and RE2-family engines interpret identically, so
     the oracle twin is byte-for-byte comparable.
     """
-    c = F.lower(F.col("text"))
-    c = F.regexp_replace(c, "https?://[^ ]+", "<url>")
-    c = F.regexp_replace(c, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>")
-    c = F.regexp_replace(c, "[^a-z0-9<> ]", " ")
-    c = F.trim(F.regexp_replace(c, "  +", " "))
-    return documents.select("doc_id", c.alias("clean_text"))
+    return documents.select("doc_id", _clean_expr(F.col("text")).alias("clean_text"))
 
 
 def tfidf_top_term(documents: DataFrame) -> DataFrame:
@@ -94,6 +98,28 @@ def tfidf_top_term(documents: DataFrame) -> DataFrame:
         F.max_by("token", F.struct(F.col("tfidf"), F.col("token"))).alias("top_token"),
         F.max(F.struct(F.col("tfidf"), F.col("token"))).getField("tfidf").alias("top_tfidf"),
     )
+
+
+def pipeline_curate(documents: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """End-to-end training-data curation as ONE declarative plan.
+
+    normalize (text_clean) → quality gate → exact dedup on the
+    *cleaned* text (keep min doc_id) → surface (doc_id, clean_text,
+    quality). This is the LLM-pipeline capstone: every stage is a
+    column expression or hash aggregation, so the whole flow is one
+    Catalyst plan — filters push to the scan, the only shuffle is the
+    dedup groupBy, and the same plan runs on 10^11 documents.
+    """
+    cleaned = documents.select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        _clean_expr(F.col("text")).alias("clean_text"),
+    ).filter(F.col("quality") >= min_quality)
+    survivors = cleaned.groupBy("clean_text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("quality", "doc_id").alias("quality"),
+    )
+    return survivors.select("doc_id", "clean_text", "quality")
 
 
 def quality_filter(documents: DataFrame, min_quality: float = 0.55) -> DataFrame:

@@ -173,6 +173,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_filter": _q(textstats.quality_filter, "documents"),
     "text_clean": _q(textstats.text_clean, "documents"),
     "tfidf_top_term": _q(textstats.tfidf_top_term, "documents"),
+    "pipeline_curate": _q(textstats.pipeline_curate, "documents"),
     "sentiment_score": _sentiment_score,
     # -- multimodal plumbing (north-star; stub decode, real Spark path) --
     "multimodal_decode": _q(multimodal.multimodal_decode, "documents"),
@@ -629,6 +630,25 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, token AS top_token, tfidf AS top_tfidf
         FROM ranked WHERE r = 1
+    """,
+    "pipeline_curate": f"""
+        WITH cleaned AS (
+            SELECT doc_id,
+                   {_QUALITY} AS quality,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(lower(text), 'https?://[^ ]+', '<url>', 'g'),
+                               '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+                           '[^a-z0-9<> ]', ' ', 'g'),
+                       '  +', ' ', 'g')) AS clean_text
+            FROM documents
+        )
+        SELECT MIN(doc_id) AS doc_id, clean_text,
+               arg_min(quality, doc_id) AS quality
+        FROM cleaned
+        WHERE quality >= 0.5
+        GROUP BY clean_text
     """,
     "quality_filter": f"""
         SELECT doc_id, lang, quality FROM (
