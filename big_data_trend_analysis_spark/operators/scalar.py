@@ -27,7 +27,11 @@ def date_parts(orders: DataFrame) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("o_day"),
         (((F.dayofweek("o_orderdate") + 5) % 7) + 1).alias("o_isodow"),
         F.quarter("o_orderdate").alias("o_quarter"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # cast: Spark date_trunc yields TIMESTAMP but the semantic (and
+        # DuckDB's) type for a month boundary is DATE — keep both sides DATE
+        # so value comparison doesn't depend on the harness normalizing
+        # midnight timestamps.
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.datediff(F.lit("2025-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
             "days_to_2025"
         ),

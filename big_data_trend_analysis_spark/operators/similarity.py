@@ -33,6 +33,61 @@ EMBEDDING_DIM = 64
 DEFAULT_PROBES = (0, 1, 2)
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    sample_per_centroid: int = 256,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means codebook trained on a bounded sample (FAISS-style).
+
+    Training cost is O(sample · K · dim · iters) on the driver and
+    **independent of corpus size**: at 100 TB you still train on the
+    same ~``sample_per_centroid·K`` vectors. The sample is drawn with a
+    deterministic hash filter (one distributed pass, bounded collect),
+    so plans and tests are reproducible; the K×dim codebook then
+    broadcasts with the plan. Lloyd iterations use cosine assignment
+    (rows and centroids unit-normalized); empty cells are reseeded to
+    the point farthest from its centroid, k-means++ init is seeded.
+    """
+    target = n_centroids * sample_per_centroid
+    n = embeddings.count()  # parquet metadata count — no data scan
+    sample = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    if n > target:
+        # xxhash64 is deterministic per vec_id → same sample every run.
+        sample = sample.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000)) < int(1_000_000 * target / n)
+        )
+    rows = sorted(sample.collect(), key=lambda r: r.vec_id)
+    mat = np.stack([np.asarray(r.v, dtype=float) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(mat))
+    # k-means++ seeding under cosine distance (1 - dot).
+    centroids = [mat[rng.integers(len(mat))]]
+    for _ in range(1, k):
+        d = 1.0 - np.max(np.stack([mat @ c for c in centroids]), axis=0)
+        d = np.maximum(d, 0)
+        p = d / d.sum() if d.sum() > 0 else None
+        centroids.append(mat[rng.choice(len(mat), p=p)])
+    cmat = np.stack(centroids)
+
+    for _ in range(iters):
+        sims = mat @ cmat.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members) == 0:
+                # Reseed dead cell to the worst-served point.
+                cmat[c] = mat[np.argmin(np.max(sims, axis=1))]
+            else:
+                m = members.mean(axis=0)
+                cmat[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cmat
+
+
 def sim_search(
     embeddings: DataFrame,
     probe_ids: tuple[int, ...] = DEFAULT_PROBES,
@@ -69,26 +124,18 @@ def ann_ivf(
     k: int = 5,
     nprobe: int = 2,
 ) -> DataFrame:
-    """IVF-flat ANN: nearest-centroid cells, search the probe's cells.
+    """IVF-flat ANN: k-means cells, search the probe's nearest cells.
 
-    Centroids here are the first ``n_centroids`` corpus vectors (a
-    deterministic, training-free codebook — at scale you'd k-means a
-    sample via ``embed_centroids``, same plan shape). Cell assignment
-    runs as one Arrow-batched numpy matmul per batch (the dense
-    all-centroids projection that interpreted expressions evaluate
-    ~10× slower). Corpus vectors land in 1 cell; probes search their
-    ``nprobe`` nearest cells (multi-probe: recovers most of the recall
-    lost at cell boundaries for one extra cell's worth of work).
+    The codebook is spherical k-means trained on a bounded deterministic
+    sample (``train_ivf_centroids`` — FAISS-style: training cost does
+    not grow with the corpus). Cell assignment runs as one Arrow-batched
+    numpy matmul per batch (the dense all-centroids projection that
+    interpreted expressions evaluate ~10× slower). Corpus vectors land
+    in 1 cell; probes search their ``nprobe`` nearest cells
+    (multi-probe: recovers most of the recall lost at cell boundaries
+    for one extra cell's worth of work).
     """
-    centroid_rows = (
-        embeddings.filter(F.col("vec_id") < n_centroids)
-        .select("vec_id", as_double("embedding").alias("v"))
-        .collect()
-    )
-    cmat = np.stack(
-        [np.asarray(r.v) for r in sorted(centroid_rows, key=lambda r: r.vec_id)]
-    )
-    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat = train_ivf_centroids(embeddings, n_centroids=n_centroids)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def nearest_cells(vecs: pd.Series) -> pd.Series:

@@ -119,6 +119,42 @@ def test_embed_neardup_finds_planted_pairs(spark):
     assert all(a < 100 and b < 100 for a, b in pairs)  # no random-pair noise
 
 
+def test_ann_ivf_trained_centroids_recall(spark):
+    """k-means-trained IVF must recover most exact top-k neighbors on
+    clustered data, and the trained codebook must be deterministic."""
+    import numpy as np
+
+    from big_data_trend_analysis_spark.operators.similarity import (
+        ann_ivf,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 64)) * 3
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + rng.standard_normal(64) * 0.5
+        rows.append((i, v.astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    c1 = train_ivf_centroids(df, n_centroids=4)
+    c2 = train_ivf_centroids(df, n_centroids=4)
+    assert np.allclose(c1, c2)  # deterministic sample + seeded init
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    probes = (0, 1, 2, 3)
+    exact = {
+        (r.probe_id, r.vec_id)
+        for r in sim_search(df, probe_ids=probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id)
+        for r in ann_ivf(df, n_centroids=4, probe_ids=probes, k=5, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall} below 0.8"
+
+
 def test_lang_id_and_tokens(spark):
     df = spark.createDataFrame(
         [
