@@ -168,6 +168,60 @@ def approx_distinct(documents: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def probe_cms(spark, sketch_bytes: bytes, keys: list[str]) -> dict[str, int]:
+    """Point-query a serialized ``count_min_sketch`` binary.
+
+    Deserializes via Spark's own ``org.apache.spark.util.sketch
+    .CountMinSketch`` (same wire format the aggregate emits) and probes
+    each key — the serving-side half of the reference's CMS job
+    (``cms_stream.py:42-47,110-116``), operating on a KB-sized sketch
+    instead of the data.
+    """
+    jvm = spark._jvm
+    stream = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(stream)
+    return {k: int(cms.estimateCount(k)) for k in keys}
+
+
+def cms_window_probe(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("click", "view", "purchase", "signup", "error"),
+    window_width: str = "1 day",
+    eps: float = 0.01,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-window CMS build + hot-key probe (reference ``cms_estimates``).
+
+    The reference probes 5 hard-coded keywords against its driver
+    matrix each batch (``cms_stream.py:110-116``); here each event-time
+    window gets its own mergeable sketch built executor-side, and only
+    the KB-sized sketch binaries reach the driver for probing — one row
+    per window regardless of data volume, so the collected set stays
+    O(windows), never O(events). With width ≫ distinct keys the
+    estimates equal exact counts (no collisions), which the DuckDB
+    oracle pins — any future collision regression fails loudly.
+    """
+    spark = events.sparkSession
+    sketches = (
+        events.groupBy(F.window("ts", window_width).alias("w"))
+        .agg(
+            F.count_min_sketch(
+                "event_type", F.lit(eps), F.lit(confidence), F.lit(seed)
+            ).alias("s")
+        )
+        .collect()
+    )
+    rows = [
+        (r.w.start, key, est)
+        for r in sketches
+        for key, est in probe_cms(spark, r.s, list(keys)).items()
+    ]
+    return spark.createDataFrame(
+        rows, "window_start timestamp, event_type string, est_count long"
+    )
+
+
 def cms_topk_sketch(
     documents: DataFrame,
     eps: float = 0.001,

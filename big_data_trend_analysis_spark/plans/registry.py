@@ -128,6 +128,7 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_count": _q(aggregates.distinct_count, "documents"),
     "approx_distinct": _q(aggregates.approx_distinct, "documents"),
     "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
+    "cms_window_probe": _q(aggregates.cms_window_probe, "events"),
     "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
     "stream_decay_trend_live": _stream_decay_trend_live,
     # -- relational core (north-star) --
@@ -290,6 +291,26 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "cms_window_probe": """
+        WITH w AS (
+            SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS window_start
+            FROM events
+        ),
+        k AS (
+            SELECT * FROM (VALUES ('click'), ('view'), ('purchase'),
+                                  ('signup'), ('error')) AS t(event_type)
+        ),
+        c AS (
+            SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT w.window_start, k.event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS est_count
+        FROM w CROSS JOIN k
+        LEFT JOIN c ON c.ws = w.window_start AND c.event_type = k.event_type
     """,
     "window_tumbling": """
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,

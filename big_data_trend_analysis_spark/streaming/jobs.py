@@ -122,6 +122,42 @@ def dedup_events_stream(
     )
 
 
+def windowed_cms_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_width: str = "1 day",
+    watermark: str = "2 days",
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming per-window Count-Min sketches for bounded-memory serving.
+
+    Each event-time window aggregates into one mergeable CMS binary on
+    the executors; downstream (foreachBatch / the serving layer) probes
+    hot keys via ``operators.aggregates.probe_cms``. State per window is
+    the sketch (KB), not the key set — the bounded-space cross-batch
+    CMS the reference wanted from its driver matrix
+    (``cms_stream.py:69,94-97``), with watermark eviction and
+    exactly-once checkpointing for free.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_width).alias("w"))
+        .agg(
+            F.count_min_sketch(
+                key_col, F.lit(eps), F.lit(confidence), F.lit(seed)
+            ).alias("cms_sketch")
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cms_sketch",
+        )
+    )
+
+
 def running_keyword_counts(texts: DataFrame, text_col: str = "text") -> DataFrame:
     """Cumulative token frequencies across all micro-batches.
 

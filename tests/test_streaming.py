@@ -74,6 +74,37 @@ def test_running_keyword_counts_cumulative(spark, sf_dir, tmp_path):
     )
 
 
+def test_windowed_cms_stream_probe_matches_exact(spark, sf_dir, tmp_path):
+    """Per-window streaming CMS sketches, probed on the driver, must
+    reproduce the exact per-window event-type counts (width ≫ keys →
+    collision-free), matching the batch cms_window_probe path."""
+    from big_data_trend_analysis_spark.operators.aggregates import probe_cms
+    from big_data_trend_analysis_spark.streaming.jobs import windowed_cms_stream
+
+    streamed = _drain(
+        windowed_cms_stream(stream_events(spark, sf_dir)), tmp_path, "cms_win"
+    )
+    keys = ["click", "view", "purchase", "signup", "error"]
+    got = {
+        (r.window_start, k): est
+        for r in streamed.collect()
+        for k, est in probe_cms(spark, r.cms_sketch, keys).items()
+    }
+    exact = {
+        (r.window_start, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 day").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(got) > 0
+    for (ws, k), est in got.items():
+        assert est == exact.get((ws, k), 0), (ws, k)
+
+
 def test_stream_stream_join_parity(spark, sf_dir, tmp_path):
     """Watermarked stream-stream join must equal the batch join."""
     stream_out = purchases_after_signup(stream_events(spark, sf_dir), streaming=True)
