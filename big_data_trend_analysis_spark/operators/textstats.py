@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_trend_analysis_spark.functions.numeric import exact_avg
 from big_data_trend_analysis_spark.functions.text import (
@@ -134,3 +135,47 @@ def quality_filter(documents: DataFrame, min_quality: float = 0.55) -> DataFrame
         F.round(quality_score("text"), 6).alias("quality"),
     )
     return profiled.filter(F.col("quality") >= min_quality)
+
+
+def pack_sequences(
+    documents: DataFrame,
+    token_budget: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    The sequence-construction step of an LLM data pipeline, in the
+    concat-and-chunk form GPT-style pretraining uses: conceptually the
+    token stream is concatenated in document order and cut every
+    ``token_budget`` tokens; each document is assigned the sequence in
+    which it *starts* (seq = floor(exclusive_running_sum / budget)) —
+    deterministic, iteration-free, pure window arithmetic.
+
+    A single global ORDER BY would be one task at 100 TB, so packing is
+    bucketed: documents hash into ``n_buckets`` independent streams
+    (thousands on a real cluster) and each bucket packs in parallel —
+    one shuffle, window functions per bucket, no data through the
+    driver. Sequence ids are (bucket, local_seq), globally unique and
+    deterministic.
+    """
+    toks = documents.select(
+        "doc_id",
+        n_tokens("text").alias("n_toks"),
+        F.pmod(F.col("doc_id"), F.lit(n_buckets)).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = toks.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_toks").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    return cum.select(
+        "doc_id",
+        "bucket",
+        "n_toks",
+        F.floor(F.col("cum_before") / F.lit(token_budget)).alias("local_seq"),
+        (F.col("bucket") * F.lit(1_000_000)
+         + F.floor(F.col("cum_before") / F.lit(token_budget))).alias("seq_id"),
+    )

@@ -129,6 +129,7 @@ QUERIES: dict[str, QueryFn] = {
     "approx_distinct": _q(aggregates.approx_distinct, "documents"),
     "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
     "cms_window_probe": _q(aggregates.cms_window_probe, "events"),
+    "pack_sequences": _q(textstats.pack_sequences, "documents"),
     "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
     "stream_decay_trend_live": _stream_decay_trend_live,
     # -- relational core (north-star) --
@@ -291,6 +292,26 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "pack_sequences": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                   doc_id % 32 AS bucket
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, bucket, n_toks,
+                   COALESCE(SUM(n_toks) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM toks
+        )
+        SELECT doc_id, bucket, n_toks,
+               CAST(FLOOR(cum_before / 512) AS BIGINT) AS local_seq,
+               CAST(bucket * 1000000 + FLOOR(cum_before / 512) AS BIGINT) AS seq_id
+        FROM cum
     """,
     "cms_window_probe": """
         WITH w AS (

@@ -233,3 +233,35 @@ def test_multimodal_decode_deterministic(spark):
     assert out[1].width == 64 + 4 % 512
     assert out[2].n_bytes == 0
     assert out[2].width == 64
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Concat-and-chunk semantics: seq = floor(exclusive running token
+    sum / budget) per bucket, deterministic in doc_id order."""
+    from big_data_trend_analysis_spark.operators.textstats import pack_sequences
+
+    # one bucket (n_buckets=1): token counts 3,3,3,10,2 with budget 8
+    # cum_before: 0,3,6,9,19 -> seq 0,0,0,1,2
+    rows = [
+        (0, "a b c"),
+        (1, "d e f"),
+        (2, "g h i"),
+        (3, "j k l m n o p q r s"),
+        (4, "t u"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r for r in pack_sequences(df, token_budget=8, n_buckets=1).collect()
+    }
+    assert [out[i].local_seq for i in range(5)] == [0, 0, 0, 1, 2]
+    assert all(out[i].bucket == 0 for i in range(5))
+    assert out[3].n_toks == 10
+    # bucketed: doc_ids split by parity, each bucket packs independently
+    out2 = {
+        r.doc_id: r for r in pack_sequences(df, token_budget=6, n_buckets=2).collect()
+    }
+    # bucket 0: docs 0,2,4 (3,3,2 toks; cum_before 0,3,6) -> seq 0,0,1
+    # bucket 1: docs 1,3 (3,10 toks; cum_before 0,3) -> seq 0,0
+    assert [out2[i].local_seq for i in (0, 2, 4)] == [0, 0, 1]
+    assert [out2[i].local_seq for i in (1, 3)] == [0, 0]
+    assert out2[0].seq_id != out2[1].seq_id or out2[0].bucket != out2[1].bucket
