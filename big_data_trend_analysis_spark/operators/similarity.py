@@ -273,3 +273,30 @@ def embed_neardup(
         .filter(F.col("sim") >= threshold)
         .select("vec_id_a", "vec_id_b", "sim")
     )
+
+
+def embed_quantize(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors (serving prep).
+
+    The compression step an ANN serving layer applies before indexing:
+    per vector, scale = max|x|/127, q[i] = floor(x[i]/scale + 0.5) ∈
+    [-127, 127] — 4× smaller than float32 with ≤ scale/2 per-element
+    reconstruction error. Pure JVM higher-order functions (transform /
+    array_max), one narrow scan-speed projection: quantizing 100 TB of
+    vectors shuffles nothing. floor(x+0.5) instead of round() because
+    engines disagree on banker's rounding; the int array is surfaced as
+    CSV (array columns round-trip differently through Arrow across
+    engines).
+    """
+    v = as_double("embedding")
+    withv = embeddings.select("vec_id", v.alias("v")).withColumn(
+        "scale_raw",
+        F.greatest(F.array_max(F.transform("v", F.abs)), F.lit(1e-12)) / F.lit(127.0),
+    )
+    q = F.transform("v", lambda x: F.floor(x / F.col("scale_raw") + F.lit(0.5)).cast("int"))
+    return withv.select(
+        "vec_id",
+        F.round("scale_raw", 6).alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda i: i.cast("string"))).alias("q_csv"),
+        F.size("v").cast("long").alias("n_dims"),
+    )

@@ -130,6 +130,7 @@ QUERIES: dict[str, QueryFn] = {
     "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
     "cms_window_probe": _q(aggregates.cms_window_probe, "events"),
     "pack_sequences": _q(textstats.pack_sequences, "documents"),
+    "embed_quantize": _q(similarity.embed_quantize, "embeddings"),
     "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
     "stream_decay_trend_live": _stream_decay_trend_live,
     # -- relational core (north-star) --
@@ -292,6 +293,25 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "embed_quantize": """
+        WITH prep AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   greatest(
+                       list_max(list_transform(embedding,
+                                               x -> abs(CAST(x AS DOUBLE)))),
+                       1e-12
+                   ) / 127.0 AS scale_raw
+            FROM embeddings
+        )
+        SELECT vec_id,
+               round(scale_raw, 6) AS scale,
+               array_to_string(
+                   list_transform(v, x -> CAST(floor(x / scale_raw + 0.5)
+                                               AS INTEGER)), ',') AS q_csv,
+               CAST(len(v) AS BIGINT) AS n_dims
+        FROM prep
     """,
     "pack_sequences": """
         WITH toks AS (

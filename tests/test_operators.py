@@ -265,3 +265,25 @@ def test_pack_sequences_concat_and_chunk(spark):
     assert [out2[i].local_seq for i in (0, 2, 4)] == [0, 0, 1]
     assert [out2[i].local_seq for i in (1, 3)] == [0, 0]
     assert out2[0].seq_id != out2[1].seq_id or out2[0].bucket != out2[1].bucket
+
+
+def test_embed_quantize_roundtrip_error_bound(spark):
+    """int8 quantization contract: codes in [-127,127] and dequantized
+    values within scale/2 of the original, per element."""
+    import numpy as np
+
+    from big_data_trend_analysis_spark.operators.similarity import embed_quantize
+
+    rng = np.random.default_rng(5)
+    rows = [(i, (rng.standard_normal(16) * (i + 1)).astype(float).tolist()) for i in range(20)]
+    rows.append((99, [0.0] * 16))  # all-zero vector must not divide by zero
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in embed_quantize(df).collect()}
+    originals = dict(rows)
+    for vec_id, r in out.items():
+        q = [int(s) for s in r.q_csv.split(",")]
+        assert r.n_dims == 16 and len(q) == 16
+        assert all(-127 <= c <= 127 for c in q)
+        scale = max(max(abs(x) for x in originals[vec_id]), 1e-12) / 127.0
+        for orig, code in zip(originals[vec_id], q):
+            assert abs(orig - code * scale) <= scale / 2 + 1e-9
