@@ -36,6 +36,8 @@ NARROW = {
     "date_parts",
     "string_funcs",
     "null_handling",
+    "embed_quantize",
+    "text_clean",
 }
 
 
