@@ -131,6 +131,7 @@ QUERIES: dict[str, QueryFn] = {
     "cms_window_probe": _q(aggregates.cms_window_probe, "events"),
     "pack_sequences": _q(textstats.pack_sequences, "documents"),
     "embed_quantize": _q(similarity.embed_quantize, "embeddings"),
+    "trend_rising": _q(trend.trend_rising, "events"),
     "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
     "stream_decay_trend_live": _stream_decay_trend_live,
     # -- relational core (north-star) --
@@ -293,6 +294,33 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "trend_rising": """
+        WITH counts AS (
+            SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                   event_type, COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT window_start, event_type, n_events,
+                   round(AVG(n_events) OVER w, 6) AS baseline_avg,
+                   COUNT(*) OVER w AS baseline_n
+            FROM counts
+            WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        ),
+        lifted AS (
+            SELECT window_start, event_type, n_events, baseline_avg,
+                   round(n_events / baseline_avg, 6) AS lift
+            FROM base
+            WHERE baseline_n = 3
+        )
+        SELECT window_start, event_type, n_events, baseline_avg, lift,
+               CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                       ORDER BY lift DESC, event_type ASC)
+                    AS INTEGER) AS rnk
+        FROM lifted
     """,
     "embed_quantize": """
         WITH prep AS (

@@ -287,3 +287,28 @@ def test_embed_quantize_roundtrip_error_bound(spark):
         scale = max(max(abs(x) for x in originals[vec_id]), 1e-12) / 127.0
         for orig, code in zip(originals[vec_id], q):
             assert abs(orig - code * scale) <= scale / 2 + 1e-9
+
+
+def test_trend_rising_detects_spike(spark):
+    """A key that triples vs its trailing-3-window average must rank
+    first with lift 3.0; a flat key ranks below with lift 1.0; windows
+    without a full baseline are excluded."""
+    import datetime
+
+    from big_data_trend_analysis_spark.operators.trend import trend_rising
+
+    rows = []
+    day = lambda d: datetime.datetime(2024, 1, d, 12, 0, 0)
+    for d in (1, 2, 3):
+        rows += [("spiky", day(d))] * 10 + [("flat", day(d))] * 10
+    rows += [("spiky", day(4))] * 30 + [("flat", day(4))] * 10
+    df = spark.createDataFrame(
+        [(t, ts) for t, ts in rows], "event_type string, ts timestamp"
+    )
+    out = trend_rising(df).collect()
+    # only day 4 has 3 prior windows for both keys
+    assert {r.window_start.day for r in out} == {4}
+    by_key = {r.event_type: r for r in out}
+    assert by_key["spiky"].lift == 3.0 and by_key["spiky"].rnk == 1
+    assert by_key["flat"].lift == 1.0 and by_key["flat"].rnk == 2
+    assert by_key["spiky"].baseline_avg == 10.0
