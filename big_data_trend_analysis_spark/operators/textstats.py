@@ -179,3 +179,32 @@ def pack_sequences(
         (F.col("bucket") * F.lit(1_000_000)
          + F.floor(F.col("cum_before") / F.lit(token_budget))).alias("seq_id"),
     )
+
+
+def sample_mixture(
+    documents: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.25,
+    seed: int = 13,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (training-mixture weighting).
+
+    The domain-mixing step of LLM data curation: keep a different
+    fraction of documents per stratum (here ``lang``). Membership is
+    ``xxhash64(doc_id, seed) mod 1e6 < rate·1e6`` — a pure row-local
+    expression, so the sample is reproducible across runs, partitions,
+    and cluster sizes, needs no shuffle and no RNG state, and composes
+    with predicate pushdown (the hash filter evaluates right after the
+    scan). Rows-only check (DuckDB lacks xxhash64); determinism and
+    rate accuracy are property-tested.
+    """
+    rates = rates if rates is not None else {"en": 0.5}
+    rate_expr = F.lit(default_rate)
+    for lang, rate in sorted(rates.items()):
+        rate_expr = F.when(F.col("lang") == lang, F.lit(rate)).otherwise(rate_expr)
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(1_000_000))
+    return (
+        documents.withColumn("keep_rate", rate_expr)
+        .filter(bucket < (F.col("keep_rate") * 1_000_000).cast("long"))
+        .select("doc_id", "lang", F.round("keep_rate", 6).alias("keep_rate"))
+    )

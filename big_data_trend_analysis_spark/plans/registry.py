@@ -132,6 +132,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": _q(textstats.pack_sequences, "documents"),
     "embed_quantize": _q(similarity.embed_quantize, "embeddings"),
     "trend_rising": _q(trend.trend_rising, "events"),
+    "sample_mixture": _q(textstats.sample_mixture, "documents"),
     "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
     "stream_decay_trend_live": _stream_decay_trend_live,
     # -- relational core (north-star) --

@@ -312,3 +312,23 @@ def test_trend_rising_detects_spike(spark):
     assert by_key["spiky"].lift == 3.0 and by_key["spiky"].rnk == 1
     assert by_key["flat"].lift == 1.0 and by_key["flat"].rnk == 2
     assert by_key["spiky"].baseline_avg == 10.0
+
+
+def test_sample_mixture_deterministic_and_rate_accurate(spark):
+    """Hash sampling contract: same rows every run, per-stratum rates
+    honored within binomial tolerance, keep_rate column faithful."""
+    from big_data_trend_analysis_spark.operators.textstats import sample_mixture
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept1 = {r.doc_id for r in sample_mixture(df, {"en": 0.5}, 0.1).collect()}
+    kept2 = {r.doc_id for r in sample_mixture(df, {"en": 0.5}, 0.1).collect()}
+    assert kept1 == kept2  # reproducible across runs/partitionings
+
+    out = sample_mixture(df, {"en": 0.5}, 0.1).collect()
+    n_en = sum(1 for r in out if r.lang == "en")
+    n_de = sum(1 for r in out if r.lang == "de")
+    # 2000 docs per stratum; 5 sigma ≈ 110 (en), 67 (de)
+    assert abs(n_en - 1000) < 150, n_en
+    assert abs(n_de - 200) < 100, n_de
+    assert {r.keep_rate for r in out} == {0.5, 0.1}

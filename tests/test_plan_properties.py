@@ -38,6 +38,7 @@ NARROW = {
     "null_handling",
     "embed_quantize",
     "text_clean",
+    "sample_mixture",
 }
 
 
