@@ -341,3 +341,108 @@ def ngram_jaccard(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+
+
+def candidate_edges(
+    documents: DataFrame,
+    n: int = 3,
+    max_df: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Symmetric near-dup candidate edges from rare shared shingles.
+
+    The same inverted-index candidate generation as ``ngram_jaccard``
+    (df-pruned shingle self-join, ≥ ``min_shared`` co-occurrences),
+    surfaced as an edge relation (src, dst) in both directions — the
+    input graph for cluster resolution. Fully SQL-expressible, so the
+    downstream connected components can be oracle-checked.
+    """
+    shingles = _materialize(
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(split(text, ' ')) - {n}, 0)),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+                )
+            ).alias("shingle"),
+        ).distinct()
+    )
+    doc_freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = shingles.join(
+        doc_freq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    left = rare.alias("l")
+    right = rare.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("src", "dst")
+    )
+    return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def dedup_clusters(documents: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Resolve near-dup candidate pairs into canonical clusters.
+
+    Connected components by iterative min-label propagation: every doc
+    starts labeled with its own id; each round every node takes the min
+    of its label and its neighbors' labels, until a fixed point. The
+    loop converges in O(component diameter) rounds — near-dup
+    components are tiny (pairs/chains), so this is 2-3 rounds in
+    practice; each round is one join + one aggregation **on the edge
+    set only**, which at 100 TB is a vanishing fraction of the corpus
+    (the driver loop schedules jobs; no data ever reaches it). Output:
+    (doc_id, cluster_id, is_canonical) for every document — singletons
+    are their own cluster, and ``is_canonical`` (min doc_id wins)
+    selects the one copy a curation pipeline keeps.
+
+    Oracle: DuckDB WITH RECURSIVE reachability over the identical edge
+    relation — exact equality, not a heuristic check.
+    """
+    edges = candidate_edges(documents).localCheckpoint(eager=True)
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        # localCheckpoint truncates lineage: each round's plan references
+        # the previous labels twice, so without it the tree doubles per
+        # iteration. On a cluster this is checkpoint() to reliable
+        # storage — same role, fault-tolerant.
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )

@@ -133,6 +133,7 @@ QUERIES: dict[str, QueryFn] = {
     "embed_quantize": _q(similarity.embed_quantize, "embeddings"),
     "trend_rising": _q(trend.trend_rising, "events"),
     "sample_mixture": _q(textstats.sample_mixture, "documents"),
+    "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
     "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
     "stream_decay_trend_live": _stream_decay_trend_live,
     # -- relational core (north-star) --
@@ -295,6 +296,46 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT t.doc_id,
+                   array_to_string(t.toks[i.i : i.i + 2], ' ') AS shingle
+            FROM t, LATERAL (
+                SELECT unnest(range(1, greatest(len(t.toks) - 2, 1) + 1)) AS i
+            ) i
+        ),
+        keep AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 5
+        ),
+        rare AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        ),
+        pairs AS (
+            SELECT l.doc_id AS src, r.doc_id AS dst
+            FROM rare l
+            JOIN rare r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        edges AS (
+            SELECT src, dst FROM pairs
+            UNION ALL
+            SELECT dst, src FROM pairs
+        ),
+        walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+        )
+        SELECT node AS doc_id,
+               MIN(label) AS cluster_id,
+               (node = MIN(label)) AS is_canonical
+        FROM walk
+        GROUP BY node
     """,
     "trend_rising": """
         WITH counts AS (

@@ -332,3 +332,24 @@ def test_sample_mixture_deterministic_and_rate_accurate(spark):
     assert abs(n_en - 1000) < 150, n_en
     assert abs(n_de - 200) < 100, n_de
     assert {r.keep_rate for r in out} == {0.5, 0.1}
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """Label propagation must close transitive chains: doc1-doc2 and
+    doc2-doc3 share >=2 rare shingles (doc1-doc3 only 1, no direct
+    edge), yet all three must land in one cluster with min doc_id
+    canonical; an unrelated doc stays a singleton."""
+    from big_data_trend_analysis_spark.operators.dedup import dedup_clusters
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "gamma delta epsilon eta theta iota"),
+        (4, "omega psi chi phi upsilon tau"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_clusters(df).collect()}
+    assert len(out) == 4
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].is_canonical and not out[2].is_canonical and not out[3].is_canonical
+    assert out[4].cluster_id == 4 and out[4].is_canonical
