@@ -51,7 +51,10 @@ def _load_vader():
 
 
 def _lexicon_compound(text: str) -> float:
-    toks = text.lower().split()
+    # Single-space split (reference A4 tokenization) — matches the
+    # engine's F.split(text, ' ') and the oracle's string_split(text, ' ')
+    # even on irregular whitespace, unlike str.split().
+    toks = text.lower().split(" ")
     if not toks:
         return 0.0
     score = sum((t in _POSITIVE) - (t in _NEGATIVE) for t in toks)

@@ -42,12 +42,24 @@ MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact text dedup: keep the min doc_id per distinct text.
 
-    groupBy(text).min(doc_id) — one shuffle on the text (or its hash at
-    scale; Spark hashes the key either way), map-side combine. This is
-    the canonical "keep one representative" exact dedup, vs
-    ``dropDuplicates`` whose survivor is partition-order-dependent.
+    The grouping key is ``md5(text)`` (case-sensitive — NOT the
+    lowercasing ``fingerprint``), so the shuffle hashes/compares/sorts
+    16-byte keys instead of arbitrarily long document bodies; the
+    representative text rides along as a ``min_by`` aggregate value
+    (deterministic — all texts in a group are identical). Map-side
+    combine still collapses each partition to one row per distinct
+    text before the shuffle. This is the canonical "keep one
+    representative" exact dedup, vs ``dropDuplicates`` whose survivor
+    is partition-order-dependent.
     """
-    return documents.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        documents.groupBy(F.md5("text").alias("_fp"))
+        .agg(
+            F.min_by("text", "doc_id").alias("text"),
+            F.min("doc_id").alias("doc_id"),
+        )
+        .select("text", "doc_id")
+    )
 
 
 def _doc_tokens(documents: DataFrame) -> DataFrame:
@@ -390,7 +402,22 @@ def candidate_edges(
     return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
-def dedup_clusters(documents: DataFrame, max_iters: int = 20) -> DataFrame:
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Checkpoint an iterative intermediate, cluster-aware.
+
+    ``localCheckpoint`` stores blocks in executor memory/disk — fine in
+    local mode and on stable clusters, but lost on executor failure.
+    When a reliable checkpoint dir is configured
+    (``sc.setCheckpointDir``), use the fault-tolerant ``checkpoint()``
+    instead: same lineage truncation, survives executor loss.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def dedup_clusters(documents: DataFrame, max_iters: int = 50) -> DataFrame:
     """Resolve near-dup candidate pairs into canonical clusters.
 
     Connected components by iterative min-label propagation: every doc
@@ -400,47 +427,59 @@ def dedup_clusters(documents: DataFrame, max_iters: int = 20) -> DataFrame:
     components are tiny (pairs/chains), so this is 2-3 rounds in
     practice; each round is one join + one aggregation **on the edge
     set only**, which at 100 TB is a vanishing fraction of the corpus
-    (the driver loop schedules jobs; no data ever reaches it). Output:
-    (doc_id, cluster_id, is_canonical) for every document — singletons
-    are their own cluster, and ``is_canonical`` (min doc_id wins)
-    selects the one copy a curation pipeline keeps.
+    (the driver loop schedules jobs; no data ever reaches it).
+    Convergence is checked every second round (the propagation step is
+    monotone and idempotent at the fixed point, so the check's only
+    cost is the extra action it saves), and a loop that exhausts
+    ``max_iters`` unconverged raises rather than returning silently
+    wrong cluster ids. Output: (doc_id, cluster_id, is_canonical) for
+    every document — singletons are their own cluster, and
+    ``is_canonical`` (min doc_id wins) selects the one copy a curation
+    pipeline keeps.
 
     Oracle: DuckDB WITH RECURSIVE reachability over the identical edge
     relation — exact equality, not a heuristic check.
     """
-    edges = candidate_edges(documents).localCheckpoint(eager=True)
-    labels = documents.select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iters):
+    edges = _truncate_lineage(candidate_edges(documents))
+    labels = _truncate_lineage(
+        documents.select("doc_id", F.col("doc_id").alias("label"))
+    )
+    converged = False
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
-        # localCheckpoint truncates lineage: each round's plan references
-        # the previous labels twice, so without it the tree doubles per
-        # iteration. On a cluster this is checkpoint() to reliable
-        # storage — same role, fault-tolerant.
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
+        # Lineage truncation: each round's plan references the previous
+        # labels twice, so without it the tree doubles per iteration.
+        new_labels = _truncate_lineage(
+            labels.join(neighbor_min, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        old_labels = labels
         labels = new_labels
-        if changed == 0:
-            break
+        # Check convergence on odd rounds only: halves the count actions
+        # while the propagation itself stays exactly as before.
+        if it % 2 == 1 or it == max_iters - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(old_labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                converged = True
+                break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — "
+            "a component's diameter exceeds the bound; raise max_iters"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

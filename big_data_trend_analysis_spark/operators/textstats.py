@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from big_data_trend_analysis_spark.functions.numeric import exact_avg
 from big_data_trend_analysis_spark.functions.text import (
     fingerprint,
     lang_id_en,
@@ -116,8 +115,12 @@ def pipeline_curate(documents: DataFrame, min_quality: float = 0.5) -> DataFrame
         F.round(quality_score("text"), 6).alias("quality"),
         _clean_expr(F.col("text")).alias("clean_text"),
     ).filter(F.col("quality") >= min_quality)
-    survivors = cleaned.groupBy("clean_text").agg(
+    # Dedup keyed on md5(clean_text): the shuffle groups on 16-byte
+    # fingerprints, not document bodies (same rationale as dedup_exact);
+    # the surviving text/quality ride along as min_by values.
+    survivors = cleaned.groupBy(F.md5("clean_text").alias("_fp")).agg(
         F.min("doc_id").alias("doc_id"),
+        F.min_by("clean_text", "doc_id").alias("clean_text"),
         F.min_by("quality", "doc_id").alias("quality"),
     )
     return survivors.select("doc_id", "clean_text", "quality")

@@ -51,18 +51,28 @@ def ship_package(spark: SparkSession) -> None:
     cluster's executors, so pandas-UDF/mapInPandas plans work no matter
     where the driver process started or how workers are spawned.
     """
+    import hashlib
     import pathlib
     import tempfile
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
+    # Content-hash the zip name so edited package code always re-ships:
+    # a uid-only name would let os.path.exists short-circuit and send a
+    # stale zip to executors after a source change.
+    sources = sorted(pkg_dir.rglob("*.py"))
+    digest = hashlib.sha256()
+    for py in sources:
+        digest.update(str(py.relative_to(pkg_dir)).encode())
+        digest.update(py.read_bytes())
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"bdta_spark_pkg_{os.getuid()}.zip"
+        tempfile.gettempdir(),
+        f"bdta_spark_pkg_{os.getuid()}_{digest.hexdigest()[:16]}.zip",
     )
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        tmp = zip_path + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for py in sorted(pkg_dir.rglob("*.py")):
+            for py in sources:
                 zf.write(py, os.path.join(pkg_dir.name, py.relative_to(pkg_dir)))
         os.replace(tmp, zip_path)
     try:
