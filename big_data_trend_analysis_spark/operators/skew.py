@@ -60,6 +60,47 @@ def salted_join(
     return joined.drop("_salt")
 
 
+#: Literal event-type weight dimension for the skew showcase query —
+#: the archetypal hot-key join: every events row carries one of five
+#: event_type values, so the unsalted shuffle lands the whole table in
+#: five reduce buckets.
+EVENT_TYPE_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("click", 1.0),
+    ("view", 0.5),
+    ("purchase", 10.0),
+    ("signup", 5.0),
+    ("error", -2.0),
+)
+
+
+def join_skewed(events: DataFrame, buckets: int = 8) -> DataFrame:
+    """Hot-key join through ``salted_join``, aggregated to a bounded result.
+
+    events (large, 5 distinct join keys → maximal skew) ⋈ the literal
+    weight dim on event_type, with the shuffle spread over ``buckets``
+    salts; then a per-type aggregate of the weighted value. The result
+    is bit-identical to the unsalted join (the oracle computes exactly
+    that), proving salting changes only the shuffle distribution —
+    which is the property that keeps a 100 TB hot-key join off a single
+    reducer.
+    """
+    spark = events.sparkSession
+    dim = spark.createDataFrame(
+        list(EVENT_TYPE_WEIGHTS), "event_type string, weight double"
+    )
+    joined = salted_join(
+        events, dim, on="event_type", buckets=buckets, large_id_cols=["event_id"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.round(F.col("value") * F.col("weight"), 6).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("weighted_value"),
+    )
+
+
 def hot_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
     """Keys whose frequency exceeds ``min_count`` (skew census).
 

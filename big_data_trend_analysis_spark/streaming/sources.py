@@ -93,3 +93,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(sf_dir))
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the documents table.
+
+    The replay twin of ``sources/tables.load_table(..., "documents")``
+    — feeds the cumulative-state streaming jobs (running token counts)
+    the same rows the batch oracle reads. No timestamp column, so no
+    nanos handling needed.
+    """
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.readStream.schema(ddl)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(os.path.join(sf_dir))
+    )
