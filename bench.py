@@ -37,8 +37,16 @@ def main() -> None:
 
     # Warm the JVM/codegen once per table family on the smallest tier so
     # per-query times measure the queries, not first-run JIT/classloading.
-    for warm in ("agg_basic", "streaming_decay_trend", "text_stats", "sim_search"):
+    for warm in (
+        "agg_basic",
+        "streaming_decay_trend",
+        "text_stats",
+        "sim_search",
+        "dedup_minhash",
+        "dedup_clusters",
+    ):
         force(QUERIES[warm](spark, "/root/testdata/sf0.001"))
+    spark.catalog.clearCache()
 
     # min-of-2: this host shows multi-second CPU-steal stalls (shared
     # VM); the min is the engine's actual cost, the stall is not.

@@ -69,7 +69,9 @@ def _doc_tokens(documents: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+def _doc_shingles(
+    documents: DataFrame, n: int = 3, distinct: bool = True
+) -> DataFrame:
     """Distinct (doc_id, shingle) pairs over word n-grams.
 
     MinHash runs over *shingles*, not unigram tokens: with a small
@@ -77,25 +79,40 @@ def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     are nearly identical across documents, so unigram-LSH candidates
     explode quadratically; n-gram shingles (vocab^n space) keep sets
     discriminative — the standard shingle→minhash construction.
+
+    The text is split ONCE into a words column before the shingle
+    ``transform``; inlining ``split(text, ' ')`` inside the lambda makes
+    Spark re-split the document for every shingle index — O(words²)
+    character work per document (measured 2.5× slower at sf0.1).
+
+    ``distinct=False`` skips the dedup shuffle for consumers that are
+    duplicate-insensitive (MinHash's min aggregation, ``collect_set``
+    verification) — one less full shuffle of shingle strings. Consumers
+    whose math counts occurrences or document frequencies (SimHash bit
+    sums, inverted-index df pruning) must keep the default.
     """
-    return documents.select(
+    words = documents.select("doc_id", F.split("text", " ").alias("w"))
+    shingled = words.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, greatest(size(split(text, ' ')) - {n}, 0)),"
-                f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+                f"transform(sequence(0, greatest(size(w) - {n}, 0)),"
+                f" i -> concat_ws(' ', slice(w, i + 1, {n})))"
             )
         ).alias("token"),
-    ).distinct()
+    )
+    return shingled.distinct() if distinct else shingled
 
 
 def minhash_signatures(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of xxhash64(sh, i).
 
     One explode + one groupBy computing all ``perms`` mins in a single
-    aggregation pass (not ``perms`` passes).
+    aggregation pass (not ``perms`` passes). Shingles stay non-distinct
+    — min is duplicate-insensitive, so the dedup shuffle would be pure
+    cost.
     """
-    toks = _doc_shingles(documents)
+    toks = _doc_shingles(documents, distinct=False)
     aggs = [
         F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"mh_{i}")
         for i in range(perms)
@@ -164,8 +181,10 @@ def dedup_minhash(
         .union(candidates.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
+    # Non-distinct shingles share the signature path's cache entry, and
+    # collect_set dedupes anyway.
     token_sets = (
-        _materialize(_doc_shingles(documents))
+        _materialize(_doc_shingles(documents, distinct=False))
         .join(candidate_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("token").alias("toks"))
@@ -288,15 +307,7 @@ def ngram_jaccard(
     pairs whose overlap is a handful of common trigrams.
     """
     shingles = _materialize(
-        documents.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(split(text, ' ')) - {n}),"
-                    f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
-                )
-            ).alias("shingle"),
-        ).distinct()
+        _doc_shingles(documents, n).withColumnRenamed("token", "shingle")
     )
 
     doc_freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -370,15 +381,7 @@ def candidate_edges(
     downstream connected components can be oracle-checked.
     """
     shingles = _materialize(
-        documents.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, greatest(size(split(text, ' ')) - {n}, 0)),"
-                    f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
-                )
-            ).alias("shingle"),
-        ).distinct()
+        _doc_shingles(documents, n).withColumnRenamed("token", "shingle")
     )
     doc_freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = shingles.join(
@@ -420,29 +423,38 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
 def dedup_clusters(documents: DataFrame, max_iters: int = 50) -> DataFrame:
     """Resolve near-dup candidate pairs into canonical clusters.
 
-    Connected components by iterative min-label propagation: every doc
-    starts labeled with its own id; each round every node takes the min
-    of its label and its neighbors' labels, until a fixed point. The
-    loop converges in O(component diameter) rounds — near-dup
-    components are tiny (pairs/chains), so this is 2-3 rounds in
-    practice; each round is one join + one aggregation **on the edge
-    set only**, which at 100 TB is a vanishing fraction of the corpus
-    (the driver loop schedules jobs; no data ever reaches it).
-    Convergence is checked every second round (the propagation step is
-    monotone and idempotent at the fixed point, so the check's only
-    cost is the extra action it saves), and a loop that exhausts
-    ``max_iters`` unconverged raises rather than returning silently
-    wrong cluster ids. Output: (doc_id, cluster_id, is_canonical) for
-    every document — singletons are their own cluster, and
-    ``is_canonical`` (min doc_id wins) selects the one copy a curation
-    pipeline keeps.
+    Connected components by iterative min-label propagation — run
+    **only over edge endpoints**, never the corpus: docs that appear in
+    no candidate pair are their own cluster by definition, so the
+    iterative state (labels), every per-round join, and every
+    checkpoint is sized to the candidate subgraph, a vanishing fraction
+    of a 100 TB corpus. The corpus-sized relation is touched exactly
+    twice: once to generate edges, once in the final left join that
+    attaches resolved labels (endpoint relation broadcasts when small;
+    singletons coalesce to their own id).
+
+    Each round every endpoint takes the min of its label and its
+    neighbors' labels, until a fixed point — O(component diameter)
+    rounds; near-dup components are tiny (pairs/chains), so 2-3 rounds
+    in practice. Convergence is checked every second round (the
+    propagation step is monotone and idempotent at the fixed point, so
+    the check's only cost is the extra action it saves), and a loop
+    that exhausts ``max_iters`` unconverged raises rather than
+    returning silently wrong cluster ids. Output: (doc_id, cluster_id,
+    is_canonical) for every document; ``is_canonical`` (min doc_id
+    wins) selects the one copy a curation pipeline keeps.
 
     Oracle: DuckDB WITH RECURSIVE reachability over the identical edge
     relation — exact equality, not a heuristic check.
     """
     edges = _truncate_lineage(candidate_edges(documents))
-    labels = _truncate_lineage(
-        documents.select("doc_id", F.col("doc_id").alias("label"))
+    # Edges are symmetric, so src alone covers every endpoint. Initial
+    # labels need no checkpoint of their own: the lineage is one
+    # distinct off the already-checkpointed edges.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
     )
     converged = False
     for it in range(max_iters):
@@ -453,26 +465,22 @@ def dedup_clusters(documents: DataFrame, max_iters: int = 50) -> DataFrame:
         )
         # Lineage truncation: each round's plan references the previous
         # labels twice, so without it the tree doubles per iteration.
+        # The pre-update label rides along so the convergence check is
+        # a filter over the checkpointed rows, not a self-join.
         new_labels = _truncate_lineage(
             labels.join(neighbor_min, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("prev"),
             )
         )
-        old_labels = labels
-        labels = new_labels
+        labels = new_labels.select("doc_id", "label")
         # Check convergence on odd rounds only: halves the count actions
         # while the propagation itself stays exactly as before.
         if it % 2 == 1 or it == max_iters - 1:
-            changed = (
-                new_labels.alias("n")
-                .join(old_labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            if changed == 0:
+            if new_labels.filter(F.col("label") != F.col("prev")).count() == 0:
                 converged = True
                 break
     if not converged:
@@ -480,8 +488,12 @@ def dedup_clusters(documents: DataFrame, max_iters: int = 50) -> DataFrame:
             f"dedup_clusters did not converge in {max_iters} rounds — "
             "a component's diameter exceeds the bound; raise max_iters"
         )
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    return (
+        documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
