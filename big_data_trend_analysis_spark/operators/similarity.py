@@ -172,6 +172,53 @@ def ann_ivf(
     )
 
 
+def ann_recall_check(
+    embeddings: DataFrame,
+    n_probes: int = 20,
+    k: int = 5,
+    min_recall: float = 0.25,
+) -> DataFrame:
+    """Self-checking ANN accuracy invariant (hash-checked).
+
+    Runs the exact brute-force top-k AND the IVF path (production
+    defaults: nprobe=2 of 8 cells) for the same ``n_probes`` probes,
+    then asserts MACRO recall — total hits over total exact neighbors —
+    ≥ ``min_recall`` as a boolean the oracle demands be TRUE. Macro,
+    not per-probe: the fixtures' embeddings are near-uniform (no
+    cluster structure), so an individual probe's recall swings 0–80 %
+    while the 100-pair macro rate is stable (measured 0.47–0.49 across
+    sf0.001/0.01/0.1 — min_recall 0.25 leaves 2× headroom). The IVF
+    side is deterministic (fixed-seed codebook on a deterministic
+    sample), so the boolean cannot flap between runs. Same design as
+    the sketch ``*_check`` queries: turns "the index ran" into "the
+    index actually finds its neighbors" inside the driver gate.
+    """
+    probe_ids = tuple(range(n_probes))
+    exact = sim_search(embeddings, probe_ids=probe_ids, k=k).select(
+        "probe_id", "vec_id"
+    )
+    approx = (
+        ann_ivf(embeddings, probe_ids=probe_ids, k=k)
+        .select("probe_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["probe_id", "vec_id"], "left")
+        .agg(
+            F.count_distinct("probe_id").alias("n_probes"),
+            F.count(F.lit(1)).alias("n_exact_total"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "n_probes",
+            "n_exact_total",
+            (F.col("n_hit") / F.col("n_exact_total") >= min_recall).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 def embed_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid statistics: element-wise mean vector's norm.
 

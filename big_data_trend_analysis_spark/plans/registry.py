@@ -197,6 +197,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_skewed": _q(skew.join_skewed, "events"),
     "approx_distinct_check": _q(aggregates.approx_distinct_check, "documents"),
     "approx_percentile_check": _q(aggregates.approx_percentile_check, "lineitem"),
+    "ann_recall_check": _q(similarity.ann_recall_check, "embeddings"),
     # ---- window slot 18-20: implementation changed since last green row ----
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
@@ -929,5 +930,33 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS p50_ok,
                TRUE AS p95_ok
         FROM lineitem GROUP BY l_returnflag
+    """,
+    # The oracle recomputes the exact-top-k denominator; the macro
+    # recall boolean is asserted engine-side (operators/similarity.py
+    # ann_recall_check — deterministic IVF, so it cannot flap).
+    "ann_recall_check": f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings WHERE vec_id < 20
+        ),
+        scored AS (
+            SELECT p.probe_id, e.vec_id,
+                   {_COSINE.format(a="p.pv", b="CAST(e.embedding AS DOUBLE[])")} AS sim
+            FROM embeddings e CROSS JOIN probes p
+            WHERE e.vec_id <> p.probe_id
+        ),
+        topk AS (
+            SELECT probe_id FROM (
+                SELECT probe_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC
+                       ) AS rnk
+                FROM scored
+            ) WHERE rnk <= 5
+        )
+        SELECT COUNT(DISTINCT probe_id) AS n_probes,
+               COUNT(*) AS n_exact_total,
+               TRUE AS recall_ok
+        FROM topk
     """,
 }
