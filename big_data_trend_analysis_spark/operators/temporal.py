@@ -88,3 +88,70 @@ def range_join(lineitem: DataFrame, band_width: float = 10000.0, n_bands: int = 
             exact_sum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+#: Funnel stages in order: a user reaches stage k at the earliest
+#: event of this type strictly after the instant stage k-1 was
+#: reached.
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Sequential conversion funnel: signup → view → click → purchase.
+
+    The classic ordered funnel, NOT the weaker ``min(ts) per type``
+    comparison (which misses users whose first view predates signup
+    but who view again afterwards).
+
+    Plan shape — one pass, no joins: within each user's event stream
+    sorted by ``(ts, event_id)``, a chain of running-prefix windows
+    carries "when was stage k-1 first reached so far"; an event
+    qualifies for stage k iff its type matches and its ``ts`` is
+    strictly greater than that running mark. Because events are
+    processed in time order, the running mark at each row equals the
+    final stage-(k-1) time whenever the comparison matters, so the
+    chain computes the exact iterative semantics the oracle's
+    4-level correlated CTE spells out.
+
+    At 100 TB: one scan (pruned to the funnel event types), ONE
+    key-shuffle + one sort for all four window levels (identical
+    window spec ⇒ Catalyst stacks the Window operators on a single
+    Exchange+Sort), a per-user aggregate that reuses the same
+    partitioning, then a single-row reduce. The naive CTE-chain plan
+    re-scans the fact table per stage and duplicates every upstream
+    sub-plan in the final join — ~10 scans for 4 stages.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = events.filter(F.col("event_type").isin(*FUNNEL_STAGES)).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+
+    q1 = F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))
+    df = ev.withColumn("q1", q1).withColumn("c1", F.min("q1").over(w))
+    for k in (2, 3, 4):
+        qual = F.when(
+            (F.col("event_type") == FUNNEL_STAGES[k - 1])
+            & (F.col("ts") > F.col(f"c{k - 1}")),
+            F.col("ts"),
+        )
+        df = df.withColumn(f"q{k}", qual)
+        if k < 4:
+            df = df.withColumn(f"c{k}", F.min(f"q{k}").over(w))
+
+    per_user = df.groupBy("user_id").agg(
+        F.min("q1").alias("t1"),
+        F.min("q2").alias("t2"),
+        F.min("q3").alias("t3"),
+        F.min("q4").alias("t4"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view"),
+        F.count("t3").alias("n_click"),
+        F.count("t4").alias("n_purchase"),
+        F.round(F.count("t4") / F.count("t1"), 6).alias("full_funnel_rate"),
+    )
