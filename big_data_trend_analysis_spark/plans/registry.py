@@ -54,6 +54,7 @@ from big_data_trend_analysis_spark.operators import (
     aggregates,
     dedup,
     entities,
+    merge,
     multimodal,
     relational,
     scalar,
@@ -137,6 +138,57 @@ def _stream_decay_trend_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup through the real streaming path.
+
+    Drains ``dedup_events_stream`` — watermarked ``dropDuplicates`` on
+    (user_id, event_type, hour(ts)) — over a file stream of the events
+    table with an availableNow trigger into a memory sink. Hour
+    granularity makes genuine duplicates exist at every SF. The query
+    returns only the surviving KEY SET (which row of a duplicate group
+    survives is arrival-order-dependent; the key set is deterministic),
+    so the oracle is plain ``SELECT DISTINCT`` — pinning that streaming
+    dedup state converges to exactly the batch-distinct answer.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from big_data_trend_analysis_spark.streaming.jobs import dedup_events_stream
+    from big_data_trend_analysis_spark.streaming.sources import stream_events
+
+    tune_session(spark)
+    name = f"dedup_live_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    try:
+        from pyspark.sql import functions as F
+
+        keyed = stream_events(spark, sf_dir).select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        )
+        deduped = dedup_events_stream(
+            keyed,
+            watermark="4 hours",
+            keys=("user_id", "event_type", "ts_hour"),
+            ts_col="ts_hour",
+        )
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative cross-batch state through the real streaming path.
 
@@ -198,11 +250,15 @@ QUERIES: dict[str, QueryFn] = {
     "approx_distinct_check": _q(aggregates.approx_distinct_check, "documents"),
     "approx_percentile_check": _q(aggregates.approx_percentile_check, "lineitem"),
     "ann_recall_check": _q(similarity.ann_recall_check, "embeddings"),
-    # ---- window slot 18-20: implementation changed since last green row ----
+    "grouping_sets_agg": _q(relational.grouping_sets_agg, "orders"),
+    "upsert_scd1": _q(merge.upsert_scd1, "events"),
+    "funnel_conversion": _q(temporal.funnel_conversion, "events"),
+    "stream_dedup_live": _stream_dedup_live,
+    # ---- window slot 22-24: implementation changed since last green row ----
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
     "stream_decay_trend_live": _stream_decay_trend_live,
-    # ---- window slot 21-50: stable greens (regression signal) ----
+    # ---- window slot 24-50: stable greens (regression signal) ----
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
     "window_tumbling": _q(windows.window_tumbling, "events"),
     "window_sliding": _q(windows.window_sliding, "events"),
@@ -958,5 +1014,79 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS n_exact_total,
                TRUE AS recall_ok
         FROM topk
+    """,
+    "stream_dedup_live": """
+        SELECT DISTINCT user_id, event_type,
+               date_trunc('hour', ts) AS ts_hour
+        FROM events
+    """,
+    "grouping_sets_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(CASE WHEN GROUPING(o_orderstatus) = 1 THEN 1 ELSE 0 END AS INTEGER) AS status_total,
+               CAST(CASE WHEN GROUPING(o_orderpriority) = 1 THEN 1 ELSE 0 END AS INTEGER) AS priority_total,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    "upsert_scd1": """
+        WITH ranked AS (
+            SELECT user_id, event_type, ts, value,
+                   (ts < TIMESTAMP '2024-01-11 00:00:00') AS is_base,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type,
+                                    (ts < TIMESTAMP '2024-01-11 00:00:00')
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ),
+        base AS (
+            SELECT user_id, event_type, ts AS base_ts, value AS base_value
+            FROM ranked WHERE is_base AND rn = 1
+        ),
+        chg AS (
+            SELECT user_id, event_type, ts AS chg_ts, value AS chg_value
+            FROM ranked WHERE NOT is_base AND rn = 1
+        )
+        SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+               COALESCE(b.event_type, c.event_type) AS event_type,
+               ROUND(COALESCE(c.chg_value, b.base_value), 6) AS value,
+               COALESCE(c.chg_ts, b.base_ts) AS as_of_ts,
+               CASE WHEN c.chg_ts IS NOT NULL AND b.base_ts IS NOT NULL THEN 'update'
+                    WHEN c.chg_ts IS NOT NULL THEN 'insert'
+                    ELSE 'keep' END AS op
+        FROM base b
+        FULL OUTER JOIN chg c
+          ON b.user_id = c.user_id AND b.event_type = c.event_type
+    """,
+    "funnel_conversion": """
+        WITH t1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+            JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+            JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'click' AND e.ts > t2.t2 GROUP BY e.user_id
+        ),
+        t4 AS (
+            SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
+            JOIN t3 ON e.user_id = t3.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t3.t3 GROUP BY e.user_id
+        )
+        SELECT COUNT(t1.t1) AS n_signup,
+               COUNT(t2.t2) AS n_view,
+               COUNT(t3.t3) AS n_click,
+               COUNT(t4.t4) AS n_purchase,
+               ROUND(COUNT(t4.t4) / COUNT(t1.t1), 6) AS full_funnel_rate
+        FROM t1
+        LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id
+        LEFT JOIN t4 ON t1.user_id = t4.user_id
     """,
 }

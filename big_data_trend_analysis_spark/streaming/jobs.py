@@ -107,19 +107,22 @@ def purchases_after_signup(
 
 
 def dedup_events_stream(
-    events: DataFrame, watermark: str = "2 hours"
+    events: DataFrame,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("user_id", "event_type", "ts"),
+    ts_col: str = "ts",
 ) -> DataFrame:
-    """Watermarked streaming deduplication on the natural key.
+    """Watermarked streaming deduplication on a natural key.
 
     ``dropDuplicates`` over a watermarked stream keeps per-key state
     only until the watermark passes — bounded-state exactly-once dedup,
-    the streaming twin of the batch dedup operators. Keyed on
-    (user_id, event_type, ts) — a true identity, so batch and stream
-    agree on the surviving set.
+    the streaming twin of the batch dedup operators. The event-time
+    column must be among ``keys`` so the watermark can evict state;
+    rows are emitted on first sight (the watermark bounds state, not
+    emission latency). Default key (user_id, event_type, ts) is a true
+    identity, so batch and stream agree on the surviving set.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(
-        ["user_id", "event_type", "ts"]
-    )
+    return events.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
 
 
 def windowed_cms_stream(
