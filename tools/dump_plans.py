@@ -90,6 +90,25 @@ HEADLINERS: dict[str, str] = {
         "count → TakeOrdered are all JVM-side, so the plan's Python "
         "cost is one scan regardless of corpus size."
     ),
+    "grouping_sets_agg": (
+        "All three grouping sets expand in a single Expand operator "
+        "feeding one partial/final aggregate pair — one scan and one "
+        "shuffle however many sets are requested."
+    ),
+    "upsert_scd1": (
+        "No join: both MERGE sides compact in one aggregation via "
+        "max_by with side-conditional ordering keys, so the plan is "
+        "one scan, a map-side partial aggregate, and a single key "
+        "exchange carrying ≤2 compacted payloads per key — below the "
+        "two-scan/two-shuffle cost of the windowed-join formulation."
+    ),
+    "funnel_conversion": (
+        "All four funnel levels share one window spec, so Catalyst "
+        "stacks the Window operators over a single Exchange+Sort; the "
+        "per-user aggregate reuses that partitioning (no second "
+        "exchange before the final single-row reduce). One scan total "
+        "vs ~10 for the equivalent correlated-CTE chain."
+    ),
 }
 
 
