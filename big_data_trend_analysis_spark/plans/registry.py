@@ -189,6 +189,93 @@ def _stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join through the real path.
+
+    Drains ``purchases_after_signup`` — purchases inner-joined to the
+    same user's signups within 2 hours, both sides watermarked so the
+    join state is bounded and evictable — with an availableNow trigger
+    into a memory sink. The oracle is the equivalent batch interval
+    join, pinning that the streaming join emits exactly the batch
+    match set (M1 + the stream-stream join capability the reference's
+    single-stream foreachBatch loop cannot express).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from big_data_trend_analysis_spark.streaming.jobs import purchases_after_signup
+    from big_data_trend_analysis_spark.streaming.sources import stream_events
+
+    tune_session(spark)
+    name = f"sjoin_live_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    try:
+        query = (
+            purchases_after_signup(stream_events(spark, sf_dir), streaming=True)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+def _stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window CMS sketches, probed and hash-checked.
+
+    Drains ``windowed_cms_stream`` — per-event-time-window mergeable
+    Count-Min sketches built executor-side with watermarked state —
+    into a memory sink (availableNow), then probes the 5 reference
+    keys against each KB-sized window sketch driver-side (bounded:
+    O(windows) rows collected, never O(events)). With eps ≪ 1/keys
+    the estimates equal exact counts, which the oracle pins — so the
+    driver gate hash-checks the *streaming* sketch path end-to-end,
+    the bounded-space cross-batch CMS the reference's driver matrix
+    approximates (cms_stream.py:69,94-116).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from big_data_trend_analysis_spark.operators.aggregates import probe_cms
+    from big_data_trend_analysis_spark.streaming.jobs import windowed_cms_stream
+    from big_data_trend_analysis_spark.streaming.sources import stream_events
+
+    tune_session(spark)
+    name = f"cms_live_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    try:
+        query = (
+            windowed_cms_stream(stream_events(spark, sf_dir), eps=0.01)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+        keys = ("click", "view", "purchase", "signup", "error")
+        rows = [
+            (r.window_start, key, est)
+            for r in spark.table(name).collect()
+            for key, est in probe_cms(spark, r.cms_sketch, list(keys)).items()
+        ]
+        return spark.createDataFrame(
+            rows, "window_start timestamp, event_type string, est_count long"
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative cross-batch state through the real streaming path.
 
@@ -254,7 +341,10 @@ QUERIES: dict[str, QueryFn] = {
     "upsert_scd1": _q(merge.upsert_scd1, "events"),
     "funnel_conversion": _q(temporal.funnel_conversion, "events"),
     "stream_dedup_live": _stream_dedup_live,
-    # ---- window slot 22-24: implementation changed since last green row ----
+    "stream_join_live": _stream_join_live,
+    "stream_cms_live": _stream_cms_live,
+    "rollup_two_level": _q(windows.rollup_two_level, "events"),
+    # ---- window slot 25-27: implementation changed since last green row ----
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
     "stream_decay_trend_live": _stream_decay_trend_live,
@@ -1019,6 +1109,47 @@ ORACLE_SQL: dict[str, str] = {
         SELECT DISTINCT user_id, event_type,
                date_trunc('hour', ts) AS ts_hour
         FROM events
+    """,
+    "stream_join_live": """
+        SELECT p.user_id, p.event_id AS purchase_id,
+               p.ts AS p_ts, s.ts AS s_ts
+        FROM events p
+        JOIN events s
+          ON p.user_id = s.user_id
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL 2 HOUR
+        WHERE p.event_type = 'purchase'
+          AND s.event_type = 'signup'
+    """,
+    # Identical to cms_window_probe's exact twin: with eps ≪ 1/keys the
+    # streaming sketches are collision-free, so probes equal exact counts.
+    "stream_cms_live": """
+        WITH w AS (
+            SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS window_start
+            FROM events
+        ),
+        k AS (
+            SELECT * FROM (VALUES ('click'), ('view'), ('purchase'),
+                                  ('signup'), ('error')) AS t(event_type)
+        ),
+        c AS (
+            SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT w.window_start, k.event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS est_count
+        FROM w CROSS JOIN k
+        LEFT JOIN c ON c.ws = w.window_start AND c.event_type = k.event_type
+    """,
+    "rollup_two_level": """
+        SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        FROM events
+        GROUP BY 1
     """,
     "grouping_sets_agg": """
         SELECT o_orderstatus, o_orderpriority,
