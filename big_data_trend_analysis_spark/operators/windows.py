@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from big_data_trend_analysis_spark.functions.numeric import exact_sum
+from big_data_trend_analysis_spark.functions.numeric import dec, exact_sum
 
 
 def window_tumbling(events: DataFrame, width: str = "10 minutes") -> DataFrame:
@@ -104,4 +104,33 @@ def window_rank(events: DataFrame, k: int = 3) -> DataFrame:
         events.select("user_id", "event_id", "value")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def rollup_two_level(events: DataFrame) -> DataFrame:
+    """Continuous-aggregate reuse: daily stats derived from hourly rollups.
+
+    The hypertable pattern (TimescaleDB continuous aggregates, Druid
+    rollup): maintain a fine-grained pre-aggregate and answer coarser
+    queries by RE-aggregating it — never re-reading raw data. Spelled
+    out as a two-level plan: hourly partial sums (exact decimal, so the
+    re-aggregation loses nothing), then a daily aggregate over the
+    |hours|-sized relation with the average derived from re-aggregable
+    sums. At 100 TB the daily query costs O(hours) rows instead of
+    O(events) — the oracle (a direct daily aggregate over raw events)
+    pins that the rollup path is lossless.
+    """
+    hourly = events.groupBy(
+        F.window("ts", "1 hour").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("sum_dec"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("w.start")).alias("day"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            (F.sum("sum_dec").cast("double") / F.sum("n")).alias("avg_value"),
+        )
     )
