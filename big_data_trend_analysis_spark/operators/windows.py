@@ -134,3 +134,25 @@ def rollup_two_level(events: DataFrame) -> DataFrame:
             (F.sum("sum_dec").cast("double") / F.sum("n")).alias("avg_value"),
         )
     )
+
+
+def window_distribution(events: DataFrame) -> DataFrame:
+    """Distribution analytics per user: quartile, percent_rank, cume_dist.
+
+    The remaining SQL window-function family (beyond rank/lag):
+    ``ntile`` for equal-frequency bucketing, ``percent_rank`` /
+    ``cume_dist`` for empirical CDFs — the building blocks of
+    per-cohort score normalization in a curation pipeline. One shuffle
+    on user_id, one sort; the (value, event_id) tie-break keeps every
+    output deterministic at any parallelism.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return events.select("user_id", "event_id", "value").select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )

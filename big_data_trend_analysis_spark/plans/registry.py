@@ -103,6 +103,31 @@ def _sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shuffle partitions while a live-streaming drain runs. Streaming
+#: state cost scales with partition count, not data: every micro-batch
+#: commits one store (FOUR for a stream-stream join) per partition, so
+#: 32 partitions pay 100s of store commits to shuffle KBs of state.
+#: 8 keeps all cores busy on the fixtures while quartering that fixed
+#: cost; a cluster deployment sizes this by key cardinality instead.
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+class _stream_partitions:
+    """Temporarily set shuffle partitions for a streaming drain."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
 def _stream_decay_trend_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming execution inside the correctness gate.
 
@@ -122,6 +147,7 @@ def _stream_decay_trend_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"decay_live_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
     try:
+      with _stream_partitions(spark):
         query = (
             decay_trend_stream(stream_events(spark, sf_dir))
             .writeStream.format("memory")
@@ -161,6 +187,7 @@ def _stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"dedup_live_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
     try:
+      with _stream_partitions(spark):
         from pyspark.sql import functions as F
 
         keyed = stream_events(spark, sf_dir).select(
@@ -211,6 +238,7 @@ def _stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sjoin_live_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
     try:
+      with _stream_partitions(spark):
         query = (
             purchases_after_signup(stream_events(spark, sf_dir), streaming=True)
             .writeStream.format("memory")
@@ -252,6 +280,7 @@ def _stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"cms_live_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
     try:
+      with _stream_partitions(spark):
         query = (
             windowed_cms_stream(stream_events(spark, sf_dir), eps=0.01)
             .writeStream.format("memory")
@@ -276,6 +305,44 @@ def _stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned parquet sink + pruned read-back, end-to-end.
+
+    Writes events through ``write_date_partitioned`` (the lakehouse
+    layout the 100 TB posture mandates), reads the table back with a
+    ``p_date`` range filter — Catalyst turns it into directory-level
+    PartitionFilters, so a year-long table scanned for 6 days reads
+    6/365ths of the files — and aggregates per day. The oracle is the
+    same aggregate over raw events, pinning that the write→prune→read
+    path is lossless. This is the only container-exercisable sink (no
+    Kafka broker / Postgres here); the write lands under /tmp, sized
+    by SF, overwritten per run.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.sources.lakehouse import (
+        write_date_partitioned,
+    )
+
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/bdta_lakehouse_{suffix}"
+    write_date_partitioned(events, path, "ts")
+    back = spark.read.parquet(path).filter(
+        (F.col("p_date") >= F.lit("2024-01-05").cast("date"))
+        & (F.col("p_date") <= F.lit("2024-01-10").cast("date"))
+    )
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+    return back.groupBy("p_date").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("sum_value"),
+    )
+
+
 def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative cross-batch state through the real streaming path.
 
@@ -297,6 +364,7 @@ def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"tokcounts_live_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
     try:
+      with _stream_partitions(spark):
         query = (
             running_keyword_counts(stream_documents(spark, sf_dir))
             .writeStream.format("memory")
@@ -344,7 +412,9 @@ QUERIES: dict[str, QueryFn] = {
     "stream_join_live": _stream_join_live,
     "stream_cms_live": _stream_cms_live,
     "rollup_two_level": _q(windows.rollup_two_level, "events"),
-    # ---- window slot 25-27: implementation changed since last green row ----
+    "window_distribution": _q(windows.window_distribution, "events"),
+    "partitioned_write_roundtrip": _partitioned_write_roundtrip,
+    # ---- window slot 27-29: implementation changed since last green row ----
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
     "stream_decay_trend_live": _stream_decay_trend_live,
@@ -1142,6 +1212,22 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COALESCE(c.n, 0) AS BIGINT) AS est_count
         FROM w CROSS JOIN k
         LEFT JOIN c ON c.ws = w.window_start AND c.event_type = k.event_type
+    """,
+    "window_distribution": """
+        SELECT user_id, event_id,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+    """,
+    "partitioned_write_roundtrip": """
+        SELECT CAST(ts AS DATE) AS p_date,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'
+        GROUP BY 1
     """,
     "rollup_two_level": """
         SELECT time_bucket(INTERVAL '1 day', ts) AS day,
