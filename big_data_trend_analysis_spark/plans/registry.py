@@ -343,6 +343,53 @@ def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stateful_decay_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed-state streaming (applyInPandasWithState) in the gate.
+
+    Drains ``decayed_token_scores`` — per-token mutable state updated
+    by an arbitrary pandas function each micro-batch (score ←
+    score·decay + batch_count), the engine's distributed replacement
+    for the reference's driver-resident cross-batch matrix — over a
+    file stream of documents, update mode into a memory sink. The
+    availableNow drain of one file is a single micro-batch, so the
+    recurrence collapses to score = count: the oracle pins the custom
+    state path (state store + pandas update + update-mode emission)
+    with plain token counts; multi-batch decay semantics are
+    pytest-covered (tests/test_pipeline_stateful.py).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from big_data_trend_analysis_spark.streaming.sources import stream_documents
+    from big_data_trend_analysis_spark.streaming.stateful import (
+        decayed_token_scores,
+        tokens_from_text_stream,
+    )
+
+    tune_session(spark)
+    name = f"stateful_live_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    try:
+      with _stream_partitions(spark):
+        query = (
+            decayed_token_scores(
+                tokens_from_text_stream(stream_documents(spark, sf_dir))
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative cross-batch state through the real streaming path.
 
@@ -414,7 +461,8 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_two_level": _q(windows.rollup_two_level, "events"),
     "window_distribution": _q(windows.window_distribution, "events"),
     "partitioned_write_roundtrip": _partitioned_write_roundtrip,
-    # ---- window slot 27-29: implementation changed since last green row ----
+    "stateful_decay_live": _stateful_decay_live,
+    # ---- window slot 28-30: implementation changed since last green row ----
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
     "stream_decay_trend_live": _stream_decay_trend_live,
@@ -1113,6 +1161,15 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "running_counts_live": """
         SELECT token, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    """,
+    # Single-batch availableNow drain ⇒ the decay recurrence collapses
+    # to score = count (see _stateful_decay_live docstring).
+    "stateful_decay_live": """
+        SELECT token,
+               CAST(COUNT(*) AS DOUBLE) AS decayed_score,
+               COUNT(*) AS total_count
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token
     """,
