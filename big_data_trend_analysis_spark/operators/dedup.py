@@ -420,6 +420,16 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+#: Shuffle partitions for the label-propagation loop. The iterative
+#: state is the candidate-subgraph endpoint set (hundreds of rows at
+#: fixture SFs — a vanishing fraction of any corpus), so running the
+#: per-round joins at corpus-sized parallelism is pure task-scheduling
+#: overhead. A cluster deployment sizes this to |endpoints| /
+#: target-rows-per-task, NOT to the corpus; edge generation and the
+#: final corpus join stay at the session's full parallelism either way.
+CLUSTER_LOOP_PARTITIONS = "8"
+
+
 def dedup_clusters(documents: DataFrame, max_iters: int = 50) -> DataFrame:
     """Resolve near-dup candidate pairs into canonical clusters.
 
@@ -447,6 +457,8 @@ def dedup_clusters(documents: DataFrame, max_iters: int = 50) -> DataFrame:
     Oracle: DuckDB WITH RECURSIVE reachability over the identical edge
     relation — exact equality, not a heuristic check.
     """
+    # Edge generation scans the corpus — runs (eagerly, inside the
+    # checkpoint) at the session's full parallelism.
     edges = _truncate_lineage(candidate_edges(documents))
     # Edges are symmetric, so src alone covers every endpoint. Initial
     # labels need no checkpoint of their own: the lineage is one
@@ -457,32 +469,38 @@ def dedup_clusters(documents: DataFrame, max_iters: int = 50) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("label"))
     )
     converged = False
-    for it in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        # Lineage truncation: each round's plan references the previous
-        # labels twice, so without it the tree doubles per iteration.
-        # The pre-update label rides along so the convergence check is
-        # a filter over the checkpointed rows, not a self-join.
-        new_labels = _truncate_lineage(
-            labels.join(neighbor_min, "doc_id", "left").select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("prev"),
+    spark = documents.sparkSession
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", CLUSTER_LOOP_PARTITIONS)
+    try:
+        for it in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nmin"))
             )
-        )
-        labels = new_labels.select("doc_id", "label")
-        # Check convergence on odd rounds only: halves the count actions
-        # while the propagation itself stays exactly as before.
-        if it % 2 == 1 or it == max_iters - 1:
-            if new_labels.filter(F.col("label") != F.col("prev")).count() == 0:
-                converged = True
-                break
+            # Lineage truncation: each round's plan references the previous
+            # labels twice, so without it the tree doubles per iteration.
+            # The pre-update label rides along so the convergence check is
+            # a filter over the checkpointed rows, not a self-join.
+            new_labels = _truncate_lineage(
+                labels.join(neighbor_min, "doc_id", "left").select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                    F.col("label").alias("prev"),
+                )
+            )
+            labels = new_labels.select("doc_id", "label")
+            # Check convergence on odd rounds only: halves the count actions
+            # while the propagation itself stays exactly as before.
+            if it % 2 == 1 or it == max_iters - 1:
+                if new_labels.filter(F.col("label") != F.col("prev")).count() == 0:
+                    converged = True
+                    break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds — "

@@ -133,3 +133,48 @@ def test_whole_stage_codegen_covers_core_paths(spark, sf_dir):
             assert len(re.findall(r"\*\(\d+\) HashAggregate", simple)) >= 2, simple
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_upsert_scd1_is_single_scan_single_shuffle(plans):
+    """The MERGE compaction must stay joinless: one scan, one Exchange.
+
+    Regression guard for the max_by formulation — a windowed-join
+    rewrite would reappear here as a second scan and a join.
+    """
+    plan = plans["upsert_scd1"]
+    # formatted explain prints each node twice (tree + detail); count
+    # the unique "(n) Op" detail headers.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, "re-scans input"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, "extra shuffle"
+    assert "Join" not in plan, "upsert_scd1 reintroduced a join"
+
+
+def test_funnel_conversion_is_single_scan(plans):
+    """The window-chain funnel must not re-scan per stage.
+
+    The naive CTE-chain plan duplicates every upstream sub-plan (~10
+    scans for 4 stages); the window chain reads the fact table once and
+    stacks all levels on one Exchange+Sort.
+    """
+    plan = plans["funnel_conversion"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, "re-scans fact"
+    assert "Join" not in plan, "funnel reintroduced the join chain"
+    # user-key exchange + final single-row reduce exchange only
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, "extra shuffles"
+
+
+def test_grouping_sets_single_expand_pass(plans):
+    """All grouping sets must expand in one operator, one shuffle."""
+    plan = plans["grouping_sets_agg"]
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_rollup_two_level_reaggregates(plans):
+    """Daily stats must come from the hourly relation, not raw events:
+    two aggregate levels, one scan."""
+    plan = plans["rollup_two_level"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # hourly partial+final, daily partial+final
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
