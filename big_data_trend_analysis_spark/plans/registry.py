@@ -462,7 +462,8 @@ QUERIES: dict[str, QueryFn] = {
     "window_distribution": _q(windows.window_distribution, "events"),
     "partitioned_write_roundtrip": _partitioned_write_roundtrip,
     "stateful_decay_live": _stateful_decay_live,
-    # ---- window slot 28-30: implementation changed since last green row ----
+    "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
+    # ---- window slot 29-31: implementation changed since last green row ----
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
     "stream_decay_trend_live": _stream_decay_trend_live,
@@ -1293,6 +1294,25 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
         FROM events
         GROUP BY 1
+    """,
+    # total_var = covariance trace = sum of per-dimension sample
+    # variances (exactly what the oracle computes); the spectrum
+    # booleans are deterministic functions of the value multiset.
+    "embed_pca_check": """
+        SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+               CAST(64 AS INTEGER) AS dim,
+               ROUND(SUM(v), 6) AS total_var,
+               TRUE AS explained_ok,
+               TRUE AS orthonormal_ok
+        FROM (
+            SELECT VAR_SAMP(val) AS v
+            FROM (
+                SELECT UNNEST(embedding) AS val,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            )
+            GROUP BY i
+        )
     """,
     "grouping_sets_agg": """
         SELECT o_orderstatus, o_orderpriority,
