@@ -70,7 +70,7 @@ def _doc_tokens(documents: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(
-    documents: DataFrame, n: int = 3, distinct: bool = True
+    documents: DataFrame, n: int = 3, distinct: bool = True, hashed: bool = False
 ) -> DataFrame:
     """Distinct (doc_id, shingle) pairs over word n-grams.
 
@@ -90,6 +90,15 @@ def _doc_shingles(
     verification) — one less full shuffle of shingle strings. Consumers
     whose math counts occurrences or document frequencies (SimHash bit
     sums, inverted-index df pruning) must keep the default.
+
+    ``hashed=True`` replaces each shingle string with its ``xxhash64``
+    — every downstream shuffle (distinct, document-frequency agg,
+    inverted-index self-join, set collection) then moves 8-byte longs
+    instead of multi-word strings, and set cardinalities (hence
+    Jaccard) are preserved up to a 2^-64-scale collision probability.
+    This is how shingle pipelines run at corpus scale; the un-hashed
+    form exists for oracle SQL twins that must recompute the same
+    relation in an engine without xxhash64.
     """
     words = documents.select("doc_id", F.split("text", " ").alias("w"))
     shingled = words.select(
@@ -101,6 +110,8 @@ def _doc_shingles(
             )
         ).alias("token"),
     )
+    if hashed:
+        shingled = shingled.select("doc_id", F.xxhash64("token").alias("token"))
     return shingled.distinct() if distinct else shingled
 
 
@@ -112,7 +123,7 @@ def minhash_signatures(documents: DataFrame, perms: int = MINHASH_PERMS) -> Data
     — min is duplicate-insensitive, so the dedup shuffle would be pure
     cost.
     """
-    toks = _doc_shingles(documents, distinct=False)
+    toks = _doc_shingles(documents, distinct=False, hashed=True)
     aggs = [
         F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"mh_{i}")
         for i in range(perms)
@@ -184,7 +195,7 @@ def dedup_minhash(
     # Non-distinct shingles share the signature path's cache entry, and
     # collect_set dedupes anyway.
     token_sets = (
-        _materialize(_doc_shingles(documents, distinct=False))
+        _materialize(_doc_shingles(documents, distinct=False, hashed=True))
         .join(candidate_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("token").alias("toks"))
@@ -221,9 +232,12 @@ def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> Data
     All ``bits`` bit-sums are computed in one aggregation pass over the
     exploded shingle relation (shingles, not unigrams — see
     ``_doc_shingles``); the fingerprint is assembled with plain integer
-    arithmetic — all JVM expressions.
+    arithmetic — all JVM expressions. The hashed shingle relation
+    doubles as the hash source: the per-doc distinct shuffle moves
+    8-byte longs, and the ±1 bit contributions read those longs
+    directly.
     """
-    toks = _doc_shingles(documents).withColumn("h", F.xxhash64("token"))
+    toks = _doc_shingles(documents, hashed=True).withColumn("h", F.col("token"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -305,9 +319,17 @@ def ngram_jaccard(
     its shingles; near-dup-only shingles have df≈2 ≤ max_df, so such
     pairs co-occur in many rare shingles — the prefilter only prunes
     pairs whose overlap is a handful of common trigrams.
+
+    The whole pipeline runs on ``xxhash64``-hashed shingles: distinct,
+    df aggregation, the self-join, and the verification sets all
+    shuffle 8-byte longs, never shingle strings; set cardinalities —
+    hence every Jaccard value — are unchanged up to 2^-64-scale
+    collisions.
     """
     shingles = _materialize(
-        _doc_shingles(documents, n).withColumnRenamed("token", "shingle")
+        _doc_shingles(documents, n, hashed=True).withColumnRenamed(
+            "token", "shingle"
+        )
     )
 
     doc_freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -377,11 +399,16 @@ def candidate_edges(
     The same inverted-index candidate generation as ``ngram_jaccard``
     (df-pruned shingle self-join, ≥ ``min_shared`` co-occurrences),
     surfaced as an edge relation (src, dst) in both directions — the
-    input graph for cluster resolution. Fully SQL-expressible, so the
-    downstream connected components can be oracle-checked.
+    input graph for cluster resolution. The oracle twin recomputes the
+    identical edge set from shingle *strings* (DuckDB has no xxhash64);
+    the engine runs on hashed shingles — the edge sets agree because a
+    spurious edge needs an xxhash64 collision between two rare
+    shingles of the same document pair (2^-64-scale odds).
     """
     shingles = _materialize(
-        _doc_shingles(documents, n).withColumnRenamed("token", "shingle")
+        _doc_shingles(documents, n, hashed=True).withColumnRenamed(
+            "token", "shingle"
+        )
     )
     doc_freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = shingles.join(
