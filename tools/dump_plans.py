@@ -109,6 +109,25 @@ HEADLINERS: dict[str, str] = {
         "exchange before the final single-row reduce). One scan total "
         "vs ~10 for the equivalent correlated-CTE chain."
     ),
+    "rollup_two_level": (
+        "The daily aggregate consumes the hourly aggregate's output "
+        "relation — one scan, two partial/final aggregate levels. The "
+        "hourly sums stay exact decimal, so re-aggregation is lossless "
+        "(the continuous-aggregate contract)."
+    ),
+    "window_distribution": (
+        "ntile/percent_rank/cume_dist evaluate in one Window operator "
+        "over a single Exchange+Sort on user_id — the whole empirical-"
+        "CDF family costs one shuffle."
+    ),
+    "ngram_jaccard": (
+        "Every shuffle past the explode moves 8-byte xxhash64 shingle "
+        "keys, never shingle strings: distinct, document-frequency "
+        "aggregation, the inverted-index self-join, and the candidate-"
+        "pruned collect_set all operate on longs. Verification stays "
+        "exact — set cardinalities are hash-collision-free at 2^-64 "
+        "scale."
+    ),
 }
 
 
