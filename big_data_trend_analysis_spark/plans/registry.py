@@ -463,7 +463,13 @@ QUERIES: dict[str, QueryFn] = {
     "partitioned_write_roundtrip": _partitioned_write_roundtrip,
     "stateful_decay_live": _stateful_decay_live,
     "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
-    # ---- window slot 29-31: implementation changed since last green row ----
+    # rows-only near-dup detectors: re-windowed this round (hashed-
+    # shingle rewrite changed their implementations since their clean
+    # round-1 rows)
+    "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
+    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
+    "ngram_jaccard": _q(dedup.ngram_jaccard, "documents"),
+    # ---- window slot 32-34: implementation changed since last green row ----
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
     "stream_decay_trend_live": _stream_decay_trend_live,
@@ -514,9 +520,6 @@ QUERIES: dict[str, QueryFn] = {
     "approx_percentile": _q(aggregates.approx_percentile_agg, "lineitem"),
     "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
     "sample_mixture": _q(textstats.sample_mixture, "documents"),
-    "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
-    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
-    "ngram_jaccard": _q(dedup.ngram_jaccard, "documents"),
 }
 
 
