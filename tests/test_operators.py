@@ -353,3 +353,87 @@ def test_dedup_clusters_transitive_chain(spark):
     assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
     assert out[1].is_canonical and not out[2].is_canonical and not out[3].is_canonical
     assert out[4].cluster_id == 4 and out[4].is_canonical
+
+
+def test_upsert_scd1_merge_branches(spark):
+    """All three MERGE branches with explicit rows: update (key in
+    both sides), insert (changelog only), keep (base only) — and
+    timestamp ties broken by event_id (latest id wins)."""
+    import datetime as dt
+
+    rows = [
+        # key (1,'a'): base row then changelog row -> update, value 2.0
+        (1, dt.datetime(2024, 1, 5), 1, "a", 1.0),
+        (2, dt.datetime(2024, 1, 20), 1, "a", 2.0),
+        # key (2,'b'): changelog only -> insert
+        (3, dt.datetime(2024, 1, 25), 2, "b", 3.0),
+        # key (3,'c'): base only -> keep
+        (4, dt.datetime(2024, 1, 2), 3, "c", 4.0),
+        # key (4,'d'): two changelog rows at the SAME ts -> event_id 6 wins
+        (5, dt.datetime(2024, 1, 22), 4, "d", 5.0),
+        (6, dt.datetime(2024, 1, 22), 4, "d", 6.0),
+    ]
+    from big_data_trend_analysis_spark.operators.merge import upsert_scd1
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {
+        (r.user_id, r.event_type): (r.value, r.op)
+        for r in upsert_scd1(df).collect()
+    }
+    assert out[(1, "a")] == (2.0, "update")
+    assert out[(2, "b")] == (3.0, "insert")
+    assert out[(3, "c")] == (4.0, "keep")
+    assert out[(4, "d")] == (6.0, "insert")
+
+
+def test_funnel_requires_stage_order(spark):
+    """A view BEFORE the user's first signup must not count — but a
+    later view after it must (the case min(ts)-per-type comparison
+    gets wrong when the pre-signup view is the earliest)."""
+    import datetime as dt
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    rows = [
+        # user 1: view(1) BEFORE signup(2), view again (3) after -> counts
+        (1, t(1), 1, "view", 0.0),
+        (2, t(2), 1, "signup", 0.0),
+        (3, t(3), 1, "view", 0.0),
+        (4, t(4), 1, "click", 0.0),
+        (5, t(5), 1, "purchase", 0.0),
+        # user 2: view ONLY before signup -> funnel stops at signup
+        (6, t(1), 2, "view", 0.0),
+        (7, t(2), 2, "signup", 0.0),
+        (8, t(3), 2, "click", 0.0),   # click without a post-signup view
+        # user 3: no signup at all -> not in the funnel denominator
+        (9, t(1), 3, "view", 0.0),
+    ]
+    from big_data_trend_analysis_spark.operators.temporal import funnel_conversion
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    row = funnel_conversion(df).collect()[0]
+    assert (row.n_signup, row.n_view, row.n_click, row.n_purchase) == (2, 1, 1, 1)
+    assert row.full_funnel_rate == 0.5
+
+
+def test_funnel_equal_timestamps_are_strict(spark):
+    """Stage k must be STRICTLY after stage k-1: an equal-timestamp
+    view does not qualify."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "signup", 0.0),
+        (2, dt.datetime(2024, 1, 1, 0, 0), 1, "view", 0.0),
+    ]
+    from big_data_trend_analysis_spark.operators.temporal import funnel_conversion
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    row = funnel_conversion(df).collect()[0]
+    assert (row.n_signup, row.n_view) == (1, 0)
