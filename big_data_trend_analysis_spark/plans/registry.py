@@ -305,6 +305,42 @@ def _stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+#: TPC-H Q1 as literal SQL text — the one capability surface the rest
+#: of the inventory exercises only through the DataFrame API. Identical
+#: decimal discipline to agg_basic; the oracle is the same text with
+#: the view name swapped for DuckDB's table.
+_SQL_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM {table}
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point: TPC-H Q1 as ``spark.sql`` over a temp view.
+
+    The reference never calls ``spark.sql`` (SURVEY §2.1 "Not
+    present"); a user switching to this engine will. Same Catalyst
+    plan as the DataFrame API — the shipdate predicate reaches the
+    parquet scan as a PushedFilter through the SQL text path too.
+    """
+    tune_session(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(_SQL_Q1.format(table="lineitem_v"))
+
+
 def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned parquet sink + pruned read-back, end-to-end.
 
@@ -469,7 +505,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
     "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
     "ngram_jaccard": _q(dedup.ngram_jaccard, "documents"),
-    # ---- window slot 32-34: implementation changed since last green row ----
+    "sql_tpch_q1": _sql_tpch_q1,
+    # ---- window slot 33-35: implementation changed since last green row ----
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
     "stream_decay_trend_live": _stream_decay_trend_live,
@@ -617,6 +654,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM scored
         GROUP BY 1, 2
     """,
+    "sql_tpch_q1": _SQL_Q1.format(table="lineitem"),
     "agg_basic": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
