@@ -437,3 +437,22 @@ def test_funnel_equal_timestamps_are_strict(spark):
     )
     row = funnel_conversion(df).collect()[0]
     assert (row.n_signup, row.n_view) == (1, 0)
+
+
+def test_hashed_shingles_preserve_set_cardinalities(spark, sf_dir):
+    """The hashed-shingle rewrite claims Jaccard values are unchanged
+    because xxhash64 is collision-free at corpus scale; verify the
+    per-doc distinct-shingle cardinalities are identical between the
+    string and hashed relations on the fixtures."""
+    from big_data_trend_analysis_spark.operators.dedup import _doc_shingles
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    string_counts = (
+        _doc_shingles(docs, hashed=False).groupBy("doc_id").count()
+    )
+    hashed_counts = (
+        _doc_shingles(docs, hashed=True).groupBy("doc_id").count()
+    )
+    assert string_counts.exceptAll(hashed_counts).count() == 0
+    assert hashed_counts.exceptAll(string_counts).count() == 0
