@@ -25,9 +25,15 @@ from pyspark.sql import SparkSession
 #: no custom Catalyst rules are required for this capability surface).
 ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
-    # Driver testdata stores events.ts as TIMESTAMP(NANOS), which stock
-    # Spark rejects; read as long and convert in sources/tables.py.
+    # Driver testdata has stored events.ts as TIMESTAMP(NANOS) (read as
+    # long + converted in sources/tables.py) and as naive TIMESTAMP(MICROS).
+    # For the latter, Spark 4 would infer TIMESTAMP_NTZ, which breaks
+    # epoch-seconds casts and diverges from the TIMESTAMP(LTZ) event-time
+    # semantics the engine (and the DuckDB oracle, under the UTC session
+    # timezone) uses — so inference is pinned off and naive micros read
+    # as plain TIMESTAMP.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

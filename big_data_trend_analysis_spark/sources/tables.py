@@ -60,6 +60,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive (non-UTC-adjusted) micros timestamps must read as TIMESTAMP,
+    # not TIMESTAMP_NTZ: the engine's event-time semantics are LTZ under
+    # a UTC session (session.py ENGINE_CONF), matching DuckDB's naive
+    # read bit-for-bit while keeping ts predicates pushdown-eligible
+    # (a post-read cast would defeat parquet filter pushdown).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for col in _nano_ts_columns(path):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))

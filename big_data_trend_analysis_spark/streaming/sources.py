@@ -80,19 +80,40 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``readStream`` on the same parquet the batch path reads — the
     standard pattern for replay/backfill on a real deployment (the
-    100 TB analog streams a date-partitioned directory). Handles the
-    fixtures' TIMESTAMP(NANOS) storage exactly like
-    ``sources/tables.py``.
+    100 TB analog streams a date-partitioned directory). Handles both
+    timestamp storages the driver has generated (TIMESTAMP(NANOS) and
+    naive TIMESTAMP(MICROS)) exactly like ``sources/tables.py``.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # ts arrives as long nanoseconds (nanosAsLong) and is converted below.
-    ddl = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # The driver has generated events.ts as TIMESTAMP(NANOS) in some
+    # rounds and naive TIMESTAMP(MICROS) in others. Probe the footer
+    # (metadata only, no data read) and pick the matching read path so
+    # event times are correct either way.
+    ts_type = next(
+        f.type
+        for f in pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+        if f.name == "ts"
+    )
+    nanos = pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ts arrives as long nanoseconds (nanosAsLong), converted below.
+        ts_ddl = "ts long"
+    else:
+        # Explicit TimestampType schema: naive micros read as LTZ (UTC
+        # session), same as sources/tables.load_table's batch read.
+        ts_ddl = "ts timestamp"
+    ddl = f"event_id long, {ts_ddl}, user_id long, event_type string, value double, props string"
     raw = (
         spark.readStream.schema(ddl)
         .option("pathGlobFilter", "events.parquet")
         .parquet(os.path.join(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
