@@ -322,6 +322,61 @@ def embed_neardup(
     )
 
 
+def embed_neardup_check(
+    embeddings: DataFrame,
+    n_planted: int = 20,
+    noise: float = 0.05,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Self-checking near-dup recall invariant (hash-checked).
+
+    The fixtures' embeddings are near-uniform (no pair above cos 0.52),
+    so ``embed_neardup``'s own driver row is legitimately empty — it
+    proves only "the query ran". This check makes recall a hash-checked
+    boolean the same way ``ann_recall_check`` does for ANN: union an
+    ε-perturbed twin of each of the first ``n_planted`` vectors into
+    the corpus INSIDE the query (element-wise ±``noise`` relative
+    perturbation ⇒ cos ≈ 1 − noise²/2 ≈ 0.9988, deterministic, no RNG),
+    run the full LSH + exact-verify pipeline on the augmented corpus,
+    and assert every planted (original, twin) pair is recovered. The
+    oracle demands ``n_recovered = n_planted`` and ``all_found`` TRUE.
+    """
+    offset = 1_000_000_000
+    base = embeddings.select("vec_id", "embedding")
+    seeds = base.filter(F.col("vec_id") < n_planted)
+    # Alternating ±noise relative perturbation, JVM-side transform —
+    # plan-stable (no randomness) and dimension-agnostic.
+    twin_vec = F.transform(
+        "embedding",
+        lambda x, i: (
+            x
+            * (
+                F.lit(1.0)
+                + F.lit(noise)
+                * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            )
+        ).cast("float"),
+    )
+    planted = seeds.select(
+        (F.col("vec_id") + offset).alias("vec_id"), twin_vec.alias("embedding")
+    )
+    augmented = base.unionByName(planted)
+    pairs = embed_neardup(augmented, threshold=threshold)
+    recovered = pairs.filter(
+        (F.col("vec_id_a") < n_planted)
+        & (F.col("vec_id_b") == F.col("vec_id_a") + offset)
+    )
+    n_rec = recovered.agg(
+        F.count_distinct("vec_id_a").alias("n_recovered")
+    )
+    n_pl = seeds.agg(F.count(F.lit(1)).alias("n_planted"))
+    return n_pl.crossJoin(n_rec).select(
+        "n_planted",
+        "n_recovered",
+        (F.col("n_recovered") == F.col("n_planted")).alias("all_found"),
+    )
+
+
 def embed_quantize(embeddings: DataFrame) -> DataFrame:
     """Symmetric int8 quantization of embedding vectors (serving prep).
 
@@ -349,33 +404,28 @@ def embed_quantize(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def embed_pca_check(
-    embeddings: DataFrame,
-    top_k: int = 8,
-    min_explained: float = 0.10,
+#: Second-stage reduce width for PCA moment partials: the driver
+#: collects at most this many fixed-size rows, independent of corpus
+#: size.
+PCA_COMBINE_K = 32
+
+_PCA_PARTIAL_SCHEMA = "n long, s array<double>, g array<double>"
+
+
+def pca_moment_partials(
+    embeddings: DataFrame, dim: int = EMBEDDING_DIM, combine_k: int = PCA_COMBINE_K
 ) -> DataFrame:
-    """Distributed PCA over the embedding column, with invariants checked.
+    """Corpus → ≤ ``combine_k`` fixed-size second-moment partial rows.
 
-    The 100 TB pattern for PCA is a single pass that reduces the corpus
-    to FIXED-SIZE partials: each Arrow batch contributes its d×d raw
-    second-moment matrix, d-vector sum, and count (``mapInPandas``, one
-    row of 64²+64+1 doubles per batch); the driver combines O(batches)
-    partials — never rows — into the covariance matrix and
-    eigendecomposes 64×64 (bounded, corpus-size-independent, same
-    FAISS-style split as ``train_ivf_centroids``). No |corpus|-sized
-    shuffle anywhere.
-
-    Hash-checked invariants:
-    - ``n_vectors`` and ``total_var`` (= covariance trace) are exact
-      relational quantities — the oracle recomputes total variance as
-      the sum of per-dimension sample variances;
-    - ``explained_ok``: top-``top_k`` eigenvalues explain ≥
-      ``min_explained`` of total variance (near-isotropic fixtures sit
-      at ~k/d ≈ 0.125; the floor leaves headroom, and the spectrum is
-      a deterministic function of the value multiset);
-    - ``orthonormal_ok``: ‖VᵀV − I‖∞ < 1e-8 for the eigenvector block.
+    Two-stage tree reduce: every Arrow batch contributes one
+    (count, d-sum, d×d gram) row (``mapInPandas``); those O(batches)
+    partials are then shuffled — tiny rows, ~32 KB each — into
+    ``combine_k`` round-robin groups and combined AGAIN on the
+    executors, so the driver only ever collects ≤ ``combine_k`` rows no
+    matter how many batches the corpus scans to. (A single-stage
+    ``collect()`` of per-batch partials is O(batches) driver transfer —
+    hundreds of GB at 100 TB of 64-d embeddings.)
     """
-    dim = EMBEDDING_DIM
 
     def partials(batches):
         for pdf in batches:
@@ -388,10 +438,49 @@ def embed_pca_check(
                 }
             )
 
-    part_schema = (
-        f"n long, s array<double>, g array<double>"
-    )
-    parts = embeddings.select("embedding").mapInPandas(partials, part_schema).collect()
+    def combine(batches):
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros(dim * dim)
+        for pdf in batches:
+            n += int(pdf["n"].sum())
+            s += np.sum(np.stack(pdf["s"].to_numpy()), axis=0)
+            g += np.sum(np.stack(pdf["g"].to_numpy()), axis=0)
+        if n > 0:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.tolist()]})
+
+    parts = embeddings.select("embedding").mapInPandas(partials, _PCA_PARTIAL_SCHEMA)
+    return parts.repartition(combine_k).mapInPandas(combine, _PCA_PARTIAL_SCHEMA)
+
+
+def embed_pca_check(
+    embeddings: DataFrame,
+    top_k: int = 8,
+    min_explained: float = 0.10,
+) -> DataFrame:
+    """Distributed PCA over the embedding column, with invariants checked.
+
+    The 100 TB pattern for PCA is a single pass that reduces the corpus
+    to FIXED-SIZE partials — count, d-vector sum, d×d raw second moment
+    — combined in a two-stage tree (``pca_moment_partials``): per-batch
+    partials reduce to ≤ ``PCA_COMBINE_K`` rows ON THE EXECUTORS, the
+    driver folds those bounded rows into the covariance matrix and
+    eigendecomposes 64×64 (corpus-size-independent, same FAISS-style
+    split as ``train_ivf_centroids``). No |corpus|-sized shuffle, no
+    O(batches) driver transfer.
+
+    Hash-checked invariants:
+    - ``n_vectors`` and ``total_var`` (= covariance trace) are exact
+      relational quantities — the oracle recomputes total variance as
+      the sum of per-dimension sample variances;
+    - ``explained_ok``: top-``top_k`` eigenvalues explain ≥
+      ``min_explained`` of total variance (near-isotropic fixtures sit
+      at ~k/d ≈ 0.125; the floor leaves headroom, and the spectrum is
+      a deterministic function of the value multiset);
+    - ``orthonormal_ok``: ‖VᵀV − I‖∞ < 1e-8 for the eigenvector block.
+    """
+    dim = EMBEDDING_DIM
+    parts = pca_moment_partials(embeddings, dim=dim).collect()
     n = sum(r.n for r in parts)
     s = np.sum([np.asarray(r.s) for r in parts], axis=0)
     g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in parts], axis=0)

@@ -469,6 +469,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- similarity search (north-star) --
     "ann_ivf": _q(similarity.ann_ivf, "embeddings"),
     "embed_neardup": _q(similarity.embed_neardup, "embeddings"),
+    "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
     "embed_centroids": _q(similarity.embed_centroids, "embeddings"),
     # -- text analysis (north-star) --
     "text_stats": _q(textstats.text_stats, "documents"),
@@ -1273,6 +1274,15 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS n_exact_total,
                TRUE AS recall_ok
         FROM topk
+    """,
+    # Planted-pair recall invariant: the query perturbs and re-finds
+    # its own near-dups engine-side; the oracle recomputes the planted
+    # count and demands full recovery (same design as ann_recall_check).
+    "embed_neardup_check": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+               CAST(COUNT(*) AS BIGINT) AS n_recovered,
+               TRUE AS all_found
+        FROM embeddings WHERE vec_id < 20
     """,
     "stream_dedup_live": """
         SELECT DISTINCT user_id, event_type,

@@ -456,3 +456,42 @@ def test_hashed_shingles_preserve_set_cardinalities(spark, sf_dir):
     )
     assert string_counts.exceptAll(hashed_counts).count() == 0
     assert hashed_counts.exceptAll(string_counts).count() == 0
+
+
+def test_pca_partials_bounded_driver_collect(spark):
+    """The PCA tree reduce must hand the driver ≤ PCA_COMBINE_K rows no
+    matter how many Arrow batches the corpus scans to, and the folded
+    moments must equal the exact single-machine computation."""
+    import numpy as np
+
+    from big_data_trend_analysis_spark.operators.similarity import (
+        PCA_COMBINE_K,
+        pca_moment_partials,
+    )
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((2000, 64))
+    rows = [(i, v.astype(float).tolist()) for i, v in enumerate(mat)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(16)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        parts = pca_moment_partials(df).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    # 2000 rows / ≤16-row batches ⇒ ≥125 first-stage partials; the
+    # second stage must have reduced them executor-side.
+    assert len(parts) <= PCA_COMBINE_K
+
+    n = sum(r.n for r in parts)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    g = np.sum([np.asarray(r.g).reshape(64, 64) for r in parts], axis=0)
+    x = mat.astype(np.float32).astype(np.float64)  # array<float> round-trip
+    assert n == 2000
+    assert np.allclose(s, x.sum(axis=0), atol=1e-6)
+    assert np.allclose(g, x.T @ x, atol=1e-4)
