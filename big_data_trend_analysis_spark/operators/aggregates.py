@@ -235,6 +235,47 @@ def probe_cms(spark, sketch_bytes: bytes, keys: list[str]) -> dict[str, int]:
     return {k: int(cms.estimateCount(k)) for k in keys}
 
 
+def probe_window_sketches(
+    spark,
+    sketches: DataFrame,
+    keys: tuple[str, ...],
+    sketch_col: str = "s",
+    start_col: str = "window_start",
+    window_range: tuple[str, str] | None = None,
+    max_windows: int = 400,
+) -> DataFrame:
+    """Driver-side probe of per-window CMS binaries, with hard bounds.
+
+    The probe is a SERVING step: it must collect sketch rows (KB each)
+    to the driver, so the collection is explicitly bounded — an
+    optional ``window_range`` filter (pushed into the plan, before any
+    collect) plus a ``max_windows`` guard that RAISES rather than
+    silently truncating or pulling an unbounded window set (at eps
+    1e-3 a year of 10-minute windows is ~5 GB of sketches — a config
+    error, not a workload). Returns one row per (window, key).
+    """
+    if window_range is not None:
+        lo, hi = window_range
+        sketches = sketches.filter(
+            (F.col(start_col) >= F.lit(lo).cast("timestamp"))
+            & (F.col(start_col) < F.lit(hi).cast("timestamp"))
+        )
+    rows = sketches.limit(max_windows + 1).collect()
+    if len(rows) > max_windows:
+        raise ValueError(
+            f"probe_window_sketches: >{max_windows} windows in range; "
+            "narrow window_range or raise max_windows explicitly"
+        )
+    out = [
+        (getattr(r, start_col), key, est)
+        for r in rows
+        for key, est in probe_cms(spark, getattr(r, sketch_col), list(keys)).items()
+    ]
+    return spark.createDataFrame(
+        out, f"{start_col} timestamp, event_type string, est_count long"
+    )
+
+
 def cms_window_probe(
     events: DataFrame,
     keys: tuple[str, ...] = ("click", "view", "purchase", "signup", "error"),
@@ -242,6 +283,8 @@ def cms_window_probe(
     eps: float = 0.01,
     confidence: float = 0.99,
     seed: int = 42,
+    window_range: tuple[str, str] | None = None,
+    max_windows: int = 400,
 ) -> DataFrame:
     """Per-window CMS build + hot-key probe (reference ``cms_estimates``).
 
@@ -249,28 +292,25 @@ def cms_window_probe(
     matrix each batch (``cms_stream.py:110-116``); here each event-time
     window gets its own mergeable sketch built executor-side, and only
     the KB-sized sketch binaries reach the driver for probing — one row
-    per window regardless of data volume, so the collected set stays
-    O(windows), never O(events). With width ≫ distinct keys the
-    estimates equal exact counts (no collisions), which the DuckDB
-    oracle pins — any future collision regression fails loudly.
+    per window regardless of data volume, bounded by
+    ``probe_window_sketches``'s range filter + ``max_windows`` guard.
+    With width ≫ distinct keys the estimates equal exact counts (no
+    collisions), which the DuckDB oracle pins — any future collision
+    regression fails loudly.
     """
     spark = events.sparkSession
-    sketches = (
-        events.groupBy(F.window("ts", window_width).alias("w"))
-        .agg(
-            F.count_min_sketch(
-                "event_type", F.lit(eps), F.lit(confidence), F.lit(seed)
-            ).alias("s")
-        )
-        .collect()
-    )
-    rows = [
-        (r.w.start, key, est)
-        for r in sketches
-        for key, est in probe_cms(spark, r.s, list(keys)).items()
-    ]
-    return spark.createDataFrame(
-        rows, "window_start timestamp, event_type string, est_count long"
+    sketches = events.groupBy(F.window("ts", window_width).alias("w")).agg(
+        F.count_min_sketch(
+            "event_type", F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("s")
+    ).select(F.col("w.start").alias("window_start"), "s")
+    return probe_window_sketches(
+        spark,
+        sketches,
+        keys,
+        sketch_col="s",
+        window_range=window_range,
+        max_windows=max_windows,
     )
 
 

@@ -261,8 +261,9 @@ def _stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     Drains ``windowed_cms_stream`` — per-event-time-window mergeable
     Count-Min sketches built executor-side with watermarked state —
     into a memory sink (availableNow), then probes the 5 reference
-    keys against each KB-sized window sketch driver-side (bounded:
-    O(windows) rows collected, never O(events)). With eps ≪ 1/keys
+    keys against each KB-sized window sketch driver-side (bounded by
+    ``probe_window_sketches``: O(windows-in-range) rows collected with
+    a hard max-windows guard, never O(events)). With eps ≪ 1/keys
     the estimates equal exact counts, which the oracle pins — so the
     driver gate hash-checks the *streaming* sketch path end-to-end,
     the bounded-space cross-batch CMS the reference's driver matrix
@@ -272,7 +273,9 @@ def _stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from big_data_trend_analysis_spark.operators.aggregates import probe_cms
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        probe_window_sketches,
+    )
     from big_data_trend_analysis_spark.streaming.jobs import windowed_cms_stream
     from big_data_trend_analysis_spark.streaming.sources import stream_events
 
@@ -293,13 +296,8 @@ def _stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination(300)
         query.stop()
         keys = ("click", "view", "purchase", "signup", "error")
-        rows = [
-            (r.window_start, key, est)
-            for r in spark.table(name).collect()
-            for key, est in probe_cms(spark, r.cms_sketch, list(keys)).items()
-        ]
-        return spark.createDataFrame(
-            rows, "window_start timestamp, event_type string, est_count long"
+        return probe_window_sketches(
+            spark, spark.table(name), keys, sketch_col="cms_sketch"
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)

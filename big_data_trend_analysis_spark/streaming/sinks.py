@@ -23,6 +23,32 @@ from pyspark.sql.streaming import StreamingQuery
 WriteFn = Callable[[DataFrame, int], None]
 
 
+#: Write mode every serving append uses (reference K1 semantics:
+#: per-batch INSERT, never overwrite — spark_stream.py:47).
+JDBC_APPEND_MODE = "append"
+
+
+def jdbc_connection_options(
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "org.postgresql.Driver",
+) -> dict[str, str]:
+    """The exact JDBC scan/write option set the reference pins
+    (spark_stream.py:40-48: url/dbtable/user/password/driver). Factored
+    pure so the sandbox (no Postgres) can contract-test the wiring the
+    executable path can't reach.
+    """
+    return {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "driver": driver,
+    }
+
+
 def jdbc_append_writer(
     url: str,
     table: str,
@@ -37,20 +63,34 @@ def jdbc_append_writer(
     upstream with ``coalesce`` if the target DB can't take one
     connection per shuffle partition.
     """
+    options = jdbc_connection_options(url, table, user, password, driver)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.write.format("jdbc")
-            .option("url", url)
-            .option("dbtable", table)
-            .option("user", user)
-            .option("password", password)
-            .option("driver", driver)
-            .mode("append")
-            .save()
-        )
+        batch_df.write.format("jdbc").options(**options).mode(
+            JDBC_APPEND_MODE
+        ).save()
 
     return write
+
+
+def serialize_for_kafka(batch_df: DataFrame) -> DataFrame:
+    """Rows → single JSON ``value`` column (reference K2 wire format).
+
+    The executable half of the Kafka sink: the reference serializes
+    dict→JSON→UTF-8 on a host Python process (fake_producer.py:38-41);
+    here executors serialize with ``to_json(struct(*))``. Runs fine
+    without a broker, so tests pin the wire format even though the
+    publish itself needs the connector jar.
+    """
+    from pyspark.sql import functions as F
+
+    return batch_df.select(F.to_json(F.struct(*batch_df.columns)).alias("value"))
+
+
+def kafka_sink_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """Kafka producer options (reference K2). Factored pure for
+    contract tests — no broker or connector jar in the sandbox."""
+    return {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
 
 
 def kafka_json_writer(
@@ -59,24 +99,14 @@ def kafka_json_writer(
 ) -> WriteFn:
     """Kafka producer sink (reference K2: JSON-serialized rows → topic).
 
-    The reference serializes dict→JSON→UTF-8 on a host Python process
-    (fake_producer.py:38-41); here the executors serialize with
-    ``to_json(struct(*))`` and publish in parallel, one producer per
-    partition. Requires the spark-sql-kafka connector jar.
+    JSON serialization happens executor-side (``serialize_for_kafka``),
+    one producer per partition. Requires the spark-sql-kafka connector
+    jar.
     """
+    options = kafka_sink_options(bootstrap_servers, topic)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import functions as F
-
-        (
-            batch_df.select(
-                F.to_json(F.struct(*batch_df.columns)).alias("value")
-            )
-            .write.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("topic", topic)
-            .save()
-        )
+        serialize_for_kafka(batch_df).write.format("kafka").options(**options).save()
 
     return write
 

@@ -36,24 +36,44 @@ TWEET_SCHEMA = StructType(
 )
 
 
+#: Default topic matching the reference's producer/consumer pair
+#: (spark_stream.py:27, fake_producer.py:38).
+TWEET_TOPIC = "twitter_sentiment"
+
+
+def kafka_scan_options(
+    bootstrap_servers: str = "localhost:9092",
+    topic: str = TWEET_TOPIC,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """Kafka scan options (reference S1, spark_stream.py:24-29).
+
+    Factored pure so the wiring is contract-testable without a broker
+    or the connector jar. The reference uses ``startingOffsets=latest``
+    (spark_stream.py:28), which silently skips pre-launch data; we
+    default to ``earliest`` and make it a parameter.
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_tweet_stream(
     spark: SparkSession,
     bootstrap_servers: str = "localhost:9092",
-    topic: str = "twitter_sentiment",
+    topic: str = TWEET_TOPIC,
     starting_offsets: str = "earliest",
 ) -> DataFrame:
     """Kafka streaming scan of the tweet topic (reference S1).
 
-    Requires the spark-sql-kafka connector on the classpath. The
-    reference uses ``startingOffsets=latest`` (spark_stream.py:28),
-    which silently skips pre-launch data; we default to ``earliest``
-    and make it a parameter.
+    Requires the spark-sql-kafka connector on the classpath.
     """
+    options = kafka_scan_options(bootstrap_servers, topic, starting_offsets)
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**options)
         .load()
         .transform(parse_tweet_frame)
     )

@@ -68,3 +68,26 @@ def test_hll_sketch_agg_mergeable(spark, seeded_tokens):
     ).collect()[0].d
     true = len(exact)
     assert abs(merged - true) <= max(0.1 * true, 10)
+
+
+def test_cms_window_probe_range_filter_and_guard(spark, sf_dir):
+    """The CMS probe collection is bounded: a window_range collects
+    exactly the in-range windows, and exceeding max_windows raises
+    instead of silently pulling an unbounded sketch set."""
+    import pytest
+
+    from big_data_trend_analysis_spark.operators.aggregates import cms_window_probe
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    keys = ("click", "view")
+    ranged = cms_window_probe(
+        events,
+        keys=keys,
+        window_range=("2024-01-05 00:00:00", "2024-01-10 00:00:00"),
+    ).collect()
+    assert {r.window_start.day for r in ranged} == {5, 6, 7, 8, 9}
+    assert len(ranged) == 5 * len(keys)  # rows = windows-in-range x keys
+
+    with pytest.raises(ValueError, match="max_windows"):
+        cms_window_probe(events, keys=keys, max_windows=5)

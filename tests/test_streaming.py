@@ -218,3 +218,57 @@ def test_start_foreach_batch_end_to_end(spark, sf_dir, tmp_path):
     served = spark.read.parquet(out)
     assert served.count() == load_table(spark, sf_dir, "events").count()
     assert set(served.columns) == {"event_id", "event_type", "value"}
+
+
+def test_kafka_scan_options_pin_reference_contract():
+    """The sandbox can't run a broker; pin the scan wiring the
+    reference hard-codes (spark_stream.py:24-29) so connector drift
+    fails loudly even though the path can't execute here."""
+    from big_data_trend_analysis_spark.streaming.sources import kafka_scan_options
+
+    opts = kafka_scan_options()
+    assert opts["subscribe"] == "twitter_sentiment"
+    assert opts["kafka.bootstrap.servers"] == "localhost:9092"
+    # Deliberate divergence from the reference's startingOffsets=latest
+    # (silently drops pre-launch data); must stay overridable.
+    assert opts["startingOffsets"] == "earliest"
+    assert kafka_scan_options(starting_offsets="latest")["startingOffsets"] == "latest"
+
+
+def test_kafka_sink_options_and_wire_format(spark):
+    """Kafka sink contract: pinned producer options, and the
+    executable serialization half round-trips through JSON."""
+    import json
+
+    from big_data_trend_analysis_spark.streaming.sinks import (
+        kafka_sink_options,
+        serialize_for_kafka,
+    )
+
+    opts = kafka_sink_options("broker:9092", "out_topic")
+    assert opts == {"kafka.bootstrap.servers": "broker:9092", "topic": "out_topic"}
+
+    df = spark.createDataFrame(
+        [(1, "hello", 2.5)], "id long, text string, score double"
+    )
+    out = serialize_for_kafka(df)
+    assert out.columns == ["value"]  # kafka writer requires `value`
+    payload = json.loads(out.collect()[0].value)
+    assert payload == {"id": 1, "text": "hello", "score": 2.5}
+
+
+def test_jdbc_connection_options_pin_reference_contract():
+    """JDBC serving-sink contract (spark_stream.py:40-48): exact option
+    keys, Postgres driver class, and append-only mode."""
+    from big_data_trend_analysis_spark.streaming.sinks import (
+        JDBC_APPEND_MODE,
+        jdbc_connection_options,
+    )
+
+    opts = jdbc_connection_options(
+        "jdbc:postgresql://db:5432/edw", "trend_scores", "u", "p"
+    )
+    assert set(opts) == {"url", "dbtable", "user", "password", "driver"}
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["dbtable"] == "trend_scores"
+    assert JDBC_APPEND_MODE == "append"
