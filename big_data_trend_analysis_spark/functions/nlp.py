@@ -61,12 +61,20 @@ def _lexicon_compound(text: str) -> float:
     return score / len(toks)
 
 
+def _vader_series(vader, texts: pd.Series) -> pd.Series:
+    """Real-model branch body, factored pure so tests can drive it with
+    the actual VADER when installed (marked skip-if-absent) or a stub
+    implementing ``polarity_scores`` — the branch contract (float
+    compound in [-1, 1] per text) stays covered either way."""
+    return texts.fillna("").map(lambda t: float(vader.polarity_scores(t)["compound"]))
+
+
 @F.pandas_udf(DoubleType())
 def sentiment_compound(texts: pd.Series) -> pd.Series:
     """Compound sentiment score in [-1, 1] per text (vectorized)."""
     vader = _load_vader()
     if vader is not None:  # pragma: no cover
-        return texts.fillna("").map(lambda t: vader.polarity_scores(t)["compound"])
+        return _vader_series(vader, texts)
     return texts.fillna("").map(_lexicon_compound)
 
 
@@ -122,10 +130,17 @@ def extract_entities(texts: pd.Series) -> pd.Series:
     """
     nlp = _load_spacy()
     if nlp is not None:  # pragma: no cover
-        return texts.fillna("").map(
-            lambda t: [e.text for e in nlp(t).ents if e.label_ in {"PERSON", "ORG"}]
-        )
+        return _spacy_series(nlp, texts)
     return texts.fillna("").map(
         lambda t: _CAPWORD_RE.findall(t)
         + [tok for tok in t.split(" ") if tok in _GAZETTEER]
+    )
+
+
+def _spacy_series(nlp, texts: pd.Series) -> pd.Series:
+    """Real-model branch body, factored pure (see ``_vader_series``):
+    PERSON/ORG entity texts per doc — reference F3's label filter
+    (fake_producer.py:47-51)."""
+    return texts.fillna("").map(
+        lambda t: [e.text for e in nlp(t).ents if e.label_ in {"PERSON", "ORG"}]
     )

@@ -263,7 +263,11 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     bands, so the band equi-join has full recall at the cut. Output:
     (doc_id_a, doc_id_b, hamming).
     """
-    fps = simhash_fingerprints(documents)
+    # Persist the per-doc fingerprints (1 row/doc, 12 bytes of payload)
+    # and derive the 4-rows/doc band explode per join side as a narrow
+    # projection off the cache — 4× less cache traffic than persisting
+    # the exploded bucket relation itself.
+    fps = _materialize(simhash_fingerprints(documents))
     band_structs = F.array(
         *[
             F.struct(
@@ -273,7 +277,7 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             for b in range(SIMHASH_BANDS)
         ]
     )
-    buckets = _materialize(fps.select("doc_id", "simhash", F.explode(band_structs).alias("band"))).select(
+    buckets = fps.select("doc_id", "simhash", F.explode(band_structs).alias("band")).select(
         "doc_id", "simhash", "band.band_id", "band.band_val"
     )
     left = buckets.alias("l")
@@ -292,8 +296,11 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # Hamming cut BEFORE the pair-dedup: the filter is a free
+        # projection-level predicate, so the distinct only shuffles
+        # verified-close pairs instead of every band collision.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -320,17 +327,26 @@ def ngram_jaccard(
     pairs co-occur in many rare shingles — the prefilter only prunes
     pairs whose overlap is a handful of common trigrams.
 
-    The whole pipeline runs on ``xxhash64``-hashed shingles: distinct,
-    df aggregation, the self-join, and the verification sets all
+    The whole pipeline runs on ``xxhash64``-hashed shingles: the set
+    build, df aggregation, the self-join, and the verification sets all
     shuffle 8-byte longs, never shingle strings; set cardinalities —
     hence every Jaccard value — are unchanged up to 2^-64-scale
     collisions.
+
+    Shuffle budget: ONE pass builds the per-doc shingle-set relation
+    (groupBy doc_id + collect_set — the only corpus-sized shuffle) and
+    everything else derives from it: the flat (doc_id, shingle)
+    relation re-explodes narrowly from the cached sets (no distinct
+    shuffle — collect_set already deduped), df counts and the
+    inverted-index self-join shuffle pruned key subsets, and
+    verification joins the cached sets directly.
     """
-    shingles = _materialize(
-        _doc_shingles(documents, n, hashed=True).withColumnRenamed(
-            "token", "shingle"
-        )
+    sets = _materialize(
+        _doc_shingles(documents, n, distinct=False, hashed=True)
+        .groupBy("doc_id")
+        .agg(F.collect_set("token").alias("sh"))
     )
+    shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
 
     doc_freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = _materialize(
@@ -354,17 +370,17 @@ def ngram_jaccard(
         .select("doc_id_a", "doc_id_b")
     )
     candidates = _materialize(candidates)
-    # Same candidate-pruned collect as dedup_minhash: shingle sets are
-    # built only for docs that appear in some candidate pair.
+    # Same candidate-pruned verify as dedup_minhash: only docs that
+    # appear in some candidate pair ship their sets into the join
+    # (candidate_ids broadcast into the semi-join; full sets never
+    # shuffle corpus-wide).
     candidate_ids = (
         candidates.select(F.col("doc_id_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
-    shingle_sets = (
-        shingles.join(candidate_ids, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
+    shingle_sets = sets.join(candidate_ids, "doc_id", "left_semi").select(
+        "doc_id", "sh"
     )
     return (
         candidates.join(

@@ -184,6 +184,53 @@ def pack_sequences(
     )
 
 
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 4, window: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection).
+
+    The MOSS/winnowing scheme (Schleimer, Wilkerson & Aiken, SIGMOD'03)
+    over word ``k``-grams: hash every k-gram, slide a ``window``-wide
+    frame over the hash sequence, keep the minimum hash of each frame,
+    and emit the distinct selected hashes — a position-robust,
+    subset-sized fingerprint set that detects partial overlap (copied
+    paragraphs) where one global digest cannot. Guarantees: any shared
+    run of ≥ window+k-1 words produces at least one shared fingerprint.
+
+    Plan shape: pure JVM higher-order functions (transform / slice /
+    array_min / array_distinct) — NO shuffle at all; the per-document
+    work is a narrow projection, so fingerprinting 10^11 docs runs at
+    scan speed and the output co-partitions with the input for a
+    downstream inverted-index join (plagiarism/near-dup lookup).
+
+    The hash is the md5 hex string (lexicographic min — ASCII compare,
+    engine-neutral), so the DuckDB oracle recomputes identical
+    fingerprints; a production deployment swaps in xxhash64 for 8-byte
+    comparisons with identical plan shape.
+    """
+    words = documents.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= k
+    )
+    grams = words.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(w) - {k}),"
+            f" i -> md5(concat_ws(' ', slice(w, i + 1, {k}))))"
+        ).alias("hs"),
+    ).filter(F.size("hs") >= window)
+    return grams.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(hs) - {window}),"
+                    f" i -> array_min(slice(hs, i + 1, {window})))"
+                )
+            )
+        ).alias("fp"),
+    )
+
+
 def sample_mixture(
     documents: DataFrame,
     rates: dict[str, float] | None = None,

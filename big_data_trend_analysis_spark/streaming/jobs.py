@@ -161,6 +161,34 @@ def windowed_cms_stream(
     )
 
 
+def session_counts_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked streaming sessionization (event-time session windows).
+
+    ``session_window`` in a streaming aggregation: Spark keeps one
+    mergeable window per (user, open session) in the state store,
+    EXTENDS/MERGES it as events arrive within ``gap``, and finalizes it
+    once the watermark passes session_end + gap — bounded state, exact
+    sessionization over an unbounded stream. The batch twin is
+    ``operators/windows.window_session`` (oracle-checked
+    gaps-and-islands); streaming and batch agree because session
+    merging is order-insensitive.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def running_keyword_counts(texts: DataFrame, text_col: str = "text") -> DataFrame:
     """Cumulative token frequencies across all micro-batches.
 

@@ -495,3 +495,25 @@ def test_pca_partials_bounded_driver_collect(spark):
     assert n == 2000
     assert np.allclose(s, x.sum(axis=0), atol=1e-6)
     assert np.allclose(g, x.T @ x, atol=1e-4)
+
+
+def test_winnow_fingerprints_detect_shared_runs(spark):
+    """Winnowing guarantee: any shared run of >= window+k-1 words yields
+    at least one shared fingerprint; disjoint-vocabulary docs share none."""
+    from big_data_trend_analysis_spark.operators.textstats import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words = window+k-1
+    rows = [
+        (1, f"one two three {shared} four five"),
+        (2, f"six seven {shared} eight nine ten"),
+        (3, "completely different words without any overlap at all here"),
+        (4, "too short"),  # < k words: no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared run produced no shared fingerprint"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    assert 4 not in by_doc

@@ -18,7 +18,15 @@ from big_data_trend_analysis_spark.plans.registry import QUERIES
 #: Queries whose plan legitimately contains a cross join: the build
 #: side is a broadcast of O(probes) rows (sim_search/ann_ivf) or a
 #: 1-row scalar (tfidf's corpus-size N), i.e. a map-side scan pattern.
-CROSS_JOIN_ALLOWED = {"sim_search", "ann_ivf", "ann_recall_check", "tfidf_top_term"}
+#: (embed_neardup_check joins two 1-row aggregates — planted count ×
+#: recovered count — a scalar × scalar cross join.)
+CROSS_JOIN_ALLOWED = {
+    "sim_search",
+    "ann_ivf",
+    "ann_recall_check",
+    "tfidf_top_term",
+    "embed_neardup_check",
+}
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
 #: Exchange here is a regression (a shuffle of the full table).

@@ -97,3 +97,98 @@ def test_quality_score_bounded(spark, words):
     df = spark.createDataFrame([(" ".join(words),)], "text string")
     q = df.select(quality_score("text").alias("q")).collect()[0].q
     assert 0.0 <= q <= 1.0
+
+
+class _FakeVader:
+    """Shape-faithful VADER stub: polarity_scores -> dict with compound."""
+
+    def polarity_scores(self, text):
+        return {"neg": 0.0, "neu": 0.5, "pos": 0.5, "compound": 0.42 if text else 0.0}
+
+
+class _FakeSpan:
+    def __init__(self, text, label):
+        self.text, self.label_ = text, label
+
+
+class _FakeDoc:
+    def __init__(self, ents):
+        self.ents = ents
+
+
+class _FakeSpacy:
+    """Shape-faithful spaCy stub: callable doc with .ents spans."""
+
+    def __call__(self, text):
+        ents = []
+        if "Ada" in text:
+            ents.append(_FakeSpan("Ada Lovelace", "PERSON"))
+        if "Apache" in text:
+            ents.append(_FakeSpan("Apache Spark", "ORG"))
+        if "Paris" in text:
+            ents.append(_FakeSpan("Paris", "GPE"))  # must be filtered out
+        return _FakeDoc(ents)
+
+
+def test_vader_branch_contract_with_stub():
+    """The real-model branch body (functions/nlp._vader_series) is
+    exercised with a shape-faithful stub: float output, null-safe."""
+    import pandas as pd
+
+    from big_data_trend_analysis_spark.functions.nlp import _vader_series
+
+    out = _vader_series(_FakeVader(), pd.Series(["hello", None, ""]))
+    assert list(out) == [0.42, 0.0, 0.0]
+    assert all(isinstance(v, float) for v in out)
+
+
+def test_spacy_branch_contract_with_stub():
+    """PERSON/ORG filter of the real-model branch (reference
+    fake_producer.py:47-51): other labels dropped, null-safe."""
+    import pandas as pd
+
+    from big_data_trend_analysis_spark.functions.nlp import _spacy_series
+
+    out = _spacy_series(
+        _FakeSpacy(), pd.Series(["Ada met Apache in Paris", None, "plain text"])
+    )
+    assert list(out[0]) == ["Ada Lovelace", "Apache Spark"]  # GPE filtered
+    assert list(out[1]) == []
+    assert list(out[2]) == []
+
+
+def test_vader_branch_with_real_model_if_installed():
+    """Real NLTK VADER, when present: known-polarity fixtures."""
+    import pandas as pd
+    import pytest
+
+    nltk = pytest.importorskip("nltk")
+    try:
+        from nltk.sentiment.vader import SentimentIntensityAnalyzer
+
+        vader = SentimentIntensityAnalyzer()
+    except Exception:
+        pytest.skip("vader_lexicon data not downloaded")
+    from big_data_trend_analysis_spark.functions.nlp import _vader_series
+
+    out = _vader_series(vader, pd.Series(["I love this, it is great!", "I hate this, it is terrible."]))
+    assert out[0] > 0.05 and out[1] < -0.05
+
+
+def test_spacy_branch_with_real_model_if_installed():
+    """Real spaCy en_core_web_sm, when present: entity extraction with
+    the PERSON/ORG label filter."""
+    import pandas as pd
+    import pytest
+
+    spacy = pytest.importorskip("spacy")
+    try:
+        nlp = spacy.load("en_core_web_sm")
+    except Exception:
+        pytest.skip("en_core_web_sm model not installed")
+    from big_data_trend_analysis_spark.functions.nlp import _spacy_series
+
+    out = _spacy_series(nlp, pd.Series(["Ada Lovelace joined Microsoft in London."]))
+    assert "Ada Lovelace" in out[0]
+    assert any("Microsoft" in e for e in out[0])
+    assert not any("London" == e for e in out[0])  # GPE filtered

@@ -121,12 +121,19 @@ HEADLINERS: dict[str, str] = {
         "CDF family costs one shuffle."
     ),
     "ngram_jaccard": (
-        "Every shuffle past the explode moves 8-byte xxhash64 shingle "
-        "keys, never shingle strings: distinct, document-frequency "
-        "aggregation, the inverted-index self-join, and the candidate-"
-        "pruned collect_set all operate on longs. Verification stays "
-        "exact — set cardinalities are hash-collision-free at 2^-64 "
-        "scale."
+        "ONE corpus-sized shuffle builds the cached per-doc shingle-set "
+        "relation (collect_set of 8-byte xxhash64 keys); the flat "
+        "relation, document-frequency counts, inverted-index self-join, "
+        "and verification sets all derive from that cache — no second "
+        "distinct shuffle, and every moved key is a long, never a "
+        "shingle string."
+    ),
+    "winnow_fingerprints": (
+        "Zero Exchange operators: the k-gram hash sequence, sliding-"
+        "frame minima, and distinct selection are all higher-order "
+        "functions inside one codegen'd projection, so fingerprinting "
+        "runs at scan speed and the (doc_id, fp) output co-partitions "
+        "with the input for a downstream inverted-index join."
     ),
 }
 
