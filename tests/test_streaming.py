@@ -272,3 +272,56 @@ def test_jdbc_connection_options_pin_reference_contract():
     assert opts["driver"] == "org.postgresql.Driver"
     assert opts["dbtable"] == "trend_scores"
     assert JDBC_APPEND_MODE == "append"
+
+
+def test_session_stream_merges_across_batches(spark, sf_dir, tmp_path):
+    """Session windows must MERGE state across micro-batches: the events
+    table is replayed as 4 chronological files with maxFilesPerTrigger=1
+    (sessions spanning file boundaries force state-store merges), and the
+    result must equal batch sessionization exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_trend_analysis_spark.operators.windows import window_session
+    from big_data_trend_analysis_spark.streaming.jobs import session_counts_stream
+
+    events = load_table(spark, sf_dir, "events")
+    pdf = events.orderBy("ts").toPandas()
+    src = tmp_path / "session_chunks"
+    src.mkdir()
+    n = len(pdf)
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+        pq.write_table(
+            pa.Table.from_pandas(chunk),
+            str(src / f"{i:02d}.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    query = (
+        session_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("session_merge")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_session_merge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    n_batches = len([p for p in query.recentProgress if p["numInputRows"] > 0])
+    query.stop()
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    streamed = sorted(map(tuple, spark.table("session_merge").collect()))
+    batch = sorted(map(tuple, window_session(events).collect()))
+    assert streamed == batch
+    assert len(streamed) > 0
