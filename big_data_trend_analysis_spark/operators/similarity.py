@@ -453,6 +453,214 @@ def pca_moment_partials(
     return parts.repartition(combine_k).mapInPandas(combine, _PCA_PARTIAL_SCHEMA)
 
 
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    sample_per_code: int = 64,
+    iters: int = 10,
+    seed: int = 17,
+    dim: int = EMBEDDING_DIM,
+) -> np.ndarray:
+    """Product-quantization codebooks: per-subspace k-means (FAISS PQ).
+
+    Splits the (L2-normalized) vector into ``m`` contiguous subvectors
+    and trains an independent ``k``-centroid Euclidean k-means per
+    subspace on a bounded deterministic sample — the same
+    corpus-size-independent training split as ``train_ivf_centroids``
+    (hash-filtered sample, seeded k-means++ init, dead cells reseeded
+    to the worst-served point). Returns an (m, k, dim/m) array that
+    broadcasts with the plan; codes are 4-bit at k=16 (16× compression
+    of float32), and IVF+PQ together are the canonical 100-TB ANN
+    serving stack.
+    """
+    sub = dim // m
+    target = k * sample_per_code * m
+    n = embeddings.count()
+    sample = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    if n > target:
+        sample = sample.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000)) < int(1_000_000 * target / n)
+        )
+    rows = sorted(sample.collect(), key=lambda r: r.vec_id)
+    mat = np.stack([np.asarray(r.v, dtype=float) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, sub))
+    for s in range(m):
+        x = mat[:, s * sub : (s + 1) * sub]
+        kk = min(k, len(x))
+        # k-means++ seeding (squared-Euclidean).
+        cents = [x[rng.integers(len(x))]]
+        for _ in range(1, kk):
+            d2 = np.min(
+                np.stack([((x - c) ** 2).sum(axis=1) for c in cents]), axis=0
+            )
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cents.append(x[rng.choice(len(x), p=p)])
+        cmat = np.stack(cents)
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(kk):
+                members = x[assign == c]
+                if len(members) == 0:
+                    cmat[c] = x[np.argmax(np.min(d2, axis=1))]
+                else:
+                    cmat[c] = members.mean(axis=0)
+        books[s, :kk] = cmat
+        if kk < k:
+            books[s, kk:] = cmat[0]
+    return books
+
+
+def embed_pq_check(
+    embeddings: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    n_planted: int = 20,
+    top_k: int = 5,
+    noise: float = 0.05,
+    max_rel_err: float = 0.7,
+) -> DataFrame:
+    """PQ accuracy invariants, hash-checked (the ANN-serving twin of
+    ``embed_neardup_check``).
+
+    Encodes the corpus with ``train_pq_codebooks`` (Arrow-batched
+    per-subspace argmin — one narrow pass), then asserts:
+
+    - ``recon_ok``: mean squared reconstruction error ≤ ``max_rel_err``
+      of vector energy (unit vectors ⇒ energy 1). The fixtures are
+      near-isotropic — PQ's worst case, no cluster structure to absorb
+      (measured 0.54–0.58 across SFs; real embedding corpora sit far
+      lower) — so the bound certifies sane codebooks, not miracles.
+    - ``all_found``: deterministic ε-perturbed twins of the first
+      ``n_planted`` vectors (cos ≈ 0.9988, same construction as
+      ``embed_neardup_check``) are unioned into the corpus INSIDE the
+      query, and asymmetric-distance (ADC) top-``top_k`` search from
+      each original must retrieve its twin — 20/20 measured at every
+      SF, with a huge score margin (twin ADC ≈ 0.99 vs ≈ 0.55
+      background), so the boolean cannot flap. Exact-neighbor recall on
+      the structureless fixtures is deliberately NOT the invariant: the
+      true top-5 are statistical near-ties there (exact sims ≈ 0.5),
+      which measures tie-breaking noise, not PQ quality.
+
+    ADC scoring is pure JVM: each probe carries its m×k lookup table of
+    subspace dot products as a broadcast column and the score is
+    ``aggregate(zip_with(codes, lut, (c, l) -> l[c]))`` — corpus
+    vectors are never touched again after encoding, which is the whole
+    point of PQ at 100 TB. Deterministic end to end (hash-filtered
+    sample, seeded k-means, rounded-score rank, vec_id tie-break).
+    The oracle recomputes the planted count and demands both flags
+    TRUE.
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    dim = EMBEDDING_DIM
+    sub = dim // m
+    offset = 1_000_000_000
+    books = train_pq_codebooks(embeddings, m=m, k=k)
+
+    # Same deterministic twin construction as embed_neardup_check.
+    base = embeddings.select("vec_id", "embedding")
+    seeds = base.filter(F.col("vec_id") < n_planted)
+    twin_vec = F.transform(
+        "embedding",
+        lambda x, i: (
+            x
+            * (
+                F.lit(1.0)
+                + F.lit(noise)
+                * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            )
+        ).cast("float"),
+    )
+    augmented = base.unionByName(
+        seeds.select((F.col("vec_id") + offset).alias("vec_id"), twin_vec.alias("embedding"))
+    )
+
+    @F.pandas_udf("struct<codes: array<int>, err: double>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy()).astype(float)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.zeros((len(x), m), dtype="int32")
+        err = np.zeros(len(x))
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1).astype("int32")
+            err += d2[np.arange(len(x)), codes[:, s]]
+        return pd.DataFrame({"codes": list(codes), "err": err})
+
+    encoded = _materialize(
+        augmented.select(
+            "vec_id", encode(F.col("embedding")).alias("e")
+        ).select("vec_id", F.col("e.codes").alias("codes"), F.col("e.err").alias("err"))
+    )
+
+    stats = encoded.filter(F.col("vec_id") < offset).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.avg("err") <= F.lit(max_rel_err)).alias("recon_ok"),
+    )
+
+    # Per-probe ADC lookup tables from the bounded probe rows
+    # (O(n_planted) driver rows — corpus-size-independent, like the
+    # codebook training itself).
+    probe_rows = sorted(
+        seeds.select("vec_id", as_double("embedding").alias("v")).collect(),
+        key=lambda r: r.vec_id,
+    )
+    luts = []
+    for r in probe_rows:
+        v = np.asarray(r.v, dtype=float)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        lut = [
+            (books[s] @ v[s * sub : (s + 1) * sub]).tolist() for s in range(m)
+        ]
+        luts.append((r.vec_id, lut))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(luts, "probe_id long, lut array<array<double>>")
+
+    adc = (
+        encoded.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "score",
+            F.round(
+                F.aggregate(
+                    F.zip_with("codes", "lut", lambda c, l: l[c]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    found = (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .filter(F.col("vec_id") == F.col("probe_id") + offset)
+        .agg(F.count_distinct("probe_id").alias("n_found"))
+    )
+    n_pl = seeds.agg(F.count(F.lit(1)).alias("n_planted"))
+    return stats.crossJoin(n_pl).crossJoin(found).select(
+        "n_vectors",
+        F.lit(m).alias("m_subspaces"),
+        F.lit(k).alias("k_codes"),
+        "recon_ok",
+        "n_planted",
+        (F.col("n_found") == F.col("n_planted")).alias("all_found"),
+    )
+
+
 def embed_pca_check(
     embeddings: DataFrame,
     top_k: int = 8,

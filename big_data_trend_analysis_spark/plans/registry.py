@@ -506,6 +506,7 @@ QUERIES: dict[str, QueryFn] = {
     # ---- window 1-15: new or implementation-changed in round 4 ----
     # new this round
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
+    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     "stream_session_live": _stream_session_live,
     "winnow_fingerprints": _q(textstats.winnow_fingerprints, "documents"),
     # stream_events source fix (naive-micros timestamp storage)
@@ -1362,6 +1363,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_recovered,
                TRUE AS all_found
         FROM embeddings WHERE vec_id < 20
+    """,
+    # PQ invariants: planted count recomputed; codebook-dependent
+    # booleans asserted engine-side (deterministic training, measured
+    # margins in operators/similarity.py embed_pq_check).
+    "embed_pq_check": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(8 AS INTEGER) AS m_subspaces,
+               CAST(16 AS INTEGER) AS k_codes,
+               TRUE AS recon_ok,
+               CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) AS BIGINT)
+                   AS n_planted,
+               TRUE AS all_found
+        FROM embeddings
     """,
     "stream_dedup_live": """
         SELECT DISTINCT user_id, event_type,

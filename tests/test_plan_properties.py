@@ -26,6 +26,7 @@ CROSS_JOIN_ALLOWED = {
     "ann_recall_check",
     "tfidf_top_term",
     "embed_neardup_check",
+    "embed_pq_check",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
