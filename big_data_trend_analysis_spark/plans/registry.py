@@ -507,6 +507,7 @@ QUERIES: dict[str, QueryFn] = {
     # new this round
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
+    "gapfill_locf": _q(windows.gapfill_locf, "events"),
     "stream_session_live": _stream_session_live,
     "winnow_fingerprints": _q(textstats.winnow_fingerprints, "documents"),
     # stream_events source fix (naive-micros timestamp storage)
@@ -888,6 +889,33 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
         FROM s GROUP BY user_id, sess_id
+    """,
+    # Gap-filled bucket series: spine via generate_series, LOCF via
+    # last_value IGNORE NULLS — exact equality including leading-NULL
+    # buckets before a type's first observation.
+    "gapfill_locf": """
+        WITH buckets AS (
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM buckets),
+        spine AS (
+            SELECT t.event_type,
+                   unnest(generate_series(b.lo, b.hi, INTERVAL '10 minutes'))
+                       AS bucket
+            FROM (SELECT DISTINCT event_type FROM buckets) t, bounds b
+        )
+        SELECT s.event_type, s.bucket,
+               COALESCE(b.n_events, 0) AS n_events,
+               last_value(b.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.bucket
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sum_value_locf,
+               b.n_events IS NULL AS gap_filled
+        FROM spine s
+        LEFT JOIN buckets b ON s.event_type = b.event_type AND s.bucket = b.bucket
     """,
     # Streaming sessionization must converge to the batch session set —
     # identical gaps-and-islands oracle as window_session.

@@ -568,3 +568,33 @@ def test_pq_codebooks_deterministic_and_reconstructive(spark):
     assert row.n_vectors == 300
     assert row.recon_ok and row.all_found
     assert row.n_planted == 20
+
+
+def test_gapfill_locf_planted_gaps(spark):
+    """Planted bucket gaps must appear with n_events=0 and the last
+    observed sum carried forward; leading gaps stay NULL."""
+    import datetime as dt
+
+    from big_data_trend_analysis_spark.operators.windows import gapfill_locf
+
+    t0 = dt.datetime(2024, 1, 1, 0, 5)
+    rows = [
+        # type 'a': buckets 00:00 and 00:30 occupied; 00:10/00:20 are gaps
+        (1, t0, 1, "a", 10.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 1, "a", 20.0, "{}"),
+        # type 'b': first appears at 00:30 — leading buckets must be NULL
+        (3, t0 + dt.timedelta(minutes=30), 2, "b", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {(r.event_type, r.bucket.minute): r for r in gapfill_locf(df).collect()}
+    assert len(out) == 8  # 2 types x 4 buckets (00,10,20,30)
+    a10, a20 = out[("a", 10)], out[("a", 20)]
+    assert a10.n_events == 0 and a10.gap_filled and a10.sum_value_locf == 10.0
+    assert a20.sum_value_locf == 10.0
+    assert out[("a", 30)].sum_value_locf == 20.0 and not out[("a", 30)].gap_filled
+    assert out[("b", 0)].sum_value_locf is None and out[("b", 0)].n_events == 0
+    assert out[("b", 30)].sum_value_locf == 5.0

@@ -27,6 +27,8 @@ CROSS_JOIN_ALLOWED = {
     "tfidf_top_term",
     "embed_neardup_check",
     "embed_pq_check",
+    # spine = types × broadcast 1-row (lo, hi) bounds
+    "gapfill_locf",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
