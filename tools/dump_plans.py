@@ -135,6 +135,14 @@ HEADLINERS: dict[str, str] = {
         "runs at scan speed and the (doc_id, fp) output co-partitions "
         "with the input for a downstream inverted-index join."
     ),
+    "gapfill_locf": (
+        "The raw table is aggregated once; everything after operates on "
+        "|types × buckets| rows — the spine generates from a broadcast "
+        "1-row bounds relation, the actuals BROADCAST into the left "
+        "join, and LOCF is one Window over the bucket relation. "
+        "Gap-filling prices like the rollup it decorates at any corpus "
+        "size."
+    ),
 }
 
 
