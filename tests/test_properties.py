@@ -192,3 +192,39 @@ def test_spacy_branch_with_real_model_if_installed():
     assert "Ada Lovelace" in out[0]
     assert any("Microsoft" in e for e in out[0])
     assert not any("London" == e for e in out[0])  # GPE filtered
+
+
+def test_winnow_fingerprints_differential_vs_reference_impl(spark):
+    """Spark winnowing vs an independent pure-Python implementation over
+    randomized documents: exact fingerprint-set equality. Catches
+    off-by-one drift in the gram/frame windows that example-based tests
+    can miss."""
+    import hashlib
+    import random
+
+    from big_data_trend_analysis_spark.operators.textstats import winnow_fingerprints
+
+    def reference(text, k=4, window=5):
+        w = text.split(" ")
+        if len(w) < k:
+            return set()
+        hs = [
+            hashlib.md5(" ".join(w[i : i + k]).encode()).hexdigest()
+            for i in range(len(w) - k + 1)
+        ]
+        if len(hs) < window:
+            return set()
+        return {min(hs[i : i + window]) for i in range(len(hs) - window + 1)}
+
+    rng = random.Random(99)
+    vocab = [f"w{j}" for j in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == reference(text), f"doc {doc_id}"
