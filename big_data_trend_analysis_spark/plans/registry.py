@@ -216,6 +216,48 @@ def _stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join through the real streaming path.
+
+    Drains ``enriched_window_stream`` — the events file stream joined
+    to the static broadcast weights dim (the join mode with NO state
+    store: the dim re-broadcasts per micro-batch) and aggregated into
+    watermarked event-time windows — availableNow into a memory sink.
+    The oracle is the equivalent batch join+window aggregate with the
+    same exact-decimal discipline as ``join_skewed``.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from big_data_trend_analysis_spark.operators.skew import EVENT_TYPE_WEIGHTS
+    from big_data_trend_analysis_spark.streaming.jobs import enriched_window_stream
+    from big_data_trend_analysis_spark.streaming.sources import stream_events
+
+    tune_session(spark)
+    name = f"enrich_live_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    try:
+      with _stream_partitions(spark):
+        dim = spark.createDataFrame(
+            list(EVENT_TYPE_WEIGHTS), "event_type string, weight double"
+        )
+        query = (
+            enriched_window_stream(stream_events(spark, sf_dir), dim)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 def _stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization through the real streaming path.
 
@@ -509,6 +551,7 @@ QUERIES: dict[str, QueryFn] = {
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
     "stream_session_live": _stream_session_live,
+    "stream_enrich_live": _stream_enrich_live,
     "winnow_fingerprints": _q(textstats.winnow_fingerprints, "documents"),
     # stream_events source fix (naive-micros timestamp storage)
     "stream_dedup_live": _stream_dedup_live,
@@ -916,6 +959,23 @@ ORACLE_SQL: dict[str, str] = {
                b.n_events IS NULL AS gap_filled
         FROM spine s
         LEFT JOIN buckets b ON s.event_type = b.event_type AND s.bucket = b.bucket
+    """,
+    # Stream-static enrich join must equal the batch join+window agg —
+    # same dim literal + exact-decimal discipline as join_skewed.
+    "stream_enrich_live": """
+        WITH dim AS (
+            SELECT * FROM (VALUES
+                ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                ('signup', 5.0), ('error', -2.0)
+            ) AS t(event_type, weight)
+        )
+        SELECT time_bucket(INTERVAL '1 day', e.ts) AS window_start,
+               e.event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(e.value * CAST(d.weight AS DOUBLE), 6)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS weighted_value
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY 1, 2
     """,
     # Streaming sessionization must converge to the batch session set —
     # identical gaps-and-islands oracle as window_session.

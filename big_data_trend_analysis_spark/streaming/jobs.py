@@ -161,6 +161,44 @@ def windowed_cms_stream(
     )
 
 
+def enriched_window_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    window_width: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-static enrichment join + watermarked windowed aggregate.
+
+    The third join mode Structured Streaming supports (beside
+    stream-stream and batch): the static dimension broadcasts into
+    every micro-batch — no state store involved for the join itself,
+    so enriching a 100 TB/day stream with a reference table costs one
+    broadcast per trigger. This is the reference's enrich-then-persist
+    shape (spark_stream.py parse → JDBC) with the weights dim standing
+    in for its producer-side annotations; the windowed aggregate then
+    keeps watermark-bounded state exactly like the decay trend.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "event_type")
+        .groupBy(F.window("ts", window_width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * F.col("weight"), 6).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "weighted_value",
+        )
+    )
+
+
 def session_counts_stream(
     events: DataFrame,
     gap: str = "30 minutes",
