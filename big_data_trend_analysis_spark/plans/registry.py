@@ -258,6 +258,62 @@ def _stream_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink path through the real streaming machinery.
+
+    Drains the events file stream through ``start_foreach_batch`` —
+    the engine's checkpointed foreachBatch wrapper with the reference's
+    error side-channel (K3/M1, edw_stream.py:113-136) — into a parquet
+    append sink (the container-executable stand-in for the JDBC
+    serving sink, same WriteFn contract), then reads the sink back and
+    aggregates. The oracle is the same aggregate over the source
+    table, pinning exactly-once sink delivery end to end: every source
+    row lands in the sink exactly once or the counts cannot match.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.streaming.sinks import (
+        parquet_append_writer,
+        start_foreach_batch,
+    )
+    from big_data_trend_analysis_spark.streaming.sources import stream_events
+
+    tune_session(spark)
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    sink_dir = tempfile.mkdtemp(prefix="bdta_sink_")
+    try:
+      with _stream_partitions(spark):
+        query = start_foreach_batch(
+            stream_events(spark, sf_dir).select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ),
+            parquet_append_writer(sink_dir),
+            checkpoint_dir=ckpt,
+            trigger_available_now=True,
+        )
+        query.awaitTermination(300)
+        query.stop()
+        from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+        written = spark.read.parquet(sink_dir)
+        return (
+            written.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("event_id").alias("n_distinct_ids"),
+                exact_sum("value").alias("sum_value"),
+            )
+            # Materialize before the temp sink dir is removed.
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
+
+
 def _stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization through the real streaming path.
 
@@ -552,6 +608,7 @@ QUERIES: dict[str, QueryFn] = {
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
     "stream_session_live": _stream_session_live,
     "stream_enrich_live": _stream_enrich_live,
+    "stream_sink_live": _stream_sink_live,
     "winnow_fingerprints": _q(textstats.winnow_fingerprints, "documents"),
     # stream_events source fix (naive-micros timestamp storage)
     "stream_dedup_live": _stream_dedup_live,
@@ -959,6 +1016,15 @@ ORACLE_SQL: dict[str, str] = {
                b.n_events IS NULL AS gap_filled
         FROM spine s
         LEFT JOIN buckets b ON s.event_type = b.event_type AND s.bucket = b.bucket
+    """,
+    # The foreachBatch→parquet sink must deliver every source row
+    # exactly once; the oracle aggregates the SOURCE directly.
+    "stream_sink_live": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_id) AS n_distinct_ids,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
     """,
     # Stream-static enrich join must equal the batch join+window agg —
     # same dim literal + exact-decimal discipline as join_skewed.
