@@ -325,3 +325,66 @@ def test_session_stream_merges_across_batches(spark, sf_dir, tmp_path):
     batch = sorted(map(tuple, window_session(events).collect()))
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_events_readers_handle_both_timestamp_storages(spark, sf_dir, tmp_path):
+    """The driver has generated events.ts as TIMESTAMP(NANOS) in some
+    rounds and naive TIMESTAMP(MICROS) in others (the round-3 flip broke
+    every streaming row). Pin BOTH read paths: batch load_table and
+    stream_events must yield identical event times from either storage."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_trend_analysis_spark.sources.tables import load_table
+    from big_data_trend_analysis_spark.streaming.sources import stream_events
+
+    ts = [
+        dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+        dt.datetime(2024, 1, 15, 12, 30, 45, 654321),
+    ]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    dirs = {}
+    for unit in ("ns", "us"):
+        d = tmp_path / f"storage_{unit}"
+        d.mkdir()
+        table = pa.table({**cols, "ts": pa.array(ts, pa.timestamp(unit))})
+        pq.write_table(table, str(d / "events.parquet"))
+        dirs[unit] = str(d)
+
+    batches = {
+        unit: sorted(
+            (r.event_id, r.ts) for r in load_table(spark, d, "events").collect()
+        )
+        for unit, d in dirs.items()
+    }
+    assert batches["ns"] == batches["us"]
+    assert batches["ns"][0][1] == ts[0]  # values, not just agreement
+
+    for unit, d in dirs.items():
+        s = stream_events(spark, d)
+        assert s.isStreaming
+        assert dict(s.dtypes)["ts"] == "timestamp", unit
+        # Drain and compare actual streamed values against batch.
+        name = f"storage_check_{unit}"
+        q = (
+            s.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{unit}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        streamed = sorted(
+            (r.event_id, r.ts) for r in spark.table(name).collect()
+        )
+        assert streamed == batches[unit], unit
