@@ -558,3 +558,72 @@ def dedup_clusters(documents: DataFrame, max_iters: int = 50) -> DataFrame:
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def fuzzy_token_join(documents: DataFrame, max_dist: int = 1) -> DataFrame:
+    """Edit-distance-1 token pairs via deletion-neighborhood join (SymSpell).
+
+    The string-similarity join entity resolution needs, in its
+    100-TB-correct shape: two tokens are within edit distance 1 iff
+    their single-deletion neighborhoods (token itself + every
+    one-char-deletion variant) intersect — so candidate generation is
+    an EQUI-join on variant strings (explode → self-join → distinct),
+    never the O(|vocab|²) cross join, and the exact ``levenshtein``
+    verify runs only on candidates. |neighborhood| = len+1 per token,
+    so the exploded relation is ~avg_len × vocab — linear.
+
+    The fixtures' vocabulary contains no natural ED-1 pairs, so the
+    query plants deterministic typos INSIDE the plan (middle character
+    deleted from every token of length ≥ 4 — expressible identically
+    in both SQL dialects) and returns the full pair relation over the
+    augmented vocabulary. The oracle recomputes it BRUTE-FORCE
+    (cross join + levenshtein filter) — algorithm vs exhaustive
+    search, exact row equality.
+    """
+    toks = documents.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    half = F.floor(F.length("tok") / 2).cast("int")
+    typos = (
+        toks.filter(F.length("tok") >= 4)
+        .select(
+            F.concat(
+                F.col("tok").substr(F.lit(1), half),
+                F.col("tok").substr(half + F.lit(2), F.length("tok")),
+            ).alias("tok")
+        )
+        .distinct()
+    )
+    vocab = _materialize(toks.union(typos).distinct())
+
+    neighborhood = vocab.select(
+        "tok",
+        F.explode(
+            F.array_union(
+                F.array(F.col("tok")),
+                F.expr(
+                    "transform(sequence(1, length(tok)),"
+                    " i -> concat(substring(tok, 1, i - 1),"
+                    "             substring(tok, i + 1, length(tok))))"
+                ),
+            )
+        ).alias("variant"),
+    )
+    left = neighborhood.alias("l")
+    right = neighborhood.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.variant") == F.col("r.variant"))
+            & (F.col("l.tok") < F.col("r.tok")),
+        )
+        .select(F.col("l.tok").alias("token_a"), F.col("r.tok").alias("token_b"))
+        .distinct()
+    )
+    return (
+        candidates.withColumn(
+            "dist", F.levenshtein("token_a", "token_b").cast("int")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("token_a", "token_b", "dist")
+    )

@@ -606,6 +606,7 @@ QUERIES: dict[str, QueryFn] = {
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
+    "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
     "stream_session_live": _stream_session_live,
     "stream_enrich_live": _stream_enrich_live,
     "stream_sink_live": _stream_sink_live,
@@ -1016,6 +1017,24 @@ ORACLE_SQL: dict[str, str] = {
                b.n_events IS NULL AS gap_filled
         FROM spine s
         LEFT JOIN buckets b ON s.event_type = b.event_type AND s.bucket = b.bucket
+    """,
+    # SymSpell deletion-neighborhood join vs exhaustive search: the
+    # oracle brute-forces every vocab pair with levenshtein — exact row
+    # equality proves the scalable candidate generation loses nothing.
+    "fuzzy_token_join": """
+        WITH toks AS (
+            SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        typos AS (
+            SELECT DISTINCT substring(tok, 1, CAST(floor(length(tok) / 2) AS INT))
+                   || substring(tok, CAST(floor(length(tok) / 2) AS INT) + 2) AS tok
+            FROM toks WHERE length(tok) >= 4
+        ),
+        vocab AS (SELECT tok FROM toks UNION SELECT tok FROM typos)
+        SELECT a.tok AS token_a, b.tok AS token_b,
+               CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
+        FROM vocab a JOIN vocab b ON a.tok < b.tok
+        WHERE levenshtein(a.tok, b.tok) <= 1
     """,
     # The foreachBatch→parquet sink must deliver every source row
     # exactly once; the oracle aggregates the SOURCE directly.

@@ -598,3 +598,22 @@ def test_gapfill_locf_planted_gaps(spark):
     assert out[("a", 30)].sum_value_locf == 20.0 and not out[("a", 30)].gap_filled
     assert out[("b", 0)].sum_value_locf is None and out[("b", 0)].n_events == 0
     assert out[("b", 30)].sum_value_locf == 5.0
+
+
+def test_fuzzy_token_join_covers_all_edit_classes(spark):
+    """Deletion-neighborhood candidates must cover substitution,
+    insertion/deletion, and reject distance-2 pairs."""
+    from big_data_trend_analysis_spark.operators.dedup import fuzzy_token_join
+
+    df = spark.createDataFrame(
+        [(1, "cat cut cats dog dig dg xylophone")], "doc_id long, text string"
+    )
+    pairs = {
+        (r.token_a, r.token_b): r.dist for r in fuzzy_token_join(df).collect()
+    }
+    assert pairs[("cat", "cut")] == 1  # substitution
+    assert pairs[("cat", "cats")] == 1  # insertion
+    assert pairs[("dg", "dig")] == 1  # deletion
+    assert ("cut", "cats") not in pairs  # distance 2
+    # typo planting: length>=4 tokens get middle-char-deleted variants
+    assert ("cas", "cats") in pairs or ("cat", "cas") in pairs
