@@ -143,6 +143,13 @@ HEADLINERS: dict[str, str] = {
         "Gap-filling prices like the rollup it decorates at any corpus "
         "size."
     ),
+    "fuzzy_token_join": (
+        "The deletion-neighborhood explode is linear (len+1 variants "
+        "per token) and candidate generation is a hash EQUI-join on the "
+        "variant string — the O(vocab²) cross join the brute-force "
+        "oracle runs appears nowhere in this plan; levenshtein "
+        "evaluates only on the candidate relation."
+    ),
 }
 
 
