@@ -169,3 +169,50 @@ def trend_rising(
         .withColumn("rnk", F.row_number().over(rank_w))
         .select("window_start", "event_type", "n_events", "baseline_avg", "lift", "rnk")
     )
+
+
+def trend_anomaly(
+    events: DataFrame,
+    window_width: str = "1 day",
+    z_cut: float = 2.0,
+) -> DataFrame:
+    """Z-score anomaly flags over windowed per-type counts.
+
+    The monitoring half of trend analytics (the alert the reference's
+    Grafana boards would fire): count per (event-time window, type),
+    compare each window against the TYPE's own mean/stddev of windowed
+    counts, flag |z| ≥ ``z_cut``. Two keyed aggregations — the window
+    count and the per-type moment roll-up (|types| rows, broadcast back
+    onto the |windows × types| relation) — so anomaly scoring over
+    100 TB of events prices like the rollup itself. Every window row is
+    returned with its rounded z (not just the anomalies), so the gate
+    hash-checks the full scoring surface even when the fixtures'
+    near-uniform traffic flags nothing.
+    """
+    counts = events.groupBy(
+        F.window("ts", window_width).getField("start").alias("window_start"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = counts.groupBy("event_type").agg(
+        F.avg("n_events").alias("mean_n"),
+        F.stddev_samp("n_events").alias("std_n"),
+    )
+    return (
+        counts.join(F.broadcast(stats), "event_type")
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            # Intermediate moments rounded to 6 dp on both engine and
+            # oracle sides: stddev accumulation orders differ between
+            # engines, and an unrounded divisor leaks ulp noise into z.
+            F.round(
+                (F.col("n_events") - F.round("mean_n", 6))
+                / F.nullif(F.round("std_n", 6), F.lit(0.0)),
+                6,
+            ).alias("z"),
+        )
+        .withColumn(
+            "is_anomaly", F.coalesce(F.abs("z") >= z_cut, F.lit(False))
+        )
+    )

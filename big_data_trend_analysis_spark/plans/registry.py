@@ -607,6 +607,7 @@ QUERIES: dict[str, QueryFn] = {
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
     "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
+    "trend_anomaly": _q(trend.trend_anomaly, "events"),
     "stream_session_live": _stream_session_live,
     "stream_enrich_live": _stream_enrich_live,
     "stream_sink_live": _stream_sink_live,
@@ -1017,6 +1018,30 @@ ORACLE_SQL: dict[str, str] = {
                b.n_events IS NULL AS gap_filled
         FROM spine s
         LEFT JOIN buckets b ON s.event_type = b.event_type AND s.bucket = b.bucket
+    """,
+    # Full z-score surface (not just flagged rows) so the check is
+    # non-vacuous on near-uniform traffic; moments rounded to 6 dp on
+    # both sides before the division (ulp discipline).
+    "trend_anomaly": """
+        WITH counts AS (
+            SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   ROUND(AVG(n_events), 6) AS mean_n,
+                   ROUND(STDDEV_SAMP(n_events), 6) AS std_n
+            FROM counts GROUP BY event_type
+        )
+        SELECT c.window_start, c.event_type, c.n_events,
+               ROUND((c.n_events - s.mean_n) / NULLIF(s.std_n, 0.0), 6) AS z,
+               COALESCE(
+                   ABS(ROUND((c.n_events - s.mean_n) / NULLIF(s.std_n, 0.0), 6))
+                       >= 2.0,
+                   FALSE
+               ) AS is_anomaly
+        FROM counts c JOIN stats s USING (event_type)
     """,
     # SymSpell deletion-neighborhood join vs exhaustive search: the
     # oracle brute-forces every vocab pair with levenshtein — exact row

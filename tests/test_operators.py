@@ -617,3 +617,33 @@ def test_fuzzy_token_join_covers_all_edit_classes(spark):
     assert ("cut", "cats") not in pairs  # distance 2
     # typo planting: length>=4 tokens get middle-char-deleted variants
     assert ("cas", "cats") in pairs or ("cat", "cas") in pairs
+
+
+def test_trend_anomaly_flags_planted_spike(spark):
+    """A planted 10x traffic spike must be the flagged anomaly; steady
+    types must not flag; a single-window type (stddev undefined) must
+    yield z NULL and is_anomaly False."""
+    import datetime as dt
+
+    from big_data_trend_analysis_spark.operators.trend import trend_anomaly
+
+    rows = []
+    eid = 0
+    for day in range(10):
+        base = dt.datetime(2024, 1, 1 + day)
+        n = 100 if day == 5 else 10  # spike on day 5
+        for i in range(n):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(minutes=i), 1, "click", 1.0, "{}"))
+        rows.append((10_000 + day, base, 2, "view", 1.0, "{}"))  # steady
+    rows.append((99_999, dt.datetime(2024, 1, 3), 3, "error", 1.0, "{}"))  # one window
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = trend_anomaly(df).collect()
+    flagged = {(r.event_type, r.window_start.day) for r in out if r.is_anomaly}
+    assert flagged == {("click", 6)}  # loop day 5 = Jan 6
+    err = [r for r in out if r.event_type == "error"]
+    assert len(err) == 1 and err[0].z is None and not err[0].is_anomaly
