@@ -189,10 +189,17 @@ def trend_anomaly(
     hash-checks the full scoring surface even when the fixtures'
     near-uniform traffic flags nothing.
     """
-    counts = events.groupBy(
-        F.window("ts", window_width).getField("start").alias("window_start"),
-        F.col("event_type"),
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    # counts feeds both the moment roll-up and the scoring join; pruning
+    # differentiates the two branches' exchanges, so without persisting
+    # the |windows × types| rollup the fact table scans twice.
+    counts = _materialize(
+        events.groupBy(
+            F.window("ts", window_width).getField("start").alias("window_start"),
+            F.col("event_type"),
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
     stats = counts.groupBy("event_type").agg(
         F.avg("n_events").alias("mean_n"),
         F.stddev_samp("n_events").alias("std_n"),

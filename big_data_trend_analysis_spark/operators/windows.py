@@ -182,7 +182,15 @@ def gapfill_locf(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     oracle recomputes the spine with ``generate_series`` and LOCF with
     ``last_value(… IGNORE NULLS)`` — exact equality.
     """
-    daily = (
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    # The bucket relation is referenced three times (bounds, the type
+    # spine, the actuals join). Per-branch column pruning makes each
+    # branch's aggregation exchange DIFFERENT, so Spark's ReuseExchange
+    # never collapses them and the fact table would scan three times —
+    # persisting the |types × buckets|-row rollup (KBs) keeps the
+    # 100 TB scan+aggregate single-pass.
+    daily = _materialize(
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

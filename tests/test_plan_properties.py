@@ -50,6 +50,9 @@ NARROW = {
     "embed_quantize",
     "text_clean",
     "sample_mixture",
+    # winnowing: the whole rolling-hash selection is higher-order
+    # functions inside one projection — any Exchange is a regression
+    "winnow_fingerprints",
 }
 
 
@@ -189,3 +192,31 @@ def test_rollup_two_level_reaggregates(plans):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     # hourly partial+final, daily partial+final
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
+
+
+def test_gapfill_actuals_join_broadcasts(plans):
+    """gapfill_locf: the bucket relation must BROADCAST into the spine
+    join (|types x buckets| rows — a sort-merge here would shuffle the
+    spine for nothing), and the fact table is scanned once."""
+    plan = plans["gapfill_locf"]
+    assert "BroadcastHashJoin LeftOuter" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_trend_anomaly_stats_broadcast_no_rescan(plans):
+    """trend_anomaly: per-type moments broadcast back onto the window
+    counts; the events table is scanned once (Spark reuses the counts
+    subtree via ReusedExchange, not a second scan)."""
+    plan = plans["trend_anomaly"]
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_fuzzy_join_is_equi_join_not_cartesian(plans):
+    """fuzzy_token_join: candidate generation must be a hash equi-join
+    on the deletion variant — the brute-force cross join lives only in
+    the oracle."""
+    plan = plans["fuzzy_token_join"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan.lower()
