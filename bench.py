@@ -78,16 +78,19 @@ def main() -> None:
     timings_small = time_queries(only, "/root/testdata/sf0.01", reps=3)
 
     total = round(sum(timings.values()), 3)
-    # Key order matters: the driver records a bounded TAIL of stdout, so
-    # the headline tier (sf0.1 per-query dict + total) goes LAST in the
-    # line — a truncated capture loses the secondary sf0.01 tier, never
-    # the headline numbers (round-2's published BENCH lost the sf0.1
-    # dict to exactly this).
+    # The driver records a bounded tail of stdout, so stdout carries ONLY
+    # the headline JSON line (sf0.1 per-query dict + total — fits the
+    # capture whole, so the driver's parser gets valid JSON). The
+    # secondary sf0.01 tier goes to a sidecar file for round-over-round
+    # regression triage.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_small_tier.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump({"sf": 0.01, "queries": timings_small}, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
-                "sf_small": 0.01,
-                "queries_small": timings_small,
                 "metric": "total_query_seconds",
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -221,13 +221,14 @@ def approx_percentile_check(lineitem: DataFrame) -> DataFrame:
 
 
 def probe_cms(spark, sketch_bytes: bytes, keys: list[str]) -> dict[str, int]:
-    """Point-query a serialized ``count_min_sketch`` binary.
+    """Point-query a serialized ``count_min_sketch`` binary via the JVM.
 
     Deserializes via Spark's own ``org.apache.spark.util.sketch
     .CountMinSketch`` (same wire format the aggregate emits) and probes
-    each key — the serving-side half of the reference's CMS job
-    (``cms_stream.py:42-47,110-116``), operating on a KB-sized sketch
-    instead of the data.
+    each key. Driver-side py4j — kept as the parity REFERENCE for
+    ``_probe_cms_bytes`` (tests assert both probes agree bit-for-bit);
+    data paths use ``probe_sketches`` instead, which never leaves the
+    executors.
     """
     jvm = spark._jvm
     stream = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
@@ -235,44 +236,137 @@ def probe_cms(spark, sketch_bytes: bytes, keys: list[str]) -> dict[str, int]:
     return {k: int(cms.estimateCount(k)) for k in keys}
 
 
-def probe_window_sketches(
-    spark,
+_M32 = 0xFFFFFFFF
+
+
+def _mm3_32(data: bytes, seed: int) -> int:
+    """Spark's ``Murmur3_x86_32.hashUnsafeBytes`` (common/sketch), exactly.
+
+    Two deliberate divergences from canonical murmur3 that Spark keeps
+    for wire compatibility: 4-byte blocks are read in NATIVE (little-
+    endian) order via ``Platform.getInt``, and each tail byte is sign-
+    extended and run through a FULL mixK1+mixH1 round (canonical murmur
+    accumulates the tail into one k1 with no mixH1). Returns a signed
+    32-bit int, matching the Java return value.
+    """
+    h1 = seed & _M32
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        k1 = int.from_bytes(data[i : i + 4], "little")
+        k1 = (k1 * 0xCC9E2D51) & _M32
+        k1 = ((k1 << 15) | (k1 >> 17)) & _M32
+        k1 = (k1 * 0x1B873593) & _M32
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & _M32
+        h1 = (h1 * 5 + 0xE6546B64) & _M32
+    for i in range(aligned, n):
+        k1 = (data[i] & _M32 if data[i] < 128 else (data[i] - 256) & _M32)
+        k1 = (k1 * 0xCC9E2D51) & _M32
+        k1 = ((k1 << 15) | (k1 >> 17)) & _M32
+        k1 = (k1 * 0x1B873593) & _M32
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & _M32
+        h1 = (h1 * 5 + 0xE6546B64) & _M32
+    h1 ^= n
+    h1 &= _M32
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - 0x100000000 if h1 >= 0x80000000 else h1
+
+
+def _cms_hash_buckets(key: str, depth: int, width: int) -> list[int]:
+    """``CountMinSketchImpl.getHashBuckets``: Guava-style double hashing.
+
+    ``bucket_i = |(h1 + i*h2) mod width|`` with h2 seeded by h1, all in
+    wrapping 32-bit arithmetic. Java applies ``%`` (sign of dividend)
+    then ``Math.abs``; for width > 0 that equals ``abs(combined) %
+    width``, which is what Python computes directly.
+    """
+    b = key.encode("utf-8")
+    h1 = _mm3_32(b, 0)
+    h2 = _mm3_32(b, h1 & _M32)
+    out = []
+    for i in range(depth):
+        combined = (h1 + i * h2) & _M32
+        if combined >= 0x80000000:
+            combined -= 0x100000000
+        out.append(abs(combined) % width)
+    return out
+
+
+def _probe_cms_bytes(blob: bytes, keys: list[str]) -> dict[str, int]:
+    """Pure-Python ``estimateCount`` over a serialized CMS binary.
+
+    Parses the public wire format ``CountMinSketchImpl.writeTo`` emits —
+    big-endian ``int version, long totalCount, int depth, int width``
+    header, then ``long[depth]`` hashA seeds (used only for the LONG
+    item path; string items use murmur double-hashing and ignore them),
+    then the ``depth × width`` table of big-endian longs — and takes
+    the min across hash rows per key. Verified bit-for-bit against the
+    JVM's ``estimateCount`` in tests/test_sketches.py.
+    """
+    import struct
+
+    import numpy as np
+
+    version, _total, depth, width = struct.unpack_from(">iqii", blob, 0)
+    if version != 1:
+        raise ValueError(f"unsupported CountMinSketch version {version}")
+    table = np.frombuffer(
+        blob, dtype=">i8", offset=20 + 8 * depth, count=depth * width
+    )
+    table = table.reshape(depth, width)
+    out = {}
+    for k in keys:
+        buckets = _cms_hash_buckets(k, depth, width)
+        out[k] = int(min(table[i][b] for i, b in enumerate(buckets)))
+    return out
+
+
+def probe_sketches(
     sketches: DataFrame,
     keys: tuple[str, ...],
     sketch_col: str = "s",
     start_col: str = "window_start",
     window_range: tuple[str, str] | None = None,
-    max_windows: int = 400,
 ) -> DataFrame:
-    """Driver-side probe of per-window CMS binaries, with hard bounds.
+    """Executor-side probe of per-window CMS binaries — part of the plan.
 
-    The probe is a SERVING step: it must collect sketch rows (KB each)
-    to the driver, so the collection is explicitly bounded — an
-    optional ``window_range`` filter (pushed into the plan, before any
-    collect) plus a ``max_windows`` guard that RAISES rather than
-    silently truncating or pulling an unbounded window set (at eps
-    1e-3 a year of 10-minute windows is ~5 GB of sketches — a config
-    error, not a workload). Returns one row per (window, key).
+    Arrow-batched ``mapInPandas``: each executor deserializes its own
+    KB-sized sketch rows and emits one ``(window, key, est_count)`` row
+    per probe key. Estimates never leave the executors, there is no
+    driver loop and no collect, so no bound guard is needed — output is
+    O(windows × keys) rows flowing to whatever sink the caller picks.
+    An optional ``window_range`` filter still pushes into the scan for
+    serving-style point lookups.
     """
+    import pandas as pd
+
+    key_list = list(keys)
     if window_range is not None:
         lo, hi = window_range
         sketches = sketches.filter(
             (F.col(start_col) >= F.lit(lo).cast("timestamp"))
             & (F.col(start_col) < F.lit(hi).cast("timestamp"))
         )
-    rows = sketches.limit(max_windows + 1).collect()
-    if len(rows) > max_windows:
-        raise ValueError(
-            f"probe_window_sketches: >{max_windows} windows in range; "
-            "narrow window_range or raise max_windows explicitly"
-        )
-    out = [
-        (getattr(r, start_col), key, est)
-        for r in rows
-        for key, est in probe_cms(spark, getattr(r, sketch_col), list(keys)).items()
-    ]
-    return spark.createDataFrame(
-        out, f"{start_col} timestamp, event_type string, est_count long"
+
+    def probe(batches):
+        for pdf in batches:
+            rows = [
+                (ws, k, est)
+                for ws, blob in zip(pdf[start_col], pdf[sketch_col])
+                for k, est in _probe_cms_bytes(bytes(blob), key_list).items()
+            ]
+            yield pd.DataFrame(
+                rows, columns=[start_col, "event_type", "est_count"]
+            )
+
+    return sketches.select(start_col, sketch_col).mapInPandas(
+        probe, f"{start_col} timestamp, event_type string, est_count long"
     )
 
 
@@ -284,33 +378,26 @@ def cms_window_probe(
     confidence: float = 0.99,
     seed: int = 42,
     window_range: tuple[str, str] | None = None,
-    max_windows: int = 400,
 ) -> DataFrame:
     """Per-window CMS build + hot-key probe (reference ``cms_estimates``).
 
     The reference probes 5 hard-coded keywords against its driver
     matrix each batch (``cms_stream.py:110-116``); here each event-time
-    window gets its own mergeable sketch built executor-side, and only
-    the KB-sized sketch binaries reach the driver for probing — one row
-    per window regardless of data volume, bounded by
-    ``probe_window_sketches``'s range filter + ``max_windows`` guard.
-    With width ≫ distinct keys the estimates equal exact counts (no
-    collisions), which the DuckDB oracle pins — any future collision
-    regression fails loudly.
+    window gets its own mergeable sketch built executor-side, and the
+    probe runs executor-side too (``probe_sketches`` mapInPandas) — the
+    whole build→probe pipeline is ONE plan with no driver round-trips,
+    so it needs no window-count bound at any scale. With width ≫
+    distinct keys the estimates equal exact counts (no collisions),
+    which the DuckDB oracle pins — any future collision regression
+    fails loudly.
     """
-    spark = events.sparkSession
     sketches = events.groupBy(F.window("ts", window_width).alias("w")).agg(
         F.count_min_sketch(
             "event_type", F.lit(eps), F.lit(confidence), F.lit(seed)
         ).alias("s")
     ).select(F.col("w.start").alias("window_start"), "s")
-    return probe_window_sketches(
-        spark,
-        sketches,
-        keys,
-        sketch_col="s",
-        window_range=window_range,
-        max_windows=max_windows,
+    return probe_sketches(
+        sketches, keys, sketch_col="s", window_range=window_range
     )
 
 

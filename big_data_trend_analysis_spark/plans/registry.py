@@ -399,9 +399,9 @@ def _stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     Drains ``windowed_cms_stream`` — per-event-time-window mergeable
     Count-Min sketches built executor-side with watermarked state —
     into a memory sink (availableNow), then probes the 5 reference
-    keys against each KB-sized window sketch driver-side (bounded by
-    ``probe_window_sketches``: O(windows-in-range) rows collected with
-    a hard max-windows guard, never O(events)). With eps ≪ 1/keys
+    keys against each KB-sized window sketch EXECUTOR-side
+    (``probe_sketches`` mapInPandas — no driver loop, no py4j
+    round-trips, no window-count bound needed). With eps ≪ 1/keys
     the estimates equal exact counts, which the oracle pins — so the
     driver gate hash-checks the *streaming* sketch path end-to-end,
     the bounded-space cross-batch CMS the reference's driver matrix
@@ -411,9 +411,7 @@ def _stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from big_data_trend_analysis_spark.operators.aggregates import (
-        probe_window_sketches,
-    )
+    from big_data_trend_analysis_spark.operators.aggregates import probe_sketches
     from big_data_trend_analysis_spark.streaming.jobs import windowed_cms_stream
     from big_data_trend_analysis_spark.streaming.sources import stream_events
 
@@ -434,9 +432,7 @@ def _stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination(300)
         query.stop()
         keys = ("click", "view", "purchase", "signup", "error")
-        return probe_window_sketches(
-            spark, spark.table(name), keys, sketch_col="cms_sketch"
-        )
+        return probe_sketches(spark.table(name), keys, sketch_col="cms_sketch")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -23,19 +23,36 @@ def write_date_partitioned(
     path: str,
     ts_col: str,
     mode: str = "overwrite",
+    files_per_date: int = 1,
 ) -> None:
     """Write parquet partitioned by the date of ``ts_col``.
 
     Queries filtering on ``p_date`` (or on ``ts_col`` ranges rewritten
     to ``p_date`` ranges) hit Catalyst partition pruning — verify via
     ``PartitionFilters`` in the scan node.
+
+    File-count contract: the input is repartitioned on ``p_date`` before
+    ``partitionBy``, so each date lands in exactly one shuffle partition
+    and the output is at most ``files_per_date`` files per date directory
+    — O(dates), NOT O(upstream_tasks × dates). Without this, every
+    upstream task writes a sliver into every date directory (the classic
+    small-files catastrophe: thousands of tasks × 365 dates at 100 TB).
+    Raise ``files_per_date`` when a single date exceeds a healthy file
+    size (~1 GB parquet) — e.g. ``ceil(bytes_per_date / 1 GiB)``; the
+    extra files come from a deterministic row-hash salt, so the layout
+    stays reproducible.
     """
-    (
-        df.withColumn("p_date", F.to_date(F.col(ts_col)))
-        .write.mode(mode)
-        .partitionBy("p_date")
-        .parquet(path)
-    )
+    if files_per_date < 1:
+        raise ValueError(f"files_per_date must be >= 1, got {files_per_date}")
+    out = df.withColumn("p_date", F.to_date(F.col(ts_col)))
+    if files_per_date == 1:
+        out = out.repartition("p_date")
+    else:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_date)
+        )
+        out = out.repartition(F.col("p_date"), salt)
+    out.write.mode(mode).partitionBy("p_date").parquet(path)
 
 
 def write_bucketed(

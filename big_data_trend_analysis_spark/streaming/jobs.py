@@ -139,7 +139,9 @@ def windowed_cms_stream(
 
     Each event-time window aggregates into one mergeable CMS binary on
     the executors; downstream (foreachBatch / the serving layer) probes
-    hot keys via ``operators.aggregates.probe_cms``. State per window is
+    hot keys via ``operators.aggregates.probe_sketches`` — also
+    executor-side, so estimates never transit the driver. State per
+    window is
     the sketch (KB), not the key set — the bounded-space cross-batch
     CMS the reference wanted from its driver matrix
     (``cms_stream.py:69,94-97``), with watermark eviction and

@@ -56,6 +56,33 @@ def test_date_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert expected > 0
 
 
+def test_date_partitioned_write_file_count(spark, sf_dir, tmp_path):
+    """File-count contract: O(dates) output files, not O(tasks × dates).
+
+    Each date directory must hold at most ``files_per_date`` parquet
+    files — without the pre-``partitionBy`` repartition, every upstream
+    task writes into every date dir (~32 × n_dates files at local[32])."""
+    import pathlib
+
+    events = load_table(spark, sf_dir, "events")
+    path = tmp_path / "events_fc"
+    write_date_partitioned(events, str(path), "ts")
+    date_dirs = [d for d in path.iterdir() if d.name.startswith("p_date=")]
+    assert len(date_dirs) > 1
+    for d in date_dirs:
+        files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
+        assert len(files) <= 1, f"{d.name}: {len(files)} files"
+
+    # salted variant: at most files_per_date files per date dir
+    path3 = tmp_path / "events_fc3"
+    write_date_partitioned(events, str(path3), "ts", files_per_date=3)
+    back = spark.read.parquet(str(path3))
+    assert back.count() == events.count()
+    for d in [d for d in path3.iterdir() if d.name.startswith("p_date=")]:
+        files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
+        assert len(files) <= 3, f"{d.name}: {len(files)} files"
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

@@ -70,12 +70,39 @@ def test_hll_sketch_agg_mergeable(spark, seeded_tokens):
     assert abs(merged - true) <= max(0.1 * true, 10)
 
 
-def test_cms_window_probe_range_filter_and_guard(spark, sf_dir):
-    """The CMS probe collection is bounded: a window_range collects
-    exactly the in-range windows, and exceeding max_windows raises
-    instead of silently pulling an unbounded sketch set."""
-    import pytest
+def test_probe_cms_bytes_matches_jvm_bit_for_bit(spark, seeded_tokens):
+    """The pure-Python CMS probe (``_probe_cms_bytes``, used executor-
+    side by ``probe_sketches``) must agree exactly with the JVM's
+    ``CountMinSketch.estimateCount`` on the same binary — across key
+    byte-lengths 1..9 (exercising murmur tail handling 0..3), multibyte
+    UTF-8, high-byte (sign-extension) tails, and absent keys."""
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        _probe_cms_bytes,
+        probe_cms,
+    )
 
+    df, exact = seeded_tokens
+    sk = bytes(
+        df.agg(
+            F.count_min_sketch("token", F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
+                "s"
+            )
+        )
+        .collect()[0]
+        .s
+    )
+    keys = (
+        sorted(exact, key=exact.get, reverse=True)[:10]
+        + ["a", "ab", "abc", "abcd", "abcde", "abcdefghi"]
+        + ["naïve", "日本語テキスト", "emoji🙂tail", "\x7f\x80ÿ"]
+        + ["never-seen", ""]
+    )
+    assert _probe_cms_bytes(sk, keys) == probe_cms(spark, sk, keys)
+
+
+def test_cms_window_probe_range_filter(spark, sf_dir):
+    """A window_range pushes into the plan: the probe emits exactly the
+    in-range windows × keys, with estimates computed executor-side."""
     from big_data_trend_analysis_spark.operators.aggregates import cms_window_probe
     from big_data_trend_analysis_spark.sources.tables import load_table
 
@@ -88,6 +115,3 @@ def test_cms_window_probe_range_filter_and_guard(spark, sf_dir):
     ).collect()
     assert {r.window_start.day for r in ranged} == {5, 6, 7, 8, 9}
     assert len(ranged) == 5 * len(keys)  # rows = windows-in-range x keys
-
-    with pytest.raises(ValueError, match="max_windows"):
-        cms_window_probe(events, keys=keys, max_windows=5)
