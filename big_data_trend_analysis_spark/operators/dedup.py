@@ -579,7 +579,20 @@ def fuzzy_token_join(documents: DataFrame, max_dist: int = 1) -> DataFrame:
     augmented vocabulary. The oracle recomputes it BRUTE-FORCE
     (cross join + levenshtein filter) — algorithm vs exhaustive
     search, exact row equality.
+
+    ``max_dist`` is fixed at 1: single-deletion neighborhoods are a
+    COMPLETE candidate generator only for edit distance ≤ 1 (e.g. two
+    substitutions share no deletion variant), so any larger value would
+    silently drop pairs. Multi-deletion neighborhoods (SymSpell's
+    general form) are the extension point if a larger radius is ever
+    needed.
     """
+    if max_dist != 1:
+        raise ValueError(
+            "fuzzy_token_join: single-deletion candidate generation is "
+            f"complete only for max_dist=1 (got {max_dist}); larger radii "
+            "need multi-deletion neighborhoods"
+        )
     toks = documents.select(
         F.explode(F.split("text", " ")).alias("tok")
     ).distinct()

@@ -263,12 +263,14 @@ def _stream_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Drains the events file stream through ``start_foreach_batch`` —
     the engine's checkpointed foreachBatch wrapper with the reference's
-    error side-channel (K3/M1, edw_stream.py:113-136) — into a parquet
-    append sink (the container-executable stand-in for the JDBC
-    serving sink, same WriteFn contract), then reads the sink back and
-    aggregates. The oracle is the same aggregate over the source
-    table, pinning exactly-once sink delivery end to end: every source
-    row lands in the sink exactly once or the counts cannot match.
+    error side-channel (K3/M1, edw_stream.py:113-136) — into a
+    batch_id-keyed idempotent parquet sink (the container-executable
+    stand-in for the JDBC serving sink, same WriteFn contract), then
+    reads the sink back and aggregates. foreachBatch itself is
+    at-least-once; the idempotent writer (replay overwrites its own
+    batch_id partition) upgrades the sink to exactly-once EFFECT, and
+    the oracle — the same aggregate over the source table — verifies
+    the delivered row set matches the source exactly.
     """
     import shutil
     import tempfile
@@ -276,7 +278,7 @@ def _stream_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from big_data_trend_analysis_spark.streaming.sinks import (
-        parquet_append_writer,
+        parquet_idempotent_writer,
         start_foreach_batch,
     )
     from big_data_trend_analysis_spark.streaming.sources import stream_events
@@ -290,7 +292,7 @@ def _stream_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_events(spark, sf_dir).select(
                 "event_id", "ts", "user_id", "event_type", "value"
             ),
-            parquet_append_writer(sink_dir),
+            parquet_idempotent_writer(sink_dir),
             checkpoint_dir=ckpt,
             trigger_available_now=True,
         )

@@ -112,10 +112,33 @@ def kafka_json_writer(
 
 
 def parquet_append_writer(path: str) -> WriteFn:
-    """Test/lakehouse sink: append the batch to a parquet directory."""
+    """Test/lakehouse sink: append the batch to a parquet directory.
+
+    Blind append: under foreachBatch's at-least-once contract a batch
+    RETRY duplicates rows. Use ``parquet_idempotent_writer`` when the
+    sink must show each batch's rows exactly once after replay.
+    """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(path)
+
+    return write
+
+
+def parquet_idempotent_writer(path: str) -> WriteFn:
+    """Idempotent batch sink: each batch overwrites its own
+    ``batch_id=N`` directory.
+
+    foreachBatch delivers each batch at-least-once (a crash between the
+    sink write and the checkpoint commit replays the batch), so blind
+    appends duplicate on retry. Keying the write by the checkpointed
+    ``batch_id`` and OVERWRITING makes replay land on the same path —
+    the standard exactly-once-EFFECT recipe for file sinks. Readers
+    scan the root; Spark surfaces ``batch_id`` as a partition column.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     return write
 

@@ -617,6 +617,10 @@ def test_fuzzy_token_join_covers_all_edit_classes(spark):
     assert ("cut", "cats") not in pairs  # distance 2
     # typo planting: length>=4 tokens get middle-char-deleted variants
     assert ("cas", "cats") in pairs or ("cat", "cas") in pairs
+    # single-deletion candidates are complete only for radius 1 —
+    # larger radii must raise, not silently drop pairs
+    with pytest.raises(ValueError, match="max_dist=1"):
+        fuzzy_token_join(df, max_dist=2)
 
 
 def test_trend_anomaly_flags_planted_spike(spark):

@@ -155,6 +155,58 @@ def test_decayed_token_scores_transform_with_state(spark, sf_dir, tmp_path):
         assert row.decayed_score == pytest.approx(float(exact[token]))
 
 
+def test_decayed_token_scores_multi_batch(spark, tmp_path):
+    """Cross-batch state: two files drained oldest-first with
+    maxFilesPerTrigger=1 become two micro-batches, and the second
+    batch's scores must show the first batch's state decayed by 0.9 —
+    the property a single-batch run can't distinguish from stateless."""
+    import os
+    import time
+
+    data = tmp_path / "docs_in"
+    data.mkdir()
+    spark.createDataFrame([("x x y",)], "text string").coalesce(1).write.parquet(
+        str(data / "b1.parquet")
+    )
+    spark.createDataFrame([("x z",)], "text string").coalesce(1).write.parquet(
+        str(data / "b2.parquet")
+    )
+    # FileStreamSource picks files oldest-mtime-first; pin the order.
+    now = time.time()
+    for name, mtime in (("b1.parquet", now - 120), ("b2.parquet", now)):
+        d = data / name
+        for p in [d, *d.iterdir()]:
+            os.utime(p, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(data))
+    )
+    query = (
+        decayed_token_scores(tokens_from_text_stream(stream))
+        .writeStream.format("memory")
+        .queryName("tok_state_mb")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    emitted = {
+        (r.token, round(r.decayed_score, 6), r.total_count)
+        for r in spark.table("tok_state_mb").collect()
+    }
+    # batch 1: x→(2.0, 2), y→(1.0, 1); batch 2: x→(2·0.9+1, 3), z→(1.0, 1)
+    assert emitted == {
+        ("x", 2.0, 2),
+        ("y", 1.0, 1),
+        ("x", 2.8, 3),
+        ("z", 1.0, 1),
+    }
+
+
 def test_decay_formula_across_two_updates(spark):
     """The decay recurrence itself (score·d + n), checked directly."""
     decay = 0.9

@@ -175,6 +175,10 @@ def test_funnel_conversion_is_single_scan(plans):
     assert "Join" not in plan, "funnel reintroduced the join chain"
     # user-key exchange + final single-row reduce exchange only
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, "extra shuffles"
+    # identical window specs must stack on ONE Sort — a second Sort
+    # means Catalyst stopped collapsing the 3-level window chain
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, "window chain re-sorts"
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3
 
 
 def test_grouping_sets_single_expand_pass(plans):

@@ -220,6 +220,25 @@ def test_start_foreach_batch_end_to_end(spark, sf_dir, tmp_path):
     assert set(served.columns) == {"event_id", "event_type", "value"}
 
 
+def test_parquet_idempotent_writer_replay_no_duplicates(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch_id must OVERWRITE
+    its own partition, not duplicate rows — and a distinct batch_id must
+    land alongside, readable from the root with batch_id surfaced."""
+    from big_data_trend_analysis_spark.streaming.sinks import (
+        parquet_idempotent_writer,
+    )
+
+    out = str(tmp_path / "idem")
+    write = parquet_idempotent_writer(out)
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write(batch, 0)
+    write(batch, 0)  # simulated retry of the same micro-batch
+    write(spark.createDataFrame([(3, "c")], "id long, v string"), 1)
+    back = spark.read.parquet(out)
+    assert back.count() == 3  # 2 + 1, not 2 + 2 + 1
+    assert {(r.id, r.batch_id) for r in back.collect()} == {(1, 0), (2, 0), (3, 1)}
+
+
 def test_kafka_scan_options_pin_reference_contract():
     """The sandbox can't run a broker; pin the scan wiring the
     reference hard-codes (spark_stream.py:24-29) so connector drift
