@@ -599,72 +599,15 @@ def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QueryFn] = {
-    # ---- window 1-15: new or implementation-changed in round 4 ----
-    # new this round
-    "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
-    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
-    "gapfill_locf": _q(windows.gapfill_locf, "events"),
-    "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
-    "trend_anomaly": _q(trend.trend_anomaly, "events"),
-    "stream_session_live": _stream_session_live,
-    "stream_enrich_live": _stream_enrich_live,
-    "stream_sink_live": _stream_sink_live,
-    "winnow_fingerprints": _q(textstats.winnow_fingerprints, "documents"),
-    # stream_events source fix (naive-micros timestamp storage)
-    "stream_dedup_live": _stream_dedup_live,
-    "stream_join_live": _stream_join_live,
-    "stream_cms_live": _stream_cms_live,
-    "stream_decay_trend_live": _stream_decay_trend_live,
-    "stateful_decay_live": _stateful_decay_live,
-    # two-stage partials reduce / bounded probe / set-relation rewrite
-    "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
-    "cms_window_probe": _q(aggregates.cms_window_probe, "events"),
-    "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
-    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
-    "ngram_jaccard": _q(dedup.ngram_jaccard, "documents"),
-    # nlp.py real-model branch factoring
-    "sentiment_score": _sentiment_score,
-    "entity_counts": _q(entities.entity_counts, "documents"),
-    # ---- window 16-44: round-1-green queries rotated back through ----
-    # (their implementations are unchanged; fresh rows beat diff
-    # arguments now that the window has slack)
-    "scan_project": _q(relational.scan_project, "lineitem"),
-    "filter_pred": _q(relational.filter_pred, "lineitem"),
-    "json_extract": _q(trend.json_extract, "events"),
-    "conditional_score": _q(trend.conditional_score, "events"),
-    "decay_weight": _q(trend.decay_weight_per_event, "events"),
-    "tokenize_explode": _q(trend.tokenize_explode, "documents"),
-    "keyword_freq": _q(trend.keyword_freq, "documents"),
-    "keyword_topk": _q(trend.keyword_topk, "documents"),
-    "distinct_count": _q(aggregates.distinct_count, "documents"),
-    "approx_distinct": _q(aggregates.approx_distinct, "documents"),
-    "approx_percentile": _q(aggregates.approx_percentile_agg, "lineitem"),
-    "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
-    "sample_mixture": _q(textstats.sample_mixture, "documents"),
-    "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region"),
-    "join_broadcast": _q(relational.join_broadcast, "lineitem", "part"),
-    "join_semi_anti": _q(relational.join_semi_anti, "customer", "orders"),
-    "set_ops": _q(relational.set_ops, "events"),
-    "rollup_agg": _q(relational.rollup_agg, "customer", "nation"),
-    "cube_agg": _q(relational.cube_agg, "customer", "nation"),
-    "correlated_subquery": _q(relational.correlated_subquery, "customer", "nation"),
-    "asof_join": _q(temporal.asof_join, "events"),
-    "range_join": _q(temporal.range_join, "lineitem"),
-    "sim_search": _q(similarity.sim_search, "embeddings"),
-    "pack_sequences": _q(textstats.pack_sequences, "documents"),
-    "embed_quantize": _q(similarity.embed_quantize, "embeddings"),
-    "trend_rising": _q(trend.trend_rising, "events"),
-    "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
-    "null_handling": _q(scalar.null_handling, "orders"),
-    "unpivot_measures": _q(scalar.unpivot_measures, "lineitem"),
-    # ---- window 45-50: stable-green regression sentinels ----
+    # ---- window (first 50): the driver's correctness gate reads these ----
+    # 1-39: r3-standing queries rotated back through for fresh rows
+    # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
     "sql_tpch_q1": _sql_tpch_q1,
     "dedup_exact": _q(dedup.dedup_exact, "documents"),
     "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
     "window_tumbling": _q(windows.window_tumbling, "events"),
     "join_skewed": _q(skew.join_skewed, "events"),
-    # ---- beyond the window: fresh r2/r3 green rows stand ----
     "ann_ivf": _q(similarity.ann_ivf, "embeddings"),
     "embed_neardup": _q(similarity.embed_neardup, "embeddings"),
     "embed_centroids": _q(similarity.embed_centroids, "embeddings"),
@@ -698,6 +641,61 @@ QUERIES: dict[str, QueryFn] = {
     "array_agg_sorted": _q(aggregates.array_agg_sorted, "events"),
     "date_parts": _q(scalar.date_parts, "orders"),
     "string_funcs": _q(scalar.string_funcs, "part"),
+    # 40-44: implementation changed in round 5 (executor-side CMS
+    # probe, idempotent sink, PQ tie-break, fuzzy radius guard,
+    # partitioned-write repartition is in the block above)
+    "cms_window_probe": _q(aggregates.cms_window_probe, "events"),
+    "stream_cms_live": _stream_cms_live,
+    "stream_sink_live": _stream_sink_live,
+    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
+    "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
+    # 45-50: new round-5 queries slot in here as they land
+    # ---- beyond the window: fresh r4 green rows stand ----
+    "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
+    "gapfill_locf": _q(windows.gapfill_locf, "events"),
+    "trend_anomaly": _q(trend.trend_anomaly, "events"),
+    "stream_session_live": _stream_session_live,
+    "stream_enrich_live": _stream_enrich_live,
+    "winnow_fingerprints": _q(textstats.winnow_fingerprints, "documents"),
+    "stream_dedup_live": _stream_dedup_live,
+    "stream_join_live": _stream_join_live,
+    "stream_decay_trend_live": _stream_decay_trend_live,
+    "stateful_decay_live": _stateful_decay_live,
+    "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
+    "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
+    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
+    "ngram_jaccard": _q(dedup.ngram_jaccard, "documents"),
+    "sentiment_score": _sentiment_score,
+    "entity_counts": _q(entities.entity_counts, "documents"),
+    "scan_project": _q(relational.scan_project, "lineitem"),
+    "filter_pred": _q(relational.filter_pred, "lineitem"),
+    "json_extract": _q(trend.json_extract, "events"),
+    "conditional_score": _q(trend.conditional_score, "events"),
+    "decay_weight": _q(trend.decay_weight_per_event, "events"),
+    "tokenize_explode": _q(trend.tokenize_explode, "documents"),
+    "keyword_freq": _q(trend.keyword_freq, "documents"),
+    "keyword_topk": _q(trend.keyword_topk, "documents"),
+    "distinct_count": _q(aggregates.distinct_count, "documents"),
+    "approx_distinct": _q(aggregates.approx_distinct, "documents"),
+    "approx_percentile": _q(aggregates.approx_percentile_agg, "lineitem"),
+    "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
+    "sample_mixture": _q(textstats.sample_mixture, "documents"),
+    "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region"),
+    "join_broadcast": _q(relational.join_broadcast, "lineitem", "part"),
+    "join_semi_anti": _q(relational.join_semi_anti, "customer", "orders"),
+    "set_ops": _q(relational.set_ops, "events"),
+    "rollup_agg": _q(relational.rollup_agg, "customer", "nation"),
+    "cube_agg": _q(relational.cube_agg, "customer", "nation"),
+    "correlated_subquery": _q(relational.correlated_subquery, "customer", "nation"),
+    "asof_join": _q(temporal.asof_join, "events"),
+    "range_join": _q(temporal.range_join, "lineitem"),
+    "sim_search": _q(similarity.sim_search, "embeddings"),
+    "pack_sequences": _q(textstats.pack_sequences, "documents"),
+    "embed_quantize": _q(similarity.embed_quantize, "embeddings"),
+    "trend_rising": _q(trend.trend_rising, "events"),
+    "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
+    "null_handling": _q(scalar.null_handling, "orders"),
+    "unpivot_measures": _q(scalar.unpivot_measures, "lineitem"),
 }
 
 
