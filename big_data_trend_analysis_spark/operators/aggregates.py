@@ -401,6 +401,46 @@ def cms_window_probe(
     )
 
 
+def hll_merge_check(
+    events: DataFrame,
+    lg_k: int = 12,
+    rel_band: float = 0.08,
+) -> DataFrame:
+    """Mergeability invariant of the Datasketches HLL surface.
+
+    The property that makes distributed/incremental distinct-count
+    work: per-partition (here per-event_type) sketches UNIONED must
+    estimate the same population as one global pass. Emits the exact
+    distinct-user count (hash-checked), the group count, and
+    ``within_band`` — merged-estimate relative error ≤ ``rel_band``
+    (≈5× the lgK=12 rsd of 1.6%, so the boolean cannot flap while the
+    sketch library is sane; at the fixtures' cardinality HLL is in
+    sparse mode and exact). Oracle recomputes the exacts and demands
+    TRUE.
+
+    Shape: two aggregations over one cached-scan-sized input — the
+    sketch build shuffles lgK-sized binaries, never user_ids.
+    """
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
+    )
+    merged = per_type.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = events.agg(
+        F.count_distinct("user_id").alias("n_exact_users")
+    )
+    return exact.crossJoin(merged).select(
+        "n_exact_users",
+        "n_types",
+        (
+            F.abs(F.col("est") - F.col("n_exact_users"))
+            <= F.lit(rel_band) * F.col("n_exact_users")
+        ).alias("within_band"),
+    )
+
+
 def cms_topk_sketch(
     documents: DataFrame,
     eps: float = 0.001,

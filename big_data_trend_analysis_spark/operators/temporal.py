@@ -90,6 +90,54 @@ def range_join(lineitem: DataFrame, band_width: float = 10000.0, n_bands: int = 
     )
 
 
+def attribution_last_touch(
+    events: DataFrame, lookback: str = "7 days"
+) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest prior
+    non-purchase event by the same user within the lookback window.
+
+    Marketing attribution's simplest model, in its one-pass shape: a
+    running ``max(struct(ts, event_id, event_type))`` over each user's
+    stream (frame ending at the PREVIOUS row) carries "latest touch so
+    far" to every event — struct ordering is (ts, event_id), so ties
+    on ts resolve by event_id, exactly mirroring the oracle's ORDER BY
+    … DESC LIMIT-1 semantics. One key shuffle + one sort for the whole
+    table; the naive per-purchase correlated lookup re-scans the
+    stream per conversion. Touches older than the lookback are always
+    DOMINATED by newer ones (the candidate set is a suffix of the
+    ordered stream), so filtering the carried max by the lookback
+    after the fact equals filtering before — no second pass needed.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct("ts", "event_id", "event_type"),
+        )
+    ).over(w)
+    return (
+        events.withColumn("touch", touch)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch").isNotNull()
+            & (
+                F.col("touch.ts")
+                >= F.col("ts") - F.expr(f"interval {lookback}")
+            )
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("touch.event_type").alias("touch_type"),
+            F.col("touch.ts").alias("touch_ts"),
+        )
+    )
+
+
 #: Funnel stages in order: a user reaches stage k at the earliest
 #: event of this type strictly after the instant stage k-1 was
 #: reached.

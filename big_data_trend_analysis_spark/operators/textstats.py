@@ -231,6 +231,167 @@ def winnow_fingerprints(
     )
 
 
+#: Fixed retrieval query for bm25_rank: two common terms plus the one
+#: rare token in the fixture vocabulary, so idf spread is exercised.
+BM25_QUERY_TERMS = ("spark", "join", "dup")
+
+
+def bm25_rank(
+    documents: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval scoring: top-k documents for a fixed term query.
+
+    The ranking half of corpus curation / retrieval-augmented data
+    work. Shape for 100 TB: the exploded token relation is filtered to
+    the query terms BEFORE any shuffle (the tf aggregate moves only
+    matching (doc, term) rows), document frequencies derive from the
+    tf relation itself (df = #docs where tf>0 — no second corpus
+    scan), the corpus scalars (N, Σdl) are one broadcast row, and the
+    top-k is ``orderBy().limit()`` — planned as a distributed
+    TakeOrdered (per-partition heaps), never a global sort or a
+    single-partition Window over the corpus. Rank is assigned AFTER
+    the limit, over ≤ k rows.
+
+    Determinism discipline: dl and all counts are integers, so avgdl is
+    an exact-integer division; each per-term score is rounded to 6
+    then summed as DECIMAL so the doc score is independent of term
+    addition order; ties rank by doc_id.
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    # Materialized: referenced twice (scores + df derivation), and only
+    # O(matching_docs × |terms|) rows survive the term filter.
+    tf = _materialize(
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dl = documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    scal = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = F.round(
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_score.cast("decimal(18,6)")).alias("bm25_dec")
+        )
+    )
+    top = scored.orderBy(F.col("bm25_dec").desc(), F.col("doc_id").asc()).limit(
+        top_k
+    )
+    w = Window.orderBy(F.col("bm25_dec").desc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "doc_id",
+        F.col("bm25_dec").cast("double").alias("bm25"),
+    )
+
+
+def cooccurrence_pmi(
+    documents: DataFrame,
+    min_pairs: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Token-pair pointwise mutual information within documents.
+
+    Term-association mining (collocation discovery / embedding-free
+    relatedness). Shape for 100 TB: tokens are doc-DISTINCTED inside a
+    single projection (``array_distinct`` before the explode — no
+    dedup shuffle) and the doc-token relation is MATERIALIZED once
+    (the ngram_jaccard pattern: one corpus-sized pass feeds the
+    self-join, both df lookups, and the doc count — instead of three
+    re-scans). The within-doc pair relation comes from one equi-join
+    on ``doc_id``, pairs below ``min_pairs`` are cut before the df
+    join, document frequencies broadcast (vocab ≪ corpus), and top-k
+    is a distributed TakeOrdered with rank assigned after the limit.
+    PMI uses exact integer counts, so ``ln((c_ab·N)/(df_a·df_b))`` is
+    deterministic; ties break lexicographically.
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    dt = _materialize(
+        documents.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+    )
+    # N = total corpus docs (count-star over the table — row-group
+    # metadata scan; dt would undercount docs with NULL text).
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    a = dt.alias("a")
+    bb = dt.alias("b")
+    pairs = (
+        a.join(bb, "doc_id")
+        .filter(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(
+            F.col("a.tok").alias("token_a"), F.col("b.tok").alias("token_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pairs)
+    )
+    df_a = dfreq.select(
+        F.col("tok").alias("token_a"), F.col("df").alias("df_a")
+    )
+    df_b = dfreq.select(
+        F.col("tok").alias("token_b"), F.col("df").alias("df_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(df_a), "token_a")
+        .join(F.broadcast(df_b), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n_docs")).cast("double")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    order = [
+        F.col("pmi").desc(),
+        F.col("token_a").asc(),
+        F.col("token_b").asc(),
+    ]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "token_a",
+        "token_b",
+        "c_ab",
+        "pmi",
+    )
+
+
 def sample_mixture(
     documents: DataFrame,
     rates: dict[str, float] | None = None,

@@ -223,3 +223,29 @@ def gapfill_locf(events: DataFrame, width: str = "10 minutes") -> DataFrame:
         F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
         F.col("n_events").isNull().alias("gap_filled"),
     )
+
+
+def rolling_median(events: DataFrame, frame_rows: int = 9) -> DataFrame:
+    """Per-user rolling median of ``value`` over the trailing 10 rows.
+
+    Robust-statistic smoothing (a median is noise-immune where the
+    rolling mean isn't) — the de-spiking primitive for metric streams.
+    ``percentile(…, 0.5)`` runs as a window aggregate over a ROWS
+    frame: one shuffle on ``user_id``, one sort, no self-join (the
+    naive formulation joins each row to its 9 predecessors). The
+    interpolation rule (midpoint of the two central order statistics
+    on even counts) matches DuckDB's ``median`` exactly, so the oracle
+    is windowed ``median`` verbatim.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-frame_rows, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "rolling_median"
+        ),
+    )

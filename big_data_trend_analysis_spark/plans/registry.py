@@ -475,6 +475,45 @@ def _sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q1.format(table="lineitem_v"))
 
 
+#: TPC-H Q3 (shipping priority) adapted to the fixture schema (orders
+#: carries o_orderpriority, not o_shippriority). Same decimal-exact
+#: revenue discipline as Q1; top-10 ties break on l_orderkey.
+_SQL_Q3 = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM {customer}
+    JOIN {orders} ON c_custkey = o_custkey
+    JOIN {lineitem} ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def _sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #2: TPC-H Q3 — the canonical 3-table star join.
+
+    What Q1 is to scan+aggregate, Q3 is to join planning: a selective
+    dimension (BUILDING customers) drives a fact join that Catalyst
+    must broadcast (customer ≪ lineitem), with both date predicates
+    pushed to their scans and the top-10 planned as
+    TakeOrderedAndProject — never a full sort of the join output.
+    """
+    tune_session(spark)
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q3.format(
+            customer="customer_v", orders="orders_v", lineitem="lineitem_v"
+        )
+    )
+
+
 def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned parquet sink + pruned read-back, end-to-end.
 
@@ -649,7 +688,13 @@ QUERIES: dict[str, QueryFn] = {
     "stream_sink_live": _stream_sink_live,
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
-    # 45-50: new round-5 queries slot in here as they land
+    # 45-50: new in round 5
+    "sql_tpch_q3": _sql_tpch_q3,
+    "bm25_rank": _q(textstats.bm25_rank, "documents"),
+    "cooccurrence_pmi": _q(textstats.cooccurrence_pmi, "documents"),
+    "rolling_median": _q(windows.rolling_median, "events"),
+    "attribution_last_touch": _q(temporal.attribution_last_touch, "events"),
+    "hll_merge_check": _q(aggregates.hll_merge_check, "events"),
     # ---- beyond the window: fresh r4 green rows stand ----
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
@@ -1720,5 +1765,134 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN t2 ON t1.user_id = t2.user_id
         LEFT JOIN t3 ON t1.user_id = t3.user_id
         LEFT JOIN t4 ON t1.user_id = t4.user_id
+    """,
+    "sql_tpch_q3": """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "bm25_rank": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+        ),
+        scal AS (
+            SELECT COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' '))) AS sum_dl
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+            WHERE tok IN ('spark', 'join', 'dup') GROUP BY 1, 2
+        ),
+        dfx AS (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+            WHERE tok IN ('spark', 'join', 'dup') GROUP BY 1
+        ),
+        term AS (
+            SELECT tf.doc_id,
+                   ROUND(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * (1.2 + 1))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                           / (CAST(sum_dl AS DOUBLE) / n_docs))),
+                       6) AS s
+            FROM tf
+            JOIN dfx USING (tok)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN scal
+        ),
+        agg AS (
+            SELECT doc_id, SUM(CAST(s AS DECIMAL(18,6))) AS bm25_dec
+            FROM term GROUP BY doc_id
+        )
+        SELECT rnk, doc_id, CAST(bm25_dec AS DOUBLE) AS bm25
+        FROM (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25_dec DESC, doc_id) AS INT) AS rnk,
+                   doc_id, bm25_dec
+            FROM agg
+        )
+        WHERE rnk <= 20
+    """,
+    "cooccurrence_pmi": """
+        WITH dt AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        dfx AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+        pairs AS (
+            SELECT a.tok AS token_a, b.tok AS token_b, COUNT(*) AS c_ab
+            FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 5
+        ),
+        scored AS (
+            SELECT token_a, token_b, c_ab,
+                   ROUND(ln(CAST(c_ab * n_docs AS DOUBLE)
+                            / CAST(da.df * db.df AS DOUBLE)), 6) AS pmi
+            FROM pairs
+            JOIN dfx da ON da.tok = token_a
+            JOIN dfx db ON db.tok = token_b
+            CROSS JOIN n
+        )
+        SELECT rnk, token_a, token_b, c_ab, pmi
+        FROM (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, token_a, token_b) AS INT) AS rnk,
+                   token_a, token_b, c_ab, pmi
+            FROM scored
+        )
+        WHERE rnk <= 50
+    """,
+    "rolling_median": """
+        SELECT user_id, event_id,
+               ROUND(median(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+               ), 6) AS rolling_median
+        FROM events
+    """,
+    "attribution_last_touch": """
+        WITH p AS (
+            SELECT event_id, ts, user_id FROM events
+            WHERE event_type = 'purchase'
+        ),
+        ranked AS (
+            SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   e.event_type AS touch_type, e.ts AS touch_ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY e.ts DESC, e.event_id DESC
+                   ) AS rn
+            FROM p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type <> 'purchase'
+             AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id))
+             AND e.ts >= p.ts - INTERVAL 7 DAY
+        )
+        SELECT purchase_id, purchase_ts, touch_type, touch_ts
+        FROM ranked WHERE rn = 1
+    """,
+    # HLL sketches live Spark-side only; the oracle pins the exact
+    # cardinalities and demands the accuracy boolean hold.
+    "hll_merge_check": """
+        SELECT COUNT(DISTINCT user_id) AS n_exact_users,
+               COUNT(DISTINCT event_type) AS n_types,
+               TRUE AS within_band
+        FROM events
     """,
 }

@@ -651,3 +651,138 @@ def test_trend_anomaly_flags_planted_spike(spark):
     assert flagged == {("click", 6)}  # loop day 5 = Jan 6
     err = [r for r in out if r.event_type == "error"]
     assert len(err) == 1 and err[0].z is None and not err[0].is_anomaly
+
+
+def test_bm25_rank_hand_computed(spark):
+    """BM25 on a 3-doc corpus must equal the formula computed by hand
+    (k1=1.2, b=0.75), with per-term scores rounded then decimal-summed."""
+    import math
+
+    from big_data_trend_analysis_spark.operators.textstats import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join x", "en", "s", 12),
+            (2, "spark spark y", "en", "s", 13),
+            (3, "dup z w v u t", "en", "s", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: (r.rnk, r.bm25) for r in bm25_rank(docs).collect()}
+
+    n, k1, b = 3, 1.2, 0.75
+    dls = {1: 3, 2: 3, 3: 6}
+    avgdl = (3 + 3 + 6) / 3
+    dfs = {"spark": 2, "join": 1, "dup": 1}
+    tfs = {1: {"spark": 1, "join": 1}, 2: {"spark": 2}, 3: {"dup": 1}}
+
+    def score(doc):
+        total = 0.0
+        for t, tf in tfs[doc].items():
+            idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dls[doc] / avgdl))
+            total += round(s, 6)
+        return round(total, 6)
+
+    expected = {d: score(d) for d in (1, 2, 3)}
+    assert {d: v for d, (_, v) in out.items()} == pytest.approx(expected)
+    # ranking: descending score, doc_id tie-break
+    order = sorted(expected, key=lambda d: (-expected[d], d))
+    assert [d for d, _ in sorted(out.items(), key=lambda kv: kv[1][0])] == order
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    """PMI counts and values on a 4-doc corpus, min_pairs filtering."""
+    import math
+
+    from big_data_trend_analysis_spark.operators.textstats import cooccurrence_pmi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s", 5),
+            (2, "a b", "en", "s", 3),
+            (3, "a c", "en", "s", 3),
+            (4, "b b a", "en", "s", 5),  # duplicate token counted once
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        (r.token_a, r.token_b): (r.c_ab, r.pmi)
+        for r in cooccurrence_pmi(docs, min_pairs=2).collect()
+    }
+    # df: a=4, b=3, c=2; pairs: (a,b)=3, (a,c)=2, (b,c)=1 (cut by min_pairs)
+    assert set(out) == {("a", "b"), ("a", "c")}
+    assert out[("a", "b")][0] == 3 and out[("a", "c")][0] == 2
+    assert out[("a", "b")][1] == pytest.approx(round(math.log(3 * 4 / (4 * 3)), 6))
+    assert out[("a", "c")][1] == pytest.approx(round(math.log(2 * 4 / (4 * 2)), 6))
+
+
+def test_rolling_median_hand_computed(spark):
+    """Trailing-frame median with interpolation on even counts."""
+    import datetime as dt
+
+    from big_data_trend_analysis_spark.operators.windows import rolling_median
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, "click", v, "{}")
+        for i, v in enumerate([4.0, 1.0, 3.0, 2.0])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.event_id: r.rolling_median for r in rolling_median(df, frame_rows=2).collect()}
+    # frames: [4], [4,1], [4,1,3], [1,3,2]
+    assert out == {0: 4.0, 1: 2.5, 2: 3.0, 3: 2.0}
+
+
+def test_attribution_last_touch_semantics(spark):
+    """Latest prior non-purchase wins; lookback excludes stale touches;
+    purchases with no prior touch drop; same-ts ties use event_id order."""
+    import datetime as dt
+
+    from big_data_trend_analysis_spark.operators.temporal import (
+        attribution_last_touch,
+    )
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        # user 1: click then view then purchase -> view wins
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 1, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 1, "purchase", 1.0, "{}"),
+        # user 2: only touch is 8 days before purchase -> excluded
+        (4, t0 - dt.timedelta(days=8), 2, "click", 1.0, "{}"),
+        (5, t0, 2, "purchase", 1.0, "{}"),
+        # user 3: purchase with no prior events at all
+        (6, t0, 3, "purchase", 1.0, "{}"),
+        # user 4: touch at the same ts as purchase, lower event_id -> counts
+        (7, t0, 4, "view", 1.0, "{}"),
+        (8, t0, 4, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.purchase_id: r for r in attribution_last_touch(df).collect()}
+    assert set(out) == {3, 8}
+    assert out[3].touch_type == "view"
+    assert out[3].touch_ts == t0 + dt.timedelta(hours=1)
+    assert out[8].touch_type == "view" and out[8].touch_ts == t0
+
+
+def test_hll_merge_check_exact_small_cardinality(spark, sf_dir):
+    """At fixture cardinality HLL is sparse-mode exact: the merged
+    estimate must sit inside the band and the exacts must match."""
+    from big_data_trend_analysis_spark.operators.aggregates import hll_merge_check
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    row = hll_merge_check(events).collect()[0]
+    exact = events.select("user_id").distinct().count()
+    assert row.n_exact_users == exact
+    assert row.n_types == 5
+    assert row.within_band

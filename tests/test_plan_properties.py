@@ -29,6 +29,10 @@ CROSS_JOIN_ALLOWED = {
     "embed_pq_check",
     # spine = types × broadcast 1-row (lo, hi) bounds
     "gapfill_locf",
+    # broadcast 1-row corpus scalars (N, Σdl / N / exact-vs-merged)
+    "bm25_rank",
+    "cooccurrence_pmi",
+    "hll_merge_check",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
@@ -224,3 +228,37 @@ def test_fuzzy_join_is_equi_join_not_cartesian(plans):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan.lower()
+
+
+def test_tpch_q3_broadcasts_and_bounded_topk(plans):
+    """Q3: customer/orders sides broadcast onto the lineitem probe, the
+    date predicates reach their scans, and the top-10 is a distributed
+    TakeOrderedAndProject — never a global Sort of the join output."""
+    plan = plans["sql_tpch_q3"]
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_bm25_and_pmi_topk_bounded(plans):
+    """The retrieval top-k must be TakeOrdered (per-partition heaps);
+    the rank Window may only run AFTER the limit, on ≤ k rows."""
+    for name in ("bm25_rank", "cooccurrence_pmi"):
+        plan = plans[name]
+        assert "TakeOrderedAndProject" in plan, name
+        # the window sees only the take-ordered rows: it must sit above
+        # the TakeOrdered in the tree (appears before it in the dump)
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), name
+
+
+def test_rolling_and_attribution_single_pass(plans):
+    """Both window-chain temporal ops: one scan, one key shuffle, one
+    sort — no self-joins."""
+    for name in ("rolling_median", "attribution_last_touch"):
+        plan = plans[name]
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, name
+        assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, name
+        assert "Join" not in plan, name
