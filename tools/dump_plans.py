@@ -150,6 +150,40 @@ HEADLINERS: dict[str, str] = {
         "oracle runs appears nowhere in this plan; levenshtein "
         "evaluates only on the candidate relation."
     ),
+    "sql_tpch_q3": (
+        "Both date predicates reach their scans as PushedFilters, the "
+        "BUILDING-filtered customer side and the orders side broadcast "
+        "onto the lineitem probe (two BroadcastHashJoins, zero "
+        "SortMergeJoins), and the top-10 is TakeOrderedAndProject — "
+        "per-partition heaps, never a global sort of the join output."
+    ),
+    "bm25_rank": (
+        "The exploded token relation is filtered to the query terms "
+        "before its aggregate shuffles, so tf moves O(matching docs × "
+        "terms) rows; df derives from the materialized tf relation "
+        "(no second corpus scan); the corpus scalars broadcast as one "
+        "row; and the top-k is TakeOrdered with the rank Window running "
+        "AFTER the limit, on ≤ k rows."
+    ),
+    "cms_window_probe": (
+        "Sketch build and probe are ONE plan: count_min_sketch "
+        "aggregates per window executor-side, and probe_sketches "
+        "(Arrow mapInPandas) deserializes each KB-sized binary where it "
+        "lives — estimates never transit the driver, so there is no "
+        "window-count bound anywhere."
+    ),
+    "rolling_median": (
+        "percentile(0.5) evaluates as a window aggregate over a ROWS "
+        "frame: one hash Exchange on user_id, one sort, no self-join — "
+        "the naive formulation joins each row to its 9 predecessors."
+    ),
+    "attribution_last_touch": (
+        "A conditional running max(struct(ts, event_id, event_type)) "
+        "with frame ending at the previous row carries 'latest touch so "
+        "far' through each user's stream — one scan, one key shuffle, "
+        "one sort for the whole attribution, vs a correlated per-"
+        "purchase lookup that re-scans the stream per conversion."
+    ),
 }
 
 
