@@ -228,3 +228,120 @@ def test_winnow_fingerprints_differential_vs_reference_impl(spark):
         got.setdefault(r.doc_id, set()).add(r.fp)
     for doc_id, text in docs:
         assert got.get(doc_id, set()) == reference(text), f"doc {doc_id}"
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    frame=st.integers(min_value=0, max_value=5),
+)
+def test_rolling_median_matches_statistics(spark, vals, frame):
+    """Windowed percentile(0.5) must equal the interpolated median of
+    each trailing frame (statistics.median uses the same rule)."""
+    import statistics
+
+    from big_data_trend_analysis_spark.operators.windows import rolling_median
+
+    rows = [
+        (i, ANCHOR_DT + datetime.timedelta(seconds=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r.event_id: r.rolling_median
+        for r in rolling_median(df, frame_rows=frame).collect()
+    }
+    for i in range(len(vals)):
+        window = vals[max(0, i - frame) : i + 1]
+        assert got[i] == pytest.approx(round(statistics.median(window), 6))
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=6
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_cooccurrence_pmi_matches_brute_force(spark, docs):
+    """PMI pairs/counts must equal the brute-force doc-set computation."""
+    import itertools
+    import math as m
+
+    from big_data_trend_analysis_spark.operators.textstats import cooccurrence_pmi
+
+    rows = [(i, " ".join(toks), "en", "s", 1) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.token_a, r.token_b): (r.c_ab, r.pmi)
+        for r in cooccurrence_pmi(df, min_pairs=1, top_k=100).collect()
+    }
+
+    sets = [set(toks) for toks in docs]
+    n = len(docs)
+    dfreq = {t: sum(t in s for s in sets) for s in sets for t in s}
+    expected = {}
+    vocab = sorted(dfreq)
+    for ta, tb in itertools.combinations(vocab, 2):
+        c = sum(ta in s and tb in s for s in sets)
+        if c >= 1:
+            expected[(ta, tb)] = (
+                c,
+                round(m.log((c * n) / (dfreq[ta] * dfreq[tb])), 6),
+            )
+    assert {k: v[0] for k, v in got.items()} == {
+        k: v[0] for k, v in expected.items()
+    }
+    for k in expected:
+        assert got[k][1] == pytest.approx(expected[k][1])
+
+
+@SETTINGS
+@given(
+    seq=st.lists(st.sampled_from(["view", "click", "purchase"]), min_size=1, max_size=12)
+)
+def test_attribution_matches_brute_force(spark, seq):
+    """Attribution output must equal the per-purchase linear scan."""
+    from big_data_trend_analysis_spark.operators.temporal import (
+        attribution_last_touch,
+    )
+
+    rows = [
+        (i, ANCHOR_DT + datetime.timedelta(hours=i), 1, t, 1.0, "{}")
+        for i, t in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.purchase_id: (r.touch_type, r.touch_ts) for r in attribution_last_touch(df).collect()}
+
+    expected = {}
+    for i, t in enumerate(seq):
+        if t != "purchase":
+            continue
+        touches = [
+            (j, u) for j, u in enumerate(seq[:i]) if u != "purchase"
+        ]
+        # within 7 days: hours diff <= 168
+        touches = [(j, u) for j, u in touches if i - j <= 168]
+        if touches:
+            j, u = touches[-1]
+            expected[i] = (u, ANCHOR_DT + datetime.timedelta(hours=j))
+    assert got == expected
