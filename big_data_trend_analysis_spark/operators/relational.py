@@ -42,25 +42,44 @@ def filter_pred(lineitem: DataFrame) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_returnflag")
 
 
-def join_hash(orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
-    """orders ⋈ customer ⋈ nation ⋈ region chain (SURVEY §2.3 join_hash).
+def join_hash(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region dimension chain + a
+    pre-aggregated supplier dim (SURVEY §2.3 join_hash).
 
     customer↔nation↔region are dimensions → Catalyst broadcasts them
     (within autoBroadcastJoinThreshold); the orders↔customer join is the
     only potentially-shuffled join, and AQE converts it to broadcast
-    when customer fits. Aggregated output keeps the result bounded at
-    any scale factor.
+    when customer fits. supplier joins AFTER its own per-nation
+    aggregation — the dimension is reduced to ≤|nations| rows before it
+    touches the fact-sized relation, the aggregate-then-join shape that
+    keeps any secondary dimension broadcast-sized. Aggregated output
+    keeps the result bounded at any scale factor.
     """
+    supp_per_nation = supplier.groupBy(
+        F.col("s_nationkey").alias("sn_key")
+    ).agg(F.count(F.lit(1)).alias("n_suppliers"))
     joined = (
         orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .join(nation, customer.c_nationkey == nation.n_nationkey, "inner")
         .join(region, nation.n_regionkey == region.r_regionkey, "inner")
+        .join(
+            F.broadcast(supp_per_nation),
+            nation.n_nationkey == F.col("sn_key"),
+            "left",
+        )
     )
     return (
         joined.groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             exact_sum("o_totalprice").alias("sum_totalprice"),
+            F.coalesce(F.first("n_suppliers"), F.lit(0)).alias("n_suppliers"),
         )
     )
 

@@ -725,7 +725,7 @@ QUERIES: dict[str, QueryFn] = {
     "approx_percentile": _q(aggregates.approx_percentile_agg, "lineitem"),
     "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
     "sample_mixture": _q(textstats.sample_mixture, "documents"),
-    "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region"),
+    "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region", "supplier"),
     "join_broadcast": _q(relational.join_broadcast, "lineitem", "part"),
     "join_semi_anti": _q(relational.join_semi_anti, "customer", "orders"),
     "set_ops": _q(relational.set_ops, "events"),
@@ -1280,13 +1280,19 @@ ORACLE_SQL: dict[str, str] = {
         ) WHERE rnk <= 3
     """,
     "join_hash": """
+        WITH sn AS (
+            SELECT s_nationkey, COUNT(*) AS n_suppliers
+            FROM supplier GROUP BY 1
+        )
         SELECT r_name AS region_name, n_name AS nation_name,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_totalprice
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_totalprice,
+               COALESCE(ANY_VALUE(sn.n_suppliers), 0) AS n_suppliers
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
+        LEFT JOIN sn  ON s_nationkey = n_nationkey
         GROUP BY 1, 2
     """,
     "join_broadcast": """
