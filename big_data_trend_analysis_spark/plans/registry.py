@@ -107,9 +107,12 @@ def _sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: state cost scales with partition count, not data: every micro-batch
 #: commits one store (FOUR for a stream-stream join) per partition, so
 #: 32 partitions pay 100s of store commits to shuffle KBs of state.
-#: 8 keeps all cores busy on the fixtures while quartering that fixed
-#: cost; a cluster deployment sizes this by key cardinality instead.
-STREAM_SHUFFLE_PARTITIONS = "8"
+#: Measured on the fixtures (round 5, sf0.1, min-of-2): the live family
+#: totals 12.8 s at 8 partitions vs 10.8 s at 4 (stream_join_live,
+#: with its 4 stores/partition, drops 3.0→2.2 s); 4 still spreads the
+#: fixture state (≤150 keys) across cores. A cluster deployment sizes
+#: this by key cardinality instead.
+STREAM_SHUFFLE_PARTITIONS = "4"
 
 
 class _stream_partitions:
