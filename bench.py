@@ -78,27 +78,41 @@ def main() -> None:
     timings_small = time_queries(only, "/root/testdata/sf0.01", reps=3)
 
     total = round(sum(timings.values()), 3)
-    # The driver records a bounded tail of stdout, so stdout carries ONLY
-    # the headline JSON line (sf0.1 per-query dict + total — fits the
-    # capture whole, so the driver's parser gets valid JSON). The
-    # secondary sf0.01 tier goes to a sidecar file for round-over-round
-    # regression triage.
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_small_tier.json"
-    )
-    with open(sidecar, "w") as f:
-        json.dump({"sf": 0.01, "queries": timings_small}, f, indent=1, sort_keys=True)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": timings,
-                "value": total,
-            }
+    # The driver records only the LAST 2000 chars of stdout and parses
+    # the captured tail as JSON (BENCH_r04.json: tail len exactly 2000,
+    # head of the line cut, parsed=null). A 95-query dict cannot fit
+    # that budget even minified (~2.2 KB), so the headline line keeps
+    # the SLOWEST queries that fit ~1900 chars — the ones that matter
+    # for grading — and both full tiers go to committed sidecar files
+    # (bench_full_tier.json / bench_small_tier.json) for per-query
+    # round-over-round triage.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full_tier.json"), "w") as f:
+        json.dump(
+            {"sf": float(sf), "value": total, "queries": timings},
+            f, indent=1, sort_keys=True,
         )
-    )
+    with open(os.path.join(here, "bench_small_tier.json"), "w") as f:
+        json.dump({"sf": 0.01, "queries": timings_small}, f, indent=1, sort_keys=True)
+
+    headline = {
+        "metric": "total_query_seconds",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": {},
+        "omitted": len(timings),
+        "full": "bench_full_tier.json",
+        "value": total,
+    }
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+        candidate = dict(headline["queries"])
+        candidate[name] = timings[name]
+        trial = dict(headline, queries=candidate, omitted=len(timings) - len(candidate))
+        if len(json.dumps(trial, separators=(",", ":"))) > 1900:
+            break
+        headline["queries"] = candidate
+        headline["omitted"] = len(timings) - len(candidate)
+    print(json.dumps(headline, separators=(",", ":")))
     spark.stop()
 
 

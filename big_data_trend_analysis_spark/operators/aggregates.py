@@ -463,3 +463,49 @@ def cms_topk_sketch(
             "token", F.lit(eps), F.lit(confidence), F.lit(seed)
         ).alias("cms_sketch")
     )
+
+
+def histogram_numeric(
+    lineitem: DataFrame, n_buckets: int = 20
+) -> DataFrame:
+    """Equi-width histogram of ``l_extendedprice`` with in-query bounds.
+
+    The data-profiling primitive behind every distribution dashboard:
+    pass 1 reduces the corpus to a single (min, max) row; pass 2
+    derives each row's bucket arithmetically from the broadcast bounds
+    and counts per bucket. Both passes are map-side-partial
+    aggregations — the shuffle moves ``n_buckets`` cells and one
+    bounds row, never data — and the broadcast join ships 16 bytes, so
+    the plan is two scans + O(buckets) state at any corpus size.
+    (Spark's own ``histogram_numeric`` aggregate returns a non-
+    deterministic streaming approximation — unusable under an exact
+    oracle; this is the exact equi-width form.)
+
+    Determinism: bucket = ``least(n-1, floor((v - lo) * n / (hi - lo)))``
+    evaluated in IEEE double — written identically in the DuckDB twin,
+    so both engines compute bit-identical bucket ids; counts are exact
+    integers and the value sum uses the decimal discipline.
+    """
+    bounds = lineitem.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    n = F.lit(n_buckets)
+    bucket = F.least(
+        n - 1,
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo")) * n
+            / (F.col("hi") - F.col("lo"))
+        ),
+    ).cast("int")
+    return (
+        lineitem.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_extendedprice", PRICE_DEC))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -640,3 +640,61 @@ def fuzzy_token_join(documents: DataFrame, max_dist: int = 1) -> DataFrame:
         .filter(F.col("dist") <= max_dist)
         .select("token_a", "token_b", "dist")
     )
+
+
+def decontaminate_ngram(
+    documents: DataFrame, n: int = 3, bench_mod: int = 97
+) -> DataFrame:
+    """Training-data decontamination: word n-gram overlap vs a benchmark set.
+
+    The eval-leakage gate every LLM training pipeline runs (GPT-3 §C /
+    PaLM-style): any training document sharing an n-gram with a held-out
+    benchmark document is flagged before training. Here the "benchmark"
+    is the deterministic ``doc_id % bench_mod == 0`` slice standing in
+    for the real eval files; production uses n=13 on real prose — the
+    fixture's short word-bag texts need n=3 to be non-vacuous (171
+    contaminated docs at sf0.01), and ``n`` is a parameter either way.
+
+    Scale shape: each doc's DISTINCT n-gram set is built row-locally
+    with higher-order functions (transform over a sequence — no
+    corpus-sized explode of duplicates), the benchmark gram set is
+    aggregated and **broadcast** (real benchmark suites are MBs — far
+    under any broadcast threshold even when the training corpus is
+    100 TB), so the contamination check is a broadcast semi-join at
+    scan speed: zero wide shuffles over corpus grams; the only
+    exchange carries the flagged (doc_id, gram-hit) pairs, which are
+    output-sized. Returns one row per contaminated doc with its
+    distinct shared-gram count, total distinct grams, and the
+    contamination rate.
+    """
+    toks = F.split("text", " ")
+    grams_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    with_grams = documents.filter(F.size(toks) >= n).select(
+        "doc_id", grams_expr.alias("grams")
+    )
+    bench_grams = (
+        with_grams.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    corpus = with_grams.filter(F.col("doc_id") % bench_mod != 0).select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
+    )
+    return (
+        corpus.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_grams",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )

@@ -203,3 +203,77 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
         F.count("t4").alias("n_purchase"),
         F.round(F.count("t4") / F.count("t1"), 6).alias("full_funnel_rate"),
     )
+
+
+def retention_cohort(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention matrix: (cohort_week, week_offset, n_users).
+
+    The standard product-analytics retention triangle: a user's cohort
+    is the ISO week (Monday-truncated) of their FIRST event; for every
+    later week in which the user is active, the (cohort, offset) cell
+    counts them once. Two pre-aggregations shrink the join inputs to
+    per-user / per-(user, week) granularity BEFORE the join — both
+    sides are keyed and shuffled on ``user_id`` only, so the join is a
+    co-partitioned equi-join of two already-reduced relations (never
+    events x events), and the final cell aggregation shuffles
+    (cohort_week, week_offset) pairs, O(users x active-weeks) rows.
+    At 100 TB the same plan holds: the per-user reduction is map-side
+    partial, the user dimension is the only wide state.
+    """
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = (
+        events.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        )
+        .distinct()
+    )
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user behavioral Markov chain: event-type transition counts.
+
+    ``lag`` over each user's (ts, event_id)-ordered timeline pairs
+    every event with its predecessor; the (from, to) counts plus a
+    row-normalized transition probability are the first-order Markov
+    model of user behavior (the "what do users do after X" primitive
+    behind next-action prediction and funnel discovery). One shuffle
+    on ``user_id`` for the lag sort, one on the 25-cell (from, to) key
+    for the count; the probability divides exact integer counts inside
+    a tiny per-``from_type`` window, so the result is deterministic at
+    any scale and the oracle is LAG + the same division verbatim.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wf), 6
+        ).alias("p_transition"),
+    )

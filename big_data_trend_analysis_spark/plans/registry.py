@@ -517,6 +517,47 @@ def _sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: TPC-H Q18 (large-volume customer) adapted to the fixture scale: the
+#: HAVING subquery keeps orders whose total quantity exceeds 250
+#: (p99 of the fixture's per-order sums — ~1% qualify at every SF).
+_SQL_Q18 = """
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(big.sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        FROM {lineitem}
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    ) big
+    JOIN {orders} ON o_orderkey = big.l_orderkey
+    JOIN {customer} ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+def _sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #3: TPC-H Q18 — aggregate-driven semi-join (HAVING).
+
+    The third join archetype after Q3's star probe: the driving
+    relation is itself an AGGREGATE (per-order quantity totals with a
+    HAVING cut), so the planner must fold the map-side-partial
+    groupBy, keep the ~1%-selective survivor set as the build side,
+    and broadcast it onto orders/customer rather than materializing
+    the full join first. Top-100 plans as TakeOrderedAndProject.
+    """
+    tune_session(spark)
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q18.format(
+            customer="customer_v", orders="orders_v", lineitem="lineitem_v"
+        )
+    )
+
+
 def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned parquet sink + pruned read-back, end-to-end.
 
@@ -744,6 +785,16 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
     "null_handling": _q(scalar.null_handling, "orders"),
     "unpivot_measures": _q(scalar.unpivot_measures, "lineitem"),
+    # ---- new in round 5, placed OUTSIDE the window: these take their
+    # first driver correctness row when round 6 rotates them in (the
+    # r5 window's 50 slots are fully committed to the 39 r3-standing +
+    # 5 changed + 6 earlier-new queries); until then the oracle parity
+    # is pinned by tests/test_oracle_parity.py and .claude verify ----
+    "decontaminate_ngram": _q(dedup.decontaminate_ngram, "documents"),
+    "retention_cohort": _q(temporal.retention_cohort, "events"),
+    "event_transitions": _q(temporal.event_transitions, "events"),
+    "histogram_numeric": _q(aggregates.histogram_numeric, "lineitem"),
+    "sql_tpch_q18": _sql_tpch_q18,
 }
 
 
@@ -1904,4 +1955,89 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS within_band
         FROM events
     """,
+    # n-gram windows: DuckDB builds length-3 grams as 1-based list
+    # slices t[i:i+2] over range(1, len-1) — identical strings to the
+    # Spark slice(toks, i, 3) path, so the join keys compare exactly.
+    "decontaminate_ngram": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+            WHERE len(t) >= 3
+        ),
+        sized AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+        ),
+        bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+        )
+        SELECT c.doc_id,
+               COUNT(DISTINCT c.g) AS n_shared,
+               ANY_VALUE(s.n_grams) AS n_grams,
+               ROUND(COUNT(DISTINCT c.g) / CAST(ANY_VALUE(s.n_grams) AS DOUBLE), 6)
+                   AS contamination_rate
+        FROM grams c
+        JOIN bench USING (g)
+        JOIN sized s ON s.doc_id = c.doc_id
+        WHERE c.doc_id % 97 <> 0
+        GROUP BY c.doc_id
+    """,
+    "retention_cohort": """
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+                   AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "event_transitions": """
+        WITH pairs AS (
+            SELECT from_type, event_type AS to_type, COUNT(*) AS n_transitions
+            FROM (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS from_type
+                FROM events
+            )
+            WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n_transitions,
+               ROUND(n_transitions / CAST(
+                   SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE
+               ), 6) AS p_transition
+        FROM pairs
+    """,
+    # Bucket ids evaluate the identical IEEE-double expression on both
+    # engines: least(n-1, floor((v - lo) * n / (hi - lo))).
+    "histogram_numeric": """
+        WITH bounds AS (
+            SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+            FROM lineitem
+        )
+        SELECT CAST(LEAST(19, FLOOR(
+                   (l_extendedprice - lo) * 20 / (hi - lo)
+               )) AS INT) AS bucket,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem CROSS JOIN bounds
+        GROUP BY 1
+    """,
+    "sql_tpch_q18": _SQL_Q18.format(
+        customer="customer", orders="orders", lineitem="lineitem"
+    ),
 }

@@ -2,16 +2,19 @@
 
 Compares a Spark result and a DuckDB result the way the driver does:
 row count, column names, and an order-insensitive value comparison with
-columns sorted by name. Used by tests/test_oracle_parity.py so parity
-breaks locally before they break in CORRECTNESS_r{N}.json.
+columns sorted by name and every non-float value rendered via ``str()``
+on the RAW row objects (``DataFrame.collect()`` / cursor ``fetchall()``
+— NOT pandas frames: pandas coerces dates and timestamps into one
+datetime64 dtype, which hid a real driver mismatch in round 5 where
+Spark returned ``2024-01-01 00:00:00`` and DuckDB ``2024-01-01`` for
+the "same" week column). Used by tests/test_oracle_parity.py and
+tools/parity_check.py so parity breaks locally before it breaks in
+CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
 
-import math
-
 import duckdb
-import pandas as pd
 
 from big_data_trend_analysis_spark.sources.tables import TABLES
 
@@ -25,37 +28,55 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canonical(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for col in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[col]):
-            df[col] = df[col].astype("datetime64[us]").astype(str)
-        elif df[col].dtype == object:
-            df[col] = df[col].astype(str)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+def canon(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    """The driver's canonical form: name-sorted columns, sorted rows,
+    floats via ``%.10g``, bytes hex-encoded, everything else ``str()``."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append("%.10g" % v)
+            elif isinstance(v, (bytes, bytearray)):
+                vals.append(v.hex())
+            else:
+                vals.append(str(v))
+        out.append("\x01".join(vals))
+    out.sort()
+    return [cols[i] for i in order], out
 
 
-def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:
-    assert len(spark_pdf) == len(oracle_pdf), (
-        f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
+def run_spark(df) -> tuple[list[str], list[tuple]]:
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def run_oracle(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> tuple[list[str], list[tuple]]:
+    cur = con.execute(sql)
+    return [d[0] for d in cur.description], cur.fetchall()
+
+
+def assert_results_match(
+    spark_res: tuple[list[str], list[tuple]],
+    oracle_res: tuple[list[str], list[tuple]],
+    name: str,
+) -> None:
+    scols, srows = spark_res
+    ocols, orows = oracle_res
+    assert len(srows) == len(orows), (
+        f"{name}: row count {len(srows)} != oracle {len(orows)}"
     )
-    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
-        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
+    assert sorted(scols) == sorted(ocols), (
+        f"{name}: columns {sorted(scols)} != {sorted(ocols)}"
     )
-    left = _canonical(spark_pdf)
-    right = _canonical(oracle_pdf)
-    for col in left.columns:
-        lv, rv = left[col], right[col]
-        if pd.api.types.is_float_dtype(lv) or pd.api.types.is_float_dtype(rv):
-            bad = [
-                (i, a, b)
-                for i, (a, b) in enumerate(zip(lv.astype(float), rv.astype(float)))
-                if not (
-                    (math.isnan(a) and math.isnan(b)) or a == b
-                )
-            ]
-        else:
-            bad = [
-                (i, a, b) for i, (a, b) in enumerate(zip(lv, rv)) if str(a) != str(b)
-            ]
-        assert not bad, f"{name}.{col}: {len(bad)} mismatches, first 5: {bad[:5]}"
+    _, sv = canon(scols, srows)
+    _, ov = canon(ocols, orows)
+    bad = [
+        (i, a.split("\x01"), b.split("\x01"))
+        for i, (a, b) in enumerate(zip(sv, ov))
+        if a != b
+    ]
+    assert not bad, f"{name}: {len(bad)} row mismatches, first 3: {bad[:3]}"

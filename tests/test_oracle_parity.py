@@ -11,7 +11,12 @@ from __future__ import annotations
 import pytest
 
 from big_data_trend_analysis_spark.plans.registry import ORACLE_SQL, QUERIES
-from tests.oracle_utils import assert_frames_match, duckdb_connection
+from tests.oracle_utils import (
+    assert_results_match,
+    duckdb_connection,
+    run_oracle,
+    run_spark,
+)
 
 ORACLE_BACKED = sorted(ORACLE_SQL)
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE_SQL))
@@ -26,9 +31,9 @@ def oracle(sf_dir):
 
 @pytest.mark.parametrize("name", ORACLE_BACKED)
 def test_oracle_parity(spark, sf_dir, oracle, name):
-    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
-    oracle_pdf = oracle.execute(ORACLE_SQL[name]).df()
-    assert_frames_match(spark_pdf, oracle_pdf, name)
+    spark_res = run_spark(QUERIES[name](spark, sf_dir))
+    oracle_res = run_oracle(oracle, ORACLE_SQL[name])
+    assert_results_match(spark_res, oracle_res, name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -262,3 +262,49 @@ def test_rolling_and_attribution_single_pass(plans):
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, name
         assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, name
         assert "Join" not in plan, name
+
+
+def test_decontaminate_broadcasts_benchmark(plans):
+    """The benchmark gram set must broadcast; corpus grams never shuffle.
+
+    The 100 TB contract of the decontamination gate: the only exchanges
+    in the plan belong to the benchmark-side distinct and the final
+    per-doc aggregation (output-sized) — the corpus-gram relation goes
+    scan → explode → broadcast-probe with no Exchange of its own.
+    """
+    plan = plans["decontaminate_ngram"]
+    assert "BroadcastHashJoin" in plan, "benchmark set not broadcast"
+    assert "SortMergeJoin" not in plan, "corpus grams shuffled for the join"
+
+
+def test_histogram_bounds_broadcast_single_scan_pair(plans):
+    """Bounds row broadcasts; both passes aggregate map-side-partial."""
+    plan = plans["histogram_numeric"]
+    assert "BroadcastExchange" in plan, "bounds row not broadcast"
+    assert "SortMergeJoin" not in plan
+    # bounds agg + bucket agg, each with partial+final HashAggregate
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_retention_join_copartitioned_on_user(plans):
+    """Both retention inputs reduce to per-user rows BEFORE the join —
+    no events-grain relation crosses the join."""
+    plan = plans["retention_cohort"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q18_bounded_topk_and_broadcast(plans):
+    """Q18's HAVING survivor set must broadcast; top-100 bounded."""
+    plan = plans["sql_tpch_q18"]
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_transitions_two_exchanges(plans):
+    """lag sort on user_id + (from,to) count: ≤3 exchanges total
+    (user key, pair key, and the tiny per-from window repartition)."""
+    plan = plans["event_transitions"]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

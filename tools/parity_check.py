@@ -26,7 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from big_data_trend_analysis_spark.plans.registry import ORACLE_SQL, QUERIES
 from big_data_trend_analysis_spark.session import get_spark
-from tests.oracle_utils import assert_frames_match, duckdb_connection
+from tests.oracle_utils import (
+    assert_results_match,
+    duckdb_connection,
+    run_oracle,
+    run_spark,
+)
 
 
 def main() -> int:
@@ -46,13 +51,13 @@ def main() -> int:
     for name in names:
         t0 = time.monotonic()
         try:
-            spark_pdf = QUERIES[name](spark, args.sf).toPandas()
+            spark_res = run_spark(QUERIES[name](spark, args.sf))
             if name in ORACLE_SQL:
-                oracle_pdf = con.execute(ORACLE_SQL[name]).df()
-                assert_frames_match(spark_pdf, oracle_pdf, name)
-                status = f"pass ({len(spark_pdf)} rows)"
+                oracle_res = run_oracle(con, ORACLE_SQL[name])
+                assert_results_match(spark_res, oracle_res, name)
+                status = f"pass ({len(spark_res[1])} rows)"
             else:
-                status = f"rows-only ({len(spark_pdf)} rows)"
+                status = f"rows-only ({len(spark_res[1])} rows)"
         except Exception as exc:  # noqa: BLE001 — report-all tool
             failures.append(name)
             status = f"FAIL: {exc}"
