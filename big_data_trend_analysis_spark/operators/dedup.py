@@ -580,18 +580,21 @@ def fuzzy_token_join(documents: DataFrame, max_dist: int = 1) -> DataFrame:
     (cross join + levenshtein filter) — algorithm vs exhaustive
     search, exact row equality.
 
-    ``max_dist`` is fixed at 1: single-deletion neighborhoods are a
-    COMPLETE candidate generator only for edit distance ≤ 1 (e.g. two
-    substitutions share no deletion variant), so any larger value would
-    silently drop pairs. Multi-deletion neighborhoods (SymSpell's
-    general form) are the extension point if a larger radius is ever
-    needed.
+    ``max_dist`` ∈ {1, 2}. Deletion neighborhoods of radius d are a
+    complete candidate generator for Levenshtein distance ≤ d (if
+    lev(a,b) ≤ d, deleting the ≤d edited positions from each side
+    yields a common string), so radius-2 uses the two-level deletion
+    set — |neighborhood| grows from L+1 to O(L²/2) per token (~37
+    variants for an 8-char token), still linear in vocabulary size and
+    exactly SymSpell's general form. Completeness at both radii is
+    property-tested against the brute-force cross join
+    (tests/test_properties.py). Larger radii would need deeper
+    neighborhoods and are rejected rather than silently incomplete.
     """
-    if max_dist != 1:
+    if max_dist not in (1, 2):
         raise ValueError(
-            "fuzzy_token_join: single-deletion candidate generation is "
-            f"complete only for max_dist=1 (got {max_dist}); larger radii "
-            "need multi-deletion neighborhoods"
+            "fuzzy_token_join: deletion-neighborhood generation is "
+            f"implemented for max_dist in {{1, 2}} (got {max_dist})"
         )
     toks = documents.select(
         F.explode(F.split("text", " ")).alias("tok")
@@ -609,18 +612,24 @@ def fuzzy_token_join(documents: DataFrame, max_dist: int = 1) -> DataFrame:
     )
     vocab = _materialize(toks.union(typos).distinct())
 
+    del1 = (
+        "transform(sequence(1, length(tok)),"
+        " i -> concat(substring(tok, 1, i - 1),"
+        "             substring(tok, i + 1, length(tok))))"
+    )
+    variants = f"array_union(array(tok), {del1})"
+    if max_dist == 2:
+        # Second deletion applied to every first-deletion variant; the
+        # whole neighborhood stays one row-local higher-order expression.
+        del2 = (
+            f"flatten(transform({del1},"
+            " v -> transform(sequence(1, length(v)),"
+            "  j -> concat(substring(v, 1, j - 1),"
+            "              substring(v, j + 1, length(v))))))"
+        )
+        variants = f"array_distinct(array_union({variants}, {del2}))"
     neighborhood = vocab.select(
-        "tok",
-        F.explode(
-            F.array_union(
-                F.array(F.col("tok")),
-                F.expr(
-                    "transform(sequence(1, length(tok)),"
-                    " i -> concat(substring(tok, 1, i - 1),"
-                    "             substring(tok, i + 1, length(tok))))"
-                ),
-            )
-        ).alias("variant"),
+        "tok", F.explode(F.expr(variants)).alias("variant")
     )
     left = neighborhood.alias("l")
     right = neighborhood.alias("r")

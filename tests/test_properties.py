@@ -345,3 +345,166 @@ def test_attribution_matches_brute_force(spark, seq):
             j, u = touches[-1]
             expected[i] = (u, ANCHOR_DT + datetime.timedelta(hours=j))
     assert got == expected
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=3, max_size=8
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_decontaminate_matches_brute_force(spark, docs):
+    """Flagged docs + shared-gram counts must equal the brute-force
+    n-gram set intersection against the benchmark slice."""
+    from big_data_trend_analysis_spark.operators.dedup import decontaminate_ngram
+
+    n, mod = 3, 3  # every doc_id % 3 == 0 is "benchmark" on tiny data
+    rows = [(i, " ".join(toks), "en", "s", 1) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r.doc_id: (r.n_shared, r.n_grams)
+        for r in decontaminate_ngram(df, n=n, bench_mod=mod).collect()
+    }
+
+    def grams(toks):
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench = set().union(
+        *(grams(t) for i, t in enumerate(docs) if i % mod == 0 and len(t) >= n)
+    ) if any(i % mod == 0 and len(t) >= n for i, t in enumerate(docs)) else set()
+    expected = {}
+    for i, toks in enumerate(docs):
+        if i % mod == 0 or len(toks) < n:
+            continue
+        g = grams(toks)
+        shared = g & bench
+        if shared:
+            expected[i] = (len(shared), len(g))
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    seq=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["x", "y", "z"])),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_event_transitions_matches_brute_force(spark, seq):
+    """Transition counts must equal the per-user linear scan, and the
+    probabilities must sum to 1 within each from_type."""
+    from collections import Counter, defaultdict
+
+    from big_data_trend_analysis_spark.operators.temporal import event_transitions
+
+    rows = [
+        (i, ANCHOR_DT + datetime.timedelta(minutes=i), u, t, 1.0, "{}")
+        for i, (u, t) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p_transition)
+        for r in event_transitions(df).collect()
+    }
+
+    per_user = defaultdict(list)
+    for i, (u, t) in enumerate(seq):
+        per_user[u].append(t)
+    expected = Counter()
+    for types in per_user.values():
+        for a, b in zip(types, types[1:]):
+            expected[(a, b)] += 1
+    assert {k: v[0] for k, v in got.items()} == dict(expected)
+    by_from = defaultdict(float)
+    for (a, _), (_, p) in got.items():
+        by_from[a] += p
+    for a, total in by_from.items():
+        assert total == pytest.approx(1.0, abs=1e-4)
+
+
+def test_histogram_covers_all_rows_and_bucket_range(spark, sf_dir):
+    """Histogram counts must sum to the table row count; bucket ids lie
+    in [0, n_buckets); the max-value row lands in the last bucket."""
+    from big_data_trend_analysis_spark.operators.aggregates import histogram_numeric
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = histogram_numeric(li, n_buckets=20).collect()
+    assert sum(r.n_items for r in rows) == li.count()
+    assert all(0 <= r.bucket < 20 for r in rows)
+    assert max(r.bucket for r in rows) == 19
+
+
+def test_retention_week0_counts_every_user(spark, sf_dir):
+    """Offset-0 cells must cover the full user population exactly once
+    (every user is active in their own cohort week), and no offset may
+    be negative."""
+    from big_data_trend_analysis_spark.operators.temporal import retention_cohort
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = retention_cohort(ev).collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows if r.week_offset == 0) == n_users
+    assert all(r.week_offset >= 0 for r in rows)
+
+
+@SETTINGS
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_fuzzy_join_radius2_matches_brute_force(spark, toks):
+    """Radius-2 deletion neighborhoods must be a COMPLETE candidate
+    generator: the join output equals the brute-force all-pairs
+    levenshtein(a, b) <= 2 relation over the augmented vocabulary."""
+    import itertools
+
+    from big_data_trend_analysis_spark.operators.dedup import fuzzy_token_join
+
+    df = spark.createDataFrame(
+        [(0, " ".join(toks), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.token_a, r.token_b, r.dist)
+        for r in fuzzy_token_join(df, max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    vocab = set(toks)
+    for t in toks:
+        if len(t) >= 4:
+            half = len(t) // 2
+            vocab.add(t[:half] + t[half + 1 :])
+    expected = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == expected

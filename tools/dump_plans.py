@@ -184,6 +184,30 @@ HEADLINERS: dict[str, str] = {
         "one sort for the whole attribution, vs a correlated per-"
         "purchase lookup that re-scans the stream per conversion."
     ),
+    "decontaminate_ngram": (
+        "Per-doc distinct n-gram sets are ONE row-local higher-order "
+        "projection (transform over a sequence — no corpus-sized "
+        "explode of duplicate grams); the benchmark slice's gram set "
+        "is a BroadcastExchange, so the contamination check is a "
+        "BroadcastHashJoin at scan speed — the only shuffles are the "
+        "benchmark-side distinct (benchmark-sized) and the final "
+        "per-doc count (output-sized). At 100 TB the corpus-gram "
+        "relation never exchanges."
+    ),
+    "histogram_numeric": (
+        "Pass 1 reduces the corpus to one (min, max) row "
+        "(map-side-partial HashAggregate pair); the bounds broadcast "
+        "as 16 bytes; pass 2 derives each row's bucket arithmetically "
+        "and aggregates into O(buckets) cells — the shuffle carries "
+        "20 cells per map task regardless of corpus size."
+    ),
+    "sql_tpch_q18": (
+        "The HAVING-cut per-order aggregate (partial+final "
+        "HashAggregate around one Exchange) becomes the ~1%-selective "
+        "build side, broadcast onto orders and customer; the top-100 "
+        "is TakeOrderedAndProject. The full lineitem relation shuffles "
+        "only 16-byte (orderkey, qty-partial) pairs."
+    ),
 }
 
 
