@@ -683,21 +683,33 @@ def decontaminate_ngram(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
-    with_grams = documents.filter(F.size(toks) >= n).select(
-        "doc_id", grams_expr.alias("grams")
-    )
+    # Each branch filters BEFORE the gram projection (spelled out, not
+    # left to predicate pushdown): the benchmark branch reads and
+    # n-grams only its 1/bench_mod slice, so the corpus pays exactly
+    # ONE gram-building pass over its own rows.
     bench_grams = (
-        with_grams.filter(F.col("doc_id") % bench_mod == 0)
-        .select(F.explode("grams").alias("g"))
+        documents.filter((F.col("doc_id") % bench_mod == 0) & (F.size(toks) >= n))
+        .select(F.explode(grams_expr).alias("g"))
         .distinct()
     )
-    corpus = with_grams.filter(F.col("doc_id") % bench_mod != 0).select(
-        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
+    corpus = (
+        documents.filter(
+            (F.col("doc_id") % bench_mod != 0) & (F.size(toks) >= n)
+        )
+        .select("doc_id", grams_expr.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.explode("grams").alias("g"),
+        )
     )
+    # (doc_id, g) pairs are unique by construction — corpus grams are
+    # array_distinct per doc and the broadcast side is distinct — so a
+    # plain count equals COUNT(DISTINCT g) without the Expand pass.
     return (
         corpus.join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id", "n_grams")
-        .agg(F.countDistinct("g").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(
             "doc_id",
             "n_shared",
