@@ -407,3 +407,70 @@ def test_events_readers_handle_both_timestamp_storages(spark, sf_dir, tmp_path):
             (r.event_id, r.ts) for r in spark.table(name).collect()
         )
         assert streamed == batches[unit], unit
+
+
+def test_checkpoint_restart_recovers_state_and_position(spark, sf_dir, tmp_path):
+    """Stop/restart on the SAME checkpoint must resume exactly-once.
+
+    The fault-tolerance property the reference forfeits entirely (temp
+    checkpoint + startingOffsets=latest: a restart loses both source
+    position and the driver-resident CMS state, SURVEY §4.1). Here:
+
+    - phase 1 drains two source files through the cumulative token
+      count (streaming groupBy state), then the query STOPS;
+    - two more files appear; phase 2 restarts from the same checkpoint.
+
+    The phase-2 complete-mode output must equal the batch aggregate
+    over ALL four files: lower counts ⇒ the groupBy state was lost on
+    restart; higher counts ⇒ already-committed files were replayed.
+    Exact equality pins source-position recovery AND state recovery at
+    once. Also asserts phase 2 read only the two NEW files' rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    half.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def run_phase(name):
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        query = (
+            running_keyword_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        processed = sum(
+            p["numInputRows"] for p in (json.loads(x.json) for x in query.recentProgress)
+        )
+        return spark.table(name), processed
+
+    phase1, rows1 = run_phase("restart_phase1")
+    assert rows1 == half.count()
+
+    rest.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    phase2, rows2 = run_phase("restart_phase2")
+    # position recovered: only the new file's rows were read
+    assert rows2 == rest.count()
+
+    expected = {
+        (r.token, r.freq)
+        for r in running_keyword_counts(docs).collect()
+    }
+    got = {(r.token, r.freq) for r in phase2.collect()}
+    assert got == expected
