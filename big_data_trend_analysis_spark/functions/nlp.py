@@ -80,6 +80,8 @@ def sentiment_compound(texts: pd.Series) -> pd.Series:
 
 def sentiment_label(compound):
     """VADER thresholding (reference F4: ±0.05 → Positive/Negative)."""
+    if isinstance(compound, str):
+        compound = F.col(compound)
     return (
         F.when(compound >= 0.05, F.lit("Positive"))
         .when(compound <= -0.05, F.lit("Negative"))
