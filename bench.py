@@ -95,10 +95,24 @@ def main() -> None:
     with open(os.path.join(here, "bench_small_tier.json"), "w") as f:
         json.dump({"sf": 0.01, "queries": timings_small}, f, indent=1, sort_keys=True)
 
+    print(build_headline(timings, sf, total))
+    spark.stop()
+
+
+def build_headline(
+    timings: dict[str, float], sf: str | float, total: float, budget: int = 1900
+) -> str:
+    """One JSON line ≤ ``budget`` chars: slowest queries first, rest
+    counted in ``omitted`` (full dict lives in the sidecar).
+
+    The size cap is the contract — the driver parses only the last
+    2000 chars of stdout, so exceeding it reverts BENCH_r{N}.json to
+    ``parsed: null`` (tested in tests/test_scale_utils.py).
+    """
     headline = {
         "metric": "total_query_seconds",
         "unit": "sec",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
         "queries": {},
         "omitted": len(timings),
         "full": "bench_full_tier.json",
@@ -108,12 +122,11 @@ def main() -> None:
         candidate = dict(headline["queries"])
         candidate[name] = timings[name]
         trial = dict(headline, queries=candidate, omitted=len(timings) - len(candidate))
-        if len(json.dumps(trial, separators=(",", ":"))) > 1900:
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
             break
         headline["queries"] = candidate
         headline["omitted"] = len(timings) - len(candidate)
-    print(json.dumps(headline, separators=(",", ":")))
-    spark.stop()
+    return json.dumps(headline, separators=(",", ":"))
 
 
 if __name__ == "__main__":

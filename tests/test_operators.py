@@ -614,13 +614,22 @@ def test_fuzzy_token_join_covers_all_edit_classes(spark):
     assert pairs[("cat", "cut")] == 1  # substitution
     assert pairs[("cat", "cats")] == 1  # insertion
     assert pairs[("dg", "dig")] == 1  # deletion
-    assert ("cut", "cats") not in pairs  # distance 2
+    # distance 2, outside radius 1 (keys are (token_a < token_b) sorted)
+    assert ("cats", "cut") not in pairs
     # typo planting: length>=4 tokens get middle-char-deleted variants
     assert ("cas", "cats") in pairs or ("cat", "cas") in pairs
-    # single-deletion candidates are complete only for radius 1 —
-    # larger radii must raise, not silently drop pairs
-    with pytest.raises(ValueError, match="max_dist=1"):
-        fuzzy_token_join(df, max_dist=2)
+    # radius 2 (two-level deletion neighborhoods) must ADMIT distance-2
+    # pairs the radius-1 join rejects…
+    pairs2 = {
+        (r.token_a, r.token_b): r.dist
+        for r in fuzzy_token_join(df, max_dist=2).collect()
+    }
+    assert pairs2[("cats", "cut")] == 2  # (token_a, token_b) sorted
+    assert pairs2[("dig", "dog")] == 1
+    assert set(pairs) <= set(pairs2)
+    # …while unimplemented radii raise, never silently drop pairs
+    with pytest.raises(ValueError, match="max_dist in"):
+        fuzzy_token_join(df, max_dist=3)
 
 
 def test_trend_anomaly_flags_planted_spike(spark):

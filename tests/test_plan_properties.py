@@ -33,6 +33,8 @@ CROSS_JOIN_ALLOWED = {
     "bm25_rank",
     "cooccurrence_pmi",
     "hll_merge_check",
+    # broadcast 1-row (lo, hi) bounds onto the bucketing scan
+    "histogram_numeric",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any

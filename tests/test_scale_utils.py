@@ -125,3 +125,29 @@ def test_sql_entry_point(spark, sf_dir):
     ).collect()
     assert len(out) == 5
     assert sum(r.n for r in out) == load_table(spark, sf_dir, "customer").count()
+
+
+def test_bench_headline_fits_driver_capture():
+    """The printed bench line must stay under the driver's 2000-char
+    stdout tail for the full inventory, parse as JSON, keep the
+    contract keys, and list the slowest queries first-class."""
+    import json
+
+    import bench
+    from big_data_trend_analysis_spark.plans.registry import QUERIES
+
+    # worst case: every query present with a wide float
+    timings = {name: 12.345 for name in QUERIES}
+    line = bench.build_headline(timings, "0.1", sum(timings.values()))
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert {"metric", "unit", "sf", "queries", "value"} <= set(d)
+    assert d["omitted"] == len(timings) - len(d["queries"])
+    assert 0 < len(d["queries"]) <= len(timings)
+
+    # slowest-first: anything omitted must be <= everything included
+    timings = {name: float(i % 37) / 10 for i, name in enumerate(sorted(QUERIES))}
+    d2 = json.loads(bench.build_headline(timings, "0.1", 1.0))
+    omitted = set(timings) - set(d2["queries"])
+    if omitted and d2["queries"]:
+        assert max(timings[n] for n in omitted) <= min(d2["queries"].values())
