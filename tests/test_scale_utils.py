@@ -151,3 +151,49 @@ def test_bench_headline_fits_driver_capture():
     omitted = set(timings) - set(d2["queries"])
     if omitted and d2["queries"]:
         assert max(timings[n] for n in omitted) <= min(d2["queries"].values())
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE must split a skewed shuffle partition at runtime (the
+    automatic complement to operators/skew.salted_join): with skew
+    thresholds scaled to the test data, the executed adaptive plan
+    marks the hot side's shuffle read ``skew=true``. This is the
+    engine's 100 TB answer for joins too large to pre-salt — prove the
+    runtime re-plan actually engages rather than trusting the conf."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # without force, AQE vetoes splits that could add a downstream
+        # shuffle; forcing isolates the detection+split machinery under
+        # test from that cost heuristic
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prior = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        # 95% of rows share k=0; uuid() padding defeats both constant
+        # folding and column pruning so the hot shuffle partition is
+        # megabytes wide while the median partition is ~tens of KB
+        left = spark.range(100_000).selectExpr(
+            "CASE WHEN id % 20 = 0 THEN id % 32 ELSE 0 END AS k",
+            "uuid() AS pad",
+        )
+        right = spark.range(32).selectExpr("id AS k", "id * 2 AS weight")
+        joined = left.join(right, "k").select("k", "pad", "weight")
+        n = len(joined.collect())
+        assert n == 100_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -474,3 +474,79 @@ def test_checkpoint_restart_recovers_state_and_position(spark, sf_dir, tmp_path)
     }
     got = {(r.token, r.freq) for r in phase2.collect()}
     assert got == expected
+
+
+def test_watermark_drops_late_data_append_mode(spark, tmp_path):
+    """Append-mode windowed aggregation: windows finalize as the
+    watermark passes, and a late arrival for an ALREADY-FINALIZED
+    window is dropped (state is gone; the emitted row never mutates).
+
+    Three pinned-mtime files force three micro-batches:
+    batch 0 = {10:00, 10:30, 13:00} → watermark advances to 12:00;
+    batch 1 = {14:00} → the 10:00 window (end 11:00 < 12:00) is
+    evicted and EMITTED with count 2; watermark → 13:00;
+    batch 2 = {10:15} → late beyond the evicted window: dropped.
+    Count 3 (or a second 10:00 row) ⇒ late data leaked into or past
+    closed state; no row ⇒ windows never finalized. This is the
+    bounded-state contract that lets the streaming jobs run forever
+    (the reference has no watermark at all — its state only grows).
+    Note Spark's actual contract: a late row landing in the SAME batch
+    that finalizes its window still counts — the drop applies once the
+    window's state was evicted in a prior batch, which is what the
+    3-batch layout pins."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "late_chunks"
+    src.mkdir()
+
+    def write_chunk(name, hours, mtime):
+        rows = [
+            {"user_id": 1, "ts": dt.datetime(2024, 1, 1, int(h), int((h % 1) * 60))}
+            for h in hours
+        ]
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows)),
+            str(src / name),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(str(src / name), (mtime, mtime))
+
+    write_chunk("00.parquet", [10.0, 10.5, 13.0], 1_700_000_000)
+    write_chunk("01.parquet", [14.0], 1_700_000_100)
+    write_chunk("02.parquet", [10.25], 1_700_000_200)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    counted = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    query = (
+        counted.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    progress = list(query.recentProgress)
+    query.stop()
+
+    # multiple micro-batches actually ran (recentProgress may not
+    # retain every early batch, so bound from below rather than sum)
+    assert len([p for p in progress if p["numInputRows"] > 0]) >= 2
+    got = {(r.window_start, r.n) for r in spark.table("late_drop").collect()}
+    # …but only the finalized 10:00 window emits, without the late row
+    assert got == {(dt.datetime(2024, 1, 1, 10, 0), 2)}
