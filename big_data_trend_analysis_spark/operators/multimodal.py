@@ -68,6 +68,67 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
     return 64 + n % 512, 64 + (7 * n) % 512, 1 + n % 4
 
 
+#: SOF markers carrying JPEG frame dimensions (C4/C8/CC are tables, not
+#: frames); RST/SOI/TEM markers are parameterless and must be skipped
+#: without reading a length word.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """Real container-format metadata from magic bytes — pure stdlib.
+
+    Handles PNG (IHDR), JPEG (SOF scan), and GIF (logical screen
+    descriptor): the header-sniffing layer every real media pipeline
+    runs BEFORE handing bytes to a pixel decoder, implemented without
+    image libraries (none exist in this container). Returns
+    (mime, width, height, n_frames) or None for unrecognized payloads
+    (the deterministic stub then keeps the plumbing testable)."""
+    b = payload
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            "image/png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            1,
+        )
+    if b[:2] == b"\xff\xd8":  # JPEG SOI; scan segments for a SOF frame
+        i = 2
+        while i + 9 < len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            if marker in _JPEG_SOF:
+                return (
+                    "image/jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                    1,
+                )
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "image/gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            # image-descriptor separators bound the frame count (exact
+            # for well-formed single-frame GIFs; a real decoder counts
+            # frames properly)
+            max(1, b.count(b"\x2c")),
+        )
+    return None
+
+
+def _decode_image(payload: bytes, mime: str) -> tuple[str, int, int, int]:
+    """Header-parse real formats; deterministic stub for everything else."""
+    parsed = _parse_image_header(payload)
+    if parsed is not None:
+        return parsed
+    w, h, frames = _decode_image_stub(payload)
+    return mime, w, h, frames
+
+
 def decode_meta(blobs: DataFrame) -> DataFrame:
     """Decode binary payloads → typed metadata via ``mapInPandas``.
 
@@ -78,15 +139,17 @@ def decode_meta(blobs: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf["content"].map(_decode_image_stub)
+            decoded = [
+                _decode_image(c, m) for c, m in zip(pdf["content"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "mime": pdf["mime"],
+                    "mime": [t[0] for t in decoded],
                     "n_bytes": pdf["content"].map(len),
-                    "width": decoded.map(lambda t: t[0]),
-                    "height": decoded.map(lambda t: t[1]),
-                    "n_frames": decoded.map(lambda t: t[2]),
+                    "width": [t[1] for t in decoded],
+                    "height": [t[2] for t in decoded],
+                    "n_frames": [t[3] for t in decoded],
                 }
             )
 

@@ -795,3 +795,50 @@ def test_hll_merge_check_exact_small_cardinality(spark, sf_dir):
     assert row.n_exact_users == exact
     assert row.n_types == 5
     assert row.within_band
+
+
+def test_multimodal_decode_parses_real_image_headers(spark):
+    """Real PNG/JPEG/GIF payloads must yield their ACTUAL container
+    dimensions through the full mapInPandas decode path (header
+    sniffing needs no image library); unknown payloads keep the
+    deterministic stub + their input mime."""
+    import struct
+    import zlib
+
+    from big_data_trend_analysis_spark.operators.multimodal import decode_meta
+
+    def png(w, h):
+        ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+
+    def jpeg(w, h):
+        # SOI + APP0 stub + SOF0 carrying (h, w) + EOI
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x2c"
+
+    rows = [
+        (1, png(640, 480), "application/octet-stream"),
+        (2, jpeg(1920, 1080), "application/octet-stream"),
+        (3, gif(32, 16), "application/octet-stream"),
+        (4, b"just some text bytes", "image/fake"),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, content binary, mime string")
+    got = {r.doc_id: r for r in decode_meta(blobs).collect()}
+
+    assert (got[1].mime, got[1].width, got[1].height) == ("image/png", 640, 480)
+    assert (got[2].mime, got[2].width, got[2].height) == ("image/jpeg", 1920, 1080)
+    assert (got[3].mime, got[3].width, got[3].height) == ("image/gif", 32, 16)
+    # unknown payload: stub metadata, input mime preserved
+    n = len(b"just some text bytes")
+    assert got[4].mime == "image/fake"
+    assert (got[4].width, got[4].height) == (64 + n % 512, 64 + (7 * n) % 512)
