@@ -162,6 +162,72 @@ def multimodal_decode(documents: DataFrame) -> DataFrame:
     return decode_meta(with_blob(documents))
 
 
+#: Output schema of the audio-decode stage.
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def _parse_wav_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """RIFF/WAVE chunk walk — (mime, channels, sample_rate, n_samples).
+
+    Walks the chunk list properly (``fmt `` is usually but not always
+    the first chunk) in pure stdlib; returns None for non-WAV payloads
+    so unknown audio falls back to the deterministic stub."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if None in (channels, rate, bits, data_size) or channels * bits == 0:
+        return None
+    return "audio/wav", channels, rate, data_size // (channels * bits // 8)
+
+
+def decode_audio_meta(blobs: DataFrame) -> DataFrame:
+    """Audio twin of ``decode_meta``: WAV headers parsed for real,
+    other payloads get deterministic stub metadata (mono, 16 kHz,
+    byte-length-derived sample count)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for doc_id, content, mime in zip(
+                pdf["doc_id"], pdf["content"], pdf["mime"]
+            ):
+                parsed = _parse_wav_header(content)
+                if parsed is None:
+                    parsed = (mime, 1, 16_000, len(content) * 4)
+                rows["doc_id"].append(doc_id)
+                rows["mime"].append(parsed[0])
+                rows["n_bytes"].append(len(content))
+                rows["n_channels"].append(parsed[1])
+                rows["sample_rate"].append(parsed[2])
+                rows["n_samples"].append(parsed[3])
+            yield pd.DataFrame(rows)
+
+    assert isinstance(blobs.schema["content"].dataType, BinaryType)
+    return blobs.mapInPandas(decode_batches, AUDIO_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -842,3 +842,34 @@ def test_multimodal_decode_parses_real_image_headers(spark):
     n = len(b"just some text bytes")
     assert got[4].mime == "image/fake"
     assert (got[4].width, got[4].height) == (64 + n % 512, 64 + (7 * n) % 512)
+
+
+def test_multimodal_audio_decode_parses_wav(spark):
+    """A real WAV (written by the stdlib wave module) must round-trip
+    its channels/rate/sample-count through the mapInPandas audio
+    decode; unknown payloads get the deterministic stub."""
+    import io
+    import wave
+
+    from big_data_trend_analysis_spark.operators.multimodal import decode_audio_meta
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)  # 16-bit
+        w.setframerate(44_100)
+        w.writeframes(b"\x00\x01" * 2 * 1000)  # 1000 stereo frames
+    wav_bytes = buf.getvalue()
+
+    rows = [
+        (1, wav_bytes, "application/octet-stream"),
+        (2, b"opaque audio-ish bytes", "audio/fake"),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, content binary, mime string")
+    got = {r.doc_id: r for r in decode_audio_meta(blobs).collect()}
+
+    assert (got[1].mime, got[1].n_channels, got[1].sample_rate, got[1].n_samples) == (
+        "audio/wav", 2, 44_100, 1000
+    )
+    assert got[2].mime == "audio/fake"
+    assert got[2].n_samples == len(b"opaque audio-ish bytes") * 4
