@@ -509,3 +509,83 @@ def histogram_numeric(
             .alias("sum_price"),
         )
     )
+
+
+def theta_segment_overlap(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Approximate audience overlap between segments via theta sketches.
+
+    The set-operation tier of the sketch family (Datasketches theta,
+    built into Spark 4): one sketch per segment — the only corpus-sized
+    pass — then every pairwise |A∩B| / |A∪B| / Jaccard is computed
+    sketch-on-sketch from the O(segments) relation. At 100 TB this is
+    THE way to answer "how many users do segments share" for every
+    pair: exact pairwise distinct-intersections would need a shuffle
+    per pair; sketches need one aggregation total, and the per-segment
+    sketches are mergeable across partitions, days, and clusters.
+    Library-level (no oracle entry): accuracy is property-tested
+    against exact overlaps in tests/test_sketches.py.
+    """
+    sketches = events.groupBy(key_col).agg(
+        F.theta_sketch_agg(id_col, F.lit(lg_k)).alias("sk")
+    )
+    a, b = sketches.alias("a"), sketches.alias("b")
+    pair = a.join(
+        F.broadcast(b), F.col(f"a.{key_col}") < F.col(f"b.{key_col}")
+    )
+    return pair.select(
+        F.col(f"a.{key_col}").alias("segment_a"),
+        F.col(f"b.{key_col}").alias("segment_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("a.sk", "b.sk")
+        ).alias("n_overlap"),
+        F.theta_sketch_estimate(F.theta_union("a.sk", "b.sk")).alias("n_union"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("a.sk", "b.sk"))
+            / F.theta_sketch_estimate(F.theta_union("a.sk", "b.sk")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def kll_quantile_rollup(
+    lineitem: DataFrame,
+    value_col: str = "l_extendedprice",
+    group_col: str = "l_returnflag",
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Mergeable quantiles: per-group KLL sketches + a global merge.
+
+    The re-aggregable analog of ``rollup_two_level`` for percentiles:
+    exact percentiles cannot be combined upward (p95-of-p95s is
+    meaningless), but KLL sketches merge losslessly-in-error-bound, so
+    per-group (or per-hour / per-partition) sketches roll up to any
+    coarser grain without re-touching the data. Emits one row per
+    group plus a ``__total__`` row computed by MERGING the group
+    sketches — never re-scanning. Library-level; merged-vs-direct
+    accuracy is property-tested in tests/test_sketches.py.
+    """
+    per_group = lineitem.groupBy(group_col).agg(
+        F.kll_sketch_agg_double(value_col).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    def qcols(sk):
+        return [
+            F.round(
+                F.kll_sketch_get_quantile_double(sk, F.lit(q)), 6
+            ).alias(f"p{int(q * 100)}")
+            for q in quantiles
+        ]
+
+    groups = per_group.select(
+        F.col(group_col).alias("grp"), "n_rows", *qcols(F.col("sk"))
+    )
+    total = per_group.agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit("__total__").alias("grp"), "n_rows", *qcols(F.col("sk")))
+    return groups.unionByName(total)

@@ -115,3 +115,62 @@ def test_cms_window_probe_range_filter(spark, sf_dir):
     ).collect()
     assert {r.window_start.day for r in ranged} == {5, 6, 7, 8, 9}
     assert len(ranged) == 5 * len(keys)  # rows = windows-in-range x keys
+
+
+def test_theta_segment_overlap_near_exact(spark, sf_dir):
+    """Theta overlap estimates must track exact pairwise intersections
+    (fixture cardinalities sit far below 2^lg_k, so theta operates in
+    exact mode) and Jaccard must equal overlap/union."""
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        theta_segment_overlap,
+    )
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        (r.segment_a, r.segment_b): r
+        for r in theta_segment_overlap(events).collect()
+    }
+    users = {
+        t: {r.user_id for r in events.filter(F.col("event_type") == t)
+            .select("user_id").distinct().collect()}
+        for t in [r.event_type for r in events.select("event_type").distinct().collect()]
+    }
+    assert len(got) == len(users) * (len(users) - 1) // 2
+    for (a, b), row in got.items():
+        exact_i = len(users[a] & users[b])
+        exact_u = len(users[a] | users[b])
+        assert abs(row.n_overlap - exact_i) <= max(1.0, 0.05 * exact_i), (a, b)
+        assert abs(row.n_union - exact_u) <= max(1.0, 0.05 * exact_u), (a, b)
+        assert row.jaccard == pytest.approx(row.n_overlap / row.n_union, abs=1e-6)
+
+
+def test_kll_rollup_merged_matches_direct(spark, sf_dir):
+    """The merged __total__ sketch's quantiles must approximate the
+    directly-computed global quantiles within KLL's rank error —
+    the property that makes percentile rollups re-aggregable."""
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        kll_quantile_rollup,
+    )
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = {r.grp: r for r in kll_quantile_rollup(li).collect()}
+    assert "__total__" in rows
+    assert rows["__total__"].n_rows == li.count()
+
+    # rank-error check: the value KLL returns for q must sit between
+    # the exact quantiles at q ± 2% rank
+    for q, field in ((0.5, "p50"), (0.95, "p95")):
+        lo, hi = (
+            li.agg(
+                F.expr(
+                    f"percentile(l_extendedprice, {max(0.0, q - 0.02)})"
+                ).alias("lo"),
+                F.expr(
+                    f"percentile(l_extendedprice, {min(1.0, q + 0.02)})"
+                ).alias("hi"),
+            ).first()
+        )
+        got = getattr(rows["__total__"], field)
+        assert lo <= got <= hi, (field, lo, got, hi)
