@@ -419,3 +419,37 @@ def sample_mixture(
         .filter(bucket < (F.col("keep_rate") * 1_000_000).cast("long"))
         .select("doc_id", "lang", F.round("keep_rate", 6).alias("keep_rate"))
     )
+
+
+def split_train_val_test(
+    documents: DataFrame,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    key_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """Deterministic train/val/test assignment (curation's last step).
+
+    Same mechanics as ``sample_mixture``: ``xxhash64(key, seed)``
+    buckets each row into one of three disjoint, exhaustive splits via
+    two thresholds — a pure row-local expression, so the assignment is
+    reproducible across runs, partitionings, and cluster sizes, needs
+    no shuffle, no RNG state, and no global count. Keying on a STABLE
+    id (never position) means adding new documents later cannot move
+    any existing document between splits — the property that keeps an
+    eval set uncontaminated across dataset versions. Library-level;
+    disjointness/stability/ratios are property-tested.
+    """
+    if not (0 <= val_frac and 0 <= test_frac and val_frac + test_frac < 1):
+        raise ValueError(
+            f"invalid split fractions: val={val_frac}, test={test_frac}"
+        )
+    bucket = F.pmod(F.xxhash64(key_col, F.lit(seed)), F.lit(1_000_000))
+    val_cut = int(val_frac * 1_000_000)
+    test_cut = val_cut + int(test_frac * 1_000_000)
+    split = (
+        F.when(bucket < val_cut, F.lit("val"))
+        .when(bucket < test_cut, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return documents.withColumn("split", split)

@@ -508,3 +508,44 @@ def test_fuzzy_join_radius2_matches_brute_force(spark, toks):
         if lev(a, b) <= 2
     }
     assert got == expected
+
+
+def test_split_train_val_test_disjoint_stable_ratioed(spark, sf_dir):
+    """Splits must be exhaustive and disjoint, stable under
+    repartitioning AND under corpus growth (an existing doc never
+    changes split when new docs arrive), with fractions near target."""
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.operators.textstats import (
+        split_train_val_test,
+    )
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_train_val_test(docs, val_frac=0.1, test_frac=0.1)
+    n = docs.count()
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, one split per row
+    assert 0.04 < counts.get("val", 0) / n < 0.16
+    assert 0.04 < counts.get("test", 0) / n < 0.16
+
+    assign = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    # stable under physical layout
+    re_assign = {
+        r.doc_id: r.split
+        for r in split_train_val_test(docs.repartition(7), 0.1, 0.1)
+        .select("doc_id", "split").collect()
+    }
+    assert assign == re_assign
+    # stable under corpus growth: half the corpus gets identical splits
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    half_assign = {
+        r.doc_id: r.split
+        for r in split_train_val_test(half, 0.1, 0.1)
+        .select("doc_id", "split").collect()
+    }
+    assert half_assign == {k: v for k, v in assign.items() if k % 2 == 0}
+
+    with pytest.raises(ValueError, match="invalid split"):
+        split_train_val_test(docs, val_frac=0.6, test_frac=0.5)
