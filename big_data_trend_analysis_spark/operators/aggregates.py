@@ -574,9 +574,13 @@ def kll_quantile_rollup(
         F.count(F.lit(1)).alias("n_rows"),
     )
     def qcols(sk):
+        # merging zero sketches yields a buffer the quantile extractor
+        # RAISES on (not null-propagates) — gate on the row count so an
+        # empty input/group produces null quantiles instead of a crash
         return [
-            F.round(
-                F.kll_sketch_get_quantile_double(sk, F.lit(q)), 6
+            F.when(
+                F.coalesce(F.col("n_rows"), F.lit(0)) > 0,
+                F.round(F.kll_sketch_get_quantile_double(sk, F.lit(q)), 6),
             ).alias(f"p{int(q * 100)}")
             for q in quantiles
         ]
@@ -586,6 +590,6 @@ def kll_quantile_rollup(
     )
     total = per_group.agg(
         F.kll_merge_agg_double("sk").alias("sk"),
-        F.sum("n_rows").alias("n_rows"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
     ).select(F.lit("__total__").alias("grp"), "n_rows", *qcols(F.col("sk")))
     return groups.unionByName(total)

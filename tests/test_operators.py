@@ -873,3 +873,44 @@ def test_multimodal_audio_decode_parses_wav(spark):
     )
     assert got[2].mime == "audio/fake"
     assert got[2].n_samples == len(b"opaque audio-ish bytes") * 4
+
+
+def test_round5_operators_handle_empty_input(spark):
+    """Empty-relation behavior (reference F1 analog) for the round-5
+    additions: empty in → empty (never erroring) out."""
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        histogram_numeric,
+        kll_quantile_rollup,
+        theta_segment_overlap,
+    )
+    from big_data_trend_analysis_spark.operators.dedup import decontaminate_ngram
+    from big_data_trend_analysis_spark.operators.temporal import (
+        event_transitions,
+        retention_cohort,
+    )
+    from big_data_trend_analysis_spark.operators.textstats import (
+        split_train_val_test,
+    )
+
+    no_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    no_events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    no_lines = spark.createDataFrame(
+        [], "l_extendedprice double, l_returnflag string"
+    )
+    assert decontaminate_ngram(no_docs).count() == 0
+    assert split_train_val_test(no_docs).count() == 0
+    assert retention_cohort(no_events).count() == 0
+    assert event_transitions(no_events).count() == 0
+    assert theta_segment_overlap(no_events).count() == 0
+    assert histogram_numeric(no_lines).count() == 0
+    # KLL rollup emits its __total__ row even on empty input — the
+    # merged sketch is empty, quantiles are null, count is zero
+    total = kll_quantile_rollup(no_lines).collect()
+    assert [r.grp for r in total] == ["__total__"]
+    assert total[0].n_rows is None or total[0].n_rows == 0
