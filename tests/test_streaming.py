@@ -370,11 +370,20 @@ def test_events_readers_handle_both_timestamp_storages(spark, sf_dir, tmp_path):
         "value": pa.array([1.5, 2.5], pa.float64()),
         "props": pa.array(["{}", "{}"]),
     }
+    # the full storage matrix a driver regeneration could emit: naive
+    # and UTC-adjusted, micro- and nano-precision (the engine session
+    # is pinned UTC, so naive and UTC-instant reads must agree)
+    variants = {
+        "ns": pa.timestamp("ns"),
+        "us": pa.timestamp("us"),
+        "ns_utc": pa.timestamp("ns", tz="UTC"),
+        "us_utc": pa.timestamp("us", tz="UTC"),
+    }
     dirs = {}
-    for unit in ("ns", "us"):
+    for unit, pa_type in variants.items():
         d = tmp_path / f"storage_{unit}"
         d.mkdir()
-        table = pa.table({**cols, "ts": pa.array(ts, pa.timestamp(unit))})
+        table = pa.table({**cols, "ts": pa.array(ts, pa_type)})
         pq.write_table(table, str(d / "events.parquet"))
         dirs[unit] = str(d)
 
@@ -384,7 +393,8 @@ def test_events_readers_handle_both_timestamp_storages(spark, sf_dir, tmp_path):
         )
         for unit, d in dirs.items()
     }
-    assert batches["ns"] == batches["us"]
+    for unit in variants:
+        assert batches[unit] == batches["ns"], unit
     assert batches["ns"][0][1] == ts[0]  # values, not just agreement
 
     for unit, d in dirs.items():
