@@ -34,6 +34,16 @@ def main() -> None:
     print("== similarity search (exact cosine top-5 per probe) ==")
     QUERIES["sim_search"](spark, sf_dir).show(15, truncate=False)
 
+    print("== benchmark decontamination (3-gram overlap vs eval slice) ==")
+    QUERIES["decontaminate_ngram"](spark, sf_dir).orderBy(
+        "doc_id"
+    ).show(8, truncate=False)
+
+    print("== weekly retention cohorts ==")
+    QUERIES["retention_cohort"](spark, sf_dir).orderBy(
+        "cohort_week", "week_offset"
+    ).show(8, truncate=False)
+
     spark.stop()
 
 
