@@ -453,3 +453,96 @@ def split_train_val_test(
         .otherwise(F.lit("train"))
     )
     return documents.withColumn("split", split)
+
+
+def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/quality signals (Rae et al. 2021, §A1.1).
+
+    The repetition family of the MassiveText quality rules — the
+    signals that catch boilerplate, scraped templates, and
+    keyword-stuffed spam that length/stopword gates miss:
+
+    - ``dup_line_frac``: fraction of newline-split lines that repeat an
+      earlier line (row-local higher-order fns);
+    - ``dup_word_frac``: fraction of word occurrences beyond each
+      word's first (row-local);
+    - ``symbol_word_ratio``: '#'/ellipsis occurrences per word
+      (row-local);
+    - ``top_bigram_char_frac``: fraction of document characters covered
+      by occurrences of its single most frequent word bigram — the one
+      signal needing a shuffle: bigram frequencies aggregate per
+      (doc, gram) with map-side partials, then ``max_by`` picks the
+      mode; all shuffled rows are (doc_id, hash-sized gram, count).
+
+    Thresholds are the caller's policy (the paper cuts at e.g.
+    dup_line_frac > 0.30, top_2gram_char_frac > 0.20,
+    symbol_word_ratio > 0.10); this operator just measures.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    toks = F.split(text, " ")
+    n_lines = F.size(lines)
+    n_words = F.size(toks)
+    sig = documents.select(
+        "doc_id",
+        F.round(
+            (n_lines - F.size(F.array_distinct(lines)))
+            / F.greatest(n_lines, F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            (n_words - F.size(F.array_distinct(toks)))
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            (
+                F.length(text)
+                - F.length(F.regexp_replace(text, r"#|\.\.\.|…", ""))
+            )
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            6,
+        ).alias("symbol_word_ratio"),
+        F.length(text).alias("n_chars"),
+    )
+
+    # size >= 2 filter BEFORE the sequence: sequence(1, 0) descends in
+    # Spark and would feed slice() an invalid start-0 index; docs with
+    # no bigram surface as NULL through the left join instead
+    bigrams = documents.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            )
+        ).alias("g"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    (F.col("c") * F.length("g")).alias("covered"),
+                    F.col("n_chars"),
+                ),
+                # deterministic mode pick: count, then covered chars,
+                # then the lexicographically largest bigram on full ties
+                F.struct(F.col("c"), F.length("g"), F.col("g")),
+            ).alias("t"),
+        )
+    )
+    return sig.join(
+        top.select(
+            "doc_id",
+            F.round(
+                F.col("t.covered") / F.greatest(F.col("t.n_chars"), F.lit(1)),
+                6,
+            ).alias("top_bigram_char_frac"),
+        ),
+        "doc_id",
+        "left",
+    ).drop("n_chars")

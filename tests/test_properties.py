@@ -549,3 +549,46 @@ def test_split_train_val_test_disjoint_stable_ratioed(spark, sf_dir):
 
     with pytest.raises(ValueError, match="invalid split"):
         split_train_val_test(docs, val_frac=0.6, test_frac=0.5)
+
+
+def test_repetition_signals_match_brute_force(spark):
+    """Each Gopher-style signal must equal the brute-force Python
+    computation on planted repetitive / clean / degenerate docs."""
+    from collections import Counter
+
+    from big_data_trend_analysis_spark.operators.textstats import (
+        repetition_signals,
+    )
+
+    docs = {
+        1: "spam spam spam spam unique",            # heavy word dup
+        2: "alpha beta\nalpha beta\ngamma delta",   # duplicate line
+        3: "clean words only here now",             # clean
+        4: "x",                                     # single token
+        5: "tag # tag # tag ... done",              # symbols
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+
+    for i, t in docs.items():
+        lines = t.split("\n")
+        words = t.split(" ")
+        exp_dup_line = round((len(lines) - len(set(lines))) / len(lines), 6)
+        exp_dup_word = round((len(words) - len(set(words))) / len(words), 6)
+        n_sym = t.count("#") + t.count("...") + t.count("…")
+        sym_chars = t.count("#") + 3 * t.count("...") + t.count("…")
+        exp_sym = round(sym_chars / len(words), 6)
+        assert got[i].dup_line_frac == exp_dup_line, i
+        assert got[i].dup_word_frac == exp_dup_word, i
+        assert got[i].symbol_word_ratio == exp_sym, i
+
+        bigrams = [" ".join(words[j : j + 2]) for j in range(len(words) - 1)]
+        if bigrams:
+            c = Counter(bigrams)
+            best = max(c, key=lambda g: (c[g], len(g), g))
+            exp_top = round(c[best] * len(best) / len(t), 6)
+            assert got[i].top_bigram_char_frac == exp_top, i
+        else:
+            assert got[i].top_bigram_char_frac is None, i
