@@ -90,3 +90,85 @@ def fingerprint(text: Column | str) -> Column:
     """
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.lower(c))
+
+
+#: Per-language function-word profiles for multi-class language ID.
+#: Small closed-class word sets (the most frequent function words per
+#: language) — the deterministic, dependency-free core of stopword-
+#: profile language identification; fasttext/langdetect drop in at the
+#: same call site when available.
+LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and to in a is that it for was on are as with his they at be this".split()
+    ),
+    "es": frozenset(
+        "de la que el en y a los del se las por un para con no una su al es".split()
+    ),
+    "fr": frozenset(
+        "de la le et les des en un du une que est pour qui dans par sur au plus".split()
+    ),
+    "de": frozenset(
+        "der die und in den von zu das mit sich des auf ist im dem nicht ein eine als".split()
+    ),
+}
+
+
+def lang_id_multi(
+    text: Column | str, threshold: float = 0.08
+) -> Column:
+    """Multi-class stopword-profile language ID ('en'/'es'/'fr'/'de'/'other').
+
+    Scores each language as the fraction of whitespace tokens found in
+    its function-word profile and picks the arg-max (ties break by
+    language code order via the score/key struct), defaulting to
+    'other' below ``threshold``. Entirely row-local higher-order
+    expressions — a scan-speed classifier column that composes with
+    predicate pushdown, exactly like ``lang_id_en`` but multi-class.
+    """
+    toks = tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.size(F.filter(toks, lambda t: t.isin(*sorted(words)))) / n
+                ).alias("score"),
+                # invert the code for the tie-break so array_max's
+                # lexicographic struct order prefers 'de' < 'en' < …
+                F.lit(code).alias("code"),
+            )
+            for code, words in sorted(LANG_PROFILES.items(), reverse=True)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(
+        best.getField("score") >= F.lit(threshold), best.getField("code")
+    ).otherwise(F.lit("other"))
+
+
+#: PII patterns (dialect-conservative Java regex): emails and URLs are
+#: handled by clean_text; these add phone numbers, IPv4 addresses,
+#: SSN-shaped and long-digit-run (card-shaped) sequences.
+_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+    (r"\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def mask_pii(text: Column | str) -> Column:
+    """Replace PII-shaped substrings with typed placeholders.
+
+    The redaction pass of training-data curation: SSN-shaped ids,
+    card-shaped digit runs, phone numbers, and IPv4 addresses become
+    ``<SSN>/<CARD>/<PHONE>/<IP>`` tokens via a chain of JVM-side
+    ``regexp_replace`` calls (order matters: most-specific first so a
+    card-shaped run is not half-eaten by the phone pattern). Pattern-
+    based masking is a RECALL tool, not a guarantee — production adds
+    NER-based detection on top (the spaCy hook in functions/nlp.py).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern, token in _PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c

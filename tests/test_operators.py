@@ -914,3 +914,44 @@ def test_round5_operators_handle_empty_input(spark):
     total = kll_quantile_rollup(no_lines).collect()
     assert [r.grp for r in total] == ["__total__"]
     assert total[0].n_rows is None or total[0].n_rows == 0
+
+
+def test_lang_id_multi_classifies_function_words(spark):
+    from big_data_trend_analysis_spark.functions.text import lang_id_multi
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "la casa es de el perro y no es grande"),
+            (3, "le chien est dans la maison et il est grand"),
+            (4, "der hund ist in dem haus und das ist gut"),
+            (5, "zzz qqq xxx www"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", lang_id_multi("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "other"}
+
+
+def test_mask_pii_replaces_typed_placeholders(spark):
+    from big_data_trend_analysis_spark.functions.text import mask_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "ssn 123-45-6789 ok"),
+            (2, "card 4111 1111 1111 1111 here"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "host 192.168.0.1 up"),
+            (5, "no pii in this sentence"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.m for r in df.select("id", mask_pii("text").alias("m")).collect()}
+    assert got[1] == "ssn <SSN> ok"
+    assert got[2] == "card <CARD> here"
+    assert "<PHONE>" in got[3]
+    assert got[4] == "host <IP> up"
+    assert got[5] == "no pii in this sentence"
+    # masking is idempotent
+    df2 = spark.createDataFrame([(1, got[3])], "id long, text string")
+    assert df2.select(mask_pii("text").alias("m")).first().m == got[3]
