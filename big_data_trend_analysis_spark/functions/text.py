@@ -152,7 +152,7 @@ def lang_id_multi(
 _PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
-    (r"\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    (r"(?:\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 )
 

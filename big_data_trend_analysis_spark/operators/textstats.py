@@ -546,3 +546,54 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
         "doc_id",
         "left",
     ).drop("n_chars")
+
+
+def curate_for_training(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    max_dup_word_frac: float = 0.5,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+) -> DataFrame:
+    """Full curation capstone: normalize → redact → gate → dedup → split.
+
+    Composes the library end-to-end the way a training-data run would:
+    ``text_clean`` normalization, ``mask_pii`` redaction, the quality
+    score plus a Gopher-style repetition cut (dup-word fraction — the
+    row-local signal; see ``repetition_signals`` for the full set),
+    exact dedup on the redacted text (min doc_id survives, 16-byte
+    fingerprint shuffle), then the deterministic, growth-stable
+    train/val/test assignment. One Catalyst plan: every gate is a
+    pushable expression, the only shuffle is the dedup groupBy, and
+    the split adds zero shuffles. Returns
+    (doc_id, split, clean_text, quality).
+    """
+    from big_data_trend_analysis_spark.functions.text import mask_pii
+
+    toks = F.split("text", " ")
+    dup_word_frac = (
+        F.size(toks) - F.size(F.array_distinct(toks))
+    ) / F.greatest(F.size(toks), F.lit(1))
+    gated = (
+        documents.filter(dup_word_frac <= max_dup_word_frac)
+        .select(
+            "doc_id",
+            F.round(quality_score("text"), 6).alias("quality"),
+            # redact BEFORE normalizing: the cleaner strips the very
+            # separators (dashes, dots) the PII patterns key on; the
+            # placeholders then lowercase to <phone>/<ip>/… alongside
+            # the cleaner's own <url>/<email> convention
+            _clean_expr(mask_pii(F.col("text"))).alias("clean_text"),
+        )
+        .filter(F.col("quality") >= min_quality)
+    )
+    survivors = gated.groupBy(F.md5("clean_text").alias("_fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("clean_text", "doc_id").alias("clean_text"),
+        F.min_by("quality", "doc_id").alias("quality"),
+    )
+    return split_train_val_test(
+        survivors.select("doc_id", "clean_text", "quality"),
+        val_frac=val_frac,
+        test_frac=test_frac,
+    ).select("doc_id", "split", "clean_text", "quality")

@@ -955,3 +955,34 @@ def test_mask_pii_replaces_typed_placeholders(spark):
     # masking is idempotent
     df2 = spark.createDataFrame([(1, got[3])], "id long, text string")
     assert df2.select(mask_pii("text").alias("m")).first().m == got[3]
+
+
+def test_curate_for_training_end_to_end(spark):
+    """The capstone composition must gate, redact, dedup, and split in
+    one pass: planted dup pair -> min id survives; repetitive doc ->
+    dropped; PII -> masked; every survivor gets exactly one split."""
+    from big_data_trend_analysis_spark.operators.textstats import (
+        curate_for_training,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while many other "
+        "words provide enough natural length and variety for the gate "
+        "to score this document comfortably above the quality threshold"
+    )
+    rows = [
+        (1, good),
+        (2, good),                                  # exact dup of 1
+        (3, "spam spam spam spam spam spam spam"),  # repetition cut
+        (4, good + " call 555-123-4567 or visit 10.0.0.1 today"),
+        (5, "x"),                                   # quality cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curate_for_training(df).collect()}
+
+    assert 1 in out and 2 not in out          # dedup keeps min doc_id
+    assert 3 not in out                       # dup-word fraction cut
+    assert 5 not in out                       # quality cut
+    assert 4 in out
+    assert "<phone>" in out[4].clean_text and "<ip>" in out[4].clean_text
+    assert all(r.split in ("train", "val", "test") for r in out.values())
