@@ -5,11 +5,19 @@ North-star component (BASELINE.json): image/audio/video travel as
 as Arrow-batched ``mapInPandas`` so bytes stream through Python in
 columnar batches (never row-at-a-time py4j).
 
-The container has no image/audio libraries, so the *decode step* is
-STUBBED with a deterministic fake (documented below); everything
-Spark-side — schema, batch iteration, partitioning, UDF signature — is
-real and tested. Swap ``_decode_image_stub`` for a PIL/libav call and
-nothing else changes.
+The container has no image/audio libraries, so the layers split by
+what pure stdlib/numpy can do honestly:
+
+- REAL: header/metadata parsing (PNG IHDR, JPEG SOF, GIF descriptor,
+  RIFF-WAV chunk walk) and nearest-neighbor resampling of raw PPM
+  bitmaps — the sniffing/layout work a media pipeline runs before any
+  codec.
+- STUBBED: compressed-pixel decoding and the embedding model
+  (``_decode_image_stub``, ``fake_embed``) — deterministic fakes with
+  the real call sites; a PIL/libav swap-in changes nothing else.
+
+Everything Spark-side — schema, Arrow batch iteration, partitioning,
+UDF signatures, row-expanding fan-out — is real and tested.
 """
 
 from __future__ import annotations
@@ -325,3 +333,87 @@ def multimodal_pipeline(documents: DataFrame) -> DataFrame:
         F.countDistinct("frame_idx").alias("n_frames")
     )
     return n_frames.join(pooled, "doc_id")
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def _parse_ppm(payload: bytes):
+    """Minimal binary-PPM (P6, maxval 255) parse → (w, h, ndarray)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        return None
+    # header: magic, width, height, maxval — whitespace-separated,
+    # '#' comments allowed between tokens
+    tokens, i = [], 2
+    while len(tokens) < 3 and i < len(payload):
+        ch = payload[i : i + 1]
+        if ch == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif ch.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        return None
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i + 1)
+    return w, h, pixels.reshape(h, w, 3)
+
+
+def resize_images(
+    blobs: DataFrame, target_w: int = 64, target_h: int = 64
+) -> DataFrame:
+    """Resize image payloads to (target_w, target_h) — REAL for raw
+    bitmaps, stub for compressed formats.
+
+    Uncompressed PPM (P6) payloads get an actual nearest-neighbor
+    resample (numpy index-gather per Arrow batch — the same vectorized
+    shape a PIL/opencv kernel plugs into); compressed formats would
+    need the pixel decoder this container lacks, so they pass through
+    a deterministic byte-slice stub (first ``3·w·h`` bytes, zero-padded)
+    that keeps the output contract — ``content`` is always a
+    ``3·target_w·target_h``-byte RGB buffer — and the Spark plumbing
+    (schema, batching, memory bound per Arrow batch) identical.
+    """
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = 3 * target_w * target_h
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for doc_id, content, mime in zip(
+                pdf["doc_id"], pdf["content"], pdf["mime"]
+            ):
+                parsed = _parse_ppm(content)
+                if parsed is not None:
+                    w, h, px = parsed
+                    ys = (np.arange(target_h) * h) // target_h
+                    xs = (np.arange(target_w) * w) // target_w
+                    resized = px[ys][:, xs].tobytes()
+                    mime_out = "image/x-portable-pixmap"
+                else:
+                    resized = bytes(content[:n_out]).ljust(n_out, b"\x00")
+                    mime_out = mime
+                out["doc_id"].append(doc_id)
+                out["mime"].append(mime_out)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["content"].append(resized)
+            yield pd.DataFrame(out)
+
+    assert isinstance(blobs.schema["content"].dataType, BinaryType)
+    return blobs.mapInPandas(resize_batches, RESIZE_SCHEMA)

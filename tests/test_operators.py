@@ -986,3 +986,34 @@ def test_curate_for_training_end_to_end(spark):
     assert 4 in out
     assert "<phone>" in out[4].clean_text and "<ip>" in out[4].clean_text
     assert all(r.split in ("train", "val", "test") for r in out.values())
+
+
+def test_resize_images_real_ppm_and_stub(spark):
+    """A real P6 PPM must be ACTUALLY resampled (checkerboard corners
+    land on the right colors); non-bitmap payloads get the padded
+    byte-slice stub with the output-size contract held."""
+    import numpy as np
+
+    from big_data_trend_analysis_spark.operators.multimodal import resize_images
+
+    # 4x4 checkerboard: red top-left quadrant, blue top-right, etc.
+    px = np.zeros((4, 4, 3), np.uint8)
+    px[:2, :2] = [255, 0, 0]
+    px[:2, 2:] = [0, 0, 255]
+    px[2:, :2] = [0, 255, 0]
+    px[2:, 2:] = [255, 255, 0]
+    ppm = b"P6\n4 4\n255\n" + px.tobytes()
+
+    rows = [(1, ppm, "image/x-portable-pixmap"), (2, b"opaque", "image/fake")]
+    blobs = spark.createDataFrame(rows, "doc_id long, content binary, mime string")
+    got = {r.doc_id: r for r in resize_images(blobs, 2, 2).collect()}
+
+    small = np.frombuffer(got[1].content, np.uint8).reshape(2, 2, 3)
+    assert small[0, 0].tolist() == [255, 0, 0]   # red
+    assert small[0, 1].tolist() == [0, 0, 255]   # blue
+    assert small[1, 0].tolist() == [0, 255, 0]   # green
+    assert small[1, 1].tolist() == [255, 255, 0] # yellow
+    assert (got[1].width, got[1].height) == (2, 2)
+
+    assert len(got[2].content) == 12  # stub honors the size contract
+    assert bytes(got[2].content[:6]) == b"opaque"
