@@ -208,6 +208,19 @@ HEADLINERS: dict[str, str] = {
         "is TakeOrderedAndProject. The full lineitem relation shuffles "
         "only 16-byte (orderkey, qty-partial) pairs."
     ),
+    "retention_cohort": (
+        "Both join inputs reduce to per-user grain BEFORE the join "
+        "(min-ts cohort on one side, distinct active weeks on the "
+        "other), so the join is a co-partitioned equi-join of two "
+        "already-aggregated relations and the final cell count "
+        "shuffles O(cohorts × offsets) rows — never events × events."
+    ),
+    "event_transitions": (
+        "One Exchange+Sort on user_id feeds the lag window, the "
+        "(from, to) count collapses to at most |types|² cells with a "
+        "map-side partial, and the probability normalization windows "
+        "over that 25-row relation — a single scan end to end."
+    ),
 }
 
 
