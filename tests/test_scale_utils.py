@@ -197,3 +197,40 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark's runtime Bloom-filter join optimization must engage on a
+    selective dim join: the dim side grows a bloom_filter_agg and the
+    fact side a might_contain probe BEFORE its shuffle — at 100 TB
+    this is what keeps a selective dim join from shuffling the full
+    fact table. Pinned with thresholds scaled to test data."""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(500_000).selectExpr(
+            "id", "id % 1000 AS fk", "uuid() AS pad"
+        )
+        dim = (
+            spark.range(1000)
+            .selectExpr("id AS fk", "id * 2 AS w")
+            .filter("fk % 100 = 0")
+        )
+        joined = fact.join(dim, "fk")
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
