@@ -73,14 +73,18 @@ def purchases_after_signup(
     within: str = "INTERVAL 2 HOURS",
     watermark: str = "4 hours",
     streaming: bool = True,
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream join: purchases within 2 h after the user's signup.
 
     Both sides carry watermarks and the join condition bounds event-time
     distance, so Spark can size the join state and evict expired rows —
-    the requirements for an unbounded stream-stream inner join. With
+    the requirements for an unbounded stream-stream join. With
     ``streaming=False`` the same expression runs in batch (the parity
-    twin; tested equal).
+    twin; tested equal). ``join_type="left_outer"`` adds the unmatched
+    side: a purchase with no in-window signup emits with null ``s_ts``
+    once the watermark proves no match can still arrive — the join mode
+    conversion-gap analyses need (who bought WITHOUT a recent signup).
     """
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
@@ -99,7 +103,7 @@ def purchases_after_signup(
         F.expr(
             f"p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + {within}"
         ),
-        "inner",
+        join_type,
     )
     return joined.select(
         F.col("p_user").alias("user_id"), "purchase_id", "p_ts", "s_ts"

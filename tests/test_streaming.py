@@ -610,3 +610,87 @@ def test_jdbc_append_sink_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
     got, want = agg(back), agg(events)
     assert (got.n, got.ids) == (want.n, want.ids)
     assert Decimal(got.sv) == Decimal(want.sv)
+
+
+def test_stream_stream_left_outer_join_parity(spark, sf_dir, tmp_path):
+    """The watermarked LEFT OUTER stream-stream join must equal the
+    batch outer join: matched purchases carry their signup time,
+    unmatched purchases emit with null s_ts once the watermark proves
+    no in-window signup can still arrive. Null rows actually present
+    (purchases without recent signups exist in the fixture), so the
+    outer path is exercised, not vacuous.
+
+    Outer emission requires the watermark to PASS each purchase's
+    match horizon; rows inside the final horizon would stay in state
+    when the stream drains, so the source carries a flush sentinel —
+    one inert far-future event, the standard production pattern for
+    closing out outer-join state at end-of-stream."""
+    import datetime as dt
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "events_flush"
+    src.mkdir()
+    events.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    max_ts = events.agg(F.max("ts")).first()[0]
+    # TWO sentinel batches: outer rows for batch N's input emit using
+    # the watermark computed at the END of batch N-1, so the first
+    # sentinel advances the watermark past every real purchase's match
+    # horizon and the second triggers the batch that flushes them.
+    # The watermark nodes sit AFTER the purchase/signup filters, so the
+    # sentinels must BE purchase+signup rows (an inert event_type never
+    # reaches either watermark operator); a dummy user keeps them out
+    # of the real result set.
+    DUMMY = 888_888
+    for i, days in enumerate((10, 11)):
+        t = max_ts + dt.timedelta(days=days)
+        sentinel = spark.createDataFrame(
+            [
+                (999_000 + i, t, DUMMY, "purchase", 0.0, "{}"),
+                (999_100 + i, t, DUMMY, "signup", 0.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(str(src / f"s{i}"))
+    augmented_stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = purchases_after_signup(
+        augmented_stream, streaming=True, join_type="left_outer"
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("ss_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sso"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    query.stop()
+    streamed = sorted(
+        (
+            tuple(r)
+            for r in spark.table("ss_outer").collect()
+            if r.user_id != DUMMY
+        ),
+        key=str,
+    )
+    batch = sorted(
+        map(
+            tuple,
+            purchases_after_signup(
+                events, streaming=False, join_type="left_outer"
+            ).collect(),
+        ),
+        key=str,
+    )
+    assert streamed == batch
+    assert any(r[3] is None for r in streamed), "outer path vacuous"
+    assert any(r[3] is not None for r in streamed)
