@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -152,3 +153,70 @@ def decayed_token_scores_tws(
 def tokens_from_text_stream(texts: DataFrame, text_col: str = "text") -> DataFrame:
     """Explode a streaming text column into tokens (A4 semantics)."""
     return texts.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+
+
+EXPIRING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("token", StringType()),
+        StructField("decayed_score", DoubleType()),
+        StructField("total_count", LongType()),
+        StructField("expired", BooleanType()),
+    ]
+)
+
+
+def expiring_token_scores(
+    tokens: DataFrame,
+    decay: float = 0.9,
+    ttl_ms: int = 60_000,
+    token_col: str = "token",
+) -> DataFrame:
+    """``decayed_token_scores`` with state EXPIRY: idle keys evict.
+
+    The unbounded-key-space answer ``NoTimeout`` lacks: a token that
+    stops arriving would otherwise hold state-store space forever (at
+    100 TB/day of text the key space only grows). A processing-time
+    timeout of ``ttl_ms`` per key lets the store self-clean — when a
+    key sees no data for a full TTL, the next micro-batch fires its
+    timeout branch, which emits a final ``expired=true`` tombstone row
+    (the downstream signal to persist/drop the key) and removes the
+    state. Live updates re-arm the clock.
+    """
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            score, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "token": [key[0]],
+                    "decayed_score": [float(score)],
+                    "total_count": [int(total)],
+                    "expired": [True],
+                }
+            )
+        else:
+            batch_count = sum(len(pdf) for pdf in batches)
+            score, total = state.get if state.exists else (0.0, 0)
+            score = score * decay + batch_count
+            total = total + batch_count
+            state.update((score, total))
+            state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(
+                {
+                    "token": [key[0]],
+                    "decayed_score": [float(score)],
+                    "total_count": [int(total)],
+                    "expired": [False],
+                }
+            )
+
+    return tokens.groupBy(token_col).applyInPandasWithState(
+        update,
+        outputStructType=EXPIRING_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -214,3 +214,65 @@ def test_decay_formula_across_two_updates(spark):
     for n in (10, 4):
         score = score * decay + n
     assert score == pytest.approx(10 * 0.9 + 4)
+
+
+def test_expiring_token_scores_evicts_idle_keys(spark, tmp_path):
+    """Processing-time TTL: a key idle for a full TTL must fire its
+    timeout branch in the next micro-batch — emitting a final
+    expired=true tombstone with the preserved state — while keys that
+    keep arriving re-arm and never expire. This is the state-store
+    self-cleaning an unbounded token space needs."""
+    import os
+    import time
+
+    from big_data_trend_analysis_spark.streaming.stateful import (
+        expiring_token_scores,
+        tokens_from_text_stream,
+    )
+
+    data = tmp_path / "docs_ttl"
+    data.mkdir()
+    spark.createDataFrame([("a b",)], "text string").coalesce(1).write.parquet(
+        str(data / "b1.parquet")
+    )
+    spark.createDataFrame([("b",)], "text string").coalesce(1).write.parquet(
+        str(data / "b2.parquet")
+    )
+    now = time.time()
+    for name, mtime in (("b1.parquet", now - 120), ("b2.parquet", now)):
+        d = data / name
+        for p in [d, *d.iterdir()]:
+            os.utime(p, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(data))
+    )
+    # ttl 1 ms: wall time between two micro-batches always exceeds it
+    query = (
+        expiring_token_scores(tokens_from_text_stream(stream), ttl_ms=1)
+        .writeStream.format("memory")
+        .queryName("tok_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    rows = [
+        (r.token, round(r.decayed_score, 6), r.total_count, r.expired)
+        for r in spark.table("tok_ttl").collect()
+    ]
+    # batch 1: a and b update; batch 2: b updates (re-armed), a expires
+    # with its batch-1 state intact. At a 1 ms TTL any trailing
+    # no-data batch may then expire b as well — if it does, the
+    # tombstone must carry b's final state, proving expiry preserves
+    # state rather than zeroing it.
+    assert ("a", 1.0, 1, False) in rows
+    assert ("b", 1.0, 1, False) in rows
+    assert ("a", 1.0, 1, True) in rows, rows
+    assert ("b", 1.9, 2, False) in rows
+    b_tombstones = [r for r in rows if r[0] == "b" and r[3]]
+    assert all(r == ("b", 1.9, 2, True) for r in b_tombstones)
