@@ -76,3 +76,21 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register catalog tables as temp views so ``spark.sql`` works."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files span schema versions.
+
+    A 100 TB table accumulates schema evolution (new telemetry columns
+    appear mid-year); by default Spark takes ONE footer's schema and
+    silently drops columns absent from it. ``mergeSchema`` unions the
+    footers instead: rows from files predating a column surface it as
+    null, and every file's columns are readable. Use for evolving
+    ingest directories; the fixed-catalog ``load_table`` path skips the
+    footer-merge cost.
+    """
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )

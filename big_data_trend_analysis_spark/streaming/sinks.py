@@ -18,6 +18,7 @@ import traceback
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 WriteFn = Callable[[DataFrame, int], None]
@@ -139,6 +140,50 @@ def parquet_idempotent_writer(path: str) -> WriteFn:
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return write
+
+
+def jdbc_idempotent_writer(
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "org.postgresql.Driver",
+    batch_id_col: str = "batch_id",
+) -> WriteFn:
+    """Exactly-once-EFFECT JDBC sink: delete-then-append keyed by batch.
+
+    The JDBC analog of ``parquet_idempotent_writer``: each batch's rows
+    carry the checkpointed ``batch_id``, and a replayed batch first
+    DELETEs its own ``batch_id`` slice (a driver-side statement via the
+    JVM's DriverManager — row data never moves through it) before the
+    executors append. A crash between append and checkpoint commit then
+    replays onto a clean slate instead of duplicating — the upgrade
+    over the reference's blind ``mode("append")``
+    (spark_stream.py:40-48). Requires ``table`` to exist (the DELETE
+    needs it); first-run table creation stays with the blind append
+    path or DDL migration.
+    """
+    options = jdbc_connection_options(url, table, user, password, driver)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = batch_df.sparkSession._jvm
+        jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+        try:
+            stmt = conn.createStatement()
+            # Spark's JDBC writer creates columns with quoted (case-
+            # preserved) identifiers — quote the same way here.
+            stmt.executeUpdate(
+                f'DELETE FROM {table} WHERE "{batch_id_col}" = {int(batch_id)}'
+            )
+            stmt.close()
+        finally:
+            conn.close()
+        batch_df.withColumn(batch_id_col, F.lit(batch_id).cast("long")).write.format(
+            "jdbc"
+        ).options(**options).mode(JDBC_APPEND_MODE).save()
 
     return write
 

@@ -234,3 +234,23 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_read_merged_schema_handles_evolution(spark, tmp_path):
+    """Files written before a column existed must read as null rows of
+    the UNION schema, not vanish or error — and the plain reader's
+    single-footer behavior is documented by contrast."""
+    from big_data_trend_analysis_spark.sources.tables import read_merged_schema
+
+    v1 = tmp_path / "t" / "v1"
+    v2 = tmp_path / "t" / "v2"
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(str(v1))
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.parquet(str(v2))
+
+    merged = read_merged_schema(spark, str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 0.5
+    assert merged.count() == 2

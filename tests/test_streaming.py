@@ -694,3 +694,44 @@ def test_stream_stream_left_outer_join_parity(spark, sf_dir, tmp_path):
     assert streamed == batch
     assert any(r[3] is None for r in streamed), "outer path vacuous"
     assert any(r[3] is not None for r in streamed)
+
+
+def test_jdbc_idempotent_writer_replay_no_duplicates(spark, sf_dir, tmp_path):
+    """Replaying a batch through the idempotent JDBC sink must leave the
+    table exactly as a single delivery would — the exactly-once-effect
+    upgrade over the reference's blind append, executed for real
+    against embedded Derby."""
+    from big_data_trend_analysis_spark.streaming.sinks import (
+        jdbc_idempotent_writer,
+    )
+
+    url = "jdbc:derby:memory:bdta_idem;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .limit(50)
+    )
+
+    write = jdbc_idempotent_writer(url, "served_idem", "app", "app", driver)
+    # first delivery creates the table via the append path
+    batch.withColumn("batch_id", F.lit(7).cast("long")).write.format(
+        "jdbc"
+    ).option("url", url).option("dbtable", "served_idem").option(
+        "driver", driver
+    ).mode("append").save()
+    # the idempotent writer REPLAYS batch 7, then delivers batch 8
+    write(batch, 7)
+    write(batch, 7)
+    write(batch, 8)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", "jdbc:derby:memory:bdta_idem")
+        .option("dbtable", "served_idem")
+        .option("driver", driver)
+        .load()
+    )
+    counts = {r.batch_id: r.n for r in back.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {7: 50, 8: 50}, counts
