@@ -82,6 +82,9 @@ def _q(op, *tables: str) -> QueryFn:
         tune_session(spark)
         return op(*[load_table(spark, sf_dir, t) for t in tables])
 
+    # Introspection hook for tools/green_ledger.py: the rotation-policy
+    # fingerprint hashes the *operator* source, not this tiny closure.
+    run.__query_impl__ = (op, tables)
     return run
 
 
@@ -683,7 +686,18 @@ def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QueryFn] = {
     # ---- window (first 50): the driver's correctness gate reads these ----
-    # 1-39: r3-standing queries rotated back through for fresh rows
+    # Ordering is enforced by tests/test_rotation_policy.py against
+    # tools/green_ledger.json: every entry that is new or changed since
+    # its last green driver row MUST sit inside the window.
+    # 0-5: no currently-valid driver row (5 added after the r5 run +
+    # join_hash, whose schema gained n_suppliers after its r4 green).
+    "decontaminate_ngram": _q(dedup.decontaminate_ngram, "documents"),
+    "retention_cohort": _q(temporal.retention_cohort, "events"),
+    "event_transitions": _q(temporal.event_transitions, "events"),
+    "histogram_numeric": _q(aggregates.histogram_numeric, "lineitem"),
+    "sql_tpch_q18": _sql_tpch_q18,
+    "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region", "supplier"),
+    # r3-standing queries rotated back through for fresh rows
     # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
     "sql_tpch_q1": _sql_tpch_q1,
@@ -732,14 +746,13 @@ QUERIES: dict[str, QueryFn] = {
     "stream_sink_live": _stream_sink_live,
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
-    # 45-50: new in round 5
+    # ---- beyond the window: fresh r4/r5 green rows stand ----
     "sql_tpch_q3": _sql_tpch_q3,
     "bm25_rank": _q(textstats.bm25_rank, "documents"),
     "cooccurrence_pmi": _q(textstats.cooccurrence_pmi, "documents"),
     "rolling_median": _q(windows.rolling_median, "events"),
     "attribution_last_touch": _q(temporal.attribution_last_touch, "events"),
     "hll_merge_check": _q(aggregates.hll_merge_check, "events"),
-    # ---- beyond the window: fresh r4 green rows stand ----
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
     "trend_anomaly": _q(trend.trend_anomaly, "events"),
@@ -769,7 +782,6 @@ QUERIES: dict[str, QueryFn] = {
     "approx_percentile": _q(aggregates.approx_percentile_agg, "lineitem"),
     "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
     "sample_mixture": _q(textstats.sample_mixture, "documents"),
-    "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region", "supplier"),
     "join_broadcast": _q(relational.join_broadcast, "lineitem", "part"),
     "join_semi_anti": _q(relational.join_semi_anti, "customer", "orders"),
     "set_ops": _q(relational.set_ops, "events"),
@@ -785,16 +797,6 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
     "null_handling": _q(scalar.null_handling, "orders"),
     "unpivot_measures": _q(scalar.unpivot_measures, "lineitem"),
-    # ---- new in round 5, placed OUTSIDE the window: these take their
-    # first driver correctness row when round 6 rotates them in (the
-    # r5 window's 50 slots are fully committed to the 39 r3-standing +
-    # 5 changed + 6 earlier-new queries); until then the oracle parity
-    # is pinned by tests/test_oracle_parity.py and .claude verify ----
-    "decontaminate_ngram": _q(dedup.decontaminate_ngram, "documents"),
-    "retention_cohort": _q(temporal.retention_cohort, "events"),
-    "event_transitions": _q(temporal.event_transitions, "events"),
-    "histogram_numeric": _q(aggregates.histogram_numeric, "lineitem"),
-    "sql_tpch_q18": _sql_tpch_q18,
 }
 
 
