@@ -119,25 +119,32 @@ def lang_id_multi(
     """Multi-class stopword-profile language ID ('en'/'es'/'fr'/'de'/'other').
 
     Scores each language as the fraction of whitespace tokens found in
-    its function-word profile and picks the arg-max (ties break by
-    language code order via the score/key struct), defaulting to
+    its function-word profile and picks the arg-max (ties break to the
+    alphabetically smallest language code), defaulting to
     'other' below ``threshold``. Entirely row-local higher-order
     expressions — a scan-speed classifier column that composes with
     predicate pushdown, exactly like ``lang_id_en`` but multi-class.
     """
     toks = tokens(text)
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    # Tie-break: the struct carries an inverted-alphabetical integer
+    # rank ahead of the code, so array_max's lexicographic struct order
+    # resolves equal scores to the alphabetically SMALLEST code
+    # ('de' < 'en' < 'es' < 'fr'), as the docstring promises.
+    codes = sorted(LANG_PROFILES)
     scored = F.array(
         *[
             F.struct(
                 (
-                    F.size(F.filter(toks, lambda t: t.isin(*sorted(words)))) / n
+                    F.size(
+                        F.filter(toks, lambda t: t.isin(*sorted(LANG_PROFILES[code])))
+                    )
+                    / n
                 ).alias("score"),
-                # invert the code for the tie-break so array_max's
-                # lexicographic struct order prefers 'de' < 'en' < …
+                F.lit(len(codes) - 1 - rank).alias("prio"),
                 F.lit(code).alias("code"),
             )
-            for code, words in sorted(LANG_PROFILES.items(), reverse=True)
+            for rank, code in enumerate(codes)
         ]
     )
     best = F.array_max(scored)

@@ -205,9 +205,14 @@ def _parse_wav_header(payload: bytes) -> tuple[str, int, int, int] | None:
         elif cid == b"data":
             data_size = size
         i += 8 + size + (size % 2)  # chunks are word-aligned
-    if None in (channels, rate, bits, data_size) or channels * bits == 0:
+    if None in (channels, rate, bits, data_size):
         return None
-    return "audio/wav", channels, rate, data_size // (channels * bits // 8)
+    # bits < 8 (e.g. 4-bit ADPCM) makes the bytes-per-frame divisor 0;
+    # such payloads take the stub path rather than crashing the batch.
+    bytes_per_frame = channels * bits // 8
+    if bytes_per_frame == 0:
+        return None
+    return "audio/wav", channels, rate, data_size // bytes_per_frame
 
 
 def decode_audio_meta(blobs: DataFrame) -> DataFrame:
@@ -358,17 +363,30 @@ def _parse_ppm(payload: bytes):
     while len(tokens) < 3 and i < len(payload):
         ch = payload[i : i + 1]
         if ch == b"#":
-            i = payload.index(b"\n", i) + 1
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                return None
+            i = nl + 1
         elif ch.isspace():
             i += 1
         else:
             j = i
             while j < len(payload) and not payload[j : j + 1].isspace():
                 j += 1
-            tokens.append(int(payload[i:j]))
+            try:
+                tokens.append(int(payload[i:j]))
+            except ValueError:
+                return None
             i = j
+    # Truncated/malformed payloads (missing header tokens or a pixel
+    # buffer shorter than 3·w·h) take the byte-slice stub path instead
+    # of crashing the whole Arrow batch.
+    if len(tokens) < 3:
+        return None
     w, h, maxval = tokens
-    if maxval != 255:
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    if len(payload) - (i + 1) < 3 * w * h:
         return None
     pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i + 1)
     return w, h, pixels.reshape(h, w, 3)

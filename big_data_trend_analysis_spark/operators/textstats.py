@@ -535,11 +535,18 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
             ).alias("t"),
         )
     )
+    # covered = count·len(gram) double-counts overlapping occurrences of
+    # self-repeating bigrams ("a a a a" -> 9 chars covered of 7), so the
+    # ratio is capped at 1.0 to stay a true fraction for threshold cuts.
     return sig.join(
         top.select(
             "doc_id",
             F.round(
-                F.col("t.covered") / F.greatest(F.col("t.n_chars"), F.lit(1)),
+                F.least(
+                    F.col("t.covered")
+                    / F.greatest(F.col("t.n_chars"), F.lit(1)),
+                    F.lit(1.0),
+                ),
                 6,
             ).alias("top_bigram_char_frac"),
         ),

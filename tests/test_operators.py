@@ -875,6 +875,42 @@ def test_multimodal_audio_decode_parses_wav(spark):
     assert got[2].n_samples == len(b"opaque audio-ish bytes") * 4
 
 
+def test_malformed_wav_and_ppm_take_the_stub_path():
+    """Malformed payloads must return None from the header parsers (so
+    mapInPandas falls back to the stub) instead of raising — ADVICE r5:
+    4-bit ADPCM WAVs divided by zero; truncated P6 crashed on unpack."""
+    import struct
+
+    from big_data_trend_analysis_spark.operators.multimodal import (
+        _parse_ppm,
+        _parse_wav_header,
+    )
+
+    # 4-bit mono ADPCM: channels*bits//8 == 0 -> stub, not ZeroDivisionError
+    fmt = struct.pack("<HHIIHH", 17, 1, 8000, 4000, 1, 4)
+    adpcm = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    )
+    assert _parse_wav_header(adpcm) is None
+    # sanity: a good header still parses
+    good_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    good = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(good_fmt)) + good_fmt
+        + b"data" + struct.pack("<I", 20) + b"\x00" * 20
+    )
+    assert _parse_wav_header(good) == ("audio/wav", 1, 8000, 10)
+
+    assert _parse_ppm(b"P6 12") is None                      # <3 header tokens
+    assert _parse_ppm(b"P6 2 2 255 " + b"\x00" * 5) is None  # short pixel buf
+    assert _parse_ppm(b"P6 2 2 255#") is None                # unterminated comment
+    assert _parse_ppm(b"P6 x 2 255 " + b"\x00" * 12) is None # non-numeric token
+    ok = _parse_ppm(b"P6 2 2 255\n" + bytes(range(12)))
+    assert ok is not None and ok[0] == 2 and ok[1] == 2
+
+
 def test_round5_operators_handle_empty_input(spark):
     """Empty-relation behavior (reference F1 analog) for the round-5
     additions: empty in → empty (never erroring) out."""
@@ -931,6 +967,17 @@ def test_lang_id_multi_classifies_function_words(spark):
     )
     got = {r.id: r.lang for r in df.select("id", lang_id_multi("text").alias("lang")).collect()}
     assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "other"}
+
+
+def test_lang_id_multi_ties_break_to_smallest_code(spark):
+    """'de la' scores 1.0 for BOTH es and fr — the documented tie-break
+    picks the alphabetically smallest language code ('es')."""
+    from big_data_trend_analysis_spark.functions.text import lang_id_multi
+
+    df = spark.createDataFrame([(1, "de la"), (2, "en un que")], "id long, text string")
+    got = {r.id: r.lang for r in df.select("id", lang_id_multi("text").alias("lang")).collect()}
+    assert got[1] == "es"  # es/fr tie -> es
+    assert got[2] == "es"  # es/fr tie -> es
 
 
 def test_mask_pii_replaces_typed_placeholders(spark):

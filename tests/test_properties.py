@@ -588,7 +588,13 @@ def test_repetition_signals_match_brute_force(spark):
         if bigrams:
             c = Counter(bigrams)
             best = max(c, key=lambda g: (c[g], len(g), g))
-            exp_top = round(c[best] * len(best) / len(t), 6)
+            # overlapping self-repeating bigrams can "cover" more chars
+            # than the doc has; the operator caps the fraction at 1.0
+            exp_top = round(min(c[best] * len(best) / len(t), 1.0), 6)
             assert got[i].top_bigram_char_frac == exp_top, i
         else:
             assert got[i].top_bigram_char_frac is None, i
+
+    # doc 1's top bigram "spam spam" covers 3*9=27 of 26 chars when
+    # counted with overlap — the reported fraction must be capped
+    assert got[1].top_bigram_char_frac == 1.0
