@@ -58,6 +58,13 @@ def main() -> None:
     # hand run 2 a warm cache, and the min would measure a cached
     # pipeline instead of the full cold path a cluster would run.
     def time_queries(names, data_dir, reps) -> dict[str, float]:
+        # One untimed throwaway at the TARGET tier: the first timed slot
+        # otherwise absorbs the residual session warmup the sf0.001 loop
+        # above doesn't cover (tier-sized scan/broadcast init — observed
+        # as agg_basic 1.68 s vs ~0.2 s isolated in BENCH_r05).
+        if names:
+            spark.catalog.clearCache()
+            force(QUERIES[names[0]](spark, data_dir))
         out: dict[str, float] = {}
         for name in names:
             best = float("inf")

@@ -676,6 +676,15 @@ def decontaminate_ngram(
     distinct shared-gram count, total distinct grams, and the
     contamination rate.
     """
+    # Gram building is CPU-bound per row; a single-row-group parquet
+    # fixture would otherwise serialize it on one task. Widen ONLY when
+    # the scan yields fewer partitions than cores — at 100 TB the input
+    # splits already exceed the cluster's parallelism and this is a
+    # no-op (no shuffle of corpus text is ever added at scale).
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism)
+
     toks = F.split("text", " ")
     grams_expr = F.array_distinct(
         F.transform(
