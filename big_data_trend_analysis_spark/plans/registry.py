@@ -605,19 +605,26 @@ def _stateful_decay_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     Drains ``decayed_token_scores`` — per-token mutable state updated
     by an arbitrary pandas function each micro-batch (score ←
     score·decay + batch_count), the engine's distributed replacement
-    for the reference's driver-resident cross-batch matrix — over a
-    file stream of documents, update mode into a memory sink. The
-    availableNow drain of one file is a single micro-batch, so the
-    recurrence collapses to score = count: the oracle pins the custom
-    state path (state store + pandas update + update-mode emission)
-    with plain token counts; multi-batch decay semantics are
-    pytest-covered (tests/test_pipeline_stateful.py).
+    for the reference's driver-resident cross-batch matrix — over the
+    SPLIT documents stream (``maxFilesPerTrigger=1`` over 3
+    doc_id%3-keyed files), so the availableNow drain runs ≥2 real
+    micro-batches and the oracle pins the TRUE cross-batch recurrence,
+    not its single-batch collapse. Update mode emits one row per
+    (token, updating batch) into the memory sink; the final state per
+    token is the row with the highest ``total_count`` (strictly
+    increasing per update), folded with ``max_by``. Decay 0.9 over ≤3
+    batches keeps every true score an exact multiple of 0.01, so the
+    round-6 comparison against the SQL recurrence cannot flap.
     """
     import shutil
     import tempfile
     import uuid
 
-    from big_data_trend_analysis_spark.streaming.sources import stream_documents
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.streaming.sources import (
+        stream_documents_batched,
+    )
     from big_data_trend_analysis_spark.streaming.stateful import (
         decayed_token_scores,
         tokens_from_text_stream,
@@ -630,7 +637,7 @@ def _stateful_decay_live(spark: SparkSession, sf_dir: str) -> DataFrame:
       with _stream_partitions(spark):
         query = (
             decayed_token_scores(
-                tokens_from_text_stream(stream_documents(spark, sf_dir))
+                tokens_from_text_stream(stream_documents_batched(spark, sf_dir))
             )
             .writeStream.format("memory")
             .queryName(name)
@@ -643,7 +650,16 @@ def _stateful_decay_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .groupBy("token")
+        .agg(
+            F.round(F.max_by("decayed_score", "total_count"), 6).alias(
+                "decayed_score"
+            ),
+            F.max("total_count").alias("total_count"),
+        )
+    )
 
 
 def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,17 +667,21 @@ def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Drains ``running_keyword_counts`` (the engine's exact, distributed
     replacement for the reference's driver-resident cross-batch CMS
-    matrix, cms_stream.py:69,94-97) over a file stream of the documents
-    table with an availableNow trigger into a memory sink. The oracle
-    is the plain batch token-frequency SQL — pinning that streaming
-    groupBy state accumulates to exactly the batch answer.
+    matrix, cms_stream.py:69,94-97) over the SPLIT documents stream
+    (``maxFilesPerTrigger=1`` over 3 files ⇒ ≥2 real micro-batches)
+    with an availableNow trigger into a complete-mode memory sink. The
+    oracle is the plain batch token-frequency SQL — pinning that
+    streaming groupBy state accumulates ACROSS micro-batches to
+    exactly the batch answer.
     """
     import shutil
     import tempfile
     import uuid
 
     from big_data_trend_analysis_spark.streaming.jobs import running_keyword_counts
-    from big_data_trend_analysis_spark.streaming.sources import stream_documents
+    from big_data_trend_analysis_spark.streaming.sources import (
+        stream_documents_batched,
+    )
 
     tune_session(spark)
     name = f"tokcounts_live_{uuid.uuid4().hex[:12]}"
@@ -669,7 +689,7 @@ def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
       with _stream_partitions(spark):
         query = (
-            running_keyword_counts(stream_documents(spark, sf_dir))
+            running_keyword_counts(stream_documents_batched(spark, sf_dir))
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
@@ -697,6 +717,9 @@ QUERIES: dict[str, QueryFn] = {
     "histogram_numeric": _q(aggregates.histogram_numeric, "lineitem"),
     "sql_tpch_q18": _sql_tpch_q18,
     "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region", "supplier"),
+    # 6: changed in round 6 — now drains ≥2 real micro-batches via the
+    # split documents stream; oracle pins the cross-batch recurrence
+    "stateful_decay_live": _stateful_decay_live,
     # r3-standing queries rotated back through for fresh rows
     # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
@@ -745,8 +768,8 @@ QUERIES: dict[str, QueryFn] = {
     "stream_cms_live": _stream_cms_live,
     "stream_sink_live": _stream_sink_live,
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
-    "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
     # ---- beyond the window: fresh r4/r5 green rows stand ----
+    "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
     "sql_tpch_q3": _sql_tpch_q3,
     "bm25_rank": _q(textstats.bm25_rank, "documents"),
     "cooccurrence_pmi": _q(textstats.cooccurrence_pmi, "documents"),
@@ -762,7 +785,6 @@ QUERIES: dict[str, QueryFn] = {
     "stream_dedup_live": _stream_dedup_live,
     "stream_join_live": _stream_join_live,
     "stream_decay_trend_live": _stream_decay_trend_live,
-    "stateful_decay_live": _stateful_decay_live,
     "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
     "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
     "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
@@ -1588,13 +1610,31 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token
     """,
-    # Single-batch availableNow drain ⇒ the decay recurrence collapses
-    # to score = count (see _stateful_decay_live docstring).
+    # True cross-batch recurrence: the split stream drains in 3
+    # micro-batches (batch b = doc_id % 3 == b, mtime-ordered), a
+    # token's state updates only in batches where it appears, so
+    # score = Σ_b c_b · 0.9^(#later batches containing the token).
+    # Exact multiples of 0.01 for exponent ≤ 2 ⇒ round-6 can't flap.
     "stateful_decay_live": """
+        WITH tok AS (
+            SELECT doc_id % 3 AS batch,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), per_batch AS (
+            SELECT token, batch, COUNT(*) AS c
+            FROM tok GROUP BY token, batch
+        ), ranked AS (
+            SELECT token, c,
+                   COUNT(*) OVER (
+                       PARTITION BY token ORDER BY batch
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS later
+            FROM per_batch
+        )
         SELECT token,
-               CAST(COUNT(*) AS DOUBLE) AS decayed_score,
-               COUNT(*) AS total_count
-        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+               round(SUM(c * POWER(0.9, later)), 6) AS decayed_score,
+               CAST(SUM(c) AS BIGINT) AS total_count
+        FROM ranked
         GROUP BY token
     """,
     # The oracle runs the UNSALTED join — equality proves salting is

@@ -150,3 +150,76 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(os.path.join(sf_dir))
     )
+
+
+#: Micro-batch count for the split documents stream. Kept small and
+#: FIXED: the stateful_decay oracle reproduces the per-batch decay
+#: recurrence in SQL, which stays decimal-exact (multiples of 0.01 for
+#: decay 0.9) only while the exponent stays ≤ DOC_STREAM_BATCHES-1.
+DOC_STREAM_BATCHES = 3
+
+
+def _split_documents_dir(sf_dir: str, n_batches: int) -> str:
+    """Split documents.parquet into ``n_batches`` single-file slices by
+    ``doc_id % n_batches``, with strictly increasing mtimes.
+
+    Harness plumbing, not a data path: the split materializes the
+    multi-file layout a production stream source would already have
+    (date/hour files from an upstream writer), so the gate can drive
+    REAL multi-micro-batch execution (``maxFilesPerTrigger=1`` — the
+    file stream processes oldest-mtime first, hence batch b = the
+    ``doc_id % n_batches == b`` slice, deterministically). pyarrow on
+    the driver is fine here: fixture-sized input, cached per
+    (source mtime, size, n) so bench reps and the driver's repeated
+    runs split once.
+    """
+    import hashlib
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{n_batches}".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(tempfile.gettempdir(), f"bdta_docsplit_{key}")
+    marker = os.path.join(out_dir, "_SPLIT_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    table = pq.read_table(src)
+    mod = pa.array(table.column("doc_id").to_numpy() % n_batches)
+    base = 1_600_000_000  # fixed epoch: mtime order independent of wall clock
+    for b in range(n_batches):
+        part = table.filter(pc.equal(mod, b))
+        path = os.path.join(out_dir, f"batch{b}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (base + 10 * b, base + 10 * b))
+    with open(marker, "w") as f:
+        f.write(f"{n_batches}\n")
+    return out_dir
+
+
+def stream_documents_batched(
+    spark: SparkSession, sf_dir: str, n_batches: int = DOC_STREAM_BATCHES
+) -> DataFrame:
+    """Documents stream that drains in ``n_batches`` real micro-batches.
+
+    ``maxFilesPerTrigger=1`` + one file per ``doc_id % n_batches``
+    slice (mtime-ordered) ⇒ an availableNow drain executes ≥2
+    micro-batches, so cross-batch state (streaming groupBy totals, the
+    keyed decay recurrence) is exercised through the driver's oracle
+    gate instead of collapsing to the single-batch case (VERDICT r5
+    "Next round" #3).
+    """
+    split_dir = _split_documents_dir(sf_dir, n_batches)
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "batch*.parquet")
+        .parquet(split_dir)
+    )

@@ -735,3 +735,36 @@ def test_jdbc_idempotent_writer_replay_no_duplicates(spark, sf_dir, tmp_path):
     counts = {r.batch_id: r.n for r in back.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {7: 50, 8: 50}, counts
+
+
+def test_batched_documents_stream_runs_multiple_microbatches(spark, sf_dir, tmp_path):
+    """The split documents stream must drain in DOC_STREAM_BATCHES real
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered), each carrying
+    exactly its doc_id % n slice — the property the stateful_decay_live
+    oracle's cross-batch recurrence rests on (VERDICT r5 #3)."""
+    from big_data_trend_analysis_spark.sources.tables import load_table
+    from big_data_trend_analysis_spark.streaming.sources import (
+        DOC_STREAM_BATCHES,
+        stream_documents_batched,
+    )
+
+    seen: list[set[int]] = []
+
+    def capture(batch_df, batch_id):
+        seen.append({r.doc_id for r in batch_df.select("doc_id").collect()})
+
+    q = (
+        stream_documents_batched(spark, sf_dir)
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    assert len(seen) == DOC_STREAM_BATCHES
+    all_ids = {r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()}
+    assert set().union(*seen) == all_ids
+    for b, ids in enumerate(seen):
+        assert ids == {i for i in all_ids if i % DOC_STREAM_BATCHES == b}, b
