@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""sf1 scale smoke for the heavy operator families (VERDICT r5 #7).
+
+The driver provides sf0.001/0.01/0.1 only, so this tool synthesizes a
+deterministic 10x tier ("sf1") from sf0.1 into a temp dir and times the
+dedup / ANN / streaming-state families at both tiers, recording
+``SCALE_SMOKE_sf1.json``. The check: no query may exceed
+``RATIO_LIMIT`` (10) times its sf0.1 time — i.e. the documented
+O(n)-ish scale claims hold through one decade, with no
+broadcast-threshold cliffs or state blowups.
+
+Synthesis (seeded, reproducible):
+- documents: 10 copies; copy k > 0 maps every letter through a
+  copy-specific alphabet rotation — a bijection, so each copy
+  preserves the original's intra-copy dup/near-dup structure and BYTE
+  COUNT exactly while sharing no vocabulary across copies (vocab
+  scales 10x, pair counts scale 10x — NOT 100x, matching how a real
+  10x corpus behaves for bucketed dedup). Byte-neutrality matters:
+  a suffix-based perturbation inflated per-doc bytes ~40% and pushed
+  scan-bound ops past the ratio limit for fixture reasons, not
+  operator reasons.
+- embeddings: 10 copies; copy k > 0 re-normalized after adding seeded
+  N(0, 0.05) noise — stays the isotropic worst case.
+- events: 10 copies; event_id/user_id offset per copy (per-user
+  timeline lengths unchanged, 10x users, 10x density in the same time
+  range — how event traffic actually grows).
+
+Run: ``python tools/scale_smoke.py [query ...]`` (defaults to the
+heavy-family list). Writes the JSON sidecar at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+COPIES = 10
+RATIO_LIMIT = 10.0
+SRC = "/root/testdata/sf0.1"
+
+HEAVY_QUERIES = [
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "dedup_clusters",
+    "winnow_fingerprints",
+    "decontaminate_ngram",
+    "fuzzy_token_join",
+    # ANN / similarity family
+    "sim_search",
+    "ann_ivf",
+    "ann_recall_check",
+    "embed_neardup",
+    "embed_pq_check",
+    "embed_pca_check",
+    # streaming-state family
+    "running_counts_live",
+    "stateful_decay_live",
+    "stream_join_live",
+    "stream_session_live",
+]
+
+
+#: Row-group size for the synthesized tier. The driver fixtures are
+#: single-row-group files (atomic: one scan task no matter the size);
+#: a real 10x corpus arrives as more/larger splittable files, so the
+#: synthesized tier is written in row groups and the smoke session
+#: lowers maxPartitionBytes so scans parallelize — measuring the
+#: operators' scaling, not the fixture packing.
+ROW_GROUP = 5000
+
+
+def synthesize(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_SF1_DONE_v2")
+    if os.path.exists(marker):
+        return
+
+    # documents: per-copy alphabet rotation — byte-neutral bijection,
+    # keeps intra-copy structure, kills cross-copy vocabulary overlap.
+    t = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_numpy()
+    id_span = int(ids.max()) + 1
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    parts = []
+    for k in range(COPIES):
+        if k == 0:
+            txt = texts
+        else:
+            rot = str.maketrans(
+                lower + upper,
+                lower[k:] + lower[:k] + upper[k:] + upper[:k],
+            )
+            txt = [s.translate(rot) for s in texts]
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids + k * id_span, type=pa.int64()),
+                    "text": pa.array(txt, type=pa.string()),
+                    "lang": t.column("lang"),
+                    "source": t.column("source"),
+                    "n_chars": t.column("n_chars"),
+                }
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(parts),
+        os.path.join(out_dir, "documents.parquet"),
+        row_group_size=ROW_GROUP,
+    )
+
+    # embeddings: unit-norm noisy copies, isotropy preserved.
+    t = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    vec = np.stack(t.column("embedding").to_numpy()).astype(np.float64)
+    ids = t.column("vec_id").to_numpy()
+    id_span = int(ids.max()) + 1
+    rng = np.random.default_rng(4242)
+    parts = []
+    for k in range(COPIES):
+        v = vec if k == 0 else vec + rng.normal(0, 0.05, vec.shape)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids + k * id_span, type=pa.int64()),
+                    "embedding": pa.array(
+                        [row.astype(np.float32) for row in v],
+                        type=pa.list_(pa.float32()),
+                    ),
+                    "label": t.column("label"),
+                }
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(parts),
+        os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=ROW_GROUP,
+    )
+
+    # events: id/user offsets, identical time range.
+    t = pq.read_table(os.path.join(SRC, "events.parquet"))
+    eid = t.column("event_id").to_numpy()
+    uid = t.column("user_id").to_numpy()
+    e_span, u_span = int(eid.max()) + 1, int(uid.max()) + 1
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            pa.table(
+                {
+                    "event_id": pa.array(eid + k * e_span, type=pa.int64()),
+                    "ts": t.column("ts"),
+                    "user_id": pa.array(uid + k * u_span, type=pa.int64()),
+                    "event_type": t.column("event_type"),
+                    "value": t.column("value"),
+                    "props": t.column("props"),
+                }
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(parts),
+        os.path.join(out_dir, "events.parquet"),
+        row_group_size=ROW_GROUP * 10,
+    )
+
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
+def main() -> None:
+    import tempfile
+
+    from big_data_trend_analysis_spark.plans.registry import QUERIES
+    from big_data_trend_analysis_spark.session import get_spark
+
+    names = sys.argv[1:] or HEAVY_QUERIES
+    sf1_dir = os.path.join(tempfile.gettempdir(), "bdta_sf1")
+    synthesize(sf1_dir)
+
+    spark = get_spark("bdta-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Let the multi-row-group synthesized files actually split: the
+    # fixture files are a few MB, far under the 128 MB default.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm the session so tier times measure the queries
+    force(QUERIES["agg_basic"](spark, "/root/testdata/sf0.001"))
+
+    results: dict[str, dict] = {}
+    for name in names:
+        row: dict = {}
+        for label, d in (("sf0.1", SRC), ("sf1", sf1_dir)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(QUERIES[name](spark, d))
+            row[label] = round(time.perf_counter() - t0, 3)
+        row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
+        row["ok"] = row["ratio"] <= RATIO_LIMIT
+        results[name] = row
+        print(f"{name:28s} sf0.1={row['sf0.1']:7.3f}  sf1={row['sf1']:8.3f}  "
+              f"ratio={row['ratio']:5.2f}  {'OK' if row['ok'] else 'EXCEEDED'}",
+              flush=True)
+
+    out = {
+        "copies": COPIES,
+        "ratio_limit": RATIO_LIMIT,
+        "queries": results,
+        "all_ok": all(r["ok"] for r in results.values()),
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SCALE_SMOKE_sf1.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({"all_ok": out["all_ok"]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
