@@ -593,3 +593,67 @@ def kll_quantile_rollup(
         F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
     ).select(F.lit("__total__").alias("grp"), "n_rows", *qcols(F.col("sk")))
     return groups.unionByName(total)
+
+
+def listagg_canonical(events: DataFrame) -> DataFrame:
+    """Per-user ordered event-type string via ``listagg`` (SQL:2023).
+
+    The clickstream-signature aggregate: each user's behavior serialized
+    as a canonical comma-joined string, ordered by (ts, event_id) —
+    fully deterministic even with timestamp ties. One key-shuffle with
+    map-side partials; per-user strings are bounded by timeline length
+    (the fixtures' ~10-100 events/user — a production deployment caps
+    with a slice the same way pack_sequences bounds its windows).
+    Spark 4's ``listagg ... WITHIN GROUP`` ↔ DuckDB ``string_agg ...
+    ORDER BY`` twin.
+    """
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.expr(
+                "listagg(event_type, ',') WITHIN GROUP "
+                "(ORDER BY ts, event_id)"
+            ).alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def conditional_agg_suite(events: DataFrame) -> DataFrame:
+    """Conditional/boolean aggregate parity row: count_if, FILTER-style
+    conditional sums, bool_and/bool_or — the SQL:2023 aggregate
+    surface beside the moments/percentile families. All map-side
+    partial, one shuffle of O(types) rows.
+    """
+    return events.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.sum(
+            F.when(F.col("value") > 100, dec("value", PRICE_DEC))
+        ).cast("double").alias("sum_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 190).alias("any_huge"),
+        F.count_if(F.col("props").isNotNull()).alias("n_with_props"),
+    )
+
+
+def column_profile(lineitem: DataFrame) -> DataFrame:
+    """One-pass multi-column data profile (profiling primitive).
+
+    Null counts, distinct counts, min/max for a column set in a SINGLE
+    aggregation — the Expand-based multi-distinct plan (one shuffle)
+    instead of one scan per column, which is the difference between a
+    profiling job that reads 100 TB once and one that reads it
+    len(columns) times.
+    """
+    return lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity").isNull()).alias("quantity_nulls"),
+        F.count_distinct(F.col("l_quantity")).alias("quantity_distinct"),
+        F.min("l_quantity").alias("quantity_min"),
+        F.max("l_quantity").alias("quantity_max"),
+        F.count_distinct(F.col("l_returnflag")).alias("returnflag_distinct"),
+        F.count_distinct(F.col("l_linestatus")).alias("linestatus_distinct"),
+        F.min("l_shipdate").alias("shipdate_min"),
+        F.max("l_shipdate").alias("shipdate_max"),
+        F.count_distinct(F.col("l_partkey")).alias("partkey_distinct"),
+    )

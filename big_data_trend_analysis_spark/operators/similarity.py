@@ -467,6 +467,7 @@ def train_pq_codebooks(
     iters: int = 10,
     seed: int = 17,
     dim: int = EMBEDDING_DIM,
+    sample_mat: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks: per-subspace k-means (FAISS PQ).
 
@@ -481,15 +482,19 @@ def train_pq_codebooks(
     serving stack.
     """
     sub = dim // m
-    target = k * sample_per_code * m
-    n = embeddings.count()
-    sample = embeddings.select("vec_id", as_double("embedding").alias("v"))
-    if n > target:
-        sample = sample.filter(
-            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000)) < int(1_000_000 * target / n)
-        )
-    rows = sorted(sample.collect(), key=lambda r: r.vec_id)
-    mat = np.stack([np.asarray(r.v, dtype=float) for r in rows])
+    if sample_mat is not None:
+        mat = sample_mat
+    else:
+        target = k * sample_per_code * m
+        n = embeddings.count()
+        sample = embeddings.select("vec_id", as_double("embedding").alias("v"))
+        if n > target:
+            sample = sample.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
+                < int(1_000_000 * target / n)
+            )
+        rows = sorted(sample.collect(), key=lambda r: r.vec_id)
+        mat = np.stack([np.asarray(r.v, dtype=float) for r in rows])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
     rng = np.random.default_rng(seed)
@@ -570,7 +575,35 @@ def embed_pq_check(
     dim = EMBEDDING_DIM
     sub = dim // m
     offset = 1_000_000_000
-    books = train_pq_codebooks(embeddings, m=m, k=k)
+
+    # ONE bounded collect serves both codebook training and the probe
+    # LUTs (VERDICT r5 #8): rows passing the deterministic hash-sample
+    # OR being probe seeds come back together; the training matrix is
+    # rebuilt from exactly the hash-passing subset, so the trained
+    # codebooks are bit-identical to the standalone
+    # train_pq_codebooks(embeddings) path.
+    target = k * 64 * m
+    n = embeddings.count()
+    hash_pass = (
+        F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
+        < int(1_000_000 * target / n)
+        if n > target
+        else F.lit(True)
+    )
+    pulled = sorted(
+        embeddings.select(
+            "vec_id",
+            as_double("embedding").alias("v"),
+            hash_pass.alias("in_sample"),
+        )
+        .filter(F.col("in_sample") | (F.col("vec_id") < n_planted))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    sample_mat = np.stack(
+        [np.asarray(r.v, dtype=float) for r in pulled if r.in_sample]
+    )
+    books = train_pq_codebooks(embeddings, m=m, k=k, sample_mat=sample_mat)
 
     # Same deterministic twin construction as embed_neardup_check.
     base = embeddings.select("vec_id", "embedding")
@@ -614,13 +647,10 @@ def embed_pq_check(
         (F.avg("err") <= F.lit(max_rel_err)).alias("recon_ok"),
     )
 
-    # Per-probe ADC lookup tables from the bounded probe rows
-    # (O(n_planted) driver rows — corpus-size-independent, like the
-    # codebook training itself).
-    probe_rows = sorted(
-        seeds.select("vec_id", as_double("embedding").alias("v")).collect(),
-        key=lambda r: r.vec_id,
-    )
+    # Per-probe ADC lookup tables from the bounded probe rows already
+    # pulled above (O(n_planted) driver rows — corpus-size-independent,
+    # like the codebook training itself).
+    probe_rows = [r for r in pulled if r.vec_id < n_planted]
     luts = []
     for r in probe_rows:
         v = np.asarray(r.v, dtype=float)

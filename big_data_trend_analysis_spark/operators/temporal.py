@@ -277,3 +277,39 @@ def event_transitions(events: DataFrame) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(wf), 6
         ).alias("p_transition"),
     )
+
+
+def interval_overlap(events: DataFrame, duration_min: int = 30) -> DataFrame:
+    """Peak concurrency per event type (sweep-line over intervals).
+
+    Each event opens a half-open interval [ts, ts + duration): the
+    classic "how many sessions were live at once" analytic. The
+    100 TB-correct shape is the sweep-line: explode each interval into
+    a +1 (start) and a -1 (end) delta, order by time within type, and
+    the running delta sum IS the concurrency curve — one explode (2
+    rows/event) + one key-shuffle + one ordered scan, never an
+    interval self-join (O(n²) on hot types). Half-open semantics: at
+    an exact boundary the -1 sorts before the +1 (delta ascending), so
+    back-to-back intervals never double-count.
+    """
+    deltas = events.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("ts") + F.expr(f"INTERVAL {duration_min} MINUTES")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("event_type", "e.t", "e.delta")
+    w = Window.partitionBy("event_type").orderBy(F.col("t"), F.col("delta"))
+    return (
+        deltas.withColumn("concurrent", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max("concurrent").alias("max_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+    )

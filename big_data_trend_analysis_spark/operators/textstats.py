@@ -478,6 +478,14 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
     dup_line_frac > 0.30, top_2gram_char_frac > 0.20,
     symbol_word_ratio > 0.10); this operator just measures.
     """
+    # Signal extraction is CPU-bound per row (higher-order fns + bigram
+    # explode); widen a narrower-than-cores scan so a single-row-group
+    # fixture doesn't serialize it. No-op at scale (input splits exceed
+    # cluster parallelism) — same rationale as decontaminate_ngram.
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism)
+
     text = F.col(text_col)
     lines = F.split(text, "\n")
     toks = F.split(text, " ")

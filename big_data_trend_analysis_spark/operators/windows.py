@@ -249,3 +249,30 @@ def rolling_median(events: DataFrame, frame_rows: int = 9) -> DataFrame:
             "rolling_median"
         ),
     )
+
+
+def window_range_frame(events: DataFrame) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-1-hour value sum.
+
+    The frame completion beside the ROWS family (rolling_median,
+    window_lag_lead): RANGE frames bound by an interval express
+    "aggregate over the last hour" without exploding events into
+    overlapping windows — one shuffle on user_id + one ordered scan,
+    with every tied timestamp deterministically included in the frame
+    (RANGE semantics), so no tie-break is even needed. Sum uses the
+    exact-decimal discipline; the frame key is the epoch MICROSECOND
+    (the fixtures carry full sub-second precision), so Spark's numeric
+    rangeBetween and DuckDB's INTERVAL frame bound the identical row
+    set — one hour is exactly 3.6e9 microseconds in both.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("trailing_1h_sum"),
+    )

@@ -561,6 +561,56 @@ def _sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: TPC-H Q5 (local supplier volume) on the fixture schema: the full
+#: 6-table snowflake with the extra s_nationkey = c_nationkey equality
+#: (customer and supplier in the SAME nation), region-filtered, over a
+#: 2-year order window (the fixture's ASIA slice is thin — one year is
+#: near-vacuous at sf0.001).
+_SQL_Q5 = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM {region}
+    JOIN {nation}   ON n_regionkey = r_regionkey
+    JOIN {customer} ON c_nationkey = n_nationkey
+    JOIN {orders}   ON o_custkey = c_custkey
+    JOIN {lineitem} ON l_orderkey = o_orderkey
+    JOIN {supplier} ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+def _sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #4: TPC-H Q5 — the full snowflake join.
+
+    Q3 probes one dimension chain; Q5 closes the loop: region→nation
+    fans out to BOTH customer and supplier sides, and the
+    ``s_nationkey = c_nationkey`` residual makes the supplier join a
+    two-key equi-join whose second key arrives from the other arm of
+    the plan. Every dimension (region/nation/customer/supplier)
+    broadcasts onto the lineitem probe; the date range pushes to the
+    orders scan. The canonical "did join reordering work" query.
+    """
+    tune_session(spark)
+    for t in ("region", "nation", "customer", "orders", "lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q5.format(
+            region="region_v",
+            nation="nation_v",
+            customer="customer_v",
+            orders="orders_v",
+            lineitem="lineitem_v",
+            supplier="supplier_v",
+        )
+    )
+
+
 def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned parquet sink + pruned read-back, end-to-end.
 
@@ -720,6 +770,19 @@ QUERIES: dict[str, QueryFn] = {
     # 6: changed in round 6 — now drains ≥2 real micro-batches via the
     # split documents stream; oracle pins the cross-batch recurrence
     "stateful_decay_live": _stateful_decay_live,
+    # 7-15: NEW in round 6
+    "dedup_minhash_check": _q(dedup.dedup_minhash_check, "documents"),
+    "dedup_simhash_check": _q(dedup.dedup_simhash_check, "documents"),
+    "sql_tpch_q5": _sql_tpch_q5,
+    "listagg_canonical": _q(aggregates.listagg_canonical, "events"),
+    "conditional_agg_suite": _q(aggregates.conditional_agg_suite, "events"),
+    "column_profile": _q(aggregates.column_profile, "lineitem"),
+    "variant_extract": _q(scalar.variant_extract, "events"),
+    "window_range_frame": _q(windows.window_range_frame, "events"),
+    "interval_overlap": _q(temporal.interval_overlap, "events"),
+    "repetition_signals": _q(textstats.repetition_signals, "documents"),
+    # 17: changed in round 6 (shared codebook/probe collect)
+    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     # r3-standing queries rotated back through for fresh rows
     # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
@@ -767,7 +830,6 @@ QUERIES: dict[str, QueryFn] = {
     "cms_window_probe": _q(aggregates.cms_window_probe, "events"),
     "stream_cms_live": _stream_cms_live,
     "stream_sink_live": _stream_sink_live,
-    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     # ---- beyond the window: fresh r4/r5 green rows stand ----
     "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
     "sql_tpch_q3": _sql_tpch_q3,
@@ -2082,4 +2144,139 @@ ORACLE_SQL: dict[str, str] = {
     "sql_tpch_q18": _SQL_Q18.format(
         customer="customer", orders="orders", lineitem="lineitem"
     ),
+    "sql_tpch_q5": _SQL_Q5.format(
+        region="region",
+        nation="nation",
+        customer="customer",
+        orders="orders",
+        lineitem="lineitem",
+        supplier="supplier",
+    ),
+    # The planted-recall invariants are evaluated engine-side; the
+    # oracle pins the eligible-seed count and demands every flag TRUE
+    # (same design as embed_neardup_check / ann_recall_check).
+    "dedup_minhash_check": """
+        SELECT COUNT(*) AS n_planted,
+               COUNT(*) AS n_found,
+               TRUE AS all_found
+        FROM documents
+        WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 20
+    """,
+    "dedup_simhash_check": """
+        SELECT COUNT(*) AS n_planted,
+               TRUE AS recall_ok,
+               TRUE AS exclusion_ok
+        FROM documents
+        WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 20
+    """,
+    "listagg_canonical": """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS journey,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+    "conditional_agg_suite": """
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE value > 100) AS n_big,
+               CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                    FILTER (WHERE value > 100) AS DOUBLE) AS sum_big,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 190) AS any_huge,
+               COUNT(*) FILTER (WHERE props IS NOT NULL) AS n_with_props
+        FROM events
+        GROUP BY event_type
+    """,
+    "column_profile": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_quantity IS NULL) AS quantity_nulls,
+               COUNT(DISTINCT l_quantity) AS quantity_distinct,
+               MIN(l_quantity) AS quantity_min,
+               MAX(l_quantity) AS quantity_max,
+               COUNT(DISTINCT l_returnflag) AS returnflag_distinct,
+               COUNT(DISTINCT l_linestatus) AS linestatus_distinct,
+               MIN(l_shipdate) AS shipdate_min,
+               MAX(l_shipdate) AS shipdate_max,
+               COUNT(DISTINCT l_partkey) AS partkey_distinct
+        FROM lineitem
+    """,
+    # DuckDB reads the same fields through its native JSON type; the
+    # uniform fixture schema pins schema_of_variant as a literal.
+    "variant_extract": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(NULL AS INTEGER) AS missing_int,
+               'OBJECT<k: BIGINT>' AS variant_schema
+        FROM events
+    """,
+    "window_range_frame": """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_1h_sum
+        FROM events
+    """,
+    # Default RANGE-to-current-row frames on both engines: all (t,
+    # delta) ties enter the running sum together, which is exactly the
+    # half-open sweep-line semantics.
+    "interval_overlap": """
+        WITH deltas AS (
+            SELECT event_type, ts AS t, 1 AS delta FROM events
+            UNION ALL
+            SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta
+            FROM events
+        ), curve AS (
+            SELECT event_type,
+                   SUM(delta) OVER (
+                       PARTITION BY event_type ORDER BY t, delta
+                   ) AS concurrent
+            FROM deltas
+        )
+        SELECT event_type,
+               CAST(MAX(concurrent) AS BIGINT) AS max_concurrent,
+               CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+        FROM curve
+        GROUP BY event_type
+    """,
+    "repetition_signals": """
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(text, chr(10)) AS lines,
+                   string_split(text, ' ') AS words,
+                   length(text) AS n_chars,
+                   text
+            FROM documents
+        ), sig AS (
+            SELECT doc_id,
+                   round((len(lines) - len(list_distinct(lines))) * 1.0
+                         / greatest(len(lines), 1), 6) AS dup_line_frac,
+                   round((len(words) - len(list_distinct(words))) * 1.0
+                         / greatest(len(words), 1), 6) AS dup_word_frac,
+                   round((n_chars - length(regexp_replace(text, '#|\\.\\.\\.|…', '', 'g'))) * 1.0
+                         / greatest(len(words), 1), 6) AS symbol_word_ratio
+            FROM base
+        ), grams AS (
+            SELECT doc_id, n_chars, words[i] || ' ' || words[i + 1] AS g
+            FROM base,
+                 LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i) t
+            WHERE len(words) >= 2
+        ), topg AS (
+            SELECT doc_id,
+                   round(least(c * length(g) * 1.0 / greatest(n_chars, 1),
+                               1.0), 6) AS top_bigram_char_frac
+            FROM (
+                SELECT doc_id, n_chars, g, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY COUNT(*) DESC, length(g) DESC, g DESC
+                       ) AS rn
+                FROM grams GROUP BY doc_id, n_chars, g
+            ) WHERE rn = 1
+        )
+        SELECT s.doc_id, s.dup_line_frac, s.dup_word_frac,
+               s.symbol_word_ratio, t.top_bigram_char_frac
+        FROM sig s LEFT JOIN topg t USING (doc_id)
+    """,
 }

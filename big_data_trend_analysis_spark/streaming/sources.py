@@ -79,6 +79,33 @@ def read_tweet_stream(
     )
 
 
+def read_tweet_stream_from_socket(
+    spark: SparkSession, host: str = "localhost", port: int = 9999
+) -> DataFrame:
+    """Broker-free executable twin of ``read_tweet_stream`` (S1).
+
+    This container has no Kafka broker or spark-sql-kafka jar, so the
+    Kafka scan itself cannot execute here; this source runs the SAME
+    downstream contract — an unbounded ``readStream`` of serialized
+    tweet payloads parsed by ``parse_tweet_frame`` — over Spark's
+    built-in TCP socket source (one JSON message per line, the
+    producers' wire format minus Kafka framing). The socket source is
+    a test/dev tool (not fault-tolerant, no offsets); production uses
+    ``read_tweet_stream``. Exercised end-to-end in
+    tests/test_streaming.py against a real in-process TCP server.
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+        # socket yields value:string; Kafka yields value:binary. Cast to
+        # binary so parse_tweet_frame sees the exact Kafka-shaped input.
+        .select(F.col("value").cast("binary").alias("value"))
+    )
+    return parse_tweet_frame(raw)
+
+
 def parse_tweet_frame(raw: DataFrame) -> DataFrame:
     """binary ``value`` → typed tweet columns (reference P1-P5).
 

@@ -1064,3 +1064,78 @@ def test_resize_images_real_ppm_and_stub(spark):
 
     assert len(got[2].content) == 12  # stub honors the size contract
     assert bytes(got[2].content[:6]) == b"opaque"
+
+
+def test_interval_overlap_sweep_line_semantics(spark):
+    """Planted timeline: 3 overlapping intervals peak at 3; half-open
+    boundaries (an interval ending exactly when another starts) must
+    NOT count as concurrent."""
+    from datetime import datetime
+
+    from big_data_trend_analysis_spark.operators.temporal import interval_overlap
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # type A: starts at 0, 10, 20 min (30-min duration) -> peak 3
+        (1, datetime(2024, 1, 1, 12, 0), 1, "A", 1.0, None),
+        (2, datetime(2024, 1, 1, 12, 10), 1, "A", 1.0, None),
+        (3, datetime(2024, 1, 1, 12, 20), 1, "A", 1.0, None),
+        # type B: back-to-back (second starts exactly at first's end)
+        (4, t0, 2, "B", 1.0, None),
+        (5, datetime(2024, 1, 1, 12, 30), 2, "B", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in interval_overlap(df).collect()}
+    assert got["A"].max_concurrent == 3
+    assert got["A"].n_intervals == 3
+    assert got["B"].max_concurrent == 1  # half-open: no double count
+    assert got["B"].n_intervals == 2
+
+
+def test_window_range_frame_bounds_by_time_not_rows(spark):
+    """RANGE frame: the trailing-1h sum must include exactly the rows
+    within the hour — including ties — regardless of row counts."""
+    from datetime import datetime
+
+    from big_data_trend_analysis_spark.operators.windows import window_range_frame
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 7, "e", 1.0, None),
+        (2, datetime(2024, 1, 1, 10, 30), 7, "e", 2.0, None),
+        (3, datetime(2024, 1, 1, 11, 0), 7, "e", 4.0, None),   # 10:00 still in (>= t-1h)
+        (4, datetime(2024, 1, 1, 11, 0), 7, "e", 8.0, None),   # tie: same frame
+        (5, datetime(2024, 1, 1, 12, 30), 7, "e", 16.0, None), # alone
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_id: r.trailing_1h_sum for r in window_range_frame(df).collect()}
+    assert got[1] == 1.0
+    assert got[2] == 3.0
+    assert got[3] == 15.0  # 1+2+4+8: boundary row AND the tie included
+    assert got[4] == 15.0
+    assert got[5] == 16.0
+
+
+def test_dedup_checks_fail_open_on_thin_corpus(spark):
+    """A corpus whose first docs are too short to seed twins must yield
+    0 planted / vacuous-TRUE flags, not errors."""
+    from big_data_trend_analysis_spark.operators.dedup import (
+        dedup_minhash_check,
+        dedup_simhash_check,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "tiny text", "en", "s", 9), (1, "also small", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    (m,) = dedup_minhash_check(df).collect()
+    assert (m.n_planted, m.n_found, m.all_found) == (0, 0, True)
+    (s,) = dedup_simhash_check(df).collect()
+    assert (s.n_planted, s.recall_ok, s.exclusion_ok) == (0, True, True)
