@@ -657,3 +657,113 @@ def column_profile(lineitem: DataFrame) -> DataFrame:
         F.max("l_shipdate").alias("shipdate_max"),
         F.count_distinct(F.col("l_partkey")).alias("partkey_distinct"),
     )
+
+
+def kll_rollup_check(
+    lineitem: DataFrame,
+    value_col: str = "l_quantity",
+    group_col: str = "l_returnflag",
+) -> DataFrame:
+    """KLL MERGE invariant, hash-checked (the rollup gate
+    ``kll_quantile_rollup`` rests on).
+
+    Exact percentiles cannot be combined upward — the whole point of
+    the KLL rollup is that per-group sketches MERGE to the global
+    distribution without re-scanning. This check builds the per-group
+    sketches, merges them, and compares the merged-sketch global
+    p50/p95 against the EXACT global percentiles (computed once,
+    oracle-matchable): ``ok`` flags assert the merged estimate lands
+    within 5% of the global value range, the same band discipline as
+    ``approx_percentile_check``. One corpus scan for the sketches, one
+    for the exact values; the merge itself touches O(groups) rows.
+    """
+    merged = (
+        lineitem.groupBy(group_col)
+        .agg(F.kll_sketch_agg_double(value_col).alias("sk"))
+        .agg(F.kll_merge_agg_double("sk").alias("sk"))
+        .select(
+            F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias(
+                "m50"
+            ),
+            F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias(
+                "m95"
+            ),
+        )
+    )
+    exact = lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.percentile(value_col, F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile(value_col, F.lit(0.95)), 6).alias("p95_exact"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    )
+    band = (F.col("hi") - F.col("lo")) * 0.05
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "n_rows",
+        "p50_exact",
+        "p95_exact",
+        (F.abs(F.col("m50") - F.col("p50_exact")) <= band).alias("merged_p50_ok"),
+        (F.abs(F.col("m95") - F.col("p95_exact")) <= band).alias("merged_p95_ok"),
+    )
+
+
+def theta_overlap_check(events: DataFrame, tol: float = 0.08) -> DataFrame:
+    """Theta-sketch set-operation invariant, hash-checked (the gate for
+    ``theta_segment_overlap``).
+
+    Exact pairwise audience overlaps ARE computable at fixture scale:
+    the distinct (segment, user) relation self-joins on user with
+    ``segment_a < segment_b`` (bounded by the handful of segments), so
+    every |A∩B| and |A∪B| is an exact integer the oracle reproduces.
+    The sketch estimates from ``theta_segment_overlap`` must land
+    within ``tol`` of the exact values (lgK=12 is sparse-mode EXACT at
+    fixture cardinality — the flags certify the intersection/union
+    plumbing, and hold at estimation-mode scale by the sketch's ~1.6%
+    rsd ≪ 8%). Exact counts are the hash-checked payload.
+    """
+    su = events.select("event_type", "user_id").distinct()
+    sizes = su.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        su.alias("a")
+        .join(
+            su.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("segment_a"),
+            F.col("b.event_type").alias("segment_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap_exact"))
+    )
+    est = theta_segment_overlap(events)
+    exact = (
+        est.select("segment_a", "segment_b", "n_overlap", "n_union")
+        .join(inter, ["segment_a", "segment_b"], "left")
+        .na.fill({"n_overlap_exact": 0})
+        .join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "segment_a")
+                        .withColumnRenamed("n", "n_a")),
+            "segment_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "segment_b")
+                        .withColumnRenamed("n", "n_b")),
+            "segment_b",
+        )
+    )
+    n_union_exact = F.col("n_a") + F.col("n_b") - F.col("n_overlap_exact")
+    return exact.select(
+        "segment_a",
+        "segment_b",
+        "n_overlap_exact",
+        n_union_exact.alias("n_union_exact"),
+        (
+            F.abs(F.col("n_overlap") - F.col("n_overlap_exact"))
+            <= F.greatest(F.lit(1.0), F.col("n_overlap_exact") * tol)
+        ).alias("overlap_ok"),
+        (
+            F.abs(F.col("n_union") - n_union_exact)
+            <= F.greatest(F.lit(1.0), n_union_exact * tol)
+        ).alias("union_ok"),
+    )

@@ -313,3 +313,34 @@ def interval_overlap(events: DataFrame, duration_min: int = 30) -> DataFrame:
             (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
         )
     )
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted average of ``value`` (TWAP, step-hold).
+
+    The irregular-series average every metrics store serves: each
+    observation holds until the next one, so the mean weights each
+    value by its holding duration — Σ vᵢ·(tᵢ₊₁−tᵢ) / (tₙ−t₁) — not by
+    row count (which over-weights bursts). One key-shuffle + one
+    ordered scan (``lead``); durations are exact integer microseconds
+    and the weighted sum runs in decimal, so the result is
+    order-independent and oracle-matchable to the digit. Users with a
+    single observation have no holding interval → NULL (pinned by the
+    oracle, not invented).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = events.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "dur_us"
+        ),
+    )
+    weighted = F.sum(
+        F.col("value").cast("decimal(12,2)") * F.col("dur_us")
+    ).cast("double")
+    total = F.sum("dur_us")
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(weighted / total, 6).alias("twa_value"),
+    )

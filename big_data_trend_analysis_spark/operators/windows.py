@@ -276,3 +276,52 @@ def window_range_frame(events: DataFrame) -> DataFrame:
         "ts",
         F.sum(dec("value")).over(w).cast("double").alias("trailing_1h_sum"),
     )
+
+
+def ewma_smooth(events: DataFrame, decay: float = 0.9, span: int = 10) -> DataFrame:
+    """Per-user EWMA of ``value`` over a trailing ``span``-row frame.
+
+    The de-noising smoother beside ``rolling_median``: the frame's
+    values are weighted ``decay^age`` (latest = age 0) and normalized
+    by the weight sum — a bounded-frame EWMA (the unbounded recurrence
+    is ``stateful_decay_live``'s territory; bounded frames are how
+    batch pipelines smooth without carrying infinite history). One
+    shuffle + one sort; the frame list is tiny (``span`` doubles).
+
+    Determinism discipline: each weighted term is rounded to 6 dp and
+    accumulated in decimal (order-fixed fold), numerator and
+    denominator alike, so both engines sum identical decimals and the
+    final division + round is bit-stable — ``decay^age`` values have
+    ≤ 2·span significant decimal digits, never a round-6 tie.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(span - 1), 0)
+    )
+    frame = F.collect_list("value").over(w)
+    n = F.size("frame")
+    dec6 = "decimal(28,6)"
+    terms = F.transform(
+        "frame",
+        lambda x, i: F.round(x * F.pow(F.lit(decay), (n - 1 - i)), 6).cast(dec6),
+    )
+    weights = F.transform(
+        "frame",
+        lambda x, i: F.round(F.pow(F.lit(decay), (n - 1 - i)), 6).cast(dec6),
+    )
+    zero = F.lit("0").cast(dec6)
+    # decimal + widens (28,6)→(29,6); cast back so the fold's
+    # accumulator type stays fixed (values are ≤ span·max_value ≪ 10²²)
+    num = F.aggregate(terms, zero, lambda acc, x: (acc + x).cast(dec6))
+    den = F.aggregate(weights, zero, lambda acc, x: (acc + x).cast(dec6))
+    return (
+        events.select("event_id", "user_id", "ts", "value", frame.alias("frame"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.round((num.cast("double") / den.cast("double")), 6).alias("ewma"),
+        )
+    )

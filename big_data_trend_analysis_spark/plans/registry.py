@@ -783,6 +783,11 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_signals": _q(textstats.repetition_signals, "documents"),
     # 17: changed in round 6 (shared codebook/probe collect)
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
+    # 18-19: NEW in round 6 (second batch) — sketch merge/set-op gates
+    "kll_rollup_check": _q(aggregates.kll_rollup_check, "lineitem"),
+    "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
+    "time_weighted_avg": _q(temporal.time_weighted_avg, "events"),
+    "ewma_smooth": _q(windows.ewma_smooth, "events"),
     # r3-standing queries rotated back through for fresh rows
     # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
@@ -2239,6 +2244,69 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
         FROM curve
         GROUP BY event_type
+    """,
+    "kll_rollup_check": """
+        SELECT COUNT(*) AS n_rows,
+               round(quantile_cont(l_quantity, 0.5), 6)  AS p50_exact,
+               round(quantile_cont(l_quantity, 0.95), 6) AS p95_exact,
+               TRUE AS merged_p50_ok,
+               TRUE AS merged_p95_ok
+        FROM lineitem
+    """,
+    "theta_overlap_check": """
+        WITH su AS (SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (SELECT event_type, COUNT(*) AS n FROM su GROUP BY event_type),
+        pairs AS (
+            SELECT a.event_type AS segment_a, b.event_type AS segment_b
+            FROM sizes a JOIN sizes b ON a.event_type < b.event_type
+        ), inter AS (
+            SELECT a.event_type AS segment_a, b.event_type AS segment_b,
+                   COUNT(*) AS n_overlap_exact
+            FROM su a JOIN su b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.segment_a, p.segment_b,
+               COALESCE(i.n_overlap_exact, 0) AS n_overlap_exact,
+               sa.n + sb.n - COALESCE(i.n_overlap_exact, 0) AS n_union_exact,
+               TRUE AS overlap_ok,
+               TRUE AS union_ok
+        FROM pairs p
+        LEFT JOIN inter i USING (segment_a, segment_b)
+        JOIN sizes sa ON sa.event_type = p.segment_a
+        JOIN sizes sb ON sb.event_type = p.segment_b
+    """,
+    "time_weighted_avg": """
+        WITH stepped AS (
+            SELECT user_id, value,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) - epoch_us(ts) AS dur_us
+            FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               round(CAST(SUM(CAST(value AS DECIMAL(12,2)) * dur_us) AS DOUBLE)
+                     / SUM(dur_us), 6) AS twa_value
+        FROM stepped GROUP BY user_id
+    """,
+    "ewma_smooth": """
+        SELECT event_id, user_id, ts, value,
+               round(
+                   CAST(list_sum(list_transform(frame, (x, i) ->
+                       CAST(round(x * pow(0.9, len(frame) - i), 6)
+                            AS DECIMAL(28,6)))) AS DOUBLE)
+                   / CAST(list_sum(list_transform(frame, (x, i) ->
+                       CAST(round(pow(0.9, len(frame) - i), 6)
+                            AS DECIMAL(28,6)))) AS DOUBLE),
+               6) AS ewma
+        FROM (
+            SELECT event_id, user_id, ts, value,
+                   list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+                   ) AS frame
+            FROM events
+        )
     """,
     "repetition_signals": """
         WITH base AS (
