@@ -649,6 +649,100 @@ def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_write_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables (lakehouse).
+
+    THE pre-partitioning play for repeated 100 TB joins: orders and
+    customer are written ``bucketBy(custkey)`` + in-bucket sorted, so
+    the subsequent SortMergeJoin consumes both sides' bucket layout
+    directly — ``tests/test_plan_properties.py`` asserts the join
+    plan contains NO Exchange on the join key (the shuffle was paid
+    ONCE at write time and amortizes over every future join). The
+    ``merge`` hint pins SMJ so the demonstration doesn't degrade into
+    a broadcast at fixture scale; at production scale neither side
+    broadcasts and bucketing is the only way to avoid re-shuffling
+    the fact table per query. The oracle joins the raw tables —
+    pinning that the bucketed write→join path is lossless.
+    """
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+    tune_session(spark)
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    t_o, t_c = f"bdta_bkt_orders_{suffix}", f"bdta_bkt_customer_{suffix}"
+    # EXTERNAL tables at fixed /tmp paths: the location is independent
+    # of the session's cwd-derived warehouse dir, and a fresh session
+    # can always reclaim it (drop the catalog entry + clear the path).
+    for tbl, path in ((t_o, f"/tmp/{t_o}"), (t_c, f"/tmp/{t_c}")):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).format("parquet").option("path", f"/tmp/{t_o}").saveAsTable(t_o)
+    load_table(spark, sf_dir, "customer").write.bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).format("parquet").option("path", f"/tmp/{t_c}").saveAsTable(t_c)
+    joined = spark.table(t_o).hint("merge").join(
+        spark.table(t_c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice").alias("sum_totalprice"),
+    )
+
+
+def _multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON sink/source round-trip, delivery-exactness pinned.
+
+    The text-format corners of the source/sink surface (everything
+    else in the gate is parquet): the same events slice is written as
+    headered CSV and as JSON-lines, read back through explicit
+    schemas, and aggregated per format. The oracle aggregates the
+    SOURCE rows once per format tag — counts, distinct ids, and exact
+    decimal sums can only match if every row survived each text
+    round-trip exactly once with values intact (Spark serializes
+    doubles via shortest-round-trip representation, so the double
+    column is bit-preserved).
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+    tune_session(spark)
+    cols = ("event_id", "event_type", "value")
+    slice_df = load_table(spark, sf_dir, "events").select(*cols)
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    csv_dir = f"/tmp/bdta_csv_{suffix}"
+    json_dir = f"/tmp/bdta_json_{suffix}"
+    slice_df.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    slice_df.write.mode("overwrite").json(json_dir)
+    ddl = "event_id long, event_type string, value double"
+    back_csv = (
+        spark.read.schema(ddl)
+        .option("header", "true")
+        .csv(csv_dir)
+        .select(F.lit("csv").alias("fmt"), *cols)
+    )
+    back_json = spark.read.schema(ddl).json(json_dir).select(
+        F.lit("json").alias("fmt"), *cols
+    )
+    return (
+        back_csv.unionByName(back_json)
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("event_id").alias("n_ids"),
+            exact_sum("value").alias("sum_value"),
+        )
+    )
+
+
 def _stateful_decay_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom keyed-state streaming (applyInPandasWithState) in the gate.
 
@@ -788,6 +882,8 @@ QUERIES: dict[str, QueryFn] = {
     "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
     "time_weighted_avg": _q(temporal.time_weighted_avg, "events"),
     "ewma_smooth": _q(windows.ewma_smooth, "events"),
+    "bucketed_write_join": _bucketed_write_join,
+    "multiformat_roundtrip": _multiformat_roundtrip,
     # r3-standing queries rotated back through for fresh rows
     # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
@@ -2307,6 +2403,22 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS frame
             FROM events
         )
+    """,
+    "bucketed_write_join": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "multiformat_roundtrip": """
+        SELECT fmt,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT event_id) AS n_ids,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events, (VALUES ('csv'), ('json')) AS f(fmt)
+        GROUP BY fmt
     """,
     "repetition_signals": """
         WITH base AS (

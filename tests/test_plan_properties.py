@@ -35,6 +35,14 @@ CROSS_JOIN_ALLOWED = {
     "hll_merge_check",
     # broadcast 1-row (lo, hi) bounds onto the bucketing scan
     "histogram_numeric",
+    # scalar × scalar: 1-row planted count × 1-row recovered count
+    # (same shape as embed_neardup_check)
+    "dedup_minhash_check",
+    # 1-row exact-percentile agg × 1-row merged-sketch agg
+    "kll_rollup_check",
+    # the pairwise sketch relation joins O(segments) × broadcast
+    # O(segments) on an inequality — bounded by segments², never data
+    "theta_overlap_check",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
@@ -309,4 +317,31 @@ def test_event_transitions_two_exchanges(plans):
     (user key, pair key, and the tiny per-from window repartition)."""
     plan = plans["event_transitions"]
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_bucketed_join_has_no_exchange_on_join_key(plans):
+    """Both sides carry the bucketBy(custkey) layout, so the
+    SortMergeJoin must consume them without re-shuffling — the write
+    paid the shuffle once; every future join rides it for free."""
+    plan = plans["bucketed_write_join"]
+    assert "SortMergeJoin" in plan, "bucketed join degraded to another strategy"
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_sql_tpch_q5_broadcasts_all_dimensions(plans):
+    """The snowflake's dimensions must broadcast onto the lineitem
+    probe; the fact table is never shuffled before aggregation."""
+    plan = plans["sql_tpch_q5"]
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_single_fact_shuffle(plans):
+    """Sweep-line: expand + ONE keyed exchange for the running-sum
+    window (plus at most the agg's tiny partial exchange)."""
+    plan = plans["interval_overlap"]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

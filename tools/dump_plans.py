@@ -221,6 +221,48 @@ HEADLINERS: dict[str, str] = {
         "map-side partial, and the probability normalization windows "
         "over that 25-row relation — a single scan end to end."
     ),
+    "sql_tpch_q5": (
+        "The full snowflake: every dimension chain "
+        "(region→nation→customer, supplier) lands as a "
+        "BroadcastHashJoin onto the lineitem probe — the fact table is "
+        "never shuffled pre-aggregation — and the o_orderdate range is "
+        "in the orders scan's PushedFilters. The "
+        "s_nationkey = c_nationkey residual rides the supplier join as "
+        "a second key."
+    ),
+    "interval_overlap": (
+        "The sweep-line shape: a 2-rows-per-event Expand (never an "
+        "interval self-join), ONE Exchange on event_type feeding the "
+        "running-sum window, then a map-side-partial max per type. "
+        "Concurrency analytics at any scale is this one shuffle."
+    ),
+    "window_range_frame": (
+        "A single Exchange+Sort on user_id; the RANGE frame over "
+        "unix_micros bounds the trailing hour inside the sorted "
+        "partition — no window explode, no self-join, and the decimal "
+        "sum keeps the measure order-independent."
+    ),
+    "dedup_minhash_check": (
+        "The planted-twin union is a narrow projection over the seed "
+        "slice; the MinHash pipeline itself is the production plan — "
+        "signature groupBy, band explode, bucket equi-join, Jaccard "
+        "verify on candidates only — so the recall gate certifies the "
+        "exact plan a 100 TB corpus would run."
+    ),
+    "theta_overlap_check": (
+        "Two bounded relations meet: theta sketches aggregate once "
+        "over the corpus (mergeable, map-side partial) while the exact "
+        "twin self-joins the distinct (segment,user) relation on "
+        "user_id — both shuffles are keyed on low-cardinality or "
+        "user-sized keys, and the pairwise math runs on O(segments²) "
+        "rows."
+    ),
+    "ewma_smooth": (
+        "One Exchange+Sort on user_id; collect_list over the 10-row "
+        "frame is bounded state per row, and the weighted fold is a "
+        "pure projection — higher-order functions, no Python, no "
+        "second shuffle."
+    ),
 }
 
 
