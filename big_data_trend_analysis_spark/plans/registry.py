@@ -743,6 +743,46 @@ def _multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved directory read (mergeSchema), gate-verified.
+
+    Simulates a table that gained a column mid-life: the first half of
+    events is written WITHOUT ``value`` (the v1 schema), the second
+    half with it, into one directory. ``read_merged_schema`` must
+    union the footers — v1 rows surface ``value`` as NULL rather than
+    being dropped or crashing — and the aggregate per event_type
+    counts total rows vs rows carrying the new column. The oracle
+    reproduces the split arithmetically (event_id parity of the
+    halves), pinning that evolution loses no rows and nulls exactly
+    the pre-evolution ones.
+    """
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+    from big_data_trend_analysis_spark.sources.tables import read_merged_schema
+
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/bdta_evolve_{suffix}"
+    shutil.rmtree(path, ignore_errors=True)
+    v1 = events.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    v2 = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    )
+    v1.write.parquet(f"{path}/v1")
+    v2.write.parquet(f"{path}/v2")
+    merged = read_merged_schema(spark, path)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        exact_sum("value").alias("sum_value"),
+    )
+
+
 def _stateful_decay_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom keyed-state streaming (applyInPandasWithState) in the gate.
 
@@ -884,6 +924,7 @@ QUERIES: dict[str, QueryFn] = {
     "ewma_smooth": _q(windows.ewma_smooth, "events"),
     "bucketed_write_join": _bucketed_write_join,
     "multiformat_roundtrip": _multiformat_roundtrip,
+    "schema_evolution_read": _schema_evolution_read,
     # r3-standing queries rotated back through for fresh rows
     # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
@@ -2419,6 +2460,15 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events, (VALUES ('csv'), ('json')) AS f(fmt)
         GROUP BY fmt
+    """,
+    "schema_evolution_read": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE event_id % 2 = 1) AS n_with_value,
+               CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                    FILTER (WHERE event_id % 2 = 1) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
     """,
     "repetition_signals": """
         WITH base AS (
