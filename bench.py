@@ -76,7 +76,11 @@ def main() -> None:
             out[name] = round(best, 3)
         return out
 
-    timings = time_queries(only, sf_dir, reps=2)
+    # min-of-3 at the headline tier: single multi-second host-steal or
+    # writeback stalls have been observed to pollute BOTH runs of a
+    # min-of-2 (r6 full run: rolling_median 4.8 s vs 0.4 s isolated);
+    # a third rep makes the min robust to one bad window.
+    timings = time_queries(only, sf_dir, reps=3)
     # Secondary tier: the same queries at sf0.01. Host steal moves the
     # sf0.1 totals by up to ~30%; the small tier is cheap enough for
     # min-of-3 (a single steal window can cover two consecutive runs —

@@ -68,6 +68,14 @@ HEAVY_QUERIES = [
     "stateful_decay_live",
     "stream_join_live",
     "stream_session_live",
+    # round-6 additions with non-trivial shuffles/LSH pipelines
+    "dedup_minhash_check",
+    "dedup_simhash_check",
+    "repetition_signals",
+    "interval_overlap",
+    "ewma_smooth",
+    "theta_overlap_check",
+    "bucketed_write_join",
 ]
 
 
