@@ -75,7 +75,8 @@ HEAVY_QUERIES = [
     "interval_overlap",
     "ewma_smooth",
     "theta_overlap_check",
-    "bucketed_write_join",
+    # (bucketed_write_join reads the TPC-H tables, which the
+    # synthesized tier does not include — covered by bench instead)
 ]
 
 
