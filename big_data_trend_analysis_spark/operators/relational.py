@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_trend_analysis_spark.functions.numeric import exact_avg, exact_sum
 
@@ -223,4 +224,40 @@ def rollup_agg(customer: DataFrame, nation: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         exact_sum("c_acctbal").alias("sum_acctbal"),
         exact_avg("c_acctbal").alias("avg_acctbal"),
+    )
+
+
+def skyline_pareto(orders: DataFrame) -> DataFrame:
+    """Pareto frontier (skyline) of orders over (totalprice, orderdate).
+
+    An order is on the frontier iff no other order has BOTH a strictly
+    higher total price AND a later-or-equal order date — the dominance
+    query behind "best tradeoff" analytics (price/recency,
+    cost/quality). Shape: collapse to per-price groups (one keyed
+    shuffle, map-side partial ``max``), then a running ``max`` over
+    the price-ordered GROUP relation (O(distinct prices), not O(rows))
+    gives each price the best date achieved by any strictly higher
+    price; rows beating that date survive. At 100 TB the classic
+    local-skyline-then-merge refinement applies (each partition's
+    frontier is tiny, and the skyline of the union of local skylines
+    is the global skyline) — the group relation here plays that
+    bounded intermediate.
+    """
+    per_price = orders.groupBy("o_totalprice").agg(
+        F.max("o_orderdate").alias("dmax")
+    )
+    w = (
+        Window.orderBy(F.col("o_totalprice").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best_higher = per_price.select(
+        "o_totalprice", F.max("dmax").over(w).alias("best_higher_date")
+    )
+    return (
+        orders.join(best_higher, "o_totalprice")
+        .filter(
+            F.col("best_higher_date").isNull()
+            | (F.col("o_orderdate") > F.col("best_higher_date"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
     )

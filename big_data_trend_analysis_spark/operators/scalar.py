@@ -108,3 +108,34 @@ def variant_extract(events: DataFrame) -> DataFrame:
         F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
         F.schema_of_variant(v).alias("variant_schema"),
     )
+
+
+#: Fixed probe vocabulary for the array-function suite — analytics
+#: terms present in the fixture word bags (mirrored literally in the
+#: DuckDB oracle).
+ARRAY_SUITE_VOCAB = ("data", "model", "query", "spark", "stream")
+
+
+def array_functions_suite(documents: DataFrame) -> DataFrame:
+    """Array/higher-order-function parity row (scalar breadth).
+
+    Per document: distinct-token cardinality, overlap with a fixed
+    probe vocabulary (``array_intersect`` — compared by SIZE, since
+    engines order intersection results differently), the 3 smallest
+    distinct tokens canonicalized to a CSV string
+    (``sort_array`` + ``slice`` + ``array_join`` — fully ordered, so
+    string-comparable), and a ``filter`` count of long tokens. All
+    row-local scan-speed expressions; zero shuffles.
+    """
+    toks = F.split("text", " ")
+    distinct = F.array_distinct(toks)
+    vocab = F.array(*[F.lit(v) for v in ARRAY_SUITE_VOCAB])
+    return documents.select(
+        "doc_id",
+        F.size(distinct).alias("n_distinct"),
+        F.size(F.array_intersect(distinct, vocab)).alias("n_vocab_hits"),
+        F.array_join(F.slice(F.sort_array(distinct), 1, 3), ",").alias(
+            "first3"
+        ),
+        F.size(F.filter(toks, lambda t: F.length(t) > 6)).alias("n_long"),
+    )

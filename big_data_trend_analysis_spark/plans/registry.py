@@ -750,6 +750,51 @@ def _multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: TPC-H Q10 (returned-item report) on the fixture schema: revenue
+#: lost to returns per customer over one quarter, top-20.
+_SQL_Q10 = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           n_name
+    FROM {customer}
+    JOIN {orders}   ON c_custkey = o_custkey
+    JOIN {lineitem} ON l_orderkey = o_orderkey
+    JOIN {nation}   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def _sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #5: TPC-H Q10 — selective fact filter drives a
+    per-customer aggregate.
+
+    The complement of Q3/Q5/Q18's join archetypes: here the
+    selectivity lives on the FACT side (returned lineitems in one
+    quarter — both predicates pushed to their scans), the
+    per-customer aggregate runs map-side-partial over the filtered
+    join, and the top-20 plans as TakeOrderedAndProject with a
+    c_custkey tie-break for determinism.
+    """
+    tune_session(spark)
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q10.format(
+            customer="customer_v",
+            orders="orders_v",
+            lineitem="lineitem_v",
+            nation="nation_v",
+        )
+    )
+
+
 def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolved directory read (mergeSchema), gate-verified.
 
@@ -932,6 +977,9 @@ QUERIES: dict[str, QueryFn] = {
     "bucketed_write_join": _bucketed_write_join,
     "multiformat_roundtrip": _multiformat_roundtrip,
     "schema_evolution_read": _schema_evolution_read,
+    "sql_tpch_q10": _sql_tpch_q10,
+    "skyline_pareto": _q(relational.skyline_pareto, "orders"),
+    "array_functions_suite": _q(scalar.array_functions_suite, "documents"),
     # r3-standing queries rotated back through for fresh rows
     # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
@@ -2477,6 +2525,36 @@ ORACLE_SQL: dict[str, str] = {
                     FILTER (WHERE event_id % 2 = 1) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY event_type
+    """,
+    "sql_tpch_q10": _SQL_Q10.format(
+        customer="customer", orders="orders", lineitem="lineitem",
+        nation="nation",
+    ),
+    "skyline_pareto": """
+        WITH per_price AS (
+            SELECT o_totalprice, MAX(o_orderdate) AS dmax
+            FROM orders GROUP BY o_totalprice
+        ), best AS (
+            SELECT o_totalprice,
+                   MAX(dmax) OVER (
+                       ORDER BY o_totalprice DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_higher_date
+            FROM per_price
+        )
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders JOIN best USING (o_totalprice)
+        WHERE best_higher_date IS NULL OR o_orderdate > best_higher_date
+    """,
+    "array_functions_suite": """
+        SELECT doc_id,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_intersect(list_distinct(string_split(text, ' ')),
+                                  ['data', 'model', 'query', 'spark', 'stream'])) AS n_vocab_hits,
+               array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), ',') AS first3,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> length(x) > 6)) AS INTEGER) AS n_long
+        FROM documents
     """,
     "repetition_signals": """
         WITH base AS (
