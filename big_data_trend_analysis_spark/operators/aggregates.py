@@ -679,15 +679,26 @@ def kll_rollup_check(
     """
     merged = (
         lineitem.groupBy(group_col)
-        .agg(F.kll_sketch_agg_double(value_col).alias("sk"))
-        .agg(F.kll_merge_agg_double("sk").alias("sk"))
+        .agg(
+            F.kll_sketch_agg_double(value_col).alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .agg(
+            F.kll_merge_agg_double("sk").alias("sk"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+        )
         .select(
-            F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias(
-                "m50"
-            ),
-            F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias(
-                "m95"
-            ),
+            # merging zero sketches yields a buffer the extractor RAISES
+            # on (same gate as kll_quantile_rollup) — empty input must
+            # surface null estimates, not a crash
+            F.when(
+                F.col("n") > 0,
+                F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)),
+            ).alias("m50"),
+            F.when(
+                F.col("n") > 0,
+                F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)),
+            ).alias("m95"),
         )
     )
     exact = lineitem.agg(

@@ -100,7 +100,10 @@ def variant_extract(events: DataFrame) -> DataFrame:
     same fields through its native JSON type — engine-appropriate
     implementations of one semi-structured contract.
     """
-    v = F.parse_json("props")
+    # try_parse_json, not parse_json: malformed payloads become NULL
+    # variants (the PERMISSIVE contract the reference's from_json path
+    # relies on, SURVEY §1.2) instead of failing the batch.
+    v = F.try_parse_json("props")
     return events.select(
         "event_id",
         F.variant_get(v, "$.k", "int").alias("k_int"),

@@ -293,6 +293,10 @@ def ewma_smooth(events: DataFrame, decay: float = 0.9, span: int = 10) -> DataFr
     denominator alike, so both engines sum identical decimals and the
     final division + round is bit-stable — ``decay^age`` values have
     ≤ 2·span significant decimal digits, never a round-6 tie.
+
+    NULL ``value`` rows are excluded from the frame (``collect_list``
+    drops nulls); an upstream with nullable measures should coalesce
+    or filter first (fixture values are non-null).
     """
     w = (
         Window.partitionBy("user_id")

@@ -1139,3 +1139,77 @@ def test_dedup_checks_fail_open_on_thin_corpus(spark):
     assert (m.n_planted, m.n_found, m.all_found) == (0, 0, True)
     (s,) = dedup_simhash_check(df).collect()
     assert (s.n_planted, s.recall_ok, s.exclusion_ok) == (0, True, True)
+
+
+def test_variant_extract_malformed_props_yield_nulls(spark):
+    """try_parse_json: malformed JSON payloads become NULL variants
+    (PERMISSIVE contract) instead of failing the batch."""
+    from datetime import datetime
+
+    from big_data_trend_analysis_spark.operators.scalar import variant_extract
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "e", 1.0, '{"k": 7}'),
+        (2, datetime(2024, 1, 1), 1, "e", 1.0, "not json at all"),
+        (3, datetime(2024, 1, 1), 1, "e", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_id: r for r in variant_extract(df).collect()}
+    assert got[1].k_int == 7 and got[1].variant_schema == "OBJECT<k: BIGINT>"
+    assert got[2].k_int is None and got[2].variant_schema is None
+    assert got[3].k_int is None
+
+
+def test_round6_checks_handle_empty_input(spark):
+    """Empty-relation behavior (reference F1 analog) for the round-6
+    gate queries: empty in -> empty or vacuous out, never an error."""
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        column_profile,
+        conditional_agg_suite,
+        kll_rollup_check,
+        listagg_canonical,
+        theta_overlap_check,
+    )
+    from big_data_trend_analysis_spark.operators.relational import skyline_pareto
+    from big_data_trend_analysis_spark.operators.temporal import (
+        interval_overlap,
+        time_weighted_avg,
+    )
+    from big_data_trend_analysis_spark.operators.windows import (
+        ewma_smooth,
+        window_range_frame,
+    )
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    li = spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    assert listagg_canonical(ev).count() == 0
+    assert conditional_agg_suite(ev).count() == 0
+    assert interval_overlap(ev).count() == 0
+    assert time_weighted_avg(ev).count() == 0
+    assert window_range_frame(ev).count() == 0
+    assert ewma_smooth(ev).count() == 0
+    assert theta_overlap_check(ev).count() == 0
+    assert skyline_pareto(orders).count() == 0
+    (prof,) = column_profile(li).collect()
+    assert prof.n_rows == 0
+    (kll,) = kll_rollup_check(li).collect()
+    assert kll.n_rows == 0 and kll.p50_exact is None
