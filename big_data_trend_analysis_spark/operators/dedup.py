@@ -255,19 +255,26 @@ def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> Data
     return per_doc.select("doc_id", fingerprint.alias("simhash"))
 
 
-def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dedup_simhash(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    fps: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash banding + Hamming verification.
 
     Pigeonhole: any pair within Hamming distance 3 of a 32-bit
     fingerprint agrees exactly on at least one of 4 disjoint 8-bit
     bands, so the band equi-join has full recall at the cut. Output:
-    (doc_id_a, doc_id_b, hamming).
+    (doc_id_a, doc_id_b, hamming). Callers that already hold the
+    materialized fingerprint relation (``dedup_simhash_check``'s truth
+    join) pass it via ``fps`` so it is computed exactly once.
     """
     # Persist the per-doc fingerprints (1 row/doc, 12 bytes of payload)
     # and derive the 4-rows/doc band explode per join side as a narrow
     # projection off the cache — 4× less cache traffic than persisting
     # the exploded bucket relation itself.
-    fps = _materialize(simhash_fingerprints(documents))
+    if fps is None:
+        fps = _materialize(simhash_fingerprints(documents))
     band_structs = F.array(
         *[
             F.struct(
@@ -838,7 +845,7 @@ def dedup_simhash_check(
             ).alias("true_hamming"),
         )
     )
-    found = dedup_simhash(augmented, max_hamming=max_hamming).filter(
+    found = dedup_simhash(augmented, max_hamming=max_hamming, fps=fps).filter(
         (F.col("doc_id_b") == F.col("doc_id_a") + offset)
         & (F.col("doc_id_a") < n_planted)
     )

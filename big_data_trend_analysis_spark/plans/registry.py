@@ -980,6 +980,8 @@ QUERIES: dict[str, QueryFn] = {
     "sql_tpch_q10": _sql_tpch_q10,
     "skyline_pareto": _q(relational.skyline_pareto, "orders"),
     "array_functions_suite": _q(scalar.array_functions_suite, "documents"),
+    # changed in round 6: optional shared-fps parameter (see check)
+    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
     # r3-standing queries rotated back through for fresh rows
     # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
@@ -1046,7 +1048,6 @@ QUERIES: dict[str, QueryFn] = {
     "stream_decay_trend_live": _stream_decay_trend_live,
     "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
     "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
-    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
     "ngram_jaccard": _q(dedup.ngram_jaccard, "documents"),
     "sentiment_score": _sentiment_score,
     "entity_counts": _q(entities.entity_counts, "documents"),
