@@ -263,6 +263,26 @@ HEADLINERS: dict[str, str] = {
         "pure projection — higher-order functions, no Python, no "
         "second shuffle."
     ),
+    "sql_tpch_q10": (
+        "Fact-side selectivity: the returnflag predicate and the "
+        "quarter range land in PushedFilters on their own scans, the "
+        "4-table join broadcasts every dimension, and the per-customer "
+        "aggregate folds map-side-partial before the top-20 "
+        "TakeOrderedAndProject."
+    ),
+    "skyline_pareto": (
+        "Dominance without the O(n²) self-join: per-price max-date "
+        "groups (keyed shuffle, map-side partial), a running max over "
+        "the price-ordered GROUP relation, and an equi-join back — "
+        "the frontier filter is a projection-level predicate."
+    ),
+    "bucketed_write_join": (
+        "Both scans report the bucketBy(custkey) output partitioning, "
+        "so the SortMergeJoin has NO Exchange on the join key — the "
+        "write paid the shuffle once; every subsequent join of these "
+        "tables is shuffle-free (plan-asserted in "
+        "test_plan_properties)."
+    ),
 }
 
 
