@@ -778,3 +778,26 @@ def theta_overlap_check(events: DataFrame, tol: float = 0.08) -> DataFrame:
             <= F.greatest(F.lit(1.0), n_union_exact * tol)
         ).alias("union_ok"),
     )
+
+
+def mode_agg(events: DataFrame) -> DataFrame:
+    """Deterministic per-group mode (most frequent value).
+
+    The modal user per event type, with a pinned tie-break (highest
+    count, then LOWEST user id) — Spark's ``mode()`` aggregate is
+    non-deterministic on ties unless asked otherwise, and a mode that
+    flaps across partitionings is useless under an exact oracle. Two
+    map-side-partial aggregations: (type, user) counts, then one
+    ``max_by`` over a struct whose ordering encodes the tie-break;
+    the shuffle carries O(types × users-per-type) count cells, never
+    events.
+    """
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("event_type").agg(
+        F.max_by(
+            "user_id", F.struct(F.col("c"), (-F.col("user_id")).alias("nu"))
+        ).alias("modal_user"),
+        F.max("c").alias("modal_count"),
+    )

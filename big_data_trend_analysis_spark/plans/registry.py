@@ -795,6 +795,70 @@ def _sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: TPC-H Q12 adapted to the fixture schema (lineitem has no shipmode /
+#: commit-receipt dates): per linestatus, counts of urgent-or-high vs
+#: other order priorities among 1996 shipments — the CASE-inside-agg
+#: shape over the fact⋈orders join is Q12's planning archetype.
+_SQL_Q12 = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM {orders}
+    JOIN {lineitem} ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+
+def _sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #6: TPC-H Q12 (shipping-priority audit, adapted).
+
+    The CASE-inside-aggregate archetype: conditional counts fold
+    map-side over the shipdate-filtered fact⋈orders join (the year
+    range in the lineitem scan's PushedFilters), output bounded by
+    |linestatus|.
+    """
+    tune_session(spark)
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(_SQL_Q12.format(orders="orders_v", lineitem="lineitem_v"))
+
+
+#: TPC-H Q14 (promotion effect): PROMO revenue share of one quarter's
+#: shipments — scalar ratio of two conditional decimal sums.
+_SQL_Q14 = """
+    SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                   ELSE CAST('0.00' AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+           6) AS promo_revenue_pct
+    FROM {lineitem}
+    JOIN {part} ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def _sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #7: TPC-H Q14 (promotion effect).
+
+    A scalar conditional-ratio aggregate over the lineitem⋈part join:
+    part broadcasts, the quarter predicate pushes to the fact scan,
+    and both sums run in exact decimal so the single output row is
+    order-independent to the digit.
+    """
+    tune_session(spark)
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(_SQL_Q14.format(lineitem="lineitem_v", part="part_v"))
+
+
 def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolved directory read (mergeSchema), gate-verified.
 
@@ -982,6 +1046,9 @@ QUERIES: dict[str, QueryFn] = {
     "array_functions_suite": _q(scalar.array_functions_suite, "documents"),
     # changed in round 6: optional shared-fps parameter (see check)
     "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
+    "sql_tpch_q12": _sql_tpch_q12,
+    "sql_tpch_q14": _sql_tpch_q14,
+    "mode_agg": _q(aggregates.mode_agg, "events"),
     # r3-standing queries rotated back through for fresh rows
     # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
@@ -2556,6 +2623,24 @@ ORACLE_SQL: dict[str, str] = {
                CAST(len(list_filter(string_split(text, ' '),
                                     x -> length(x) > 6)) AS INTEGER) AS n_long
         FROM documents
+    """,
+    "sql_tpch_q12": _SQL_Q12.format(orders="orders", lineitem="lineitem"),
+    "sql_tpch_q14": _SQL_Q14.format(lineitem="lineitem", part="part"),
+    "mode_agg": """
+        WITH counts AS (
+            SELECT event_type, user_id, COUNT(*) AS c
+            FROM events GROUP BY event_type, user_id
+        ), ranked AS (
+            SELECT event_type, user_id, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY c DESC, user_id ASC
+                   ) AS rn,
+                   MAX(c) OVER (PARTITION BY event_type) AS modal_count
+            FROM counts
+        )
+        SELECT event_type, user_id AS modal_user, modal_count
+        FROM ranked WHERE rn = 1
     """,
     "repetition_signals": """
         WITH base AS (
