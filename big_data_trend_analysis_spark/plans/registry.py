@@ -859,6 +859,62 @@ def _sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q14.format(lineitem="lineitem_v", part="part_v"))
 
 
+def _jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink + source round-trip against embedded Derby, in-gate.
+
+    The reference's ONLY sink is a JDBC append (K1,
+    ``spark_stream.py:40-48``); this runs the same
+    ``write.format("jdbc")`` path end-to-end inside the correctness
+    gate — no Postgres in the container, so the embedded Derby engine
+    (on the Spark classpath) stands in, exactly like the pytest Derby
+    suite. A deterministic events slice is overwritten into an
+    in-memory Derby table and read back through the JDBC source; the
+    oracle aggregates the SOURCE rows, so counts + distinct ids +
+    exact decimal sums match only if every row survived the
+    JDBC round-trip exactly once (Derby DOUBLE is IEEE — values are
+    bit-preserved).
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+    tune_session(spark)
+    # Keep Derby's log out of the (arbitrary) driver CWD.
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", "/tmp/bdta_derby.log"
+    )
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    url = f"jdbc:derby:memory:bdta_gate_{suffix};create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    slice_df = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    (
+        slice_df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "served_gate")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "served_gate")
+        .option("driver", driver)
+        .load()
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("event_id").alias("n_ids"),
+        exact_sum("value").alias("sum_value"),
+    )
+
+
 def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolved directory read (mergeSchema), gate-verified.
 
@@ -1049,6 +1105,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_tpch_q12": _sql_tpch_q12,
     "sql_tpch_q14": _sql_tpch_q14,
     "mode_agg": _q(aggregates.mode_agg, "events"),
+    "jdbc_roundtrip": _jdbc_roundtrip,
     # r3-standing queries rotated back through for fresh rows
     # (implementations unchanged since their last green run)
     "agg_basic": _q(aggregates.agg_basic, "lineitem"),
@@ -1067,7 +1124,6 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_term": _q(textstats.tfidf_top_term, "documents"),
     "pipeline_curate": _q(textstats.pipeline_curate, "documents"),
     "multimodal_decode": _q(multimodal.multimodal_decode, "documents"),
-    "multimodal_pipeline": _q(multimodal.multimodal_pipeline, "documents"),
     "running_counts_live": _running_counts_live,
     "approx_distinct_check": _q(aggregates.approx_distinct_check, "documents"),
     "approx_percentile_check": _q(aggregates.approx_percentile_check, "lineitem"),
@@ -1097,6 +1153,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_cms_live": _stream_cms_live,
     "stream_sink_live": _stream_sink_live,
     # ---- beyond the window: fresh r4/r5 green rows stand ----
+    "multimodal_pipeline": _q(multimodal.multimodal_pipeline, "documents"),
     "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
     "sql_tpch_q3": _sql_tpch_q3,
     "bm25_rank": _q(textstats.bm25_rank, "documents"),
@@ -2641,6 +2698,15 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT event_type, user_id AS modal_user, modal_count
         FROM ranked WHERE rn = 1
+    """,
+    "jdbc_roundtrip": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT event_id) AS n_ids,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_id % 7 = 0
+        GROUP BY event_type
     """,
     "repetition_signals": """
         WITH base AS (
