@@ -27,12 +27,16 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import ast
 import hashlib
+import importlib
 import inspect
 import json
 import os
 import re
 import sys
+import textwrap
+import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -42,6 +46,39 @@ LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "green_le
 WINDOW = 50
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _body_imports(src: str, module: str) -> list:
+    """Objects named by ``import``/``from X import Y`` statements anywhere in
+    the source (including inside function bodies, which never reach
+    ``__globals__`` — ADVICE r6: exact_sum/read_merged_schema were invisible
+    to the fingerprint). Relative imports resolve against the function's
+    package."""
+    out = []
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return out
+    package = module.rsplit(".", 1)[0] if "." in module else module
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            name = "." * node.level + (node.module or "")
+            try:
+                mod = importlib.import_module(name, package=package)
+            except Exception:
+                continue
+            for alias in node.names:
+                obj = getattr(mod, alias.name, None)
+                if obj is not None:
+                    out.append(obj)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                try:
+                    out.append(importlib.import_module(alias.name))
+                except Exception:
+                    continue
+    return out
 
 
 def _const_repr(obj) -> str | None:
@@ -87,11 +124,19 @@ def fingerprint(query_fn, oracle_sql: str | None) -> str:
         except (TypeError, OSError):
             continue
         sources.append((f"{key[0]}.{key[1]}", src))
-        g = getattr(fn, "__globals__", {})
-        for tok in set(_NAME_RE.findall(src)):
-            obj = g.get(tok)
-            if obj is None:
-                continue
+        g = dict(getattr(fn, "__globals__", {}))
+        # Names bound by import statements inside the body (never in
+        # __globals__) participate in the closure too (ADVICE r6).
+        for obj in _body_imports(src, key[0] or PKG):
+            nm = getattr(obj, "__name__", None)
+            if nm:
+                g.setdefault(nm, obj)
+            if (inspect.isfunction(obj) or inspect.isclass(obj)) and (
+                getattr(obj, "__module__", "") or ""
+            ).startswith(PKG):
+                work.append(obj)
+
+        def _visit(tok: str, obj) -> None:
             if inspect.isfunction(obj) and (obj.__module__ or "").startswith(PKG):
                 work.append(obj)
             elif inspect.isclass(obj) and (obj.__module__ or "").startswith(PKG):
@@ -101,6 +146,20 @@ def fingerprint(query_fn, oracle_sql: str | None) -> str:
                 rep = _const_repr(obj)
                 if rep is not None and tok.isupper():
                     consts[f"{key[0]}.{tok}"] = rep
+
+        for tok in set(_NAME_RE.findall(src)):
+            obj = g.get(tok)
+            if obj is None:
+                continue
+            _visit(tok, obj)
+        # `mod.attr` references into package modules (e.g. dedup._materialize
+        # after `from ..operators import dedup`) — resolve the attribute.
+        for mod_tok, attr in set(_ATTR_RE.findall(src)):
+            mod = g.get(mod_tok)
+            if isinstance(mod, types.ModuleType) and mod.__name__.startswith(PKG):
+                obj = getattr(mod, attr, None)
+                if obj is not None:
+                    _visit(attr, obj)
 
     h = hashlib.sha256()
     for name, src in sorted(sources):
@@ -172,6 +231,26 @@ def cmd_ingest(path: str, round_no: int, exclude: list[str]) -> None:
     print(f"ingested {n_hash} hash + {n_rows} rows-only green rows from {path} (round {round_no})")
 
 
+def cmd_rehash() -> None:
+    """Recompute every stored fingerprint against the CURRENT tree.
+
+    Only sound while HEAD is exactly the code the driver verified (same
+    precondition as ingest) — used to migrate the ledger when the
+    fingerprint algorithm itself changes.
+    """
+    queries, oracle_sql = _load_registry()
+    ledger = load_ledger()
+    n = 0
+    for name, entry in ledger.items():
+        if name in queries:
+            entry["fingerprint"] = fingerprint(queries[name], oracle_sql.get(name))
+            n += 1
+    with open(LEDGER_PATH, "w") as f:
+        json.dump(dict(sorted(ledger.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"rehashed {n} ledger fingerprints against the current tree")
+
+
 def cmd_check() -> int:
     queries, oracle_sql = _load_registry()
     names = list(queries)
@@ -193,9 +272,12 @@ def main() -> None:
     ing.add_argument("--round", type=int, required=True)
     ing.add_argument("--exclude", nargs="*", default=[])
     sub.add_parser("check")
+    sub.add_parser("rehash")
     args = ap.parse_args()
     if args.cmd == "ingest":
         cmd_ingest(args.path, args.round, args.exclude)
+    elif args.cmd == "rehash":
+        cmd_rehash()
     else:
         sys.exit(cmd_check())
 
