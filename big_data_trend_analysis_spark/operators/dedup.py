@@ -758,14 +758,19 @@ def dedup_minhash_check(
     J² ≈ 0.89 over 8 bands — measured 20/20 at every SF, no flapping.
     The oracle recomputes the eligible-seed count and demands
     ``all_found`` TRUE.
+
+    Twins live in the NEGATIVE id space (twin = -(seed+1)): disjoint
+    from any non-negative corpus id regardless of corpus size — a
+    fixed positive offset would collide once real ids reach it
+    (ADVICE r6). In pair output the twin is always ``doc_id_a``
+    (pairs are emitted with doc_id_a < doc_id_b).
     """
-    offset = 1_000_000_000
     toks = F.split("text", " ")
     seeds = documents.filter(
         (F.col("doc_id") < n_planted) & (F.size(toks) >= min_tokens)
     )
     twins = seeds.select(
-        (F.col("doc_id") + offset).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
         "lang",
         "source",
@@ -777,9 +782,10 @@ def dedup_minhash_check(
 
     pairs = dedup_minhash(augmented, threshold=threshold)
     found = pairs.filter(
-        (F.col("doc_id_b") == F.col("doc_id_a") + offset)
-        & (F.col("doc_id_a") < n_planted)
-    ).agg(F.count_distinct("doc_id_a").alias("n_found"))
+        (F.col("doc_id_a") == -(F.col("doc_id_b") + 1))
+        & (F.col("doc_id_b") < n_planted)
+        & (F.col("doc_id_b") >= 0)
+    ).agg(F.count_distinct("doc_id_b").alias("n_found"))
     planted = seeds.agg(F.count(F.lit(1)).alias("n_planted"))
     return planted.crossJoin(found).select(
         "n_planted",
@@ -810,17 +816,18 @@ def dedup_simhash_check(
       the Hamming verify filter.
 
     True distances come from a direct XOR of the two fingerprints
-    (O(n_planted) rows through an equi-join on the offset — never a
+    (O(n_planted) rows through an equi-join on the twin id — never a
     pairwise scan). The oracle pins the eligible-seed count and both
-    booleans TRUE.
+    booleans TRUE. Twins live in the NEGATIVE id space
+    (twin = -(seed+1)), disjoint from any non-negative corpus id —
+    see ``dedup_minhash_check``.
     """
-    offset = 1_000_000_000
     toks = F.split("text", " ")
     seeds = documents.filter(
         (F.col("doc_id") < n_planted) & (F.size(toks) >= min_tokens)
     )
     twins = seeds.select(
-        (F.col("doc_id") + offset).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
         "lang",
         "source",
@@ -832,25 +839,30 @@ def dedup_simhash_check(
 
     fps = _materialize(simhash_fingerprints(augmented))
     truth = (
-        fps.filter(F.col("doc_id") < n_planted)
+        fps.filter((F.col("doc_id") < n_planted) & (F.col("doc_id") >= 0))
         .alias("o")
         .join(
-            fps.filter(F.col("doc_id") >= offset).alias("t"),
-            F.col("t.doc_id") == F.col("o.doc_id") + offset,
+            fps.filter(F.col("doc_id") < 0).alias("t"),
+            F.col("t.doc_id") == -(F.col("o.doc_id") + 1),
         )
         .select(
-            F.col("o.doc_id").alias("doc_id_a"),
+            F.col("o.doc_id").alias("seed_id"),
             F.bit_count(
                 F.col("o.simhash").bitwiseXOR(F.col("t.simhash"))
             ).alias("true_hamming"),
         )
     )
     found = dedup_simhash(augmented, max_hamming=max_hamming, fps=fps).filter(
-        (F.col("doc_id_b") == F.col("doc_id_a") + offset)
-        & (F.col("doc_id_a") < n_planted)
+        (F.col("doc_id_a") == -(F.col("doc_id_b") + 1))
+        & (F.col("doc_id_b") < n_planted)
+        & (F.col("doc_id_b") >= 0)
     )
     joined = truth.join(
-        found.select("doc_id_a", F.lit(True).alias("found")), "doc_id_a", "left"
+        found.select(
+            F.col("doc_id_b").alias("seed_id"), F.lit(True).alias("found")
+        ),
+        "seed_id",
+        "left",
     )
     # coalesce: bool_and over zero rows is NULL — an empty planted set
     # (corpus too thin to seed twins) is vacuously OK, not unknown.

@@ -233,28 +233,69 @@ def skyline_pareto(orders: DataFrame) -> DataFrame:
     An order is on the frontier iff no other order has BOTH a strictly
     higher total price AND a later-or-equal order date — the dominance
     query behind "best tradeoff" analytics (price/recency,
-    cost/quality). Shape: collapse to per-price groups (one keyed
-    shuffle, map-side partial ``max``), then a running ``max`` over
-    the price-ordered GROUP relation (O(distinct prices), not O(rows))
-    gives each price the best date achieved by any strictly higher
-    price; rows beating that date survive. At 100 TB the classic
-    local-skyline-then-merge refinement applies (each partition's
-    frontier is tiny, and the skyline of the union of local skylines
-    is the global skyline) — the group relation here plays that
-    bounded intermediate.
+    cost/quality). Shape: the classic local-skyline-then-merge
+    (ADVICE r6 — the previous per-price global window was a single-task
+    O(rows) sort because o_totalprice is near-unique):
+
+    1. LOCAL PRUNE — each partition drops its locally-dominated rows
+       with ONE balanced exchange on ``spark_partition_id()`` (three
+       window expressions sharing a single partition+sort). Dominance
+       is transitive, so a locally-dominated row is also dominated by
+       some local *survivor* — pruning is lossless and the survivors
+       are a superset of the global frontier.
+    2. GLOBAL MERGE — the original per-price running-max over the
+       pruned relation only. Its unpartitioned window now orders the
+       candidate set (tiny in the typical correlated case; O(frontier)
+       in the anti-correlated worst case, where the output itself is
+       that large — irreducible).
+
+    Equal prices never dominate each other: within a partition the
+    strictly-higher-price running max is carried across each
+    equal-price run via a run-first marker + ``last(ignorenulls)``.
     """
-    per_price = orders.groupBy("o_totalprice").agg(
+    rows = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.spark_partition_id().alias("pid"),
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderdate").desc()
+    )
+    cummax_prev = F.max("o_orderdate").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_price = F.lag("o_totalprice").over(w)
+    is_run_first = prev_price.isNull() | (prev_price != F.col("o_totalprice"))
+    # Sentinel = "no strictly higher price seen": any real date beats it,
+    # and it distinguishes that case for null-date rows (kept, matching
+    # the oracle's best_higher_date IS NULL branch).
+    sentinel = F.lit("0001-01-01 00:00:00").cast("timestamp")
+    marker = F.when(is_run_first, F.coalesce(cummax_prev, sentinel))
+    best_local = F.last(marker, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    candidates = (
+        rows.withColumn("best_local", best_local)
+        .filter(
+            (F.col("best_local") == sentinel)
+            | (F.col("o_orderdate") > F.col("best_local"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+    per_price = candidates.groupBy("o_totalprice").agg(
         F.max("o_orderdate").alias("dmax")
     )
-    w = (
+    w2 = (
         Window.orderBy(F.col("o_totalprice").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     best_higher = per_price.select(
-        "o_totalprice", F.max("dmax").over(w).alias("best_higher_date")
+        "o_totalprice", F.max("dmax").over(w2).alias("best_higher_date")
     )
     return (
-        orders.join(best_higher, "o_totalprice")
+        candidates.join(best_higher, "o_totalprice")
         .filter(
             F.col("best_higher_date").isNull()
             | (F.col("o_orderdate") > F.col("best_higher_date"))

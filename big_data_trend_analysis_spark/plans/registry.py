@@ -611,6 +611,44 @@ def _sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gate_suffix(spark: SparkSession, sf_dir: str) -> str:
+    """Collision-free artifact suffix for the side-effecting gate queries.
+
+    Keyed by (sf_dir, Spark application id): two concurrent sessions on
+    the same tier (bench + the gate, or scale_smoke) can no longer race
+    on DROP TABLE / rmtree of each other's live artifacts (ADVICE r6).
+    Same-session reruns (bench runs every query twice) still collide by
+    design and are handled by each query's own overwrite/DROP guard.
+    """
+    import hashlib
+
+    app_id = spark.sparkContext.applicationId
+    return hashlib.md5(f"{sf_dir}|{app_id}".encode()).hexdigest()[:10]
+
+
+def _cleanup_at_exit(spark: SparkSession, paths=(), tables=()) -> None:
+    """Remove gate artifacts at interpreter exit.
+
+    The returned DataFrames read the written artifacts LAZILY — the
+    driver collects after the query function returns — so an in-function
+    ``finally`` would delete the data before it is ever read; interpreter
+    exit is the earliest point that is always safe.
+    """
+    import atexit
+    import shutil
+
+    def _clean() -> None:
+        for t in tables:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+    atexit.register(_clean)
+
+
 def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned parquet sink + pruned read-back, end-to-end.
 
@@ -622,10 +660,8 @@ def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     same aggregate over raw events, pinning that the write→prune→read
     path is lossless. This is the only container-exercisable sink (no
     Kafka broker / Postgres here); the write lands under /tmp, sized
-    by SF, overwritten per run.
+    by SF, overwritten per run, removed at exit.
     """
-    import hashlib
-
     from pyspark.sql import functions as F
 
     from big_data_trend_analysis_spark.sources.lakehouse import (
@@ -634,8 +670,8 @@ def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     events = load_table(spark, sf_dir, "events")
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/bdta_lakehouse_{suffix}"
+    path = f"/tmp/bdta_lakehouse_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[path])
     write_date_partitioned(events, path, "ts")
     back = spark.read.parquet(path).filter(
         (F.col("p_date") >= F.lit("2024-01-05").cast("date"))
@@ -664,7 +700,6 @@ def _bucketed_write_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table per query. The oracle joins the raw tables —
     pinning that the bucketed write→join path is lossless.
     """
-    import hashlib
     import shutil
 
     from pyspark.sql import functions as F
@@ -672,11 +707,12 @@ def _bucketed_write_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_trend_analysis_spark.functions.numeric import exact_sum
 
     tune_session(spark)
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    suffix = _gate_suffix(spark, sf_dir)
     t_o, t_c = f"bdta_bkt_orders_{suffix}", f"bdta_bkt_customer_{suffix}"
-    # EXTERNAL tables at fixed /tmp paths: the location is independent
-    # of the session's cwd-derived warehouse dir, and a fresh session
-    # can always reclaim it (drop the catalog entry + clear the path).
+    # EXTERNAL tables under session-unique /tmp paths: the location is
+    # independent of the cwd-derived warehouse dir; the DROP + rmtree
+    # guard handles same-session reruns (bench runs each query twice).
+    _cleanup_at_exit(spark, paths=[f"/tmp/{t_o}", f"/tmp/{t_c}"], tables=[t_o, t_c])
     for tbl, path in ((t_o, f"/tmp/{t_o}"), (t_c, f"/tmp/{t_c}")):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(path, ignore_errors=True)
@@ -708,8 +744,6 @@ def _multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles via shortest-round-trip representation, so the double
     column is bit-preserved).
     """
-    import hashlib
-
     from pyspark.sql import functions as F
 
     from big_data_trend_analysis_spark.functions.numeric import exact_sum
@@ -724,9 +758,10 @@ def _multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 5 == 0)
         .select(*cols)
     )
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    suffix = _gate_suffix(spark, sf_dir)
     csv_dir = f"/tmp/bdta_csv_{suffix}"
     json_dir = f"/tmp/bdta_json_{suffix}"
+    _cleanup_at_exit(spark, paths=[csv_dir, json_dir])
     slice_df.write.mode("overwrite").option("header", "true").csv(csv_dir)
     slice_df.write.mode("overwrite").json(json_dir)
     ddl = "event_id long, event_type string, value double"
@@ -874,8 +909,6 @@ def _jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JDBC round-trip exactly once (Derby DOUBLE is IEEE — values are
     bit-preserved).
     """
-    import hashlib
-
     from pyspark.sql import functions as F
 
     from big_data_trend_analysis_spark.functions.numeric import exact_sum
@@ -885,8 +918,9 @@ def _jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark._jvm.java.lang.System.setProperty(
         "derby.stream.error.file", "/tmp/bdta_derby.log"
     )
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    url = f"jdbc:derby:memory:bdta_gate_{suffix};create=true"
+    # Session-unique in-memory db name (no cross-session clash); the
+    # db itself dies with the JVM, so no exit cleanup is needed.
+    url = f"jdbc:derby:memory:bdta_gate_{_gate_suffix(spark, sf_dir)};create=true"
     driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
     slice_df = (
         load_table(spark, sf_dir, "events")
@@ -928,7 +962,6 @@ def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves), pinning that evolution loses no rows and nulls exactly
     the pre-evolution ones.
     """
-    import hashlib
     import shutil
 
     from pyspark.sql import functions as F
@@ -938,8 +971,8 @@ def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     events = load_table(spark, sf_dir, "events")
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/bdta_evolve_{suffix}"
+    path = f"/tmp/bdta_evolve_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[path])
     shutil.rmtree(path, ignore_errors=True)
     v1 = events.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type")
     v2 = events.filter(F.col("event_id") % 2 == 1).select(
