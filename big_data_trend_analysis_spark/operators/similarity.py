@@ -703,6 +703,138 @@ def embed_pq_check(
     )
 
 
+def ann_ivfpq_check(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    n_planted: int = 20,
+    top_k: int = 5,
+    noise: float = 0.05,
+) -> DataFrame:
+    """IVF **and** PQ composed into one serving plan, hash-checked
+    (VERDICT r6 #5 — the actual FAISS IVF-PQ stack the two halves
+    ``ann_ivf`` and ``embed_pq_check`` demonstrate separately).
+
+    One encode pass assigns every vector its IVF cell (argmax over the
+    broadcast codebook, Arrow-batched matmul) AND its PQ codes
+    (per-subspace argmin) — at 100 TB this is the single full-corpus
+    read; everything after touches codes only. Probes (the first
+    ``n_planted`` vectors) search their ``nprobe`` nearest cells via a
+    **cell equi-join** against the encoded relation — unlike
+    ``embed_pq_check``'s full-corpus ADC scan, only ~nprobe/K of the
+    codes are scored — and rank candidates by the same JVM-side ADC
+    expression (``aggregate(zip_with(codes, lut, (c,l) -> l[c]))``).
+
+    Invariant: ε-perturbed twins (cos ≈ 0.9988, the
+    ``embed_neardup_check`` construction) are unioned in-plan; every
+    probe must retrieve its twin in the ADC top-``top_k`` — which
+    requires BOTH halves to work: the twin's cell must fall inside the
+    probe's nprobe cells (IVF routing) and its ADC score must rank
+    (PQ fidelity). Deterministic end to end (seeded codebooks on
+    hash-filtered samples, rounded scores, vec_id-desc tie-break —
+    a code-collapsed twin ties its original and must still rank).
+    The oracle recomputes the planted count and demands ``all_found``.
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    dim = EMBEDDING_DIM
+    sub = dim // m
+    offset = 1_000_000_000
+
+    cmat = train_ivf_centroids(embeddings, n_centroids=n_centroids)
+    books = train_pq_codebooks(embeddings, m=m, k=k)
+
+    base = embeddings.select("vec_id", "embedding")
+    seeds = base.filter(F.col("vec_id") < n_planted)
+    twin_vec = F.transform(
+        "embedding",
+        lambda x, i: (
+            x
+            * (
+                F.lit(1.0)
+                + F.lit(noise)
+                * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            )
+        ).cast("float"),
+    )
+    augmented = base.unionByName(
+        seeds.select(
+            (F.col("vec_id") + offset).alias("vec_id"), twin_vec.alias("embedding")
+        )
+    )
+
+    @F.pandas_udf("struct<cell: int, codes: array<int>>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy()).astype(float)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(x @ cmat.T, axis=1).astype("int32")
+        codes = np.zeros((len(x), m), dtype="int32")
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1).astype("int32")
+        return pd.DataFrame({"cell": cell, "codes": list(codes)})
+
+    encoded = _materialize(
+        augmented.select("vec_id", encode(F.col("embedding")).alias("e")).select(
+            "vec_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes")
+        )
+    )
+
+    # Probe LUTs + routed cells, driver-computed from O(n_planted) rows
+    # (corpus-size-independent, like codebook training).
+    probe_rows = sorted(
+        embeddings.filter(F.col("vec_id") < n_planted)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    routed = []
+    for r in probe_rows:
+        v = np.asarray(r.v, dtype=float)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        cells = np.argsort(-(cmat @ v), kind="stable")[:nprobe]
+        lut = [(books[s] @ v[s * sub : (s + 1) * sub]).tolist() for s in range(m)]
+        for c in cells:
+            routed.append((int(r.vec_id), int(c), lut))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        routed, "probe_id long, probe_cell int, lut array<array<double>>"
+    )
+
+    cand = encoded.join(
+        F.broadcast(probes), encoded.cell == probes.probe_cell
+    ).filter(F.col("vec_id") != F.col("probe_id"))
+    adc = cand.withColumn(
+        "score",
+        F.round(
+            F.aggregate(
+                F.zip_with("codes", "lut", lambda c, l: l[c]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").desc()
+    )
+    found = (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .filter(F.col("vec_id") == F.col("probe_id") + offset)
+        .agg(F.count_distinct("probe_id").alias("n_found"))
+    )
+    n_pl = seeds.agg(F.count(F.lit(1)).alias("n_planted"))
+    return n_pl.crossJoin(found).select(
+        "n_planted",
+        "n_found",
+        (F.col("n_found") == F.col("n_planted")).alias("all_found"),
+    )
+
+
 def embed_pca_check(
     embeddings: DataFrame,
     top_k: int = 8,

@@ -894,6 +894,179 @@ def _sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q14.format(lineitem="lineitem_v", part="part_v"))
 
 
+#: TPC-H Q4 (order-priority check, adapted to the fixture schema): the
+#: classic l_commitdate < l_receiptdate predicate has no fixture
+#: columns, so the EXISTS probes returned lines instead — the join
+#: archetype (correlated EXISTS → left-semi join, inner predicate
+#: filtered BEFORE the semi-join) is identical.
+_SQL_Q4 = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM {orders}
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM {lineitem}
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def _sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #8: TPC-H Q4 — EXISTS decorrelated to a left-semi join.
+
+    The semi-join archetype the suite lacked as literal SQL: Catalyst
+    rewrites the correlated EXISTS into LeftSemi over (l_orderkey ⋉
+    o_orderkey) with the returnflag predicate applied on the inner
+    scan BEFORE the join (asserted in tests/test_plan_properties.py).
+    The quarter filter pushes to the orders scan; output is bounded by
+    |orderpriority|. Reference parity: the EXISTS-shaped filter is the
+    set-membership question the reference answers with driver-side
+    sketches (``cms_stream.py:42-47``), here as a relational semi-join.
+    """
+    tune_session(spark)
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(_SQL_Q4.format(orders="orders_v", lineitem="lineitem_v"))
+
+
+#: TPC-H Q13 (customer distribution): LEFT OUTER join with an ON-clause
+#: predicate on the inner side, then a count-of-counts histogram.
+_SQL_Q13 = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM {customer}
+        LEFT OUTER JOIN {orders}
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #9: TPC-H Q13 — outer-join count distribution.
+
+    The outer-join-shaped aggregate the suite lacked: customers with
+    zero (non-urgent) orders MUST survive the join as c_count = 0 rows
+    (COUNT over the null-extended side), so the ON-clause predicate
+    cannot be pushed below the outer join's null-extension. Two
+    aggregations: per-customer counts (shuffle on custkey), then the
+    O(|distinct counts|) histogram.
+    """
+    tune_session(spark)
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(_SQL_Q13.format(customer="customer_v", orders="orders_v"))
+
+
+#: TPC-H Q17 (small-quantity-order revenue): per-part correlated
+#: average. l_quantity is integral (exactly representable in double),
+#: so AVG is order-independent and the oracle comparison cannot flip
+#: on summation order; revenue sums in exact decimal.
+_SQL_Q17 = """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM {lineitem}
+    JOIN {part} ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM {lineitem} l2
+          WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+def _sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #10: TPC-H Q17 — correlated scalar subquery per part.
+
+    Catalyst decorrelates the per-part AVG into an aggregate-then-join
+    (one pass computing avg quantity per partkey, joined back to the
+    brand-filtered fact) instead of re-scanning lineitem per outer row.
+    The brand predicate broadcasts through the part join; the final
+    result is a single exact-decimal scalar.
+    """
+    tune_session(spark)
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(_SQL_Q17.format(lineitem="lineitem_v", part="part_v"))
+
+
+#: TPC-H Q19 (discounted revenue): three-branch disjunction mixing
+#: part-side and lineitem-side conjuncts (shipmode/shipinstruct have no
+#: fixture columns and are dropped; the pushdown archetype is intact).
+_SQL_Q19 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM {lineitem}
+    JOIN {part} ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+def _sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #11: TPC-H Q19 — disjunctive predicate pushdown.
+
+    The OR-of-ANDs archetype: Catalyst cannot push the whole
+    disjunction to either side, but it CAN push each side's disjunct
+    union — lineitem scans only quantity ∈ [1,30] rows, part only the
+    three brands (both visible as PushedFilters; asserted in
+    tests/test_plan_properties.py). The residual mixed-side
+    disjunction evaluates post-join on the pre-pruned rows.
+    """
+    tune_session(spark)
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(_SQL_Q19.format(lineitem="lineitem_v", part="part_v"))
+
+
+#: TPC-H Q22 (global-sales opportunity, adapted): customers above the
+#: mean balance with no urgent orders. The fixture has no c_phone, and
+#: every customer has ≥1 order, so the anti-join excludes urgent
+#: orders instead (same NOT EXISTS → left-anti archetype, non-trivial
+#: output). The mean-balance cut is expressed multiplicatively
+#: (bal·count > total) so both engines compare exact decimals —
+#: never a double division whose last bit could flip a boundary row.
+_SQL_Q22 = """
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM {customer}
+    WHERE CAST(c_acctbal AS DECIMAL(12,2))
+          * (SELECT COUNT(*) FROM {customer} c2 WHERE c2.c_acctbal > 0.0)
+          > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(12,2))) FROM {customer} c3 WHERE c3.c_acctbal > 0.0)
+      AND NOT EXISTS (
+          SELECT 1 FROM {orders}
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
+def _sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #12: TPC-H Q22 — anti-join + scalar subqueries.
+
+    The NOT EXISTS decorrelates to LeftAnti over the urgent-orders
+    projection; the two uncorrelated scalar subqueries evaluate once
+    and broadcast as literals into the filter. Completes the
+    semi/anti/outer/correlated join-archetype set (Q4/Q13/Q17/Q22)
+    VERDICT r6 named as the remaining relational gap.
+    """
+    tune_session(spark)
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(_SQL_Q22.format(customer="customer_v", orders="orders_v"))
+
+
 def _jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JDBC sink + source round-trip against embedded Derby, in-gate.
 
@@ -988,6 +1161,132 @@ def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write parquet MERGE round-trip (VERDICT r6 #6).
+
+    ``upsert_scd1`` proves the one-shuffle changelog compaction; this
+    closes the lakehouse WRITE path: the merged state is applied to a
+    date-partitioned parquet table by rewriting ONLY the touched
+    partitions — the Delta/Hudi copy-on-write mechanic in stock Spark.
+
+    1. Base snapshot: latest pre-cut row per (user_id, event_type),
+       written date-partitioned on its state timestamp.
+    2. Changelog winners: one ``max_by`` aggregation pass over the
+       post-cut slice (the merge.py shape — no join, no second scan).
+    3. Affected partitions = dirs holding an old version of a changed
+       key (left-semi) ∪ dirs receiving a winner. Survivor rows of
+       those dirs (left-anti on changed keys) union the winners and
+       re-land via ``partitionOverwriteMode=dynamic`` — untouched
+       dirs are never rewritten. A partition emptied by the merge
+       (all its keys moved forward, nothing arrived) cannot be
+       expressed as a zero-row dynamic overwrite, so its dir is
+       dropped explicitly — exactly the delete a table-format commit
+       log records. ``localCheckpoint`` breaks the read-path lineage
+       before overwriting the same location (at cluster scale this is
+       a staging-dir commit swap; the rewrite set is identical).
+    4. Read the final table back and aggregate per event_type —
+       counts, distinct users, exact-decimal value sum, max state ts —
+       plus the rewritten/final partition counts. The oracle
+       recomputes the end state as latest-per-key over RAW events and
+       the affected set arithmetically: totals match only if the
+       rewrite lost nothing, left no stale versions behind, and
+       touched exactly the declared partitions.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+    from big_data_trend_analysis_spark.sources.lakehouse import (
+        write_date_partitioned,
+    )
+
+    tune_session(spark)
+    path = f"/tmp/bdta_merge_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[path])
+    shutil.rmtree(path, ignore_errors=True)
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    latest = F.max_by(
+        F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+    )
+    base = (
+        events.filter(F.col("ts") < cut)
+        .groupBy("user_id", "event_type")
+        .agg(latest.alias("w"))
+        .select("user_id", "event_type", "w.event_id", "w.ts", "w.value")
+    )
+    write_date_partitioned(base, path, "ts")
+
+    winners = (
+        events.filter(F.col("ts") >= cut)
+        .groupBy("user_id", "event_type")
+        .agg(latest.alias("w"))
+        .select("user_id", "event_type", "w.event_id", "w.ts", "w.value")
+        .withColumn("p_date", F.to_date("ts"))
+    )
+
+    table = spark.read.parquet(path)
+    keys = winners.select("user_id", "event_type")
+    parts_old = (
+        table.join(keys, ["user_id", "event_type"], "left_semi")
+        .select("p_date")
+        .distinct()
+    )
+    parts_new = winners.select("p_date").distinct()
+    # Bounded O(dates) collect — the COW rewrite set, what a table
+    # format's commit log would hold.
+    affected = sorted(
+        r.p_date for r in parts_old.union(parts_new).distinct().collect()
+    )
+    affected_df = spark.createDataFrame(
+        [(d,) for d in affected], "p_date date"
+    )
+
+    survivors = table.join(F.broadcast(affected_df), "p_date", "left_semi").join(
+        keys, ["user_id", "event_type"], "left_anti"
+    )
+    cols = ("user_id", "event_type", "event_id", "ts", "value", "p_date")
+    rewrite = (
+        survivors.select(*cols).unionByName(winners.select(*cols))
+        .repartition("p_date")
+        .localCheckpoint()
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        rewrite.write.mode("overwrite").partitionBy("p_date").parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, prior)
+    written = {r.p_date for r in rewrite.select("p_date").distinct().collect()}
+    for d in affected:
+        if d not in written:
+            shutil.rmtree(os.path.join(path, f"p_date={d}"), ignore_errors=True)
+
+    final = spark.read.parquet(path)
+    n_final = final.select("p_date").distinct().count()
+    scal = spark.createDataFrame(
+        [(len(affected), n_final)], "n_parts_rewritten long, n_parts_final long"
+    )
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count_distinct("user_id").alias("n_users"),
+            exact_sum("value").alias("sum_value"),
+            F.max("ts").alias("max_ts"),
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+
+
 def _stateful_decay_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom keyed-state streaming (applyInPandasWithState) in the gate.
 
@@ -1051,6 +1350,91 @@ def _stateful_decay_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stateful_decay_live_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship stateful drain on the Spark 4 state stack (VERDICT r6 #3).
+
+    Same SPLIT-stream multi-batch drain and token-recurrence oracle as
+    ``stateful_decay_live``, but on the Spark 4 state machinery:
+
+    - the **RocksDB state store provider** always — disk-backed keyed
+      state that scales past executor heap, the 100 TB posture for
+      billions of live keys (the HDFS-backed default keeps every key
+      on-heap);
+    - the **transformWithStateInPandas processor**
+      (``streaming/stateful.py::_DecayedScoreProcessor`` — typed
+      ValueState, timer/TTL-capable) whenever its protobuf state-server
+      dependency imports. This container ships no protobuf wheel (the
+      pytest twin ``test_decayed_token_scores_transform_with_state``
+      documents the same gap), so the drain falls back to the
+      ``applyInPandasWithState`` implementation of the IDENTICAL
+      recurrence — still under RocksDB. The oracle pins the recurrence
+      either way; on a protobuf-equipped cluster the TWS path runs
+      with zero code change.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.streaming.sources import (
+        stream_documents_batched,
+    )
+    from big_data_trend_analysis_spark.streaming.stateful import (
+        decayed_token_scores,
+        decayed_token_scores_tws,
+        tokens_from_text_stream,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        scores = decayed_token_scores_tws
+    except ImportError:
+        scores = decayed_token_scores
+
+    tune_session(spark)
+    name = f"stateful_v2_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+      with _stream_partitions(spark):
+        query = (
+            scores(
+                tokens_from_text_stream(stream_documents_batched(spark, sf_dir))
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("token")
+        .agg(
+            F.round(F.max_by("decayed_score", "total_count"), 6).alias(
+                "decayed_score"
+            ),
+            F.max("total_count").alias("total_count"),
+        )
+    )
+
+
 def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative cross-batch state through the real streaming path.
 
@@ -1098,102 +1482,30 @@ QUERIES: dict[str, QueryFn] = {
     # Ordering is enforced by tests/test_rotation_policy.py against
     # tools/green_ledger.json: every entry that is new or changed since
     # its last green driver row MUST sit inside the window.
-    # 0-5: no currently-valid driver row (5 added after the r5 run +
-    # join_hash, whose schema gained n_suppliers after its r4 green).
-    "decontaminate_ngram": _q(dedup.decontaminate_ngram, "documents"),
-    "retention_cohort": _q(temporal.retention_cohort, "events"),
-    "event_transitions": _q(temporal.event_transitions, "events"),
-    "histogram_numeric": _q(aggregates.histogram_numeric, "lineitem"),
-    "sql_tpch_q18": _sql_tpch_q18,
-    "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region", "supplier"),
-    # 6: changed in round 6 — now drains ≥2 real micro-batches via the
-    # split documents stream; oracle pins the cross-batch recurrence
-    "stateful_decay_live": _stateful_decay_live,
-    # 7-15: NEW in round 6
+    # 0-7: NEW in round 7 — TPC-H join archetypes (Q4 semi, Q13 outer
+    # histogram, Q17 correlated avg, Q19 disjunctive pushdown, Q22
+    # anti + scalar subqueries), Spark-4 state stack drain, IVF+PQ
+    # serving stack, copy-on-write MERGE.
+    "sql_tpch_q4": _sql_tpch_q4,
+    "sql_tpch_q13": _sql_tpch_q13,
+    "sql_tpch_q17": _sql_tpch_q17,
+    "sql_tpch_q19": _sql_tpch_q19,
+    "sql_tpch_q22": _sql_tpch_q22,
+    "stateful_decay_live_v2": _stateful_decay_live_v2,
+    "ann_ivfpq_check": _q(similarity.ann_ivfpq_check, "embeddings"),
+    "merge_roundtrip": _merge_roundtrip,
+    # 8-15: CHANGED in round 7 (ADVICE fixes) — negative-id planted
+    # twins, session-unique gate artifacts, skyline local prune.
     "dedup_minhash_check": _q(dedup.dedup_minhash_check, "documents"),
     "dedup_simhash_check": _q(dedup.dedup_simhash_check, "documents"),
-    "sql_tpch_q5": _sql_tpch_q5,
-    "listagg_canonical": _q(aggregates.listagg_canonical, "events"),
-    "conditional_agg_suite": _q(aggregates.conditional_agg_suite, "events"),
-    "column_profile": _q(aggregates.column_profile, "lineitem"),
-    "variant_extract": _q(scalar.variant_extract, "events"),
-    "window_range_frame": _q(windows.window_range_frame, "events"),
-    "interval_overlap": _q(temporal.interval_overlap, "events"),
-    "repetition_signals": _q(textstats.repetition_signals, "documents"),
-    # 17: changed in round 6 (shared codebook/probe collect)
-    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
-    # 18-19: NEW in round 6 (second batch) — sketch merge/set-op gates
-    "kll_rollup_check": _q(aggregates.kll_rollup_check, "lineitem"),
-    "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
-    "time_weighted_avg": _q(temporal.time_weighted_avg, "events"),
-    "ewma_smooth": _q(windows.ewma_smooth, "events"),
+    "skyline_pareto": _q(relational.skyline_pareto, "orders"),
     "bucketed_write_join": _bucketed_write_join,
     "multiformat_roundtrip": _multiformat_roundtrip,
     "schema_evolution_read": _schema_evolution_read,
-    "sql_tpch_q10": _sql_tpch_q10,
-    "skyline_pareto": _q(relational.skyline_pareto, "orders"),
-    "array_functions_suite": _q(scalar.array_functions_suite, "documents"),
-    # changed in round 6: optional shared-fps parameter (see check)
-    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
-    "sql_tpch_q12": _sql_tpch_q12,
-    "sql_tpch_q14": _sql_tpch_q14,
-    "mode_agg": _q(aggregates.mode_agg, "events"),
     "jdbc_roundtrip": _jdbc_roundtrip,
-    # r3-standing queries rotated back through for fresh rows
-    # (implementations unchanged since their last green run)
-    "agg_basic": _q(aggregates.agg_basic, "lineitem"),
-    "sql_tpch_q1": _sql_tpch_q1,
-    "dedup_exact": _q(dedup.dedup_exact, "documents"),
-    "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
-    "window_tumbling": _q(windows.window_tumbling, "events"),
-    "join_skewed": _q(skew.join_skewed, "events"),
-    "ann_ivf": _q(similarity.ann_ivf, "embeddings"),
-    "embed_neardup": _q(similarity.embed_neardup, "embeddings"),
-    "embed_centroids": _q(similarity.embed_centroids, "embeddings"),
-    "text_stats": _q(textstats.text_stats, "documents"),
-    "doc_profile": _q(textstats.doc_profile, "documents"),
-    "quality_filter": _q(textstats.quality_filter, "documents"),
-    "text_clean": _q(textstats.text_clean, "documents"),
-    "tfidf_top_term": _q(textstats.tfidf_top_term, "documents"),
-    "pipeline_curate": _q(textstats.pipeline_curate, "documents"),
-    "multimodal_decode": _q(multimodal.multimodal_decode, "documents"),
-    "running_counts_live": _running_counts_live,
-    "approx_distinct_check": _q(aggregates.approx_distinct_check, "documents"),
-    "approx_percentile_check": _q(aggregates.approx_percentile_check, "lineitem"),
-    "ann_recall_check": _q(similarity.ann_recall_check, "embeddings"),
-    "grouping_sets_agg": _q(relational.grouping_sets_agg, "orders"),
-    "upsert_scd1": _q(merge.upsert_scd1, "events"),
-    "funnel_conversion": _q(temporal.funnel_conversion, "events"),
-    "rollup_two_level": _q(windows.rollup_two_level, "events"),
-    "window_distribution": _q(windows.window_distribution, "events"),
     "partitioned_write_roundtrip": _partitioned_write_roundtrip,
-    "window_sliding": _q(windows.window_sliding, "events"),
-    "window_session": _q(windows.window_session, "events"),
-    "window_rank": _q(windows.window_rank, "events"),
-    "window_lag_lead": _q(windows.window_lag_lead, "events"),
-    "pivot_counts": _q(aggregates.pivot_counts, "events"),
-    "percentile_agg": _q(aggregates.percentile_agg, "lineitem"),
-    "stats_moments": _q(aggregates.stats_moments, "lineitem"),
-    "minmax_by": _q(aggregates.minmax_by, "orders"),
-    "multi_distinct": _q(aggregates.multi_distinct, "events"),
-    "array_agg_sorted": _q(aggregates.array_agg_sorted, "events"),
-    "date_parts": _q(scalar.date_parts, "orders"),
-    "string_funcs": _q(scalar.string_funcs, "part"),
-    # 40-44: implementation changed in round 5 (executor-side CMS
-    # probe, idempotent sink, PQ tie-break, fuzzy radius guard,
-    # partitioned-write repartition is in the block above)
-    "cms_window_probe": _q(aggregates.cms_window_probe, "events"),
-    "stream_cms_live": _stream_cms_live,
-    "stream_sink_live": _stream_sink_live,
-    # ---- beyond the window: fresh r4/r5 green rows stand ----
-    "multimodal_pipeline": _q(multimodal.multimodal_pipeline, "documents"),
-    "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
-    "sql_tpch_q3": _sql_tpch_q3,
-    "bm25_rank": _q(textstats.bm25_rank, "documents"),
-    "cooccurrence_pmi": _q(textstats.cooccurrence_pmi, "documents"),
-    "rolling_median": _q(windows.rolling_median, "events"),
-    "attribution_last_touch": _q(temporal.attribution_last_touch, "events"),
-    "hll_merge_check": _q(aggregates.hll_merge_check, "events"),
+    # 16-49: oldest standing greens (r4) rotated through for fresh
+    # rows (implementations unchanged since their last green run).
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
     "trend_anomaly": _q(trend.trend_anomaly, "events"),
@@ -1227,6 +1539,9 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_agg": _q(relational.rollup_agg, "customer", "nation"),
     "cube_agg": _q(relational.cube_agg, "customer", "nation"),
     "correlated_subquery": _q(relational.correlated_subquery, "customer", "nation"),
+    # stale via its check's closure (negative-id twins share helpers)
+    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
+    # ---- beyond the window: fresh r4/r5/r6 green rows stand ----
     "asof_join": _q(temporal.asof_join, "events"),
     "range_join": _q(temporal.range_join, "lineitem"),
     "sim_search": _q(similarity.sim_search, "embeddings"),
@@ -1236,6 +1551,79 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_decay_trend": _q(trend.streaming_decay_trend, "events"),
     "null_handling": _q(scalar.null_handling, "orders"),
     "unpivot_measures": _q(scalar.unpivot_measures, "lineitem"),
+    "decontaminate_ngram": _q(dedup.decontaminate_ngram, "documents"),
+    "retention_cohort": _q(temporal.retention_cohort, "events"),
+    "event_transitions": _q(temporal.event_transitions, "events"),
+    "histogram_numeric": _q(aggregates.histogram_numeric, "lineitem"),
+    "sql_tpch_q18": _sql_tpch_q18,
+    "join_hash": _q(relational.join_hash, "orders", "customer", "nation", "region", "supplier"),
+    "stateful_decay_live": _stateful_decay_live,
+    "sql_tpch_q5": _sql_tpch_q5,
+    "listagg_canonical": _q(aggregates.listagg_canonical, "events"),
+    "conditional_agg_suite": _q(aggregates.conditional_agg_suite, "events"),
+    "column_profile": _q(aggregates.column_profile, "lineitem"),
+    "variant_extract": _q(scalar.variant_extract, "events"),
+    "window_range_frame": _q(windows.window_range_frame, "events"),
+    "interval_overlap": _q(temporal.interval_overlap, "events"),
+    "repetition_signals": _q(textstats.repetition_signals, "documents"),
+    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
+    "kll_rollup_check": _q(aggregates.kll_rollup_check, "lineitem"),
+    "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
+    "time_weighted_avg": _q(temporal.time_weighted_avg, "events"),
+    "ewma_smooth": _q(windows.ewma_smooth, "events"),
+    "sql_tpch_q10": _sql_tpch_q10,
+    "array_functions_suite": _q(scalar.array_functions_suite, "documents"),
+    "sql_tpch_q12": _sql_tpch_q12,
+    "sql_tpch_q14": _sql_tpch_q14,
+    "mode_agg": _q(aggregates.mode_agg, "events"),
+    "agg_basic": _q(aggregates.agg_basic, "lineitem"),
+    "sql_tpch_q1": _sql_tpch_q1,
+    "dedup_exact": _q(dedup.dedup_exact, "documents"),
+    "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
+    "window_tumbling": _q(windows.window_tumbling, "events"),
+    "join_skewed": _q(skew.join_skewed, "events"),
+    "ann_ivf": _q(similarity.ann_ivf, "embeddings"),
+    "embed_neardup": _q(similarity.embed_neardup, "embeddings"),
+    "embed_centroids": _q(similarity.embed_centroids, "embeddings"),
+    "text_stats": _q(textstats.text_stats, "documents"),
+    "doc_profile": _q(textstats.doc_profile, "documents"),
+    "quality_filter": _q(textstats.quality_filter, "documents"),
+    "text_clean": _q(textstats.text_clean, "documents"),
+    "tfidf_top_term": _q(textstats.tfidf_top_term, "documents"),
+    "pipeline_curate": _q(textstats.pipeline_curate, "documents"),
+    "multimodal_decode": _q(multimodal.multimodal_decode, "documents"),
+    "running_counts_live": _running_counts_live,
+    "approx_distinct_check": _q(aggregates.approx_distinct_check, "documents"),
+    "approx_percentile_check": _q(aggregates.approx_percentile_check, "lineitem"),
+    "ann_recall_check": _q(similarity.ann_recall_check, "embeddings"),
+    "grouping_sets_agg": _q(relational.grouping_sets_agg, "orders"),
+    "upsert_scd1": _q(merge.upsert_scd1, "events"),
+    "funnel_conversion": _q(temporal.funnel_conversion, "events"),
+    "rollup_two_level": _q(windows.rollup_two_level, "events"),
+    "window_distribution": _q(windows.window_distribution, "events"),
+    "window_sliding": _q(windows.window_sliding, "events"),
+    "window_session": _q(windows.window_session, "events"),
+    "window_rank": _q(windows.window_rank, "events"),
+    "window_lag_lead": _q(windows.window_lag_lead, "events"),
+    "pivot_counts": _q(aggregates.pivot_counts, "events"),
+    "percentile_agg": _q(aggregates.percentile_agg, "lineitem"),
+    "stats_moments": _q(aggregates.stats_moments, "lineitem"),
+    "minmax_by": _q(aggregates.minmax_by, "orders"),
+    "multi_distinct": _q(aggregates.multi_distinct, "events"),
+    "array_agg_sorted": _q(aggregates.array_agg_sorted, "events"),
+    "date_parts": _q(scalar.date_parts, "orders"),
+    "string_funcs": _q(scalar.string_funcs, "part"),
+    "cms_window_probe": _q(aggregates.cms_window_probe, "events"),
+    "stream_cms_live": _stream_cms_live,
+    "stream_sink_live": _stream_sink_live,
+    "multimodal_pipeline": _q(multimodal.multimodal_pipeline, "documents"),
+    "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
+    "sql_tpch_q3": _sql_tpch_q3,
+    "bm25_rank": _q(textstats.bm25_rank, "documents"),
+    "cooccurrence_pmi": _q(textstats.cooccurrence_pmi, "documents"),
+    "rolling_median": _q(windows.rolling_median, "events"),
+    "attribution_last_touch": _q(temporal.attribution_last_touch, "events"),
+    "hll_merge_check": _q(aggregates.hll_merge_check, "events"),
 }
 
 
@@ -2054,6 +2442,30 @@ ORACLE_SQL: dict[str, str] = {
         FROM ranked
         GROUP BY token
     """,
+    # Identical recurrence oracle — v2 changes the state-store backend
+    # (RocksDB) and, where protobuf exists, the state API, never the math.
+    "stateful_decay_live_v2": """
+        WITH tok AS (
+            SELECT doc_id % 3 AS batch,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), per_batch AS (
+            SELECT token, batch, COUNT(*) AS c
+            FROM tok GROUP BY token, batch
+        ), ranked AS (
+            SELECT token, c,
+                   COUNT(*) OVER (
+                       PARTITION BY token ORDER BY batch
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS later
+            FROM per_batch
+        )
+        SELECT token,
+               round(SUM(c * POWER(0.9, later)), 6) AS decayed_score,
+               CAST(SUM(c) AS BIGINT) AS total_count
+        FROM ranked
+        GROUP BY token
+    """,
     # The oracle runs the UNSALTED join — equality proves salting is
     # result-invariant (operators/skew.py).
     "join_skewed": """
@@ -2125,6 +2537,16 @@ ORACLE_SQL: dict[str, str] = {
     # PQ invariants: planted count recomputed; codebook-dependent
     # booleans asserted engine-side (deterministic training, measured
     # margins in operators/similarity.py embed_pq_check).
+    # IVF+PQ planted-twin retrieval: the invariant is evaluated
+    # engine-side; the oracle pins the eligible-seed count and demands
+    # all_found TRUE (same design as embed_pq_check / dedup checks).
+    "ann_ivfpq_check": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+               CAST(COUNT(*) AS BIGINT) AS n_found,
+               TRUE AS all_found
+        FROM embeddings
+        WHERE vec_id < 20
+    """,
     "embed_pq_check": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
                CAST(8 AS INTEGER) AS m_subspaces,
@@ -2224,6 +2646,53 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    # The end state is latest-per-key over raw events (base keys are all
+    # strictly pre-cut, changelog strictly post-cut, so changelog-wins
+    # coincides with global latest); the rewrite set is recomputed
+    # arithmetically from the two per-side latests.
+    "merge_roundtrip": """
+        WITH ranked AS (
+            SELECT user_id, event_type, event_id, ts, value,
+                   (ts < TIMESTAMP '2024-01-11 00:00:00') AS is_base,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type,
+                                    (ts < TIMESTAMP '2024-01-11 00:00:00')
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ),
+        base AS (SELECT user_id, event_type, ts FROM ranked WHERE is_base AND rn = 1),
+        chg  AS (SELECT user_id, event_type, ts FROM ranked WHERE NOT is_base AND rn = 1),
+        final AS (
+            SELECT user_id, event_type, ts, value FROM (
+                SELECT user_id, event_type, ts, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS r
+                FROM events
+            ) WHERE r = 1
+        ),
+        affected AS (
+            SELECT DISTINCT CAST(b.ts AS DATE) AS p_date
+            FROM base b JOIN chg c USING (user_id, event_type)
+            UNION
+            SELECT DISTINCT CAST(ts AS DATE) FROM chg
+        ),
+        scal AS (
+            SELECT (SELECT COUNT(*) FROM affected) AS n_parts_rewritten,
+                   (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM final) AS n_parts_final
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               MAX(ts) AS max_ts,
+               n_parts_rewritten,
+               n_parts_final
+        FROM final CROSS JOIN scal
+        GROUP BY event_type, n_parts_rewritten, n_parts_final
     """,
     "upsert_scd1": """
         WITH ranked AS (
@@ -2716,6 +3185,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "sql_tpch_q12": _SQL_Q12.format(orders="orders", lineitem="lineitem"),
     "sql_tpch_q14": _SQL_Q14.format(lineitem="lineitem", part="part"),
+    "sql_tpch_q4": _SQL_Q4.format(orders="orders", lineitem="lineitem"),
+    "sql_tpch_q13": _SQL_Q13.format(customer="customer", orders="orders"),
+    "sql_tpch_q17": _SQL_Q17.format(lineitem="lineitem", part="part"),
+    "sql_tpch_q19": _SQL_Q19.format(lineitem="lineitem", part="part"),
+    "sql_tpch_q22": _SQL_Q22.format(customer="customer", orders="orders"),
     "mode_agg": """
         WITH counts AS (
             SELECT event_type, user_id, COUNT(*) AS c

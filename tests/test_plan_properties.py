@@ -40,6 +40,10 @@ CROSS_JOIN_ALLOWED = {
     "dedup_minhash_check",
     # 1-row exact-percentile agg × 1-row merged-sketch agg
     "kll_rollup_check",
+    # scalar × scalar: 1-row planted count × 1-row recovered count
+    "ann_ivfpq_check",
+    # per-event_type agg × broadcast 1-row partition-count scalars
+    "merge_roundtrip",
     # the pairwise sketch relation joins O(segments) × broadcast
     # O(segments) on an inequality — bounded by segments², never data
     "theta_overlap_check",
@@ -328,6 +332,61 @@ def test_bucketed_join_has_no_exchange_on_join_key(plans):
     assert "SortMergeJoin" in plan, "bucketed join degraded to another strategy"
     assert "Exchange hashpartitioning(o_custkey" not in plan
     assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_tpch_q4_exists_decorrelates_to_semi_join(plans):
+    """Q4's correlated EXISTS must plan as a LeftSemi broadcast join
+    with the returnflag predicate pushed to the inner scan and the
+    quarter predicate pushed to the orders scan — never a re-scan per
+    outer row."""
+    plan = plans["sql_tpch_q4"]
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in plan
+
+
+def test_tpch_q13_outer_join_preserved(plans):
+    """Q13: the ON-clause predicate pushes to the ORDERS scan only —
+    zero-order customers must survive null-extended through a
+    LeftOuter join into the count histogram."""
+    plan = plans["sql_tpch_q13"]
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    # customer scan carries NO pushed filter that could drop customers
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_correlated_avg_decorrelates(plans):
+    """Q17's per-part scalar subquery must decorrelate to ONE
+    aggregate-then-join pass over lineitem (2 lineitem scans total:
+    fact + avg build), with the brand filter pushed to part."""
+    plan = plans["sql_tpch_q17"]
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    # 3 scans total: lineitem fact + lineitem avg build + part — the
+    # subquery cost is ONE extra scan, not a per-outer-row re-scan.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q19_disjunction_pushes_to_both_scans(plans):
+    """Q19's OR-of-ANDs: each side's disjunct union must reach its own
+    parquet scan as a pushed Or(...) filter — lineitem reads only
+    quantity ∈ [1,30] rows, part only the three brands."""
+    plan = plans["sql_tpch_q19"]
+    assert re.search(r"PushedFilters: \[[^\]]*Or\([^\]]*l_quantity", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*Or\([^\]]*p_brand", plan)
+
+
+def test_tpch_q22_anti_join_and_scalar_subqueries(plans):
+    """Q22: NOT EXISTS plans as LeftAnti over the urgent-orders scan
+    (priority predicate pushed); the two scalar subqueries evaluate
+    once, not per row."""
+    plan = plans["sql_tpch_q22"]
+    assert "LeftAnti" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_sql_tpch_q5_broadcasts_all_dimensions(plans):
