@@ -83,6 +83,62 @@ def test_date_partitioned_write_file_count(spark, sf_dir, tmp_path):
         assert len(files) <= 3, f"{d.name}: {len(files)} files"
 
 
+def test_partition_prune_skips_files(spark, sf_dir, tmp_path):
+    """File-skipping proof (VERDICT r6 #8): a p_date range read touches
+    exactly the in-range partition files — distinct input_file_name()
+    over the filtered scan < total files on disk."""
+    import pathlib
+
+    events = load_table(spark, sf_dir, "events")
+    path = tmp_path / "events_skip"
+    write_date_partitioned(events, str(path), "ts")
+    all_files = list(path.glob("p_date=*/*.parquet"))
+    back = spark.read.parquet(str(path)).filter(
+        (F.col("p_date") >= "2024-01-05") & (F.col("p_date") <= "2024-01-10")
+    )
+    touched = {
+        r.f for r in back.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    n_dates_in_range = len(
+        [d for d in path.iterdir() if "2024-01-05" <= d.name[7:] <= "2024-01-10"]
+    )
+    assert len(touched) == n_dates_in_range
+    assert len(touched) < len(all_files)
+
+
+def test_row_group_minmax_pruning_skips_rows(spark, sf_dir, tmp_path):
+    """Row-group skip proof (VERDICT r6 #8): a file written sorted on
+    the filter key with small row groups must serve a selective range
+    filter by reading ONE row group — the scan's numOutputRows metric
+    (rows decoded from parquet, before any post-scan filter) stays far
+    below the file's row count."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rg_sorted")
+    (
+        events.repartition(1)
+        .sortWithinPartitions("event_id")
+        .write.option("parquet.block.size", 8 * 1024)
+        .parquet(path)
+    )
+    md = pq.ParquetFile(glob.glob(path + "/*.parquet")[0]).metadata
+    assert md.num_row_groups >= 4, "layout too coarse to demonstrate skipping"
+
+    df = spark.read.parquet(path).filter(F.col("event_id") <= 100).select("event_id")
+    assert df.count() == 101
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    decoded = scan.metrics().apply("numOutputRows").value()
+    # at most ~2 row groups' worth of rows decoded; the rest skipped on
+    # min/max stats (sorted layout ⇒ disjoint per-group ranges)
+    assert decoded <= 2 * (md.num_rows // md.num_row_groups + 1), (
+        f"decoded {decoded} of {md.num_rows} rows — row groups not skipped"
+    )
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
