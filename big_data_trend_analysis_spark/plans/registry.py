@@ -1161,6 +1161,58 @@ def _schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _file_skipping_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level file skipping, gate-verified (VERDICT r6 #8).
+
+    Writes events date-partitioned (exactly one file per date — the
+    ``write_date_partitioned`` file-count contract), reads back with a
+    6-day ``p_date`` range, and counts the files the filtered scan
+    range rows came from via ``input_file_name()``, against the total
+    file count on disk. Files are 1:1 with dates, so the oracle
+    recomputes both counts arithmetically from raw events and pins the
+    in-range row count too: the write→prune→read path lost no rows and
+    the range's data lives in exactly the 6 in-range files of 30. That
+    the scan structurally PRUNES to those files (PartitionFilters on
+    p_date, not a post-scan row filter) is pinned by
+    ``tests/test_plan_properties.py::test_file_skipping_check_prunes_partitions``;
+    row-group min/max skipping inside a file by
+    ``tests/test_scale_utils.py`` via the scan's numOutputRows metric.
+    """
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.sources.lakehouse import (
+        write_date_partitioned,
+    )
+
+    tune_session(spark)
+    path = f"/tmp/bdta_skipchk_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[path])
+    events = load_table(spark, sf_dir, "events")
+    write_date_partitioned(events, path, "ts")
+    n_files_total = len(glob.glob(f"{path}/p_date=*/*.parquet"))
+
+    back = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("p_date") >= F.lit("2024-01-05").cast("date"))
+            & (F.col("p_date") <= F.lit("2024-01-10").cast("date"))
+        )
+        # nondeterministic exprs may not appear inside aggregates —
+        # bind the file name per row first, then count it.
+        .select(F.input_file_name().alias("src_file"))
+    )
+    return back.agg(
+        F.count_distinct("src_file").alias("n_files_touched"),
+        F.lit(n_files_total).cast("long").alias("n_files_total"),
+        F.count(F.lit(1)).alias("n_rows_in_range"),
+        (
+            F.count_distinct("src_file") < F.lit(n_files_total).cast("long")
+        ).alias("skipped_ok"),
+    )
+
+
 def _merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write parquet MERGE round-trip (VERDICT r6 #6).
 
@@ -1494,6 +1546,7 @@ QUERIES: dict[str, QueryFn] = {
     "stateful_decay_live_v2": _stateful_decay_live_v2,
     "ann_ivfpq_check": _q(similarity.ann_ivfpq_check, "embeddings"),
     "merge_roundtrip": _merge_roundtrip,
+    "file_skipping_check": _file_skipping_check,
     # 8-15: CHANGED in round 7 (ADVICE fixes) — negative-id planted
     # twins, session-unique gate artifacts, skyline local prune.
     "dedup_minhash_check": _q(dedup.dedup_minhash_check, "documents"),
@@ -1538,10 +1591,10 @@ QUERIES: dict[str, QueryFn] = {
     "set_ops": _q(relational.set_ops, "events"),
     "rollup_agg": _q(relational.rollup_agg, "customer", "nation"),
     "cube_agg": _q(relational.cube_agg, "customer", "nation"),
-    "correlated_subquery": _q(relational.correlated_subquery, "customer", "nation"),
     # stale via its check's closure (negative-id twins share helpers)
     "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
     # ---- beyond the window: fresh r4/r5/r6 green rows stand ----
+    "correlated_subquery": _q(relational.correlated_subquery, "customer", "nation"),
     "asof_join": _q(temporal.asof_join, "events"),
     "range_join": _q(temporal.range_join, "lineitem"),
     "sim_search": _q(similarity.sim_search, "embeddings"),
@@ -2602,6 +2655,18 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(CUME_DIST() OVER w, 6) AS cume_dist
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+    """,
+    # Files are 1:1 with dates (write_date_partitioned file-count
+    # contract), so both file counts are recomputable from raw events.
+    "file_skipping_check": """
+        SELECT (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events
+                WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10')
+                   AS n_files_touched,
+               (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events) AS n_files_total,
+               (SELECT COUNT(*) FROM events
+                WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10')
+                   AS n_rows_in_range,
+               TRUE AS skipped_ok
     """,
     "partitioned_write_roundtrip": """
         SELECT CAST(ts AS DATE) AS p_date,

@@ -334,6 +334,17 @@ def test_bucketed_join_has_no_exchange_on_join_key(plans):
     assert "Exchange hashpartitioning(c_custkey" not in plan
 
 
+def test_file_skipping_check_prunes_partitions(plans):
+    """The 6-day range must plan as PartitionFilters on p_date —
+    directory-level pruning, not a post-scan row filter over all 30
+    files. (The gate query's file counts pin the data side; this pins
+    the structural prune.)"""
+    plan = plans["file_skipping_check"]
+    m = re.search(r"PartitionFilters: \[[^\]]*p_date[^\]]*\]", plan)
+    assert m, "p_date range did not become a PartitionFilter"
+    assert "(p_date" in m.group(0)
+
+
 def test_tpch_q4_exists_decorrelates_to_semi_join(plans):
     """Q4's correlated EXISTS must plan as a LeftSemi broadcast join
     with the returnflag predicate pushed to the inner scan and the

@@ -75,8 +75,12 @@ HEAVY_QUERIES = [
     "interval_overlap",
     "ewma_smooth",
     "theta_overlap_check",
-    # (bucketed_write_join reads the TPC-H tables, which the
-    # synthesized tier does not include — covered by bench instead)
+    # round-7 additions on the synthesized tables
+    "ann_ivfpq_check",
+    "merge_roundtrip",
+    "stateful_decay_live_v2",
+    # (bucketed_write_join and the TPC-H suite read the TPC-H tables,
+    # which the synthesized tier does not include — covered by bench)
 ]
 
 
