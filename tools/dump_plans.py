@@ -271,10 +271,66 @@ HEADLINERS: dict[str, str] = {
         "TakeOrderedAndProject."
     ),
     "skyline_pareto": (
-        "Dominance without the O(n²) self-join: per-price max-date "
-        "groups (keyed shuffle, map-side partial), a running max over "
-        "the price-ordered GROUP relation, and an equi-join back — "
-        "the frontier filter is a projection-level predicate."
+        "Local-skyline-then-merge: one balanced Exchange on "
+        "spark_partition_id feeds three windows sharing a single sort "
+        "(running max, run-first lag, ignorenulls carry) that drop "
+        "locally-dominated rows; the global per-price running max then "
+        "orders only the candidate frontier — never a single-task "
+        "O(rows) sort over near-unique prices."
+    ),
+    "sql_tpch_q4": (
+        "The correlated EXISTS decorrelates to a LeftSemi "
+        "BroadcastHashJoin: the returned-lines predicate filters the "
+        "inner scan BEFORE the join (PushedFilters on l_returnflag) "
+        "and the quarter range prunes orders — no per-outer-row "
+        "re-scan, no duplicate-producing inner join."
+    ),
+    "sql_tpch_q13": (
+        "The ON-clause priority predicate stays on the ORDERS scan so "
+        "zero-order customers survive null-extended through the outer "
+        "join; per-customer counts fold map-side, and the "
+        "count-of-counts histogram aggregates an O(|distinct counts|) "
+        "relation."
+    ),
+    "sql_tpch_q17": (
+        "The per-part scalar AVG decorrelates to aggregate-then-join: "
+        "lineitem is scanned exactly twice (fact + avg build), the "
+        "brand filter pushes to part and broadcasts, and the final "
+        "exact-decimal scalar folds map-side-partial."
+    ),
+    "sql_tpch_q19": (
+        "The OR-of-ANDs splits: each side's disjunct union lands in "
+        "its own scan's PushedFilters (lineitem reads quantity ∈ "
+        "[1,30], part only the three brands), the residual mixed-side "
+        "disjunction evaluates post-join on pre-pruned rows."
+    ),
+    "sql_tpch_q22": (
+        "NOT EXISTS plans as LeftAnti over the urgent-orders scan "
+        "(priority pushed); the two scalar subqueries evaluate once "
+        "and enter the filter as literals — the mean-balance cut "
+        "compares exact decimals, so no boundary row can flip."
+    ),
+    "ann_ivfpq_check": (
+        "One Arrow-batched encode pass emits (cell, PQ codes) per "
+        "vector; probes hit their nprobe cells via a broadcast "
+        "equi-join on cell id (≈ nprobe/K of the codes scored, never "
+        "the corpus), and ADC scoring is a JVM "
+        "aggregate(zip_with(codes, lut)) — vectors are read exactly "
+        "once."
+    ),
+    "merge_roundtrip": (
+        "Copy-on-write MERGE: base and changelog each compact in one "
+        "max_by aggregation pass, affected partitions resolve via "
+        "left-semi/anti joins on the compacted key set, and the "
+        "dynamic-partition-overwrite rewrite touches only those "
+        "directories — the untouched ones keep their files verbatim."
+    ),
+    "file_skipping_check": (
+        "The 6-day range becomes PartitionFilters on p_date — "
+        "directory-level pruning before any row is decoded; the "
+        "aggregate counts the distinct source files of the surviving "
+        "rows against the on-disk total, and the oracle pins both "
+        "arithmetically."
     ),
     "bucketed_write_join": (
         "Both scans report the bucketBy(custkey) output partitioning, "
