@@ -1273,12 +1273,16 @@ def _merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_date_partitioned(base, path, "ts")
 
+    # Materialized once: the compacted changelog feeds three consumers
+    # (affected-partition semi-join, survivor anti-join, rewrite union)
+    # and is O(changed keys), not O(events).
     winners = (
         events.filter(F.col("ts") >= cut)
         .groupBy("user_id", "event_type")
         .agg(latest.alias("w"))
         .select("user_id", "event_type", "w.event_id", "w.ts", "w.value")
         .withColumn("p_date", F.to_date("ts"))
+        .localCheckpoint()
     )
 
     table = spark.read.parquet(path)
