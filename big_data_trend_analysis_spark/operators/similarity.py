@@ -342,8 +342,13 @@ def embed_neardup_check(
     run the full LSH + exact-verify pipeline on the augmented corpus,
     and assert every planted (original, twin) pair is recovered. The
     oracle demands ``n_recovered = n_planted`` and ``all_found`` TRUE.
+
+    Twins live in the NEGATIVE id space (twin = -(seed+1)) — disjoint
+    from any non-negative corpus id at any corpus size, where a fixed
+    positive offset would collide once real ids reach it (the ADVICE r6
+    finding on the dedup twins, applied family-wide). In pair output
+    the twin is always ``vec_id_a`` (pairs order vec_id_a < vec_id_b).
     """
-    offset = 1_000_000_000
     base = embeddings.select("vec_id", "embedding")
     seeds = base.filter(F.col("vec_id") < n_planted)
     # Alternating ±noise relative perturbation, JVM-side transform —
@@ -360,16 +365,17 @@ def embed_neardup_check(
         ).cast("float"),
     )
     planted = seeds.select(
-        (F.col("vec_id") + offset).alias("vec_id"), twin_vec.alias("embedding")
+        (-(F.col("vec_id") + 1)).alias("vec_id"), twin_vec.alias("embedding")
     )
     augmented = base.unionByName(planted)
     pairs = embed_neardup(augmented, threshold=threshold)
     recovered = pairs.filter(
-        (F.col("vec_id_a") < n_planted)
-        & (F.col("vec_id_b") == F.col("vec_id_a") + offset)
+        (F.col("vec_id_a") == -(F.col("vec_id_b") + 1))
+        & (F.col("vec_id_b") < n_planted)
+        & (F.col("vec_id_b") >= 0)
     )
     n_rec = recovered.agg(
-        F.count_distinct("vec_id_a").alias("n_recovered")
+        F.count_distinct("vec_id_b").alias("n_recovered")
     )
     n_pl = seeds.agg(F.count(F.lit(1)).alias("n_planted"))
     return n_pl.crossJoin(n_rec).select(
@@ -555,11 +561,13 @@ def embed_pq_check(
       background), so the boolean cannot flap. Exact-neighbor recall on
       the structureless fixtures is deliberately NOT the invariant: the
       true top-5 are statistical near-ties there (exact sims ≈ 0.5),
-      which measures tie-breaking noise, not PQ quality. Score ties
-      break toward higher vec_ids so that even a fixture regime where
-      PQ collapses twins onto their originals' codes (exact score
-      ties) keeps the invariant TRUE — a tied twin is a correct
-      retrieval, and the gate should fail only on engine bugs.
+      which measures tie-breaking noise, not PQ quality. Twins live in
+      the NEGATIVE id space (twin = -(seed+1), collision-safe at any
+      corpus size — the ADVICE r6 dedup finding applied family-wide)
+      and score ties break toward LOWER vec_ids so that even a fixture
+      regime where PQ collapses twins onto their originals' codes
+      (exact score ties) keeps the invariant TRUE — a tied twin is a
+      correct retrieval, and the gate should fail only on engine bugs.
 
     ADC scoring is pure JVM: each probe carries its m×k lookup table of
     subspace dot products as a broadcast column and the score is
@@ -574,7 +582,6 @@ def embed_pq_check(
 
     dim = EMBEDDING_DIM
     sub = dim // m
-    offset = 1_000_000_000
 
     # ONE bounded collect serves both codebook training and the probe
     # LUTs (VERDICT r5 #8): rows passing the deterministic hash-sample
@@ -620,7 +627,7 @@ def embed_pq_check(
         ).cast("float"),
     )
     augmented = base.unionByName(
-        seeds.select((F.col("vec_id") + offset).alias("vec_id"), twin_vec.alias("embedding"))
+        seeds.select((-(F.col("vec_id") + 1)).alias("vec_id"), twin_vec.alias("embedding"))
     )
 
     @F.pandas_udf("struct<codes: array<int>, err: double>")
@@ -642,7 +649,7 @@ def embed_pq_check(
         ).select("vec_id", F.col("e.codes").alias("codes"), F.col("e.err").alias("err"))
     )
 
-    stats = encoded.filter(F.col("vec_id") < offset).agg(
+    stats = encoded.filter(F.col("vec_id") >= 0).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         (F.avg("err") <= F.lit(max_rel_err)).alias("recon_ok"),
     )
@@ -677,19 +684,19 @@ def embed_pq_check(
             ),
         )
     )
-    # Ties break toward HIGHER vec_ids: if a fixture regime change (e.g.
+    # Ties break toward LOWER vec_ids: if a fixture regime change (e.g.
     # clustered embeddings) collapses twin and background vectors to
     # identical PQ codes, their ADC scores tie exactly — and the twin
-    # (offset vec_id, always the highest) must still rank inside top-k.
-    # A tied twin IS a correct retrieval; without this the boolean would
-    # flip on fixture distribution, not on any engine bug.
+    # (negative vec_id, always the lowest) must still rank inside
+    # top-k. A tied twin IS a correct retrieval; without this the
+    # boolean would flip on fixture distribution, not on an engine bug.
     w = Window.partitionBy("probe_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").desc()
+        F.col("score").desc(), F.col("vec_id").asc()
     )
     found = (
         adc.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= top_k)
-        .filter(F.col("vec_id") == F.col("probe_id") + offset)
+        .filter(F.col("vec_id") == -(F.col("probe_id") + 1))
         .agg(F.count_distinct("probe_id").alias("n_found"))
     )
     n_pl = seeds.agg(F.count(F.lit(1)).alias("n_planted"))
@@ -733,15 +740,16 @@ def ann_ivfpq_check(
     requires BOTH halves to work: the twin's cell must fall inside the
     probe's nprobe cells (IVF routing) and its ADC score must rank
     (PQ fidelity). Deterministic end to end (seeded codebooks on
-    hash-filtered samples, rounded scores, vec_id-desc tie-break —
+    hash-filtered samples, rounded scores, vec_id-asc tie-break —
     a code-collapsed twin ties its original and must still rank).
-    The oracle recomputes the planted count and demands ``all_found``.
+    Twins live in the NEGATIVE id space (twin = -(seed+1)),
+    collision-safe at any corpus size. The oracle recomputes the
+    planted count and demands ``all_found``.
     """
     from big_data_trend_analysis_spark.operators.dedup import _materialize
 
     dim = EMBEDDING_DIM
     sub = dim // m
-    offset = 1_000_000_000
 
     cmat = train_ivf_centroids(embeddings, n_centroids=n_centroids)
     books = train_pq_codebooks(embeddings, m=m, k=k)
@@ -761,7 +769,7 @@ def ann_ivfpq_check(
     )
     augmented = base.unionByName(
         seeds.select(
-            (F.col("vec_id") + offset).alias("vec_id"), twin_vec.alias("embedding")
+            (-(F.col("vec_id") + 1)).alias("vec_id"), twin_vec.alias("embedding")
         )
     )
 
@@ -819,12 +827,12 @@ def ann_ivfpq_check(
         ),
     )
     w = Window.partitionBy("probe_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").desc()
+        F.col("score").desc(), F.col("vec_id").asc()
     )
     found = (
         adc.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= top_k)
-        .filter(F.col("vec_id") == F.col("probe_id") + offset)
+        .filter(F.col("vec_id") == -(F.col("probe_id") + 1))
         .agg(F.count_distinct("probe_id").alias("n_found"))
     )
     n_pl = seeds.agg(F.count(F.lit(1)).alias("n_planted"))

@@ -1067,6 +1067,177 @@ def _sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q22.format(customer="customer_v", orders="orders_v"))
 
 
+#: TPC-H Q6 (forecasting revenue change): the pure scan-side query —
+#: every predicate pushes to the lineitem scan, no join at all.
+_SQL_Q6 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM {lineitem}
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+"""
+
+
+def _sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #13: TPC-H Q6 — the pushdown-only aggregate.
+
+    The whole query is one codegen'd scan: all four predicates land in
+    PushedFilters (row groups skip on shipdate stats), the projection
+    prunes to three columns, and the exact-decimal sum folds map-side
+    to one row per task.
+    """
+    tune_session(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(_SQL_Q6.format(lineitem="lineitem_v"))
+
+
+#: TPC-H Q7 (volume shipping): nation-pair trade flows. The fixture
+#: nations are synthetic names; NATION_1/NATION_2 stand in for the
+#: spec's FRANCE/GERMANY.
+_SQL_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               EXTRACT(YEAR FROM l_shipdate) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume
+        FROM {supplier}
+        JOIN {lineitem} ON s_suppkey = l_suppkey
+        JOIN {orders}   ON o_orderkey = l_orderkey
+        JOIN {customer} ON c_custkey = o_custkey
+        JOIN {nation} n1 ON s_nationkey = n1.n_nationkey
+        JOIN {nation} n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def _sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #14: TPC-H Q7 — the two-role dimension join.
+
+    nation joins TWICE under different aliases (supplier's vs
+    customer's), with a cross-side disjunction restricting the pair —
+    the self-aliased-dimension archetype. Both nation sides and
+    supplier/customer broadcast; lineitem⋈orders is the only big join,
+    and the output is bounded by pairs × years.
+    """
+    tune_session(spark)
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q7.format(
+            supplier="supplier_v",
+            lineitem="lineitem_v",
+            orders="orders_v",
+            customer="customer_v",
+            nation="nation_v",
+        )
+    )
+
+
+#: TPC-H Q8 (national market share): conditional share of a ratio over
+#: a 7-table snowflake; ASIA/ECONOMY/NATION_3 stand in for the spec's
+#: literals on the synthetic fixture values.
+_SQL_Q8 = """
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE CAST('0.00' AS DECIMAL(12,2)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+               n2.n_name AS nation
+        FROM {part}
+        JOIN {lineitem} ON p_partkey = l_partkey
+        JOIN {supplier} ON s_suppkey = l_suppkey
+        JOIN {orders}   ON l_orderkey = o_orderkey
+        JOIN {customer} ON o_custkey = c_custkey
+        JOIN {nation} n1 ON c_nationkey = n1.n_nationkey
+        JOIN {region}   ON n1.n_regionkey = r_regionkey
+        JOIN {nation} n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+def _sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #15: TPC-H Q8 — the deepest snowflake in the suite.
+
+    Seven tables, nation again in two roles (market region via the
+    customer chain, share label via the supplier chain). Every
+    dimension broadcasts onto the part-filtered lineitem probe; the
+    market-share division is exact-decimal-over-exact-decimal per
+    year, so the ratio is order-independent.
+    """
+    tune_session(spark)
+    for t in ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q8.format(
+            part="part_v",
+            lineitem="lineitem_v",
+            supplier="supplier_v",
+            orders="orders_v",
+            customer="customer_v",
+            nation="nation_v",
+            region="region_v",
+        )
+    )
+
+
+#: TPC-H Q15 (top supplier): a reused aggregate CTE + MAX scalar
+#: subquery over it — the view-then-argmax archetype.
+_SQL_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+        FROM {lineitem}
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM {supplier}
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+def _sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #16: TPC-H Q15 — CTE reuse + MAX scalar subquery.
+
+    The revenue CTE is referenced twice (join side and MAX side); the
+    exact-decimal totals make the equality-with-MAX selection
+    deterministic — the double-precision spec query can tie-break on
+    ulps, the decimal one cannot. With Q1/Q3..Q8/Q10/Q12..Q15/Q17/
+    Q18/Q19/Q22 the engine now runs EVERY TPC-H query expressible on
+    the fixture schema (the rest need partsupp or commit/receipt
+    dates).
+    """
+    tune_session(spark)
+    for t in ("lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(_SQL_Q15.format(lineitem="lineitem_v", supplier="supplier_v"))
+
+
 def _jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JDBC sink + source round-trip against embedded Derby, in-gate.
 
@@ -1547,6 +1718,10 @@ QUERIES: dict[str, QueryFn] = {
     "sql_tpch_q17": _sql_tpch_q17,
     "sql_tpch_q19": _sql_tpch_q19,
     "sql_tpch_q22": _sql_tpch_q22,
+    "sql_tpch_q6": _sql_tpch_q6,
+    "sql_tpch_q7": _sql_tpch_q7,
+    "sql_tpch_q8": _sql_tpch_q8,
+    "sql_tpch_q15": _sql_tpch_q15,
     "stateful_decay_live_v2": _stateful_decay_live_v2,
     "ann_ivfpq_check": _q(similarity.ann_ivfpq_check, "embeddings"),
     "merge_roundtrip": _merge_roundtrip,
@@ -1590,14 +1765,16 @@ QUERIES: dict[str, QueryFn] = {
     "approx_percentile": _q(aggregates.approx_percentile_agg, "lineitem"),
     "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
     "sample_mixture": _q(textstats.sample_mixture, "documents"),
+    # stale via its check's closure (negative-id twins share helpers)
+    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
+    # changed in round 7: negative-id twins applied family-wide
+    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
+    # ---- beyond the window: fresh r4/r5/r6 green rows stand ----
     "join_broadcast": _q(relational.join_broadcast, "lineitem", "part"),
     "join_semi_anti": _q(relational.join_semi_anti, "customer", "orders"),
     "set_ops": _q(relational.set_ops, "events"),
     "rollup_agg": _q(relational.rollup_agg, "customer", "nation"),
     "cube_agg": _q(relational.cube_agg, "customer", "nation"),
-    # stale via its check's closure (negative-id twins share helpers)
-    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
-    # ---- beyond the window: fresh r4/r5/r6 green rows stand ----
     "correlated_subquery": _q(relational.correlated_subquery, "customer", "nation"),
     "asof_join": _q(temporal.asof_join, "events"),
     "range_join": _q(temporal.range_join, "lineitem"),
@@ -1623,7 +1800,6 @@ QUERIES: dict[str, QueryFn] = {
     "window_range_frame": _q(windows.window_range_frame, "events"),
     "interval_overlap": _q(temporal.interval_overlap, "events"),
     "repetition_signals": _q(textstats.repetition_signals, "documents"),
-    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     "kll_rollup_check": _q(aggregates.kll_rollup_check, "lineitem"),
     "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
     "time_weighted_avg": _q(temporal.time_weighted_avg, "events"),
@@ -3259,6 +3435,24 @@ ORACLE_SQL: dict[str, str] = {
     "sql_tpch_q17": _SQL_Q17.format(lineitem="lineitem", part="part"),
     "sql_tpch_q19": _SQL_Q19.format(lineitem="lineitem", part="part"),
     "sql_tpch_q22": _SQL_Q22.format(customer="customer", orders="orders"),
+    "sql_tpch_q6": _SQL_Q6.format(lineitem="lineitem"),
+    "sql_tpch_q7": _SQL_Q7.format(
+        supplier="supplier",
+        lineitem="lineitem",
+        orders="orders",
+        customer="customer",
+        nation="nation",
+    ),
+    "sql_tpch_q8": _SQL_Q8.format(
+        part="part",
+        lineitem="lineitem",
+        supplier="supplier",
+        orders="orders",
+        customer="customer",
+        nation="nation",
+        region="region",
+    ),
+    "sql_tpch_q15": _SQL_Q15.format(lineitem="lineitem", supplier="supplier"),
     "mode_agg": """
         WITH counts AS (
             SELECT event_type, user_id, COUNT(*) AS c
