@@ -400,6 +400,40 @@ def test_tpch_q22_anti_join_and_scalar_subqueries(plans):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q6_is_pure_pushdown_scan(plans):
+    """Q6: no join; all predicates reach the scan; 3-column read."""
+    plan = plans["sql_tpch_q6"]
+    assert "Join" not in plan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "l_extendedprice", "l_discount", "l_quantity", "l_shipdate"
+    }
+
+
+def test_tpch_q7_q8_dimensions_broadcast(plans):
+    """Q7/Q8: every dimension chain (nation in two roles, supplier,
+    customer, part, region) broadcasts onto the fact probe — the fact
+    table is never shuffled pre-aggregation."""
+    for name, min_bhj in (("sql_tpch_q7", 4), ("sql_tpch_q8", 6)):
+        plan = plans[name]
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_q15_bounded_scans(plans):
+    """Q15: the revenue CTE costs at most one extra lineitem scan
+    (join side + MAX side), with the quarter predicate pushed to
+    both."""
+    plan = plans["sql_tpch_q15"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sql_tpch_q5_broadcasts_all_dimensions(plans):
     """The snowflake's dimensions must broadcast onto the lineitem
     probe; the fact table is never shuffled before aggregation."""
