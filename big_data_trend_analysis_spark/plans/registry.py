@@ -732,17 +732,18 @@ def _bucketed_write_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV + JSON sink/source round-trip, delivery-exactness pinned.
+    """CSV + JSON + ORC sink/source round-trip, delivery-exactness pinned.
 
-    The text-format corners of the source/sink surface (everything
-    else in the gate is parquet): the same events slice is written as
-    headered CSV and as JSON-lines, read back through explicit
-    schemas, and aggregated per format. The oracle aggregates the
-    SOURCE rows once per format tag — counts, distinct ids, and exact
-    decimal sums can only match if every row survived each text
-    round-trip exactly once with values intact (Spark serializes
-    doubles via shortest-round-trip representation, so the double
-    column is bit-preserved).
+    The non-parquet corners of the source/sink surface: the same
+    events slice is written as headered CSV, as JSON-lines, and as ORC
+    (the other columnar format Spark ships a native vectorized reader
+    for), read back through explicit schemas, and aggregated per
+    format. The oracle aggregates the SOURCE rows once per format tag
+    — counts, distinct ids, and exact decimal sums can only match if
+    every row survived each round-trip exactly once with values intact
+    (text formats serialize doubles via shortest-round-trip
+    representation; ORC stores them natively — bit-preserved either
+    way).
     """
     from pyspark.sql import functions as F
 
@@ -761,9 +762,11 @@ def _multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = _gate_suffix(spark, sf_dir)
     csv_dir = f"/tmp/bdta_csv_{suffix}"
     json_dir = f"/tmp/bdta_json_{suffix}"
-    _cleanup_at_exit(spark, paths=[csv_dir, json_dir])
+    orc_dir = f"/tmp/bdta_orc_{suffix}"
+    _cleanup_at_exit(spark, paths=[csv_dir, json_dir, orc_dir])
     slice_df.write.mode("overwrite").option("header", "true").csv(csv_dir)
     slice_df.write.mode("overwrite").json(json_dir)
+    slice_df.write.mode("overwrite").orc(orc_dir)
     ddl = "event_id long, event_type string, value double"
     back_csv = (
         spark.read.schema(ddl)
@@ -774,8 +777,11 @@ def _multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back_json = spark.read.schema(ddl).json(json_dir).select(
         F.lit("json").alias("fmt"), *cols
     )
+    back_orc = spark.read.schema(ddl).orc(orc_dir).select(
+        F.lit("orc").alias("fmt"), *cols
+    )
     return (
-        back_csv.unionByName(back_json)
+        back_csv.unionByName(back_json).unionByName(back_orc)
         .groupBy("fmt")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -3385,7 +3391,7 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS n_rows,
                COUNT(DISTINCT event_id) AS n_ids,
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        FROM events, (VALUES ('csv'), ('json')) AS f(fmt)
+        FROM events, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
         WHERE event_id % 5 = 0
         GROUP BY fmt
     """,
