@@ -14,7 +14,7 @@ out event data partitioned by date"):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -53,6 +53,83 @@ def write_date_partitioned(
         )
         out = out.repartition(F.col("p_date"), salt)
     out.write.mode(mode).partitionBy("p_date").parquet(path)
+
+
+def zorder_column(
+    df: DataFrame, cols: list[str], bits: int = 10
+) -> Column:
+    """Z-order (Morton) key over ``cols`` as a pure JVM expression.
+
+    Each column is min/max-scaled into a ``bits``-bit bucket (one
+    bounded 1-row aggregate collect for the bounds — the same
+    corpus-size-independent pattern as the sketch/codebook trainers),
+    then the bucket bits are interleaved:
+    ``z = Σ_b Σ_d ((bucket_d >> b) & 1) << (b·ndims + d)``.
+    Rows close in z are close in EVERY dimension, so sorting by z
+    gives parquet row groups tight min/max ranges on all ``cols`` at
+    once — selective filters on any single dimension skip row groups,
+    where a plain sort only serves its leading column. All arithmetic
+    is shift/and/add on longs — whole-stage-codegen'd, no UDF.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    ndims = len(cols)
+    top = (1 << bits) - 1
+    parts = []
+    for d, c in enumerate(cols):
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        bucket = F.least(
+            F.lit(top).cast("long"),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast(
+                "long"
+            ),
+        )
+        for b in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * ndims + d
+                )
+            )
+    z = parts[0]
+    for p in parts[1:]:
+        z = z + p
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    n_files: int = 1,
+    mode: str = "overwrite",
+    block_size: int | None = None,
+) -> None:
+    """Write parquet clustered by the Z-order key of ``cols``.
+
+    ``repartitionByRange`` on z gives file-level clustering (range
+    filters on any dim touch a file subset); ``sortWithinPartitions``
+    gives row-group-level clustering inside each file. The key column
+    is dropped before the write — the layout, not the schema, carries
+    it. ``block_size`` shrinks row groups for skip-granularity tests;
+    leave it None in production (default ~128 MB groups).
+    """
+    out = df.withColumn("_z", zorder_column(df, cols, bits))
+    out = (
+        out.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    writer = out.write.mode(mode)
+    if block_size is not None:
+        writer = writer.option("parquet.block.size", block_size)
+    writer.parquet(path)
 
 
 def write_bucketed(
