@@ -1,0 +1,137 @@
+"""Graph analytics over relational event data: fixed-iteration PageRank.
+
+The reference's trend pipeline stops at first-order transition counts
+(``event_transitions``); ranking the behavioral graph those transitions
+form is the canonical "which state matters" extension (PageRank on the
+event-type Markov chain). Spark-first shape:
+
+- the graph is *derived in-plan* from the event log (lag window →
+  weighted edge list) — no separate graph storage;
+- iterations are **unrolled into one Catalyst plan**: each round is
+  one equi-join (ranks ⋈ edges on src) + one hash aggregation (sum of
+  contributions per dst). With a fixed iteration count the whole
+  computation is a DAG Catalyst can see through — and, unlike the
+  convergence-looped ``dedup_clusters``, it is exactly expressible in
+  ANSI SQL (unrolled CTEs), so the driver hash-oracle covers it.
+- arithmetic is **fixed-point**: every per-edge contribution and every
+  scalar term is rounded to 6 dp and accumulated as ``decimal(18,6)``,
+  so rank mass adds order-independently — the same discipline as the
+  engine's money sums (functions/numeric.py), and the reason two
+  engines (or two shuffle layouts) produce the identical hash.
+
+100 TB posture: per iteration one shuffle on ``src`` (ranks are
+node-sized, edges edge-sized; AQE broadcasts the smaller side) and one
+on ``dst``. Dangling mass is a 1-row aggregate broadcast into the next
+round. For deep iteration counts you would ``localCheckpoint`` every
+few rounds to truncate lineage exactly as ``operators/dedup.py``'s
+label propagation does; at the unrolled depth used here (3) the plan
+stays comfortably within codegen limits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Fixed-point rank representation: 6 dp is ~1e-6 mass granularity,
+#: two orders below anything the output rounds to; 18 digits keeps
+#: decimal sums exact far beyond any real node's in-mass.
+_RANK_DEC = "decimal(18,6)"
+
+
+def pagerank_fixed(events: DataFrame, d: float = 0.85, iters: int = 3) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph.
+
+    Nodes are the distinct event types; edge (u, v) carries the count
+    of u→v transitions in any user's (ts, event_id)-ordered timeline
+    (the exact edge derivation of ``temporal.event_transitions``).
+    ``iters`` power-iteration rounds of
+
+        r'(v) = (1-d)/N + d·(Σ_u r(u)·w(u,v)/outw(u) + dm/N)
+
+    with dm the dangling mass (rank held by nodes without out-edges).
+    Every term is rounded to 6 dp before exact decimal accumulation,
+    making the result bit-stable under any partitioning and under the
+    DuckDB oracle's identical unrolled arithmetic.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # The graph relations are derived ONCE and materialized
+    # (localCheckpoint, the dedup_clusters lineage-truncation pattern):
+    # without it Catalyst re-derives edges/nodes from the raw event
+    # scan inside EVERY unrolled branch — each iteration references
+    # ranks twice (contributions + dangling mass), so the un-truncated
+    # plan doubles per round and re-shuffles the event log ~4× per
+    # iteration. On a cluster this materialization is the standard
+    # "build the edge list once, iterate over it" discipline.
+    edges = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("dst"),
+            F.lag("event_type").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        events.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw")).localCheckpoint()
+    nrel = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    ranks = nodes.crossJoin(F.broadcast(nrel)).select(
+        "node",
+        F.round(F.lit(1.0) / F.col("n_nodes"), 6).cast(_RANK_DEC).alias("rank"),
+    )
+    for it in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    F.col("rank").cast("double").alias("r"),
+                ),
+                "src",
+            )
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.lit(d) * F.col("r") * F.col("w") / F.col("outw"), 6)
+                .cast(_RANK_DEC)
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        dangling = (
+            ranks.join(outw, ranks["node"] == outw["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast(_RANK_DEC)).alias("dm"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nrel))
+            .crossJoin(F.broadcast(dangling))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    # round() the Python literal: 1.0-0.85 is
+                    # 0.15000000000000002 in IEEE — the oracle writes 0.15.
+                    F.round(F.lit(round(1.0 - d, 12)) / F.col("n_nodes"), 6).cast(_RANK_DEC)
+                    + F.round(
+                        F.lit(d) * F.col("dm").cast("double") / F.col("n_nodes"), 6
+                    ).cast(_RANK_DEC)
+                    + F.coalesce(F.col("in_mass"), F.lit(0).cast(_RANK_DEC))
+                )
+                .cast(_RANK_DEC)
+                .alias("rank"),
+            )
+        )
+        # Truncate the rank lineage between rounds (nodes-sized, so the
+        # eager job is trivial); the last round stays lazy — the caller
+        # owns the final plan.
+        if it < iters - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("rank").cast("double").alias("rank"))

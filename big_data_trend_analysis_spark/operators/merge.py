@@ -62,3 +62,56 @@ def upsert_scd1(events: DataFrame) -> DataFrame:
         .otherwise("keep")
         .alias("op"),
     )
+
+
+def cdc_snapshot_diff(orders: DataFrame) -> DataFrame:
+    """Derive a CDC changelog by diffing two table snapshots.
+
+    The inverse of MERGE: given versions v1 and v2 of a keyed table,
+    emit the insert/update/delete row set that transforms one into the
+    other — what Delta's change-data-feed or a Debezium snapshot-diff
+    produces, and the input every downstream incremental consumer
+    (the ``upsert_scd1``/``merge_roundtrip`` write path) expects.
+
+    The two versions are carved deterministically from the orders
+    fixture so the operator needs no side-effecting setup: v1 drops
+    keys ≡3 (mod 11), v2 drops keys ≡7 (mod 11) and re-prices keys
+    ≡0 (mod 5) by exact-decimal ×1.10 (decimal(12,2)×decimal(3,2) —
+    exact in both engines, no float rounding decision anywhere).
+    Diff = one full-outer self-join on the key:
+
+    - only in v2 → ``insert`` (before NULL),
+    - only in v1 → ``delete`` (after NULL),
+    - in both with different payload → ``update``,
+    - identical rows are dropped (the no-op majority).
+
+    100 TB posture: both sides are projections of the same source, so
+    the plan is one scan feeding one key-shuffle full-outer join;
+    with real table versions both sides would be bucketed/clustered on
+    the key and the join exchange-free. Output is |changes|-sized —
+    the whole point of CDC at scale.
+    """
+    base = orders.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    v1 = base.filter(F.pmod("o_orderkey", F.lit(11)) != 3).select(
+        "o_orderkey", F.col("price").alias("before_price")
+    )
+    repriced = (
+        F.col("price").cast("decimal(12,2)")
+        * F.lit("1.10").cast("decimal(3,2)")
+    ).cast("double")
+    v2 = base.filter(F.pmod("o_orderkey", F.lit(11)) != 7).select(
+        "o_orderkey",
+        F.when(F.pmod("o_orderkey", F.lit(5)) == 0, repriced)
+        .otherwise(F.col("price"))
+        .alias("after_price"),
+    )
+    diff = v1.join(v2, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        "before_price",
+        "after_price",
+        F.when(F.col("before_price").isNull(), F.lit("insert"))
+        .when(F.col("after_price").isNull(), F.lit("delete"))
+        .when(F.col("before_price") != F.col("after_price"), F.lit("update"))
+        .alias("op"),
+    )
+    return diff.filter(F.col("op").isNotNull())

@@ -896,3 +896,113 @@ def embed_pca_check(
         ],
         "n_vectors long, dim int, total_var double, explained_ok boolean, orthonormal_ok boolean",
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup: cluster-scoped semantic near-duplicate pairs.
+
+    The embedding-space dedup of Abbas et al. 2023 ("SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    k-means the corpus, then compare ONLY within clusters — all-pairs
+    cosine restricted to cells turns O(n²) into Σ|cell|², the same
+    candidate-generation-then-verify discipline as the LSH families
+    (``embed_neardup``) but with *semantic* buckets, so paraphrases
+    land together even when no hyperplane band agrees.
+
+    Plan: bounded-sample codebook (``train_ivf_centroids`` — corpus-
+    size-independent), Arrow-batched top-``nprobe`` cell assignment
+    (multi-assignment recovers pairs straddling a cell boundary, the
+    standard recall fix), self equi-join on cell_id, exact cosine ≥
+    ``threshold`` verify, pair-distinct (a pair sharing 2 cells counts
+    once). At 100 TB the join is bucket-local per cell; skewed mega-
+    cells are what ``n_centroids`` sizing (√n cells) controls.
+
+    Returns (vec_id_a, vec_id_b, sim) with vec_id_a < vec_id_b.
+    """
+    cmat = train_ivf_centroids(embeddings, n_centroids=n_centroids)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(float)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cmat.T
+        order = np.argsort(-sims, axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe].astype("int32")))
+
+    assigned = embeddings.select(
+        "vec_id",
+        as_double("embedding").alias("vec"),
+        F.explode(nearest_cells(F.col("embedding"))).alias("cell_id"),
+    )
+    left = assigned.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("vec").alias("vec_a"),
+    )
+    right = assigned.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    pairs = (
+        left.join(right, "cell_id")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_id_a", "vec_id_b", "sim")
+        .distinct()
+    )
+    return pairs
+
+
+def semdedup_check(
+    embeddings: DataFrame,
+    n_planted: int = 20,
+    noise: float = 0.05,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Self-checking SemDeDup recall invariant (hash-checked).
+
+    Same planted-twin design as ``embed_neardup_check``: an ε-perturbed
+    twin of each of the first ``n_planted`` vectors (cos ≈ 1−ε²/2 ≈
+    0.9988, deterministic, negative-id space) is unioned into the
+    corpus inside the query; the cluster-scoped pipeline must recover
+    every (original, twin) pair, which exercises the one failure mode
+    LSH doesn't have — a twin assigned across a cell boundary (covered
+    by top-2 multi-assignment). The oracle demands n_recovered =
+    n_planted and all_found TRUE.
+    """
+    base = embeddings.select("vec_id", "embedding")
+    seeds = base.filter(F.col("vec_id") < n_planted)
+    twin_vec = F.transform(
+        "embedding",
+        lambda x, i: (
+            x
+            * (
+                F.lit(1.0)
+                + F.lit(noise)
+                * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            )
+        ).cast("float"),
+    )
+    planted = seeds.select(
+        (-(F.col("vec_id") + 1)).alias("vec_id"), twin_vec.alias("embedding")
+    )
+    pairs = semdedup(base.unionByName(planted), threshold=threshold)
+    recovered = pairs.filter(
+        (F.col("vec_id_a") == -(F.col("vec_id_b") + 1))
+        & (F.col("vec_id_b") < n_planted)
+        & (F.col("vec_id_b") >= 0)
+    )
+    n_rec = recovered.agg(F.count_distinct("vec_id_b").alias("n_recovered"))
+    n_pl = seeds.agg(F.count(F.lit(1)).alias("n_planted"))
+    return n_pl.crossJoin(n_rec).select(
+        "n_planted",
+        "n_recovered",
+        (F.col("n_recovered") == F.col("n_planted")).alias("all_found"),
+    )

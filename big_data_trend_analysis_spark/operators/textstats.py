@@ -612,3 +612,74 @@ def curate_for_training(
         val_frac=val_frac,
         test_frac=test_frac,
     ).select("doc_id", "split", "clean_text", "quality")
+
+
+def unigram_perplexity(documents: DataFrame) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM.
+
+    The CCNet/Gopher-family *perplexity filter* — the standard LM-based
+    quality signal a pre-training pipeline runs alongside the heuristic
+    gates (``quality_filter``): documents whose tokens are improbable
+    under the corpus language model are boilerplate/noise candidates.
+    Here the LM is the corpus's own unigram distribution, so the whole
+    computation stays declarative:
+
+    - one explode over the shared whitespace tokenization (identical to
+      ``tfidf_top_term``'s, so both sides of the oracle agree);
+    - one vocab-sized aggregation for token counts + a 1-row total;
+    - per-token information content ``-log2(cnt/total)`` rounded to
+      6 dp then fixed to ``decimal(18,6)`` so the per-document sum is
+      order-independent (the engine's deterministic-aggregate
+      discipline, functions/numeric.py);
+    - one join tokens→bits (vocab side is Zipf-bounded — AQE broadcasts
+      it at fixture scale; at 100 TB it's a shuffle join on token with
+      the frequency side orders of magnitude smaller than the corpus)
+      and one final doc_id aggregation.
+
+    Returns ``(doc_id, n_tokens, bits_per_token)`` — bits_per_token is
+    the doc's unigram cross-entropy; 2^bits_per_token its perplexity.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    # The unigram LM (vocab-sized counts) is materialized once
+    # (localCheckpoint): both consumers — the corpus total and the
+    # per-token join side — would otherwise each re-derive it from
+    # their own full corpus scan (Catalyst does no subplan reuse
+    # across DataFrame references). One eager vocab-sized job buys the
+    # final plan down to a single corpus scan.
+    cnts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    total = cnts.agg(F.sum("cnt").alias("total"))
+    bits = (
+        cnts.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.round(-F.log2(F.col("cnt") / F.col("total")), 6)
+            .cast("decimal(18,6)")
+            .alias("bits"),
+        )
+    )
+    return (
+        toks.join(bits, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # floor(x·1e6 + 0.5)/1e6, not round(x, 6): the numerator is
+            # an exact 6-dp decimal, so x = sum/n lands on EXACT
+            # half-way 6th-decimal ties whenever n divides the scaled
+            # sum oddly — where Spark (HALF_UP on the shortest decimal)
+            # and DuckDB (libm nearbyint) disagree. Every step here is
+            # a single IEEE op, bit-identical in both engines.
+            (
+                F.floor(
+                    F.sum("bits").cast("double") / F.count(F.lit(1)) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("bits_per_token"),
+        )
+    )

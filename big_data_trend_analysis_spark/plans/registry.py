@@ -54,6 +54,7 @@ from big_data_trend_analysis_spark.operators import (
     aggregates,
     dedup,
     entities,
+    graph,
     merge,
     multimodal,
     relational,
@@ -1715,6 +1716,13 @@ QUERIES: dict[str, QueryFn] = {
     # Ordering is enforced by tests/test_rotation_policy.py against
     # tools/green_ledger.json: every entry that is new or changed since
     # its last green driver row MUST sit inside the window.
+    # NEW in round 7 (second batch): LM perplexity quality scoring,
+    # unrolled fixed-point PageRank, snapshot-diff CDC derivation,
+    # SemDeDup cluster-scoped semantic dedup.
+    "unigram_perplexity": _q(textstats.unigram_perplexity, "documents"),
+    "pagerank_fixed": _q(graph.pagerank_fixed, "events"),
+    "cdc_snapshot_diff": _q(merge.cdc_snapshot_diff, "orders"),
+    "semdedup_check": _q(similarity.semdedup_check, "embeddings"),
     # 0-7: NEW in round 7 — TPC-H join archetypes (Q4 semi, Q13 outer
     # histogram, Q17 correlated avg, Q19 disjunctive pushdown, Q22
     # anti + scalar subqueries), Spark-4 state stack drain, IVF+PQ
@@ -1758,10 +1766,6 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard": _q(dedup.ngram_jaccard, "documents"),
     "sentiment_score": _sentiment_score,
     "entity_counts": _q(entities.entity_counts, "documents"),
-    "scan_project": _q(relational.scan_project, "lineitem"),
-    "filter_pred": _q(relational.filter_pred, "lineitem"),
-    "json_extract": _q(trend.json_extract, "events"),
-    "conditional_score": _q(trend.conditional_score, "events"),
     "decay_weight": _q(trend.decay_weight_per_event, "events"),
     "tokenize_explode": _q(trend.tokenize_explode, "documents"),
     "keyword_freq": _q(trend.keyword_freq, "documents"),
@@ -1776,6 +1780,12 @@ QUERIES: dict[str, QueryFn] = {
     # changed in round 7: negative-id twins applied family-wide
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     # ---- beyond the window: fresh r4/r5/r6 green rows stand ----
+    # (displaced from the r4 rotation block to make room for the
+    # round-7 second batch; unchanged since their r4 green rows)
+    "scan_project": _q(relational.scan_project, "lineitem"),
+    "filter_pred": _q(relational.filter_pred, "lineitem"),
+    "json_extract": _q(trend.json_extract, "events"),
+    "conditional_score": _q(trend.conditional_score, "events"),
     "join_broadcast": _q(relational.join_broadcast, "lineitem", "part"),
     "join_semi_anti": _q(relational.join_semi_anti, "customer", "orders"),
     "set_ops": _q(relational.set_ops, "events"),
@@ -1900,6 +1910,139 @@ _COSINE = (
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "unigram_perplexity": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), cnts AS (
+            SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+        ), total AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts
+        ), bits AS (
+            SELECT token,
+                   CAST(round(-log2(CAST(cnt AS DOUBLE) / total), 6)
+                        AS DECIMAL(18,6)) AS bits
+            FROM cnts CROSS JOIN total
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               FLOOR(CAST(SUM(bits) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+                   / 1000000.0 AS bits_per_token
+        FROM toks JOIN bits USING (token)
+        GROUP BY doc_id
+    """,
+    # Fixed-point PageRank, 3 power iterations unrolled — term-for-term
+    # the arithmetic of operators/graph.py (every contribution rounded
+    # to 6 dp, accumulated as DECIMAL(18,6)).
+    "pagerank_fixed": """
+        WITH edges AS (
+            SELECT src, dst, COUNT(*) AS w FROM (
+                SELECT event_type AS dst,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS src
+                FROM events
+            ) WHERE src IS NOT NULL GROUP BY src, dst
+        ), nodes AS (
+            SELECT DISTINCT event_type AS node FROM events
+        ), nrel AS (
+            SELECT COUNT(*) AS n_nodes FROM nodes
+        ), outw AS (
+            SELECT src, SUM(w) AS outw FROM edges GROUP BY src
+        ), r0 AS (
+            SELECT node,
+                   CAST(round(CAST(1.0 AS DOUBLE) / n_nodes, 6)
+                        AS DECIMAL(18,6)) AS rank
+            FROM nodes CROSS JOIN nrel
+        ), c1 AS (
+            SELECT e.dst AS node,
+                   SUM(CAST(round(CAST(0.85 AS DOUBLE) * CAST(r.rank AS DOUBLE)
+                                  * e.w / o.outw, 6) AS DECIMAL(18,6))) AS in_mass
+            FROM edges e JOIN r0 r ON e.src = r.node JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ), d1 AS (
+            SELECT COALESCE(SUM(rank), CAST(0 AS DECIMAL(18,6))) AS dm
+            FROM r0 WHERE node NOT IN (SELECT src FROM outw)
+        ), r1 AS (
+            SELECT n.node,
+                   CAST(CAST(round(CAST(0.15 AS DOUBLE) / nrel.n_nodes, 6)
+                             AS DECIMAL(18,6))
+                      + CAST(round(CAST(0.85 AS DOUBLE) * CAST(d1.dm AS DOUBLE)
+                                   / nrel.n_nodes, 6) AS DECIMAL(18,6))
+                      + COALESCE(c1.in_mass, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) AS rank
+            FROM nodes n CROSS JOIN nrel CROSS JOIN d1
+            LEFT JOIN c1 ON n.node = c1.node
+        ), c2 AS (
+            SELECT e.dst AS node,
+                   SUM(CAST(round(CAST(0.85 AS DOUBLE) * CAST(r.rank AS DOUBLE)
+                                  * e.w / o.outw, 6) AS DECIMAL(18,6))) AS in_mass
+            FROM edges e JOIN r1 r ON e.src = r.node JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ), d2 AS (
+            SELECT COALESCE(SUM(rank), CAST(0 AS DECIMAL(18,6))) AS dm
+            FROM r1 WHERE node NOT IN (SELECT src FROM outw)
+        ), r2 AS (
+            SELECT n.node,
+                   CAST(CAST(round(CAST(0.15 AS DOUBLE) / nrel.n_nodes, 6)
+                             AS DECIMAL(18,6))
+                      + CAST(round(CAST(0.85 AS DOUBLE) * CAST(d2.dm AS DOUBLE)
+                                   / nrel.n_nodes, 6) AS DECIMAL(18,6))
+                      + COALESCE(c2.in_mass, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) AS rank
+            FROM nodes n CROSS JOIN nrel CROSS JOIN d2
+            LEFT JOIN c2 ON n.node = c2.node
+        ), c3 AS (
+            SELECT e.dst AS node,
+                   SUM(CAST(round(CAST(0.85 AS DOUBLE) * CAST(r.rank AS DOUBLE)
+                                  * e.w / o.outw, 6) AS DECIMAL(18,6))) AS in_mass
+            FROM edges e JOIN r2 r ON e.src = r.node JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ), d3 AS (
+            SELECT COALESCE(SUM(rank), CAST(0 AS DECIMAL(18,6))) AS dm
+            FROM r2 WHERE node NOT IN (SELECT src FROM outw)
+        ), r3 AS (
+            SELECT n.node,
+                   CAST(CAST(round(CAST(0.15 AS DOUBLE) / nrel.n_nodes, 6)
+                             AS DECIMAL(18,6))
+                      + CAST(round(CAST(0.85 AS DOUBLE) * CAST(d3.dm AS DOUBLE)
+                                   / nrel.n_nodes, 6) AS DECIMAL(18,6))
+                      + COALESCE(c3.in_mass, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) AS rank
+            FROM nodes n CROSS JOIN nrel CROSS JOIN d3
+            LEFT JOIN c3 ON n.node = c3.node
+        )
+        SELECT node, CAST(rank AS DOUBLE) AS rank FROM r3
+    """,
+    "cdc_snapshot_diff": """
+        SELECT * FROM (
+            WITH base AS (
+                SELECT o_orderkey, o_totalprice AS price FROM orders
+            ), v1 AS (
+                SELECT o_orderkey, price AS before_price
+                FROM base WHERE o_orderkey % 11 <> 3
+            ), v2 AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 5 = 0
+                            THEN CAST(CAST(price AS DECIMAL(12,2))
+                                      * CAST('1.10' AS DECIMAL(3,2)) AS DOUBLE)
+                            ELSE price END AS after_price
+                FROM base WHERE o_orderkey % 11 <> 7
+            )
+            SELECT o_orderkey, before_price, after_price,
+                   CASE WHEN before_price IS NULL THEN 'insert'
+                        WHEN after_price IS NULL THEN 'delete'
+                        WHEN before_price <> after_price THEN 'update'
+                   END AS op
+            FROM v1 FULL JOIN v2 USING (o_orderkey)
+        ) WHERE op IS NOT NULL
+    """,
+    "semdedup_check": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+               CAST(COUNT(*) AS BIGINT) AS n_recovered,
+               TRUE AS all_found
+        FROM embeddings
+        WHERE vec_id < 20
+    """,
     "scan_project": """
         SELECT l_orderkey, l_linenumber,
                CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,

@@ -1213,3 +1213,63 @@ def test_round6_checks_handle_empty_input(spark):
     assert prof.n_rows == 0
     (kll,) = kll_rollup_check(li).collect()
     assert kll.n_rows == 0 and kll.p50_exact is None
+
+
+def test_pagerank_fixed_conserves_mass_and_ranks_sinks(spark):
+    """Rank mass stays ~1 through every iteration (fixed-point rounding
+    loses <1e-5 per round), and a pure sink node outranks a pure
+    source at equal in-degree — the defining PageRank property."""
+    import datetime as _dt
+
+    from big_data_trend_analysis_spark.operators.graph import pagerank_fixed
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = []
+    # Three users: a -> b -> c (c never transitions out: dangling).
+    for u in range(3):
+        for i, et in enumerate(["a", "b", "c"]):
+            rows.append((u * 10 + i, t0 + _dt.timedelta(minutes=i), u, et, 1.0, None))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.node: r.rank for r in pagerank_fixed(events).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    # a has no in-edges -> floor rank; c absorbs b's mass -> top rank.
+    assert out["c"] > out["b"] > out["a"]
+
+
+def test_cdc_snapshot_diff_op_partition(spark, sf_dir):
+    """The diff emits exactly the carved-out key classes: inserts are
+    keys ≡3 (mod 11) (absent from v1), deletes ≡7 (mod 11), updates
+    ≡0 (mod 5) survivors — and never a no-op row."""
+    from big_data_trend_analysis_spark.operators.merge import cdc_snapshot_diff
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = cdc_snapshot_diff(orders).collect()
+    assert rows, "diff must be non-empty on the fixtures"
+    for r in rows:
+        k = r.o_orderkey
+        if r.op == "insert":
+            assert k % 11 == 3 and r.before_price is None
+        elif r.op == "delete":
+            assert k % 11 == 7 and r.after_price is None
+        else:
+            assert r.op == "update"
+            assert k % 5 == 0 and k % 11 not in (3, 7)
+            assert abs(r.after_price - 1.1 * r.before_price) < 0.02
+
+
+def test_unigram_perplexity_orders_rare_above_common(spark):
+    """A document of corpus-rare tokens scores strictly higher
+    bits-per-token than one of corpus-common tokens."""
+    from big_data_trend_analysis_spark.operators.textstats import unigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the the"), (2, "the the the zyx the"), (3, "zyx qwv jjq zyx kkp")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.bits_per_token) for r in unigram_perplexity(docs).collect()}
+    assert out[1][0] == 5
+    assert out[1][1] < out[2][1] < out[3][1]

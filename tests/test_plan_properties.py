@@ -47,6 +47,12 @@ CROSS_JOIN_ALLOWED = {
     # the pairwise sketch relation joins O(segments) × broadcast
     # O(segments) on an inequality — bounded by segments², never data
     "theta_overlap_check",
+    # vocab-sized counts × broadcast 1-row corpus-total scalar
+    "unigram_perplexity",
+    # nodes × broadcast 1-row (N, dangling-mass) scalars per iteration
+    "pagerank_fixed",
+    # scalar × scalar: 1-row planted count × 1-row recovered count
+    "semdedup_check",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
@@ -449,3 +455,33 @@ def test_interval_overlap_single_fact_shuffle(plans):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_cdc_snapshot_diff_two_pruned_scans_one_join(plans):
+    """Snapshot diff: exactly two 2-column scans of orders (no third
+    pass), one full-outer join, no cartesian fallback."""
+    plan = plans["cdc_snapshot_diff"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols == {"o_orderkey", "o_totalprice"}
+
+
+def test_unigram_perplexity_single_corpus_scan_in_final_plan(plans):
+    """Perplexity: the LM (vocab counts) is materialized once, so the
+    final plan holds exactly ONE parquet scan of the corpus — the
+    doc-token explode; total and bits read the checkpointed vocab."""
+    plan = plans["unigram_perplexity"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_pagerank_iterations_reuse_materialized_graph(plans):
+    """The unrolled iterations must run against the localCheckpointed
+    edge/node relations — the raw event log appears in NO branch of
+    the final plan (lineage was truncated), and ranks⋈edges is an
+    equi-join, not a cartesian."""
+    plan = plans["pagerank_fixed"]
+    assert "Scan parquet" not in plan or "events.parquet" not in plan
+    assert "CartesianProduct" not in plan
