@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_trend_analysis_spark.functions.numeric import PRICE_DEC, RATE_DEC, dec
 
@@ -800,4 +801,126 @@ def mode_agg(events: DataFrame) -> DataFrame:
             "user_id", F.struct(F.col("c"), (-F.col("user_id")).alias("nu"))
         ).alias("modal_user"),
         F.max("c").alias("modal_count"),
+    )
+
+
+def feature_binning(lineitem: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Exact equi-depth feature binning (the QuantileDiscretizer shape)
+    as a DISTRIBUTED exact quantile.
+
+    The ML-preprocessing staple: bucket a numeric feature into
+    ``n_buckets`` equal-frequency bins with exact interpolated
+    (k/B)-quantile boundaries. Spark's built-in exact ``percentile``
+    buffers the entire column in ONE task's memory — a non-starter for
+    a 100 TB feature — so the cut points come from the scalable sort-
+    based formulation instead:
+
+    1. ONE scan aggregates to the distinct-value histogram (v, cnt) —
+       everything downstream runs on |distinct| rows, never on rows;
+    2. a distributed cumulative sum over the value order — range
+       repartition, per-partition running sum, per-partition totals
+       (a |partitions|-row relation) broadcast back as offsets — gives
+       each value its global position interval [cum_start, cum_end);
+    3. the B−1 target ranks ``q·(n−1)`` (the same positions
+       Spark's percentile / DuckDB's quantile_cont evaluate) locate
+       their floor/ceil values via a broadcast interval join against
+       the histogram, and interpolate; boundaries round to 6 dp so
+       every ``v ≥ bound`` comparison runs on bit-identical operands.
+
+    Assignment + per-bucket stats also run on the histogram relation
+    (counts re-aggregate `cnt`), so the fact table is scanned exactly
+    once and no single task ever holds more than its histogram range.
+    """
+    fracs = [k / n_buckets for k in range(1, n_buckets)]
+    hist = lineitem.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # Distributed cumsum: range-partition by value, run local sums,
+    # broadcast the tiny per-partition totals back as offsets. The
+    # output is independent of where the range boundaries fall.
+    # localCheckpoint: every downstream relation (partition totals,
+    # offsets, rank targets, the three cumsum consumers) derives from
+    # this one materialized histogram — the raw table is scanned
+    # exactly once, at this point.
+    local = (
+        hist.repartitionByRange(8, "v")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_cum",
+            F.sum("cnt").over(
+                Window.partitionBy("pid")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .localCheckpoint()
+    )
+    ptot = local.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
+    offs = ptot.select(
+        "pid",
+        F.coalesce(
+            F.sum("ptot").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    cum = local.join(F.broadcast(offs), "pid").select(
+        "v",
+        "cnt",
+        (F.col("local_cum") + F.col("off") - F.col("cnt")).alias("cum_start"),
+        (F.col("local_cum") + F.col("off")).alias("cum_end"),
+    )
+    n_rel = ptot.agg(F.sum("ptot").alias("n"))
+    ranks = n_rel.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        (F.lit(f) * (F.col("n") - 1)).alias("pos"),
+                    )
+                    for k, f in enumerate(fracs, start=1)
+                ]
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.k").alias("k"),
+        F.col("r.pos").alias("pos"),
+        F.floor("r.pos").alias("lo_idx"),
+        F.ceil("r.pos").alias("hi_idx"),
+    )
+    lo = cum.join(
+        F.broadcast(ranks),
+        (F.col("lo_idx") >= F.col("cum_start")) & (F.col("lo_idx") < F.col("cum_end")),
+    ).select("k", "pos", F.col("v").alias("lo_v"))
+    hi = cum.join(
+        F.broadcast(ranks.select("k", F.col("hi_idx").alias("idx"))),
+        (F.col("idx") >= F.col("cum_start")) & (F.col("idx") < F.col("cum_end")),
+    ).select(F.col("k").alias("k2"), F.col("v").alias("hi_v"))
+    bound_rows = lo.join(hi, F.col("k") == F.col("k2")).select(
+        "k",
+        F.round(
+            F.col("lo_v")
+            + (F.col("pos") - F.floor("pos")) * (F.col("hi_v") - F.col("lo_v")),
+            6,
+        ).alias("bound"),
+    )
+    bounds = bound_rows.agg(
+        *[
+            F.max(F.when(F.col("k") == k, F.col("bound"))).alias(f"b{k}")
+            for k in range(1, n_buckets)
+        ]
+    )
+    bucket = None
+    for k in range(1, n_buckets):
+        term = F.when(F.col("v") >= F.col(f"b{k}"), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    binned = cum.crossJoin(F.broadcast(bounds)).select(
+        "v", "cnt", bucket.alias("bucket_id")
+    )
+    return binned.groupBy("bucket_id").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.min("v").alias("min_price"),
+        F.max("v").alias("max_price"),
     )

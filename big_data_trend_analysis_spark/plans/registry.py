@@ -374,6 +374,31 @@ def _stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     match set (M1 + the stream-stream join capability the reference's
     single-stream foreachBatch loop cannot express).
     """
+    return _run_stream_join_drain(spark, sf_dir, "inner", "sjoin_live")
+
+
+def _stream_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join through the real path.
+
+    Same drain as ``stream_join_live`` but ``join_type="left_outer"``:
+    a purchase with no in-window signup emits with null ``s_ts`` only
+    once the watermark PROVES no match can still arrive — which
+    happens in the final no-data micro-batch that advances the
+    watermark past the held state (semantics a batch join cannot
+    exhibit; outer results exist only because that watermark-
+    finalization batch ran). The oracle pins both halves exactly: the
+    inner match set verbatim, plus the unmatched purchases whose event
+    time lies strictly below the final watermark
+    ``min(max purchase ts, max signup ts) − 4 h`` — unmatched rows
+    above it are correctly still HELD at termination, not emitted
+    (measured: 1906 of 1919 batch-outer rows at sf0.01).
+    """
+    return _run_stream_join_drain(spark, sf_dir, "left_outer", "souterjoin_live")
+
+
+def _run_stream_join_drain(
+    spark: SparkSession, sf_dir: str, join_type: str, prefix: str
+) -> DataFrame:
     import shutil
     import tempfile
     import uuid
@@ -382,12 +407,16 @@ def _stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_trend_analysis_spark.streaming.sources import stream_events
 
     tune_session(spark)
-    name = f"sjoin_live_{uuid.uuid4().hex[:12]}"
+    name = f"{prefix}_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
     try:
       with _stream_partitions(spark):
         query = (
-            purchases_after_signup(stream_events(spark, sf_dir), streaming=True)
+            purchases_after_signup(
+                stream_events(spark, sf_dir),
+                streaming=True,
+                join_type=join_type,
+            )
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
@@ -1720,9 +1749,11 @@ QUERIES: dict[str, QueryFn] = {
     # unrolled fixed-point PageRank, snapshot-diff CDC derivation,
     # SemDeDup cluster-scoped semantic dedup.
     "unigram_perplexity": _q(textstats.unigram_perplexity, "documents"),
+    "feature_binning": _q(aggregates.feature_binning, "lineitem"),
     "pagerank_fixed": _q(graph.pagerank_fixed, "events"),
     "cdc_snapshot_diff": _q(merge.cdc_snapshot_diff, "orders"),
     "semdedup_check": _q(similarity.semdedup_check, "embeddings"),
+    "stream_outer_join_live": _stream_outer_join_live,
     # 0-7: NEW in round 7 — TPC-H join archetypes (Q4 semi, Q13 outer
     # histogram, Q17 correlated avg, Q19 disjunctive pushdown, Q22
     # anti + scalar subqueries), Spark-4 state stack drain, IVF+PQ
@@ -1766,8 +1797,6 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard": _q(dedup.ngram_jaccard, "documents"),
     "sentiment_score": _sentiment_score,
     "entity_counts": _q(entities.entity_counts, "documents"),
-    "decay_weight": _q(trend.decay_weight_per_event, "events"),
-    "tokenize_explode": _q(trend.tokenize_explode, "documents"),
     "keyword_freq": _q(trend.keyword_freq, "documents"),
     "keyword_topk": _q(trend.keyword_topk, "documents"),
     "distinct_count": _q(aggregates.distinct_count, "documents"),
@@ -1786,6 +1815,8 @@ QUERIES: dict[str, QueryFn] = {
     "filter_pred": _q(relational.filter_pred, "lineitem"),
     "json_extract": _q(trend.json_extract, "events"),
     "conditional_score": _q(trend.conditional_score, "events"),
+    "decay_weight": _q(trend.decay_weight_per_event, "events"),
+    "tokenize_explode": _q(trend.tokenize_explode, "documents"),
     "join_broadcast": _q(relational.join_broadcast, "lineitem", "part"),
     "join_semi_anti": _q(relational.join_semi_anti, "customer", "orders"),
     "set_ops": _q(relational.set_ops, "events"),
@@ -2036,12 +2067,71 @@ ORACLE_SQL: dict[str, str] = {
             FROM v1 FULL JOIN v2 USING (o_orderkey)
         ) WHERE op IS NOT NULL
     """,
+    "feature_binning": """
+        WITH bounds AS (
+            SELECT round(quantile_cont(l_extendedprice, 0.1), 6) AS b1,
+                   round(quantile_cont(l_extendedprice, 0.2), 6) AS b2,
+                   round(quantile_cont(l_extendedprice, 0.3), 6) AS b3,
+                   round(quantile_cont(l_extendedprice, 0.4), 6) AS b4,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS b5,
+                   round(quantile_cont(l_extendedprice, 0.6), 6) AS b6,
+                   round(quantile_cont(l_extendedprice, 0.7), 6) AS b7,
+                   round(quantile_cont(l_extendedprice, 0.8), 6) AS b8,
+                   round(quantile_cont(l_extendedprice, 0.9), 6) AS b9
+            FROM lineitem
+        ), binned AS (
+            SELECT l_extendedprice AS price,
+                   (CASE WHEN l_extendedprice >= b1 THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice >= b2 THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice >= b3 THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice >= b4 THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice >= b5 THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice >= b6 THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice >= b7 THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice >= b8 THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice >= b9 THEN 1 ELSE 0 END
+                   ) AS bucket_id
+            FROM lineitem CROSS JOIN bounds
+        )
+        SELECT bucket_id, COUNT(*) AS n_rows,
+               MIN(price) AS min_price, MAX(price) AS max_price
+        FROM binned GROUP BY bucket_id
+    """,
     "semdedup_check": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
                CAST(COUNT(*) AS BIGINT) AS n_recovered,
                TRUE AS all_found
         FROM embeddings
         WHERE vec_id < 20
+    """,
+    # Matched half = the batch interval join verbatim; outer half =
+    # unmatched purchases STRICTLY below the final watermark
+    # min(max p_ts, max s_ts) − 4 h (rows above it are still held in
+    # state at termination — emitting them would be wrong).
+    "stream_outer_join_live": """
+        WITH p AS (
+            SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ), s AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'signup'
+        ), wm AS (
+            SELECT least((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM s))
+                   - INTERVAL 4 HOUR AS w
+        )
+        SELECT p.user_id, p.event_id AS purchase_id,
+               p.ts AS p_ts, s.ts AS s_ts
+        FROM p JOIN s
+          ON p.user_id = s.user_id
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+        UNION ALL
+        SELECT p.user_id, p.event_id AS purchase_id,
+               p.ts AS p_ts, NULL AS s_ts
+        FROM p CROSS JOIN wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM s
+            WHERE s.user_id = p.user_id
+              AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+        ) AND p.ts < wm.w
     """,
     "scan_project": """
         SELECT l_orderkey, l_linenumber,

@@ -1273,3 +1273,20 @@ def test_unigram_perplexity_orders_rare_above_common(spark):
     out = {r.doc_id: (r.n_tokens, r.bits_per_token) for r in unigram_perplexity(docs).collect()}
     assert out[1][0] == 5
     assert out[1][1] < out[2][1] < out[3][1]
+
+
+def test_feature_binning_equi_depth_and_boundary_exactness(spark):
+    """On 1..100 with 10 buckets every bin holds exactly 10 rows and
+    the cut points are the interpolated deciles (10.9, 20.8, ...) —
+    the same positions percentile/quantile_cont evaluate."""
+    from big_data_trend_analysis_spark.operators.aggregates import feature_binning
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "l_extendedprice double"
+    )
+    rows = {r.bucket_id: r for r in feature_binning(df).collect()}
+    assert set(rows) == set(range(10))
+    assert all(r.n_rows == 10 for r in rows.values())
+    # bucket 0 covers values below the 0.1-quantile 10.9 -> 1..10
+    assert rows[0].min_price == 1.0 and rows[0].max_price == 10.0
+    assert rows[9].min_price == 91.0 and rows[9].max_price == 100.0

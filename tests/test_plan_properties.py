@@ -53,6 +53,9 @@ CROSS_JOIN_ALLOWED = {
     "pagerank_fixed",
     # scalar × scalar: 1-row planted count × 1-row recovered count
     "semdedup_check",
+    # histogram × broadcast 9-row rank-interval relation (inequality
+    # locate of the quantile floor/ceil values) + 1-row bounds row
+    "feature_binning",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
@@ -485,3 +488,12 @@ def test_pagerank_iterations_reuse_materialized_graph(plans):
     plan = plans["pagerank_fixed"]
     assert "Scan parquet" not in plan or "events.parquet" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_feature_binning_single_scan_into_checkpoint(plans):
+    """Distributed exact quantile: the fact table is scanned once into
+    the materialized value histogram — the final plan reads ONLY the
+    checkpoint (no parquet scan, no single-task percentile buffer)."""
+    plan = plans["feature_binning"]
+    assert "Scan parquet" not in plan
+    assert "percentile" not in plan.lower()

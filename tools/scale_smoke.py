@@ -79,6 +79,12 @@ HEAVY_QUERIES = [
     "ann_ivfpq_check",
     "merge_roundtrip",
     "stateful_decay_live_v2",
+    # round-7 second batch (cdc_snapshot_diff reads orders — TPC-H
+    # tier, covered by bench)
+    "unigram_perplexity",
+    "pagerank_fixed",
+    "semdedup_check",
+    "stream_outer_join_live",
     # (bucketed_write_join and the TPC-H suite read the TPC-H tables,
     # which the synthesized tier does not include — covered by bench)
 ]
