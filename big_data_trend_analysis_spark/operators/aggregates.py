@@ -924,3 +924,87 @@ def feature_binning(lineitem: DataFrame, n_buckets: int = 10) -> DataFrame:
         F.min("v").alias("min_price"),
         F.max("v").alias("max_price"),
     )
+
+
+def anomaly_mad(events: DataFrame, cut: str = "3.0 * 1.4826") -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation.
+
+    The training-data quality staple (mean/stddev z-scores are
+    themselves skewed by the outliers they hunt): per event_type,
+    ``med = median(value)``, ``mad = median(|value - med|)``, and a
+    row is an outlier when ``|value - med| > 3·1.4826·mad`` (1.4826
+    scales MAD to σ under normality). Exact interpolated medians keep
+    the DuckDB oracle bit-identical; the cut multiplier is evaluated
+    from the SAME expression text on both engines so the boundary
+    comparison runs on identical doubles.
+
+    Scale: three scans of a two-column projection (median, deviation
+    median, outlier count) — nothing is materialized, each groupBy
+    carries only |event_type| rows, and both join-backs broadcast the
+    tiny per-group stats. Exact group medians buffer one group's
+    column per task; for a 100 TB single-group column swap in
+    approx_percentile or the distributed sort-based exact quantile
+    demonstrated by feature_binning.
+    """
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+
+    def deviations() -> DataFrame:
+        return events.select("event_type", "value").join(
+            F.broadcast(med), "event_type"
+        ).withColumn("absdev", F.abs(F.col("value") - F.col("med")))
+
+    mad = deviations().groupBy("event_type").agg(F.median("absdev").alias("mad"))
+    cut_col = F.expr(cut) * F.col("mad")
+    return (
+        deviations()
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("absdev") > cut_col, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            (F.floor(F.min("med") * 1e6 + F.lit(0.5)) / 1e6).alias("med_r"),
+            (F.floor(F.min("mad") * 1e6 + F.lit(0.5)) / 1e6).alias("mad_r"),
+        )
+    )
+
+
+def target_encoding(lineitem: DataFrame, m: float = 10.0) -> DataFrame:
+    """Smoothed target encoding — the leakage-averse categorical
+    feature encoder (Micci-Barreca 2001 shape).
+
+    Per category (l_returnflag, l_linestatus) the encode is the
+    shrinkage blend ``(sum_cat + m·μ) / (cnt_cat + m)`` with μ the
+    global target mean — small categories pull toward the prior,
+    large ones toward their own mean. Sums run as exact DECIMAL(12,2)
+    (order-independent), the blend as one deterministic double
+    expression mirrored in the oracle SQL; output rounds via the
+    shared floor(x·1e6+0.5) convention.
+
+    Scale: one shuffle on the category key plus a 1-row global
+    aggregate broadcast back — the fact table is scanned twice (once
+    per aggregate), never materialized, and the encode arithmetic
+    runs on |categories| rows.
+    """
+    tgt = dec("l_extendedprice", PRICE_DEC)
+    cat = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(tgt).alias("s"),
+    )
+    tot = lineitem.agg(
+        F.sum(tgt).alias("ts"), F.count(F.lit(1)).alias("tc")
+    )
+    enc = (
+        F.col("s").cast("double") + F.lit(m) * (F.col("ts").cast("double") / F.col("tc"))
+    ) / (F.col("n_rows") + F.lit(m))
+    return (
+        cat.crossJoin(F.broadcast(tot))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            F.col("s").cast("double").alias("sum_target"),
+            (F.floor(enc * 1e6 + F.lit(0.5)) / 1e6).alias("enc_smooth"),
+        )
+    )

@@ -683,3 +683,51 @@ def unigram_perplexity(documents: DataFrame) -> DataFrame:
             ).alias("bits_per_token"),
         )
     )
+
+
+def inverted_index_build(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Distributed inverted-index (posting-list) build — the retrieval
+    half of a training-data pipeline (BM25/winnowing consume this).
+
+    term → (document frequency, min/max doc, head of the sorted
+    posting list). The posting head is capped at ``k`` doc_ids BEFORE
+    the collect (row_number over the term key), so no task ever holds
+    an unbounded list — a stopword's full posting list at 100 TB is
+    gigabytes, its head is bounded; the exact df/min/max still cover
+    the whole list. The pair dedup, the window and the groupBy ALL
+    key on term, so one explicit term repartition up front satisfies
+    every downstream clustering requirement — the plan runs exactly
+    ONE shuffle (asserted in tests/test_plan_properties.py). A
+    stopword's term lands in a single partition; that hotspot is
+    inherent to per-term posting assembly (cure at 100 TB: drop
+    df>threshold terms first — the quality_filter stopword path).
+    """
+    toks = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .repartition("term")
+        .dropDuplicates(["term", "doc_id"])
+    )
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    return (
+        toks.withColumn("rn", rn)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("rn") <= k, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings_head"),
+        )
+    )

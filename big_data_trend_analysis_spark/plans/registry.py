@@ -1264,14 +1264,78 @@ def _sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal totals make the equality-with-MAX selection
     deterministic — the double-precision spec query can tie-break on
     ulps, the decimal one cannot. With Q1/Q3..Q8/Q10/Q12..Q15/Q17/
-    Q18/Q19/Q22 the engine now runs EVERY TPC-H query expressible on
-    the fixture schema (the rest need partsupp or commit/receipt
-    dates).
+    Q18/Q19/Q21/Q22 the engine now runs EVERY TPC-H query expressible
+    on the fixture schema (the remaining five — Q2/Q9/Q11/Q16/Q20 —
+    all need the absent partsupp table).
     """
     tune_session(spark)
     for t in ("lineitem", "supplier"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
     return spark.sql(_SQL_Q15.format(lineitem="lineitem_v", supplier="supplier_v"))
+
+
+#: TPC-H Q21 (suppliers who kept orders waiting, adapted): the
+#: fixture has no l_receiptdate/l_commitdate, so "failed to deliver on
+#: time" becomes l_returnflag = 'R' (the returned-goods marker) — a
+#: pure lineitem-side predicate that preserves the archetype exactly:
+#: the SAME fact table is correlated twice against itself, once as
+#: EXISTS (order has another supplier's line → left-semi) and once as
+#: NOT EXISTS (no OTHER supplier also failed → left-anti), on top of a
+#: 4-table join. This is the heaviest join shape in TPC-H.
+_SQL_Q21 = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM {supplier}
+    JOIN {lineitem} l1 ON s_suppkey = l1.l_suppkey
+    JOIN {orders} ON o_orderkey = l1.l_orderkey
+    JOIN {nation} ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n_nationkey < 20
+      AND EXISTS (
+          SELECT 1 FROM {lineitem} l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM {lineitem} l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
+def _sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #17: TPC-H Q21 — double self-correlation on the fact.
+
+    The one TPC-H shape the suite still lacked: lineitem correlated
+    against ITSELF twice — EXISTS (another supplier touched the same
+    order) decorrelates to a left-semi self-join on l_orderkey with a
+    non-equal suppkey residual, NOT EXISTS (no other supplier also
+    returned) to a left-anti self-join — stacked on a
+    supplier⋈lineitem⋈orders⋈nation chain. Catalyst plans both
+    correlations as hash joins on the SAME l_orderkey key, so at scale
+    the three lineitem occurrences co-partition under one shuffle key
+    (AQE reuses the exchange); supplier and nation broadcast. Late
+    marker adapted to l_returnflag = 'R' (no receipt/commit dates in
+    the fixture) — join topology identical to spec Q21.
+    Plan shape (semi + anti over lineitem) is pinned in
+    tests/test_plan_properties.py.
+    """
+    tune_session(spark)
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q21.format(
+            supplier="supplier_v",
+            lineitem="lineitem_v",
+            orders="orders_v",
+            nation="nation_v",
+        )
+    )
 
 
 def _jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1745,6 +1809,13 @@ QUERIES: dict[str, QueryFn] = {
     # Ordering is enforced by tests/test_rotation_policy.py against
     # tools/green_ledger.json: every entry that is new or changed since
     # its last green driver row MUST sit inside the window.
+    # NEW in round 7 (third batch): Q21 double self-correlation,
+    # inverted-index build, MAD outlier detection, smoothed target
+    # encoding.
+    "sql_tpch_q21": _sql_tpch_q21,
+    "inverted_index_build": _q(textstats.inverted_index_build, "documents"),
+    "anomaly_mad": _q(aggregates.anomaly_mad, "events"),
+    "target_encoding": _q(aggregates.target_encoding, "lineitem"),
     # NEW in round 7 (second batch): LM perplexity quality scoring,
     # unrolled fixed-point PageRank, snapshot-diff CDC derivation,
     # SemDeDup cluster-scoped semantic dedup.
@@ -1781,8 +1852,12 @@ QUERIES: dict[str, QueryFn] = {
     "schema_evolution_read": _schema_evolution_read,
     "jdbc_roundtrip": _jdbc_roundtrip,
     "partitioned_write_roundtrip": _partitioned_write_roundtrip,
-    # 16-49: oldest standing greens (r4) rotated through for fresh
-    # rows (implementations unchanged since their last green run).
+    # stale via its check's closure (negative-id twins share helpers)
+    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
+    # changed in round 7: negative-id twins applied family-wide
+    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
+    # oldest standing greens (r4) rotated through for fresh rows
+    # (implementations unchanged since their last green run).
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
     "trend_anomaly": _q(trend.trend_anomaly, "events"),
@@ -1804,10 +1879,6 @@ QUERIES: dict[str, QueryFn] = {
     "approx_percentile": _q(aggregates.approx_percentile_agg, "lineitem"),
     "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
     "sample_mixture": _q(textstats.sample_mixture, "documents"),
-    # stale via its check's closure (negative-id twins share helpers)
-    "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
-    # changed in round 7: negative-id twins applied family-wide
-    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     # ---- beyond the window: fresh r4/r5/r6 green rows stand ----
     # (displaced from the r4 rotation block to make room for the
     # round-7 second batch; unchanged since their r4 green rows)
@@ -3692,6 +3763,77 @@ ORACLE_SQL: dict[str, str] = {
         region="region",
     ),
     "sql_tpch_q15": _SQL_Q15.format(lineitem="lineitem", supplier="supplier"),
+    "sql_tpch_q21": _SQL_Q21.format(
+        supplier="supplier", lineitem="lineitem", orders="orders", nation="nation"
+    ),
+    # Posting-list build: distinct (term, doc) pairs, df over the full
+    # list, head capped at 50 BEFORE aggregation — mirrors the
+    # row_number cap in operators/textstats.inverted_index_build.
+    "inverted_index_build": """
+        WITH pairs AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), toks AS (
+            SELECT DISTINCT doc_id, term FROM pairs WHERE term <> ''
+        ), ranked AS (
+            SELECT term, doc_id,
+                   row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+            FROM toks
+        )
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc,
+               string_agg(
+                   CASE WHEN rn <= 50 THEN CAST(doc_id AS VARCHAR) END,
+                   ',' ORDER BY doc_id
+               ) AS postings_head
+        FROM ranked
+        GROUP BY term
+    """,
+    # MAD outliers: exact interpolated medians (both engines average
+    # the middle pair), identical double arithmetic for the cut.
+    "anomaly_mad": """
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, abs(e.value - m.med) AS absdev, m.med
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, median(absdev) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN d.absdev > 3.0 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               FLOOR(MIN(d.med) * 1000000.0 + 0.5) / 1000000.0 AS med_r,
+               FLOOR(MIN(m.mad) * 1000000.0 + 0.5) / 1000000.0 AS mad_r
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    """,
+    # Smoothed target encoding: exact decimal sums, one shared double
+    # blend expression (m = 10).
+    "target_encoding": """
+        WITH cat AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS s
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ), tot AS (
+            SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS ts,
+                   COUNT(*) AS tc
+            FROM lineitem
+        )
+        SELECT l_returnflag, l_linestatus, n_rows,
+               CAST(s AS DOUBLE) AS sum_target,
+               FLOOR((CAST(s AS DOUBLE)
+                      + 10.0 * (CAST(ts AS DOUBLE) / tc))
+                     / (n_rows + 10.0) * 1000000.0 + 0.5)
+                   / 1000000.0 AS enc_smooth
+        FROM cat CROSS JOIN tot
+    """,
     "mode_agg": """
         WITH counts AS (
             SELECT event_type, user_id, COUNT(*) AS c

@@ -56,6 +56,8 @@ CROSS_JOIN_ALLOWED = {
     # histogram × broadcast 9-row rank-interval relation (inequality
     # locate of the quantile floor/ceil values) + 1-row bounds row
     "feature_binning",
+    # |categories| rows × broadcast 1-row global-mean scalar
+    "target_encoding",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
@@ -497,3 +499,50 @@ def test_feature_binning_single_scan_into_checkpoint(plans):
     plan = plans["feature_binning"]
     assert "Scan parquet" not in plan
     assert "percentile" not in plan.lower()
+
+
+def test_tpch_q21_double_self_correlation(plans):
+    """Q21: both correlations against lineitem must decorrelate into
+    joins — EXISTS (other supplier touched the order) as LeftSemi,
+    NOT EXISTS (no other supplier failed) as LeftAnti — with the
+    returnflag marker pushed to the anti side's scan and the tiny
+    supplier/nation dims broadcast. A correlated re-scan per outer
+    row (no Semi/Anti in the plan) would be the scale-killer."""
+    plan = plans["sql_tpch_q21"]
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_single_shuffle(plans):
+    """Posting-list build: the row_number cap and the groupBy share
+    the term key, so the plan carries exactly ONE exchange (plus AQE
+    readers) — a second term shuffle would double the job's cost."""
+    plan = plans["inverted_index_build"]
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_anomaly_mad_broadcasts_group_stats(plans):
+    """MAD outliers: both join-backs of the |event_type|-row stats
+    relations must broadcast — shuffling the fact table three times
+    on event_type (a skewed low-cardinality key) is the regression."""
+    plan = plans["anomaly_mad"]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_target_encoding_scans_only_needed_columns(plans):
+    """Target encode: both aggregates prune to the 3 involved columns
+    and the global relation is a broadcast scalar, never a shuffle of
+    the category relation against a 1-row table."""
+    import re as _re
+
+    plan = plans["target_encoding"]
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"l_returnflag", "l_linestatus", "l_extendedprice"}
