@@ -1008,3 +1008,31 @@ def target_encoding(lineitem: DataFrame, m: float = 10.0) -> DataFrame:
             (F.floor(enc * 1e6 + F.lit(0.5)) / 1e6).alias("enc_smooth"),
         )
     )
+
+
+def skew_profile(lineitem: DataFrame, k: int = 5) -> DataFrame:
+    """Per-key skew diagnostics — the observability pass a 100 TB
+    pipeline runs BEFORE choosing a join/agg strategy on a key.
+
+    Heaviest ``k`` keys of l_partkey with their absolute count, share
+    of all rows, and skew ratio (count ÷ mean-per-key) — the number
+    that says "salt this key" (join_skewed is the cure; this is the
+    diagnosis). Everything after the per-key count runs on |keys|
+    rows; the top-k is a bounded TakeOrdered, the global totals a
+    broadcast 1-row scalar, and the rank window orders k rows.
+    """
+    counts = lineitem.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("l_partkey")).limit(k)
+    rnk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("l_partkey")))
+    share = F.col("cnt").cast("double") / F.col("total")
+    skew = F.col("cnt").cast("double") * F.col("n_keys") / F.col("total")
+    return top.crossJoin(F.broadcast(tot)).select(
+        rnk.cast("long").alias("rnk"),
+        "l_partkey",
+        "cnt",
+        (F.floor(share * 1e6 + F.lit(0.5)) / 1e6).alias("share_r"),
+        (F.floor(skew * 1e6 + F.lit(0.5)) / 1e6).alias("skew_r"),
+    )

@@ -344,3 +344,21 @@ def time_weighted_avg(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(weighted / total, 6).alias("twa_value"),
     )
+
+
+def user_growth_daily(events: DataFrame) -> DataFrame:
+    """Daily new-user accumulation — first-seen cohort counting.
+
+    The growth-analytics staple: each user counts once, on the day of
+    their FIRST event (min-date per user, one shuffle on user_id);
+    daily cohort sizes then accumulate through a running-sum window.
+    The unpartitioned cumulative window is safe by construction: it
+    orders O(distinct days) rows (the per-day relation), never events
+    — at 100 TB of events this is still a few thousand rows.
+    """
+    first = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = first.groupBy("d0").agg(F.count(F.lit(1)).alias("new_users"))
+    cum = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d0", "new_users", F.sum("new_users").over(cum).alias("cum_users")
+    )

@@ -731,3 +731,109 @@ def inverted_index_build(documents: DataFrame, k: int = 50) -> DataFrame:
             ).alias("postings_head"),
         )
     )
+
+
+def bpe_merge_rounds(documents: DataFrame, rounds: int = 2) -> DataFrame:
+    """Distributed BPE tokenizer training — ``rounds`` merge rounds
+    unrolled into one Catalyst plan (the pagerank_fixed pattern).
+
+    The real tokenizer-training shape (Sennrich et al. 2016): the
+    corpus collapses ONCE to the word-frequency relation (the only
+    corpus-sized shuffle — everything after runs on |vocab| rows,
+    which is why BPE training is feasible at 100 TB at all). Each
+    round: adjacent symbol pairs explode from the space-joined symbol
+    string weighted by word freq, the argmax pair (freq desc, then
+    lexicographic — deterministic) broadcasts back as a 1-row scalar,
+    and the merge applies as a 4×-repeated left-to-right
+    non-overlapping ``replace`` of ``' a b '`` → ``' ab '`` — both
+    engines share exactly that replace semantics (probed: DuckDB and
+    Spark resume scanning after each replacement), and four passes
+    reach the fixpoint for any word the fixture vocabulary can hold.
+    Per-round ``localCheckpoint`` truncates lineage so round N+1
+    plans against the materialized vocab, not a growing expression
+    tree. Output: one row per round — the learned merge rule and its
+    pair frequency.
+    """
+    words = (
+        documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sym0 = F.concat(
+        F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+    )
+    vocab = words.select("freq", sym0.alias("s")).localCheckpoint()
+
+    learned = []
+    for r in range(1, rounds + 1):
+        arr = vocab.withColumn("a", F.split(F.trim(F.col("s")), " "))
+        pairs = arr.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(a, 1, size(a) - 1)").alias("lhs"),
+                    F.expr("slice(a, 2, size(a) - 1)").alias("rhs"),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.desc("pf"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        learned.append(
+            best.select(
+                F.lit(r).cast("int").alias("round"), "lhs", "rhs", "pf"
+            )
+        )
+        if r < rounds:
+            pat = F.concat(F.lit(" "), F.col("lhs"), F.lit(" "), F.col("rhs"), F.lit(" "))
+            rep = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
+            merged = F.col("s")
+            for _ in range(4):
+                merged = F.replace(merged, pat, rep)
+            vocab = (
+                vocab.crossJoin(F.broadcast(best))
+                .select("freq", merged.alias("s"))
+                .localCheckpoint()
+            )
+    out = learned[0]
+    for df in learned[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def group_entropy(documents: DataFrame) -> DataFrame:
+    """Per-source label-balance audit: Shannon entropy of the language
+    mix — the dataset-composition check a multilingual training
+    pipeline runs before fixing sampling weights (a source with
+    entropy ≈ 0 is monolingual; ≈ log2(n_langs) is uniform).
+
+    Each (source, lang) cell's term −p·log₂p is rounded per row and
+    summed in exact decimal (the rounded_sum discipline), so the
+    entropy is independent of partial-aggregation order. Two
+    aggregations on the cell relation + a broadcast of the tiny
+    per-source totals; nothing after the first groupBy touches rows.
+    """
+    from big_data_trend_analysis_spark.functions.numeric import rounded_sum
+
+    cells = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("c").cast("double") / F.col("t")
+    term = -(p * F.log2(p))
+    return (
+        cells.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.min("t").alias("n_docs"),
+            F.min("n_langs").alias("n_langs"),
+            rounded_sum(term).alias("entropy_r"),
+        )
+    )

@@ -223,6 +223,56 @@ def _stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_dedup_within_wm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` drain — the Spark 3.5 dedup
+    API whose key does NOT include event time.
+
+    The semantics ``stream_dedup_live`` cannot express: a redelivered
+    event with the same business key but a DIFFERENT timestamp is
+    still a duplicate (ts-in-key dedup would emit it again); state
+    evicts by watermark delay, not by key history. The events table
+    re-keyed to (user_id, event_type) has massive same-key,
+    different-ts repetition at every SF, so the collapse is real. A
+    30-day delay spans the whole fixture's event-time range, making
+    the surviving key set exactly batch DISTINCT — which is the
+    oracle. Drained with availableNow over the multi-file split
+    (≥2 real micro-batches), append mode, memory sink.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from big_data_trend_analysis_spark.streaming.jobs import (
+        dedup_within_watermark_stream,
+    )
+    from big_data_trend_analysis_spark.streaming.sources import stream_events
+
+    tune_session(spark)
+    name = f"dedup_wm_live_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    try:
+      with _stream_partitions(spark):
+        deduped = dedup_within_watermark_stream(
+            stream_events(spark, sf_dir).select("user_id", "event_type", "ts"),
+            watermark="30 days",
+            keys=("user_id", "event_type"),
+            ts_col="ts",
+        ).select("user_id", "event_type")
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 def _stream_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension join through the real streaming path.
 
@@ -1614,6 +1664,122 @@ def _merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mor_read_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lakehouse view — the read-path dual of
+    ``merge_roundtrip``'s copy-on-write rewrite.
+
+    MOR mechanics (Hudi's read-optimized vs real-time split, in stock
+    Spark): the base snapshot (latest pre-cut row per key) lands once;
+    the changelog appends RAW post-cut rows untouched — writes stay
+    O(delta) with zero rewrite amplification — and every read pays one
+    ``max_by`` merge over base ∪ delta instead. Exactly the trade a
+    100 TB table with a hot write path wants until compaction runs
+    (``merge_roundtrip`` IS that compaction). The oracle recomputes
+    latest-per-key over the raw source: the read-view aggregate
+    matches only if the merge resolves every key to its true latest
+    version across both layers.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+
+    tune_session(spark)
+    path = f"/tmp/bdta_mor_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[path])
+    shutil.rmtree(path, ignore_errors=True)
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    cols = ("user_id", "event_type", "event_id", "ts", "value")
+    latest = F.max_by(
+        F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+    )
+    base = (
+        events.filter(F.col("ts") < cut)
+        .groupBy("user_id", "event_type")
+        .agg(latest.alias("w"))
+        .select("user_id", "event_type", "w.event_id", "w.ts", "w.value")
+    )
+    base.write.mode("overwrite").parquet(f"{path}/base")
+    # The MOR write path: append the changelog slice AS IS — no
+    # compaction, no shuffle, no read-modify-write.
+    events.filter(F.col("ts") >= cut).select(*cols).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/delta")
+
+    # The MOR read path: one max_by merge across both layers.
+    merged = (
+        spark.read.parquet(f"{path}/base")
+        .unionByName(spark.read.parquet(f"{path}/delta"))
+        .groupBy("user_id", "event_type")
+        .agg(latest.alias("w"))
+        .select("user_id", "event_type", "w.event_id", "w.ts", "w.value")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count_distinct("user_id").alias("n_users"),
+        exact_sum("value").alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def _compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip — the table-maintenance job
+    every 100 TB lake runs nightly.
+
+    A streaming ingest (or over-parallel writer) leaves 64 tiny files;
+    the compactor reads them and rewrites the SAME rows as 4
+    right-sized files (explicit repartition — at cluster scale the
+    target count comes from bytes/128 MB bin-packing). Both layouts
+    are profiled through the scan itself (``input_file_name`` bound
+    per row, then distinct-counted), and the oracle pins the exact
+    expected file counts plus content aggregates over the source —
+    green only if compaction preserved every row and hit the target
+    layout. NameNode/listing pressure, not query parallelism, is what
+    this buys: 16× fewer objects for identical data.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+    tune_session(spark)
+    path = f"/tmp/bdta_compact_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[path])
+    shutil.rmtree(path, ignore_errors=True)
+
+    slice_df = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    slice_df.repartition(64).write.mode("overwrite").parquet(f"{path}/small")
+    small = spark.read.parquet(f"{path}/small")
+    small.repartition(4).write.mode("overwrite").parquet(f"{path}/big")
+
+    def profile(df: DataFrame, phase: str) -> DataFrame:
+        return (
+            df.select(
+                F.input_file_name().alias("src_file"),
+                "event_id",
+                "value",
+            )
+            .agg(
+                F.count_distinct("src_file").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("event_id").alias("n_ids"),
+                exact_sum("value").alias("sum_value"),
+            )
+            .select(F.lit(phase).alias("phase"), "*")
+        )
+
+    return profile(small, "small").unionByName(
+        profile(spark.read.parquet(f"{path}/big"), "compacted")
+    )
+
+
 def _stateful_decay_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom keyed-state streaming (applyInPandasWithState) in the gate.
 
@@ -1809,6 +1975,16 @@ QUERIES: dict[str, QueryFn] = {
     # Ordering is enforced by tests/test_rotation_policy.py against
     # tools/green_ledger.json: every entry that is new or changed since
     # its last green driver row MUST sit inside the window.
+    # NEW in round 7 (fourth batch): distributed BPE tokenizer
+    # training, MOR read view + small-file compaction (lakehouse
+    # maintenance pair), key-skew diagnostics, growth accumulation.
+    "bpe_merge_rounds": _q(textstats.bpe_merge_rounds, "documents"),
+    "group_entropy": _q(textstats.group_entropy, "documents"),
+    "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
+    "mor_read_view": _mor_read_view,
+    "compact_small_files": _compact_small_files,
+    "skew_profile": _q(aggregates.skew_profile, "lineitem"),
+    "user_growth_daily": _q(temporal.user_growth_daily, "events"),
     # NEW in round 7 (third batch): Q21 double self-correlation,
     # inverted-index build, MAD outlier detection, smoothed target
     # encoding.
@@ -3766,6 +3942,152 @@ ORACLE_SQL: dict[str, str] = {
     "sql_tpch_q21": _SQL_Q21.format(
         supplier="supplier", lineitem="lineitem", orders="orders", nation="nation"
     ),
+    # BPE training, 2 merge rounds unrolled — same fixpoint rule as
+    # operators/textstats.bpe_merge_rounds: argmax pair (freq desc,
+    # then lexicographic), merge applied as 4 left-to-right
+    # non-overlapping replaces of ' a b ' -> ' ab ' (probed: both
+    # engines resume scanning after each replacement).
+    "bpe_merge_rounds": """
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ), v0 AS (
+            SELECT freq,
+                   ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+            FROM words
+        ), p1 AS (
+            SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS pf
+            FROM (
+                SELECT freq,
+                       unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS p
+                FROM (SELECT freq, string_split(trim(s), ' ') AS arr FROM v0)
+            ) GROUP BY lhs, rhs
+        ), m1 AS (
+            SELECT lhs, rhs, pf FROM p1 ORDER BY pf DESC, lhs, rhs LIMIT 1
+        ), v1 AS (
+            SELECT freq,
+                   replace(replace(replace(replace(s,
+                       ' '||m1.lhs||' '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' '),
+                       ' '||m1.lhs||' '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' '),
+                       ' '||m1.lhs||' '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' '),
+                       ' '||m1.lhs||' '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' ') AS s
+            FROM v0 CROSS JOIN m1
+        ), p2 AS (
+            SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS pf
+            FROM (
+                SELECT freq,
+                       unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS p
+                FROM (SELECT freq, string_split(trim(s), ' ') AS arr FROM v1)
+            ) GROUP BY lhs, rhs
+        ), m2 AS (
+            SELECT lhs, rhs, pf FROM p2 ORDER BY pf DESC, lhs, rhs LIMIT 1
+        )
+        SELECT CAST(1 AS INTEGER) AS round, lhs, rhs, pf FROM m1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER) AS round, lhs, rhs, pf FROM m2
+    """,
+    # Entropy terms follow the perplexity discipline: per-row round to
+    # 6 dp, exact decimal sum — identical in operators/textstats.py.
+    "group_entropy": """
+        WITH cells AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY source, lang
+        ), tot AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs
+            FROM cells GROUP BY source
+        )
+        SELECT source,
+               MIN(t) AS n_docs,
+               MIN(n_langs) AS n_langs,
+               CAST(SUM(CAST(round(
+                   -(CAST(c AS DOUBLE) / t * log2(CAST(c AS DOUBLE) / t)), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS entropy_r
+        FROM cells JOIN tot USING (source)
+        GROUP BY source
+    """,
+    # Watermark-scoped dedup without ts in the key: a 30-day delay
+    # spans the fixture's event-time range, so the surviving set is
+    # exactly batch DISTINCT on the business key.
+    "stream_dedup_within_wm_live": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # MOR read view: the merged state is latest-per-key over RAW
+    # events (base = latest pre-cut, delta = raw post-cut appends —
+    # their read-time max_by merge IS overall-latest).
+    "mor_read_view": """
+        WITH final AS (
+            SELECT user_id, event_type, event_id, ts, value FROM (
+                SELECT user_id, event_type, event_id, ts, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS r
+                FROM events
+            ) WHERE r = 1
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               MAX(ts) AS max_ts
+        FROM final GROUP BY event_type
+    """,
+    # Compaction: the expected layout (64 small -> 4 compacted files)
+    # is pinned literally; content aggregates come from the source —
+    # green only if the rewrite preserved every row.
+    "compact_small_files": """
+        SELECT 'small' AS phase,
+               CAST(64 AS BIGINT) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        UNION ALL
+        SELECT 'compacted' AS phase,
+               CAST(4 AS BIGINT) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+    """,
+    "skew_profile": """
+        WITH counts AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        ), tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM counts
+        ), top AS (
+            SELECT l_partkey, cnt FROM counts
+            ORDER BY cnt DESC, l_partkey LIMIT 5
+        )
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, l_partkey)
+                    AS BIGINT) AS rnk,
+               l_partkey, cnt,
+               FLOOR(CAST(cnt AS DOUBLE) / total * 1000000.0 + 0.5)
+                   / 1000000.0 AS share_r,
+               FLOOR(CAST(cnt AS DOUBLE) * n_keys / total * 1000000.0 + 0.5)
+                   / 1000000.0 AS skew_r
+        FROM top CROSS JOIN tot
+    """,
+    "user_growth_daily": """
+        WITH first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+            FROM events GROUP BY user_id
+        ), daily AS (
+            SELECT d0, CAST(COUNT(*) AS BIGINT) AS new_users
+            FROM first_seen GROUP BY d0
+        )
+        SELECT d0, new_users,
+               CAST(SUM(new_users) OVER (
+                   ORDER BY d0
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM daily
+    """,
     # Posting-list build: distinct (term, doc) pairs, df over the full
     # list, head capped at 50 BEFORE aggregation — mirrors the
     # row_number cap in operators/textstats.inverted_index_build.

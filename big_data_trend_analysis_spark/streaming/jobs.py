@@ -129,6 +129,30 @@ def dedup_events_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
 
 
+def dedup_within_watermark_stream(
+    events: DataFrame,
+    watermark: str = "30 days",
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` (3.5+).
+
+    The API difference from ``dedup_events_stream``: the event-time
+    column is NOT part of the key — two rows with the same business
+    key but different timestamps ARE duplicates as long as they land
+    within the watermark delay of each other, which is the semantics
+    real at-least-once ingest needs (a redelivered event carries a
+    fresh timestamp, so a ts-in-key dedup would never catch it).
+    State still evicts by watermark, so memory stays bounded by the
+    delay window, not by history. With a delay wider than the data's
+    event-time span the surviving set is exactly the batch
+    ``SELECT DISTINCT keys`` — the gate pins that equivalence.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def windowed_cms_stream(
     events: DataFrame,
     ts_col: str = "ts",

@@ -58,6 +58,10 @@ CROSS_JOIN_ALLOWED = {
     "feature_binning",
     # |categories| rows × broadcast 1-row global-mean scalar
     "target_encoding",
+    # vocab rows × broadcast 1-row argmax-pair scalar per merge round
+    "bpe_merge_rounds",
+    # 5-row top-k × broadcast 1-row (total, n_keys) scalar
+    "skew_profile",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
@@ -546,3 +550,29 @@ def test_target_encoding_scans_only_needed_columns(plans):
     for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols <= {"l_returnflag", "l_linestatus", "l_extendedprice"}
+
+
+def test_bpe_rounds_run_on_materialized_vocab(plans):
+    """BPE training: after the one corpus-collapsing word count, every
+    merge round must plan against the localCheckpointed vocab — the
+    corpus parquet appears in NO branch of the final plan."""
+    plan = plans["bpe_merge_rounds"]
+    assert "Scan parquet" not in plan
+
+
+def test_skew_profile_bounded_topk(plans):
+    """Skew diagnosis: the heavy-hitter selection must be a bounded
+    TakeOrdered over the per-key counts, never a global sort."""
+    plan = plans["skew_profile"]
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mor_read_view_merge_is_joinless(plans):
+    """MOR read path: base ∪ delta resolves through ONE max_by
+    aggregation — a join-shaped merge (base⋈delta) would re-shuffle
+    both layers twice and break the O(one agg) read amplification
+    story."""
+    plan = plans["mor_read_view"]
+    assert "Join" not in plan
+    assert plan.count("Union") >= 1

@@ -85,8 +85,16 @@ HEAVY_QUERIES = [
     "pagerank_fixed",
     "semdedup_check",
     "stream_outer_join_live",
-    # (bucketed_write_join and the TPC-H suite read the TPC-H tables,
-    # which the synthesized tier does not include — covered by bench)
+    # round-7 third/fourth batch on the synthesized tables
+    "bpe_merge_rounds",
+    "inverted_index_build",
+    "anomaly_mad",
+    "mor_read_view",
+    "compact_small_files",
+    "stream_dedup_within_wm_live",
+    # (bucketed_write_join, skew_profile, target_encoding and the
+    # TPC-H suite read the TPC-H tables, which the synthesized tier
+    # does not include — covered by bench)
 ]
 
 
