@@ -115,3 +115,43 @@ def cdc_snapshot_diff(orders: DataFrame) -> DataFrame:
         .alias("op"),
     )
     return diff.filter(F.col("op").isNotNull())
+
+
+def incremental_agg_maintain(events: DataFrame) -> DataFrame:
+    """Incremental materialized-view maintenance — merge partial
+    aggregates instead of recomputing from scratch.
+
+    The continuous-aggregate mechanic (Timescale caggs / Materialize):
+    the standing view holds per-group partials for the closed BASE
+    slice; when the DELTA slice lands, only ITS partials are computed
+    and the two partial relations merge algebraically — count and
+    decimal sums add, min/max combine — so maintenance cost is
+    O(delta + groups), never O(history). At 100 TB the base partials
+    are a few rows per group; the raw history is never re-read (the
+    plan scans each slice exactly once). Distinct-count is the
+    non-algebraic odd one out — merge HLL sketches instead
+    (hll_merge_check proves that path). The oracle aggregates the
+    WHOLE table directly: equality pins merge-correctness.
+    """
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partials(events.filter(F.col("ts") < cut))
+    delta = partials(events.filter(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("s").cast("double").alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )

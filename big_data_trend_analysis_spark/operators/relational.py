@@ -302,3 +302,66 @@ def skyline_pareto(orders: DataFrame) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+def expectations_check(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Data-contract expectation suite — the dbt-test / Great
+    Expectations gate a production pipeline runs before publishing a
+    table.
+
+    One row per expectation: (expectation, observed, passed).
+    Null-rate, value-range and accepted-values checks are scan-speed
+    conditional aggregates folded into ONE pass over lineitem; the
+    referential check (every l_orderkey resolves to an order) is a
+    left-anti join counted — the orphan count a foreign key would
+    enforce. All observations are exact counts, so the suite is
+    oracle-hashable; ``passed`` derives from observed in-plan. At
+    scale the single-pass conditional-agg shape is the point: N
+    expectations cost one scan, not N.
+    """
+    one = lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_discount"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("N", "A", "R"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_flag"),
+    )
+    orphans = (
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+    # Unpivot the single aggregate row with stack() so the whole
+    # lineitem suite is ONE scan — a union of per-expectation branches
+    # would replay the scan once per expectation.
+    scans = one.select(
+        F.expr(
+            "stack(4, "
+            "'row_count_min_1000', n_rows, "
+            "'quantity_not_null', null_qty, "
+            "'discount_in_unit_range', bad_discount, "
+            "'returnflag_accepted', bad_flag) AS (expectation, observed)"
+        )
+    )
+    fk = orphans.select(
+        F.lit("fk_orders_resolve").alias("expectation"),
+        F.col("n_orphans").cast("long").alias("observed"),
+    )
+    passed = F.when(
+        F.col("expectation") == "row_count_min_1000", F.col("observed") >= 1000
+    ).otherwise(F.col("observed") == 0)
+    return scans.unionByName(fk).select(
+        "expectation", "observed", passed.alias("passed")
+    )

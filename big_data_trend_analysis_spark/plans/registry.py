@@ -1664,6 +1664,81 @@ def _merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join — Catalyst's row-level runtime filter
+    (SPARK-32268) demonstrated and proven in-gate.
+
+    The 100 TB shuffle-join saver: when the selective side of a
+    non-broadcast join is filtered, Catalyst injects a
+    ``bloom_filter_agg`` subquery over its join keys and pushes
+    ``might_contain`` onto the probe side's SCAN, so most probe rows
+    die before the shuffle instead of after it. Broadcast is disabled
+    and the thresholds opened inside a scoped conf block (broadcast
+    joins already kill the probe cost; the demonstration is for the
+    shuffle-join regime where neither side broadcasts), the join
+    evaluates eagerly under those confs — restoring them BEFORE a lazy
+    return would silently un-plan the rewrite — and the physical plan
+    is checked for ``might_contain`` on the spot: the returned
+    ``bloom_planned`` column records the proof, and the oracle pins it
+    TRUE. Result rows are the bounded per-returnflag aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+    tune_session(spark)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prior = {}
+    for k in confs:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        )
+        urgent = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        agg = (
+            li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                exact_sum("l_extendedprice").alias("sum_price"),
+            )
+        )
+        plan = agg._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        bloom_planned = "might_contain" in plan
+        rows = [
+            (r.l_returnflag, r.n_rows, r.sum_price, bloom_planned)
+            for r in agg.collect()
+        ]
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, n_rows long, sum_price double, bloom_planned boolean",
+    )
+
+
 def _mor_read_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read lakehouse view — the read-path dual of
     ``merge_roundtrip``'s copy-on-write rewrite.
@@ -1981,6 +2056,9 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_merge_rounds": _q(textstats.bpe_merge_rounds, "documents"),
     "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
+    "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
+    "expectations_check": _q(relational.expectations_check, "lineitem", "orders"),
+    "runtime_filter_join": _runtime_filter_join,
     "mor_read_view": _mor_read_view,
     "compact_small_files": _compact_small_files,
     "skew_profile": _q(aggregates.skew_profile, "lineitem"),
@@ -2032,6 +2110,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
     # changed in round 7: negative-id twins applied family-wide
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
+    # changed in round 7: drains through the split multi-batch source
+    "stream_join_live": _stream_join_live,
     # oldest standing greens (r4) rotated through for fresh rows
     # (implementations unchanged since their last green run).
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
@@ -2041,7 +2121,6 @@ QUERIES: dict[str, QueryFn] = {
     "stream_enrich_live": _stream_enrich_live,
     "winnow_fingerprints": _q(textstats.winnow_fingerprints, "documents"),
     "stream_dedup_live": _stream_dedup_live,
-    "stream_join_live": _stream_join_live,
     "stream_decay_trend_live": _stream_decay_trend_live,
     "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
     "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
@@ -3986,6 +4065,58 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(1 AS INTEGER) AS round, lhs, rhs, pf FROM m1
         UNION ALL
         SELECT CAST(2 AS INTEGER) AS round, lhs, rhs, pf FROM m2
+    """,
+    # Partial-aggregate merge (base ∪ delta) must equal the direct
+    # whole-table aggregate — the incremental-maintenance invariant.
+    "incremental_agg_maintain": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "expectations_check": """
+        SELECT 'row_count_min_1000' AS expectation,
+               CAST(COUNT(*) AS BIGINT) AS observed,
+               COUNT(*) >= 1000 AS passed
+        FROM lineitem
+        UNION ALL
+        SELECT 'quantity_not_null',
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_in_unit_range',
+               CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                        THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'returnflag_accepted',
+               CAST(SUM(CASE WHEN l_returnflag NOT IN ('N','A','R')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN l_returnflag NOT IN ('N','A','R')
+                        THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'fk_orders_resolve',
+               CAST(COUNT(*) AS BIGINT),
+               COUNT(*) = 0
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+    # The TRUE literal pins the in-gate plan proof: the query function
+    # records whether might_contain reached the probe-side scan.
+    "runtime_filter_join": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price,
+               TRUE AS bloom_planned
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
     """,
     # Entropy terms follow the perplexity discipline: per-row round to
     # 6 dp, exact decimal sum — identical in operators/textstats.py.

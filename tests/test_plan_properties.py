@@ -576,3 +576,19 @@ def test_mor_read_view_merge_is_joinless(plans):
     plan = plans["mor_read_view"]
     assert "Join" not in plan
     assert plan.count("Union") >= 1
+
+
+def test_expectations_suite_is_single_scan_per_table(plans):
+    """The 4 lineitem expectations fold into ONE conditional-agg scan;
+    only the referential anti-join adds a second lineitem read. A
+    union-of-branches shape would replay the scan per expectation."""
+    plan = plans["expectations_check"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
+
+
+def test_incremental_maintenance_never_rereads_history(plans):
+    """Partial-merge maintenance: one scan per slice (base, delta),
+    merged algebraically — no third scan of the unified history."""
+    plan = plans["incremental_agg_maintain"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert plan.count("HashAggregate") >= 2
