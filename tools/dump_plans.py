@@ -339,6 +339,38 @@ HEADLINERS: dict[str, str] = {
         "tables is shuffle-free (plan-asserted in "
         "test_plan_properties)."
     ),
+    "sql_tpch_q21": (
+        "The heaviest TPC-H join shape: lineitem correlated against "
+        "itself twice — the EXISTS decorrelates to a LeftSemi and the "
+        "NOT EXISTS to a LeftAnti, both hash joins on the SAME "
+        "l_orderkey key, so the three lineitem occurrences "
+        "co-partition under one shuffle; supplier and nation "
+        "broadcast; the returnflag late-marker predicate is pushed "
+        "into both the outer and the anti-side scans."
+    ),
+    "bpe_merge_rounds": (
+        "The corpus appears in NO scan — the word-frequency relation "
+        "was localCheckpointed once and both unrolled merge rounds "
+        "plan against materialized vocab relations; each round is a "
+        "vocab-sized pair aggregation, a 1-row TakeOrdered argmax, "
+        "and a BroadcastNestedLoop of that single scalar row back "
+        "onto the vocab for the fixpoint replace."
+    ),
+    "inverted_index_build": (
+        "One Exchange total: the explicit term repartition satisfies "
+        "the pair-dedup, the row_number posting cap AND the final "
+        "ObjectHashAggregate clustering requirements, so dedup, cap "
+        "window and aggregation all run inside the same shuffle "
+        "stage; the posting head is bounded to 50 ids BEFORE "
+        "collect_list, so no task materializes a stopword's full list."
+    ),
+    "incremental_agg_maintain": (
+        "Exactly two parquet scans — the base slice and the delta "
+        "slice — each with a partial+final HashAggregate pair; the "
+        "algebraic merge of the two partial relations is a third "
+        "aggregation over O(groups) rows. The unified history is "
+        "never re-read: maintenance cost is O(delta + groups)."
+    ),
 }
 
 
