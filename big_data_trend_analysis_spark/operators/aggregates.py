@@ -1036,3 +1036,54 @@ def skew_profile(lineitem: DataFrame, k: int = 5) -> DataFrame:
         (F.floor(share * 1e6 + F.lit(0.5)) / 1e6).alias("share_r"),
         (F.floor(skew * 1e6 + F.lit(0.5)) / 1e6).alias("skew_r"),
     )
+
+
+def gini_by_group(events: DataFrame) -> DataFrame:
+    """Per-group Gini concentration via a grouped-aggregate pandas UDF
+    — the UDAF corner of the SURVEY §2.4 UDF/UDAF/UDTF surface.
+
+    Gini of the value distribution per event_type (0 = perfectly
+    equal, →1 = concentrated) — the inequality audit for spend/usage
+    concentration. The input is scaled to exact integer cents ON THE
+    JVM SIDE (2-dp doubles → int64) before crossing into Arrow, so
+    both the rank-weighted sum and the total are exact integer
+    arithmetic in numpy and the oracle's window formulation — the
+    float division happens once, on identical operands, in both
+    engines. Grouped-agg pandas UDFs cannot mix with builtin
+    aggregates (INVALID_PANDAS_UDF_PLACEMENT), so the row count rides
+    along as a second tiny pandas aggregate. This is the declared
+    Arrow path: vectorized per group, no row-at-a-time Python.
+    """
+    # PandasUDFType is explicit because this module's
+    # `from __future__ import annotations` stringifies type hints,
+    # which defeats pandas_udf signature inference.
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _gini(v100):
+        import numpy as np
+
+        x = np.sort(v100.to_numpy(dtype="int64"))
+        n = x.size
+        s = int(x.sum())
+        if n == 0 or s == 0:
+            return 0.0
+        i = np.arange(1, n + 1, dtype="int64")
+        si = int((i * x).sum())
+        g = 2.0 * si / (float(n) * s) - (n + 1.0) / n
+        from math import floor
+
+        return floor(g * 1e6 + 0.5) / 1e6
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _n(v100):
+        return int(v100.size)
+
+    cents = events.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    return cents.groupBy("event_type").agg(
+        _n(cents.v100).alias("n_rows"),
+        _gini(cents.v100).alias("gini_r"),
+    )

@@ -1664,6 +1664,83 @@ def _merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (SPARK-44076) — reference S3 done
+    as a real pluggable source.
+
+    The reference's synthetic producer (`producer/fake_producer.py`)
+    is a single process pushing fabricated rows through Kafka; here
+    the generator IS a Spark source: ``spark.read.format(
+    "bdta_synthetic")`` fans deterministic slices across executor
+    partitions (sources/synthetic.py). Every column is a pure integer
+    formula of the row index, so the DuckDB oracle regenerates the
+    relation from ``range(0, n)`` and hash-compares the per-type
+    aggregate — proving the pluggable source delivers exactly the
+    declared rows, partition-parallel, with no driver data path.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    tune_session(spark)
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("bdta_synthetic")
+        .option("n", "10000")
+        .option("parts", "8")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("raw").alias("sum_raw"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+
+
+def _udtf_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SPARK-43798) in a LATERAL join — the UDTF corner
+    of the SURVEY §2.4 surface.
+
+    A table-valued Python function explodes each document into
+    positional bigrams and feeds the standard top-k aggregation —
+    API-parity demonstration: the hot path for this exact computation
+    is the builtin explode/arrays_zip pipeline (tokenize_explode,
+    bpe_merge_rounds) which stays JVM-side; a UDTF is the escape
+    hatch for table-generating logic Spark cannot express, and this
+    gate pins that the lateral-join plumbing (pickled class, executor
+    Python workers, column pruning into the UDTF) returns exactly the
+    relational answer.
+    """
+    from pyspark.sql.functions import udtf
+
+    tune_session(spark)
+
+    @udtf(returnType="pos int, gram string")
+    class _Bigrams:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bdta_bigrams_udtf", _Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_udtf_v"
+    )
+    return spark.sql(
+        """
+        SELECT t.gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM docs_udtf_v d, LATERAL bdta_bigrams_udtf(d.text) t
+        GROUP BY t.gram
+        ORDER BY cnt DESC, gram ASC
+        LIMIT 10
+        """
+    )
+
+
 def _runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime bloom-filter join — Catalyst's row-level runtime filter
     (SPARK-32268) demonstrated and proven in-gate.
@@ -2059,6 +2136,9 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
     "expectations_check": _q(relational.expectations_check, "lineitem", "orders"),
     "runtime_filter_join": _runtime_filter_join,
+    "python_datasource_scan": _python_datasource_scan,
+    "udtf_bigram_topk": _udtf_bigram_topk,
+    "pandas_udaf_gini": _q(aggregates.gini_by_group, "events"),
     "mor_read_view": _mor_read_view,
     "compact_small_files": _compact_small_files,
     "skew_profile": _q(aggregates.skew_profile, "lineitem"),
@@ -4065,6 +4145,65 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(1 AS INTEGER) AS round, lhs, rhs, pf FROM m1
         UNION ALL
         SELECT CAST(2 AS INTEGER) AS round, lhs, rhs, pf FROM m2
+    """,
+    # The synthetic source's determinism contract: every column is a
+    # pure integer formula of k, so range() regenerates it exactly.
+    "python_datasource_scan": """
+        WITH g AS (
+            SELECT unnest(range(0, 10000)) AS k
+        ), s AS (
+            SELECT 'type_' || CAST(k % 5 AS VARCHAR) AS event_type,
+                   k AS event_id,
+                   (k * 37) % 97 AS raw,
+                   (k * 13) % 50 AS user_id
+            FROM g
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(raw) AS BIGINT) AS sum_raw,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               MIN(event_id) AS first_id,
+               MAX(event_id) AS last_id
+        FROM s GROUP BY event_type
+    """,
+    "udtf_bigram_topk": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '),
+                                       t -> t <> '') AS arr
+            FROM documents
+        ), grams AS (
+            SELECT p[1] || ' ' || p[2] AS gram
+            FROM (
+                SELECT unnest(list_zip(arr[1:len(arr)-1],
+                                       arr[2:len(arr)])) AS p
+                FROM toks
+            )
+        )
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM grams GROUP BY gram
+        ORDER BY cnt DESC, gram ASC
+        LIMIT 10
+    """,
+    # Exact-integer Gini: cents scaling happens before the float
+    # division, so numpy and the window formulation share operands.
+    "pandas_udaf_gini": """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v100
+            FROM events
+        ), r AS (
+            SELECT event_type, v100,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY v100
+                   ) AS i
+            FROM c
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               FLOOR((2.0 * SUM(i * v100) / (COUNT(*) * 1.0 * SUM(v100))
+                      - (COUNT(*) + 1.0) / COUNT(*)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS gini_r
+        FROM r GROUP BY event_type
     """,
     # Partial-aggregate merge (base ∪ delta) must equal the direct
     # whole-table aggregate — the incremental-maintenance invariant.

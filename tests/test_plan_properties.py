@@ -592,3 +592,29 @@ def test_incremental_maintenance_never_rereads_history(plans):
     plan = plans["incremental_agg_maintain"]
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert plan.count("HashAggregate") >= 2
+
+
+def test_python_datasource_is_a_real_batch_scan(plans):
+    """The synthetic generator must plan as a v2 BatchScan of the
+    registered Python source — executor-partitioned, no parquet, no
+    driver-side createDataFrame of pre-generated rows."""
+    plan = plans["python_datasource_scan"]
+    assert "BatchScan bdta_synthetic" in plan
+    assert "Scan parquet" not in plan
+
+
+def test_udtf_lateral_plumbing(plans):
+    """The UDTF runs as BatchEvalPythonUDTF under a bounded top-k —
+    the lateral join must not degrade to a cartesian."""
+    plan = plans["udtf_bigram_topk"]
+    assert "BatchEvalPythonUDTF" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pandas_udaf_is_arrow_grouped_agg(plans):
+    """Gini must aggregate through the Arrow grouped-agg path with the
+    cents scaling projected JVM-side BEFORE the Python boundary."""
+    plan = plans["pandas_udaf_gini"]
+    assert "ArrowAggregatePython" in plan
+    assert "round((value" in plan or "round(value" in plan
