@@ -92,9 +92,16 @@ HEAVY_QUERIES = [
     "mor_read_view",
     "compact_small_files",
     "stream_dedup_within_wm_live",
-    # (bucketed_write_join, skew_profile, target_encoding and the
-    # TPC-H suite read the TPC-H tables, which the synthesized tier
-    # does not include — covered by bench)
+    # round-7 fifth batch
+    "incremental_agg_maintain",
+    "pandas_udaf_gini",
+    "python_datasource_scan",  # sf-independent generator: ratio ≈ 1 expected
+    # (bucketed_write_join, skew_profile, target_encoding,
+    # expectations_check, runtime_filter_join and the TPC-H suite read
+    # the TPC-H tables, which the synthesized tier does not include —
+    # covered by bench. udtf_bigram_topk is a deliberately linear
+    # Python path whose 10× ratio would sit AT the limit by
+    # construction; its cost model is documented in bench/BASELINE.)
 ]
 
 
