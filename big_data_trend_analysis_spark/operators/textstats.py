@@ -741,18 +741,23 @@ def bpe_merge_rounds(documents: DataFrame, rounds: int = 2) -> DataFrame:
     corpus collapses ONCE to the word-frequency relation (the only
     corpus-sized shuffle — everything after runs on |vocab| rows,
     which is why BPE training is feasible at 100 TB at all). Each
-    round: adjacent symbol pairs explode from the space-joined symbol
-    string weighted by word freq, the argmax pair (freq desc, then
+    round: adjacent symbol pairs explode from the symbol string
+    weighted by word freq, the argmax pair (freq desc, then
     lexicographic — deterministic) broadcasts back as a 1-row scalar,
-    and the merge applies as a 4×-repeated left-to-right
-    non-overlapping ``replace`` of ``' a b '`` → ``' ab '`` — both
-    engines share exactly that replace semantics (probed: DuckDB and
-    Spark resume scanning after each replacement), and four passes
-    reach the fixpoint for any word the fixture vocabulary can hold.
-    Per-round ``localCheckpoint`` truncates lineage so round N+1
-    plans against the materialized vocab, not a growing expression
-    tree. Output: one row per round — the learned merge rule and its
-    pair frequency.
+    and the merge applies as a string ``replace``. Symbols are joined
+    by DOUBLE spaces with the pattern ``' a  b '`` → ``' ab '``
+    taking ONE space from each side: adjacent occurrences then never
+    overlap, so a single left-to-right replace pass merges exactly
+    the disjoint leftmost occurrences — which iterated to fixpoint
+    (a merge can only remove adjacencies, never create new ones for
+    a different pair) is canonical greedy BPE application; with
+    single spaces the shared boundary space strands alternating
+    singles (`' a a a a '` → `' aa a aa '` — probed). Two passes are
+    run (one reaches fixpoint; the second is an idempotent guard),
+    with identical replace semantics in both engines. Per-round
+    ``localCheckpoint`` truncates lineage so round N+1 plans against
+    the materialized vocab, not a growing expression tree. Output:
+    one row per round — the learned merge rule and its frequency.
     """
     words = (
         documents.select(F.explode(F.split("text", " ")).alias("w"))
@@ -761,13 +766,13 @@ def bpe_merge_rounds(documents: DataFrame, rounds: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     sym0 = F.concat(
-        F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+        F.lit("  "), F.concat_ws("  ", F.split(F.col("w"), "")), F.lit("  ")
     )
     vocab = words.select("freq", sym0.alias("s")).localCheckpoint()
 
     learned = []
     for r in range(1, rounds + 1):
-        arr = vocab.withColumn("a", F.split(F.trim(F.col("s")), " "))
+        arr = vocab.withColumn("a", F.split(F.trim(F.col("s")), "  "))
         pairs = arr.select(
             "freq",
             F.explode(
@@ -790,10 +795,12 @@ def bpe_merge_rounds(documents: DataFrame, rounds: int = 2) -> DataFrame:
             )
         )
         if r < rounds:
-            pat = F.concat(F.lit(" "), F.col("lhs"), F.lit(" "), F.col("rhs"), F.lit(" "))
+            pat = F.concat(
+                F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" ")
+            )
             rep = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
             merged = F.col("s")
-            for _ in range(4):
+            for _ in range(2):
                 merged = F.replace(merged, pat, rep)
             vocab = (
                 vocab.crossJoin(F.broadcast(best))

@@ -4101,11 +4101,12 @@ ORACLE_SQL: dict[str, str] = {
     "sql_tpch_q21": _SQL_Q21.format(
         supplier="supplier", lineitem="lineitem", orders="orders", nation="nation"
     ),
-    # BPE training, 2 merge rounds unrolled — same fixpoint rule as
-    # operators/textstats.bpe_merge_rounds: argmax pair (freq desc,
-    # then lexicographic), merge applied as 4 left-to-right
-    # non-overlapping replaces of ' a b ' -> ' ab ' (probed: both
-    # engines resume scanning after each replacement).
+    # BPE training, 2 merge rounds unrolled — same canonical merge
+    # rule as operators/textstats.bpe_merge_rounds: argmax pair (freq
+    # desc, then lexicographic); symbols joined by DOUBLE spaces and
+    # the pattern ' a  b ' -> ' ab ' takes one space from each side,
+    # so one replace pass merges the disjoint leftmost occurrences
+    # (canonical greedy BPE; a second pass is an idempotent guard).
     "bpe_merge_rounds": """
         WITH words AS (
             SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -4113,31 +4114,29 @@ ORACLE_SQL: dict[str, str] = {
             ) WHERE w <> '' GROUP BY w
         ), v0 AS (
             SELECT freq,
-                   ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+                   '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
             FROM words
         ), p1 AS (
             SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS pf
             FROM (
                 SELECT freq,
                        unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS p
-                FROM (SELECT freq, string_split(trim(s), ' ') AS arr FROM v0)
+                FROM (SELECT freq, string_split(trim(s), '  ') AS arr FROM v0)
             ) GROUP BY lhs, rhs
         ), m1 AS (
             SELECT lhs, rhs, pf FROM p1 ORDER BY pf DESC, lhs, rhs LIMIT 1
         ), v1 AS (
             SELECT freq,
-                   replace(replace(replace(replace(s,
-                       ' '||m1.lhs||' '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' '),
-                       ' '||m1.lhs||' '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' '),
-                       ' '||m1.lhs||' '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' '),
-                       ' '||m1.lhs||' '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' ') AS s
+                   replace(replace(s,
+                       ' '||m1.lhs||'  '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' '),
+                       ' '||m1.lhs||'  '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' ') AS s
             FROM v0 CROSS JOIN m1
         ), p2 AS (
             SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS pf
             FROM (
                 SELECT freq,
                        unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS p
-                FROM (SELECT freq, string_split(trim(s), ' ') AS arr FROM v1)
+                FROM (SELECT freq, string_split(trim(s), '  ') AS arr FROM v1)
             ) GROUP BY lhs, rhs
         ), m2 AS (
             SELECT lhs, rhs, pf FROM p2 ORDER BY pf DESC, lhs, rhs LIMIT 1
