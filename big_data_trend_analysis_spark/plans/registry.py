@@ -235,8 +235,11 @@ def _stream_dedup_within_wm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     different-ts repetition at every SF, so the collapse is real. A
     30-day delay spans the whole fixture's event-time range, making
     the surviving key set exactly batch DISTINCT — which is the
-    oracle. Drained with availableNow over the multi-file split
-    (≥2 real micro-batches), append mode, memory sink.
+    oracle. Drained with availableNow over the event_id%3 multi-file
+    split (``stream_events_batched``): every business key's events
+    scatter across ≥2 REAL micro-batches, so batch-2/3 redeliveries
+    collapse against batch-1 state — the cross-batch semantics this
+    API exists for, not the single-batch degenerate case.
     """
     import shutil
     import tempfile
@@ -245,7 +248,9 @@ def _stream_dedup_within_wm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_trend_analysis_spark.streaming.jobs import (
         dedup_within_watermark_stream,
     )
-    from big_data_trend_analysis_spark.streaming.sources import stream_events
+    from big_data_trend_analysis_spark.streaming.sources import (
+        stream_events_batched,
+    )
 
     tune_session(spark)
     name = f"dedup_wm_live_{uuid.uuid4().hex[:12]}"
@@ -253,7 +258,9 @@ def _stream_dedup_within_wm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
       with _stream_partitions(spark):
         deduped = dedup_within_watermark_stream(
-            stream_events(spark, sf_dir).select("user_id", "event_type", "ts"),
+            stream_events_batched(spark, sf_dir).select(
+                "user_id", "event_type", "ts"
+            ),
             watermark="30 days",
             keys=("user_id", "event_type"),
             ts_col="ts",

@@ -250,3 +250,71 @@ def stream_documents_batched(
         .option("pathGlobFilter", "batch*.parquet")
         .parquet(split_dir)
     )
+
+
+#: Micro-batch count for the split events stream (same rationale as
+#: DOC_STREAM_BATCHES; event_id % n scatters every business key's
+#: events across batches, so cross-batch keyed state is truly hit).
+EVENT_STREAM_BATCHES = 3
+
+
+def _split_events_dir(sf_dir: str, n_batches: int) -> str:
+    """Split events.parquet into ``n_batches`` single-file slices by
+    ``event_id % n_batches`` with strictly increasing mtimes — the
+    events twin of ``_split_documents_dir``. Timestamps are cast to
+    microseconds during the split (lossless on the fixture's
+    second-granularity values), so the streaming reader needs no
+    nanos probing regardless of which storage the driver generated.
+    """
+    import hashlib
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{n_batches}".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(tempfile.gettempdir(), f"bdta_evsplit_{key}")
+    marker = os.path.join(out_dir, "_SPLIT_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    table = pq.read_table(src)
+    ts_idx = table.schema.get_field_index("ts")
+    ts_us = pc.cast(table.column("ts"), pa.timestamp("us"))
+    table = table.set_column(ts_idx, "ts", ts_us)
+    mod = pa.array(table.column("event_id").to_numpy() % n_batches)
+    base = 1_600_000_000
+    for b in range(n_batches):
+        part = table.filter(pc.equal(mod, b))
+        path = os.path.join(out_dir, f"batch{b}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (base + 10 * b, base + 10 * b))
+    with open(marker, "w") as f:
+        f.write(f"{n_batches}\n")
+    return out_dir
+
+
+def stream_events_batched(
+    spark: SparkSession, sf_dir: str, n_batches: int = EVENT_STREAM_BATCHES
+) -> DataFrame:
+    """Events stream that drains in ``n_batches`` real micro-batches
+    (``maxFilesPerTrigger=1`` over the mtime-ordered event_id % n
+    split) — so keyed streaming state genuinely carries ACROSS
+    batches: a business key's events land in different micro-batches
+    by construction."""
+    split_dir = _split_events_dir(sf_dir, n_batches)
+    ddl = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "batch*.parquet")
+        .parquet(split_dir)
+    )

@@ -839,3 +839,54 @@ def test_socket_tweet_stream_executes_end_to_end(spark, tmp_path):
     assert by_text["spark streams fine"].created_at is not None
     # the malformed line surfaces as an all-null row (PERMISSIVE)
     assert sum(1 for r in rows if r.text is None) == 1
+
+
+def test_batched_events_stream_runs_multiple_microbatches(spark, sf_dir, tmp_path):
+    """The split events stream must drain in EVENT_STREAM_BATCHES real
+    micro-batches, each carrying exactly its event_id % n slice with
+    timestamps intact — the property stream_dedup_within_wm_live's
+    cross-batch dedup rests on (a business key's redeliveries land in
+    LATER batches than the state that absorbs them)."""
+    from big_data_trend_analysis_spark.sources.tables import load_table
+    from big_data_trend_analysis_spark.streaming.sources import (
+        EVENT_STREAM_BATCHES,
+        stream_events_batched,
+    )
+
+    seen: list[set[int]] = []
+
+    def capture(batch_df, batch_id):
+        seen.append({r.event_id for r in batch_df.select("event_id").collect()})
+
+    q = (
+        stream_events_batched(spark, sf_dir)
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    assert len(seen) == EVENT_STREAM_BATCHES
+    batch = load_table(spark, sf_dir, "events")
+    all_ids = {r.event_id for r in batch.select("event_id").collect()}
+    assert set().union(*seen) == all_ids
+    for b, ids in enumerate(seen):
+        assert ids == {i for i in all_ids if i % EVENT_STREAM_BATCHES == b}, b
+    # ts survived the split's micros cast with identical values
+    from pyspark.sql import functions as F
+
+    split_max = (
+        stream_events_batched(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("evsplit_ts_check")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    split_max.awaitTermination(300)
+    split_max.stop()
+    got = spark.table("evsplit_ts_check").agg(F.max("ts"), F.min("ts")).collect()[0]
+    want = batch.agg(F.max("ts"), F.min("ts")).collect()[0]
+    assert [str(x) for x in got] == [str(x) for x in want]
