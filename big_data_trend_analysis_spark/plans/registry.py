@@ -1671,6 +1671,150 @@ def _merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _txn_log_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log table: three commits, snapshot-isolated read,
+    time travel (closes the ROADMAP "transaction log itself" gap).
+
+    Builds a manifest-logged parquet table (`sources/txnlog.py` — the
+    Delta-log mechanic in stock parquet + JSON) in three atomic
+    commits over the events fixture:
+
+    - **v0** base load: all pre-cut rows (``ts < SNAPSHOT_CUT``).
+    - **v1** append: the post-cut rows (files added, none removed).
+    - **v2** rewrite (a GDPR-style purge): v0's files are replaced by
+      copies with pre-cut ``click`` rows deleted — remove + add in ONE
+      atomic commit, v1's files untouched.
+
+    The superseded v0 files stay on disk (no vacuum), so the physical
+    directory holds 6 data files while snapshot v2 comprises 4 — a
+    directory-listing reader would double-count every surviving
+    pre-cut row and resurrect the purged clicks. The gate reads
+    through the manifest: per-event_type totals over v2 plus scalars
+    ``n_versions``, time-travel ``n_rows_v0`` (pinned snapshot-0
+    count — purged rows still visible at v0 by design), and the
+    disk-vs-live file counts. The oracle recomputes all of it from
+    raw events + the deterministic file-count arithmetic: totals
+    match ONLY if commits are atomic, the rewrite lost nothing, and
+    stale files are invisible to the live snapshot.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txnlog_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    log.write_commit(events.filter(F.col("ts") < cut), n_files=2)  # v0
+    log.write_commit(events.filter(F.col("ts") >= cut), n_files=2)  # v1
+
+    v0_rel = log.manifest(0)["added"]
+    purged = log.read_snapshot(spark, 0).filter(F.col("event_type") != "click")
+    log.write_commit(purged, remove=v0_rel, n_files=2)  # v2
+
+    n_rows_v0 = log.read_snapshot(spark, 0).count()  # time travel
+    n_live = len(log.snapshot_files())
+    n_disk = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(os.path.join(root, "data"))
+    )
+    scal = spark.createDataFrame(
+        [(log.latest_version() + 1, n_rows_v0, n_disk, n_live)],
+        "n_versions long, n_rows_v0 long, n_files_disk long, n_files_live long",
+    )
+    return (
+        log.read_snapshot(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            exact_sum("value").alias("sum_value"),
+            F.max("ts").alias("max_ts"),
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+
+
+def _stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply through the real streaming machinery — the
+    change-stream half of the MERGE story (`streaming/cdc.py`).
+
+    Drains the events changelog (key = (user_id, event_type), version
+    = (ts, event_id), op = delete when ``event_id % 7 == 0``) over the
+    ``event_id % 3`` multi-file split with availableNow, so every
+    key's versions scatter across ≥2 REAL micro-batches in
+    NON-time-order — each ``foreachBatch`` MERGE must exercise the
+    out-of-order precombine guard (an old version arriving after a
+    newer one must lose) and delete tombstones must persist across
+    batches (so a late older update cannot resurrect a deleted key).
+    The serving read drops tombstones and aggregates per event_type;
+    the oracle is batch latest-per-key over ALL events with deletes
+    filtered — streaming apply converges to the batch answer only if
+    both guards hold. ``n_batches_applied`` certifies the multi-batch
+    drain (3 non-empty micro-batches by split construction).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+    from big_data_trend_analysis_spark.streaming.cdc import (
+        cdc_apply_sink,
+        changes_from_events,
+        serve_live_state,
+    )
+    from big_data_trend_analysis_spark.streaming.sources import (
+        stream_events_batched,
+    )
+
+    tune_session(spark)
+    state_path = f"/tmp/bdta_cdcstate_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[state_path])
+    shutil.rmtree(state_path, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    applied: list[int] = []
+    try:
+      with _stream_partitions(spark):
+        changes = changes_from_events(stream_events_batched(spark, sf_dir))
+        query = (
+            changes.writeStream.foreachBatch(
+                cdc_apply_sink(state_path, applied)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    scal = spark.createDataFrame(
+        [(len(applied),)], "n_batches_applied long"
+    )
+    return (
+        serve_live_state(spark, state_path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count_distinct("user_id").alias("n_users"),
+            exact_sum("value").alias("sum_value"),
+            F.max("ts").alias("max_ts"),
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+
+
 def _python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource scan (SPARK-44076) — reference S3 done
     as a real pluggable source.
@@ -2199,9 +2343,16 @@ QUERIES: dict[str, QueryFn] = {
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     # changed in round 7: drains through the split multi-batch source
     "stream_join_live": _stream_join_live,
-    # oldest standing greens (r4) rotated through for fresh rows
-    # (implementations unchanged since their last green run).
+    # oldest standing green (r4) rotated through for a fresh row
+    # (implementation unchanged since its last green run).
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
+    # NEW in round 7 (sixth batch): the lakehouse transaction log
+    # (atomic manifest commits, snapshot isolation, time travel) and
+    # the streaming CDC apply (foreachBatch MERGE with out-of-order
+    # precombine + cross-batch delete tombstones).
+    "txn_log_snapshot_read": _txn_log_snapshot_read,
+    "stream_cdc_apply_live": _stream_cdc_apply_live,
+    # ---- end of the 50-entry driver window ----
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
     "trend_anomaly": _q(trend.trend_anomaly, "events"),
     "stream_session_live": _stream_session_live,
@@ -3548,6 +3699,49 @@ ORACLE_SQL: dict[str, str] = {
     # strictly pre-cut, changelog strictly post-cut, so changelog-wins
     # coincides with global latest); the rewrite set is recomputed
     # arithmetically from the two per-side latests.
+    "txn_log_snapshot_read": """
+        WITH live AS (
+            SELECT * FROM events
+            WHERE NOT (ts < TIMESTAMP '2024-01-11 00:00:00'
+                       AND event_type = 'click')
+        ),
+        scal AS (
+            SELECT 3 AS n_versions,
+                   (SELECT COUNT(*) FROM events
+                    WHERE ts < TIMESTAMP '2024-01-11 00:00:00') AS n_rows_v0,
+                   6 AS n_files_disk,
+                   4 AS n_files_live
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               MAX(ts) AS max_ts,
+               n_versions, n_rows_v0, n_files_disk, n_files_live
+        FROM live CROSS JOIN scal
+        GROUP BY event_type, n_versions, n_rows_v0, n_files_disk, n_files_live
+    """,
+    "stream_cdc_apply_live": """
+        WITH ranked AS (
+            SELECT user_id, event_type, event_id, ts, value,
+                   (event_id % 7 = 0) AS is_del,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ),
+        live AS (SELECT * FROM ranked WHERE rn = 1 AND NOT is_del),
+        scal AS (SELECT 3 AS n_batches_applied)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               MAX(ts) AS max_ts,
+               n_batches_applied
+        FROM live CROSS JOIN scal
+        GROUP BY event_type, n_batches_applied
+    """,
     "merge_roundtrip": """
         WITH ranked AS (
             SELECT user_id, event_type, event_id, ts, value,

@@ -1,0 +1,158 @@
+"""Unit tests for the transaction log and the streaming CDC apply.
+
+The oracle gate (`txn_log_snapshot_read`, `stream_cdc_apply_live`)
+proves fixture-level end-to-end equivalence; these tests pin the
+concurrency and ordering corners the gate's happy path cannot reach:
+the optimistic-concurrency CAS actually losing, remove-validation,
+stale-file invisibility plus time travel, the out-of-order precombine
+guard, and delete-tombstone persistence against a late older update.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+from big_data_trend_analysis_spark.streaming.cdc import (
+    cdc_apply_sink,
+    changes_from_events,
+    compact_latest,
+    serve_live_state,
+)
+
+CHANGE_DDL = (
+    "user_id long, event_type string, event_id long, "
+    "ts timestamp, value double, is_del boolean"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_DDL)
+
+
+# ---------------------------------------------------------------- txn log
+
+
+def test_txnlog_commit_cas_loser_fails(spark, tmp_path):
+    """Two writers race version 1: the second ``commit`` against the
+    same parent must raise, not silently overwrite the winner."""
+    log = TxnLog(str(tmp_path / "t"))
+    log.commit(add=["data/a.parquet"])
+    v = log.latest_version()
+    log.commit(add=["data/b.parquet"], expected_version=v)
+    with pytest.raises(FileExistsError):
+        log.commit(add=["data/c.parquet"], expected_version=v)
+    # The winner's manifest is intact and the loser added nothing.
+    assert log.manifest(v + 1)["added"] == ["data/b.parquet"]
+    assert log.latest_version() == v + 1
+
+
+def test_txnlog_remove_requires_membership(spark, tmp_path):
+    log = TxnLog(str(tmp_path / "t"))
+    log.commit(add=["data/a.parquet"])
+    with pytest.raises(ValueError):
+        log.commit(add=[], remove=["data/ghost.parquet"])
+
+
+def test_txnlog_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """A rewrite commit hides superseded files from the latest
+    snapshot while they stay on disk — and the pinned old version
+    still reads them (time travel)."""
+    root = str(tmp_path / "t")
+    log = TxnLog(root)
+    base = spark.range(10).selectExpr("id", "id * 2 AS doubled")
+    log.write_commit(base, n_files=1)  # v0
+    v0_files = log.manifest(0)["added"]
+    rewritten = log.read_snapshot(spark, 0).filter("id >= 5")
+    log.write_commit(rewritten, remove=v0_files, n_files=1)  # v1
+
+    # Superseded files still physically present (no vacuum ran) ...
+    assert all(os.path.exists(os.path.join(root, f)) for f in v0_files)
+    # ... but invisible to the live snapshot,
+    assert log.read_snapshot(spark).count() == 5
+    # while the pinned version still sees the pre-rewrite world.
+    assert log.read_snapshot(spark, 0).count() == 10
+    # A directory-listing read would double-count: 15 rows on disk.
+    data_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(root, "data"))
+        .count()
+    )
+    assert data_rows == 15
+
+
+def test_txnlog_empty_read_raises(spark, tmp_path):
+    with pytest.raises(ValueError):
+        TxnLog(str(tmp_path / "t")).read_snapshot(spark)
+
+
+# ---------------------------------------------------------------- cdc apply
+
+
+TS1 = "2024-01-01 10:00:00"
+TS2 = "2024-01-02 10:00:00"
+
+
+def _row(uid, et, eid, ts, value, is_del=False):
+    import datetime
+
+    return (
+        uid,
+        et,
+        eid,
+        datetime.datetime.fromisoformat(ts),
+        value,
+        is_del,
+    )
+
+
+def test_cdc_out_of_order_batch_cannot_clobber(spark, tmp_path):
+    """The NEWER version arrives in batch 0, an OLDER version of the
+    same key in batch 1 — the precombine guard must keep the newer."""
+    state = str(tmp_path / "state")
+    sink = cdc_apply_sink(state)
+    sink(_df(spark, [_row(1, "view", 20, TS2, 2.0)]), 0)
+    sink(_df(spark, [_row(1, "view", 10, TS1, 1.0)]), 1)
+    rows = serve_live_state(spark, state).collect()
+    assert len(rows) == 1
+    assert rows[0].event_id == 20 and rows[0].value == 2.0
+
+
+def test_cdc_tombstone_survives_late_older_update(spark, tmp_path):
+    """A delete (the key's latest version) lands in batch 0; an older
+    update arrives in batch 1. Without a retained tombstone the key
+    would resurrect; the serving view must stay empty."""
+    state = str(tmp_path / "state")
+    sink = cdc_apply_sink(state)
+    sink(_df(spark, [_row(1, "view", 21, TS2, 9.0, is_del=True)]), 0)
+    sink(_df(spark, [_row(1, "view", 7, TS1, 1.0)]), 1)
+    assert serve_live_state(spark, state).count() == 0
+    # The tombstone row itself is still in physical state (version 21).
+    raw = spark.read.parquet(state).collect()
+    assert len(raw) == 1 and raw[0].is_del and raw[0].event_id == 21
+
+
+def test_cdc_compact_ties_break_on_event_id(spark):
+    """Same-ts versions: the higher event_id wins deterministically."""
+    out = compact_latest(
+        _df(
+            spark,
+            [_row(1, "view", 5, TS1, 5.0), _row(1, "view", 9, TS1, 9.0)],
+        )
+    ).collect()
+    assert len(out) == 1 and out[0].event_id == 9
+
+
+def test_cdc_changes_op_derivation(spark):
+    """op = delete iff event_id % 7 == 0 (the oracle's literal)."""
+    events = spark.createDataFrame(
+        [(14, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+         (15, "2024-01-01 00:00:00", 1, "view", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    flags = {r.event_id: r.is_del for r in changes_from_events(events).collect()}
+    assert flags == {14: True, 15: False}

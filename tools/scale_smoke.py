@@ -96,6 +96,10 @@ HEAVY_QUERIES = [
     "incremental_agg_maintain",
     "pandas_udaf_gini",
     "python_datasource_scan",  # sf-independent generator: ratio ≈ 1 expected
+    # round-7 sixth batch: side-effecting lakehouse/streaming heavies
+    # on the synthesized events tier
+    "txn_log_snapshot_read",
+    "stream_cdc_apply_live",
     # (bucketed_write_join, skew_profile, target_encoding,
     # expectations_check, runtime_filter_join and the TPC-H suite read
     # the TPC-H tables, which the synthesized tier does not include —
