@@ -44,6 +44,10 @@ CROSS_JOIN_ALLOWED = {
     "ann_ivfpq_check",
     # per-event_type agg × broadcast 1-row partition-count scalars
     "merge_roundtrip",
+    # per-event_type agg × broadcast 1-row version/file-count scalars
+    "txn_log_snapshot_read",
+    # per-event_type agg × broadcast 1-row batch-count scalar
+    "stream_cdc_apply_live",
     # the pairwise sketch relation joins O(segments) × broadcast
     # O(segments) on an inequality — bounded by segments², never data
     "theta_overlap_check",
@@ -618,3 +622,23 @@ def test_pandas_udaf_is_arrow_grouped_agg(plans):
     plan = plans["pandas_udaf_gini"]
     assert "ArrowAggregatePython" in plan
     assert "round((value" in plan or "round(value" in plan
+
+
+def test_cdc_compact_is_joinless_single_shuffle(spark, sf_dir):
+    """The per-batch CDC compaction must stay the merge.py shape: one
+    scan, one key Exchange, no join — a windowed rewrite would re-scan
+    and re-shuffle every batch."""
+    from big_data_trend_analysis_spark.streaming.cdc import (
+        changes_from_events,
+        compact_latest,
+    )
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    plan = plan_of(compact_latest(changes_from_events(events)))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, "re-scans input"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, "extra shuffle"
+    assert "Join" not in plan, "cdc compaction reintroduced a join"
+    # partial max_by before the exchange: map-side combine absorbs
+    # hot-key skew (one compacted row per key per map task).
+    assert "partial_max_by" in plan
