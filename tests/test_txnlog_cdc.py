@@ -146,6 +146,73 @@ def test_cdc_compact_ties_break_on_event_id(spark):
     assert len(out) == 1 and out[0].event_id == 9
 
 
+def test_cdc_apply_is_batch_partition_invariant(spark, tmp_path):
+    """THE CDC apply invariant: any partition of the changelog into
+    any number of ordered micro-batches converges to the same final
+    state as a single batch apply — i.e. the precombine merge is
+    associative/commutative over (ts, event_id)-versioned changes, so
+    arrival slicing (file splits, retries re-slicing the stream)
+    cannot change the serving answer."""
+    import datetime
+    import random
+
+    base = datetime.datetime(2024, 2, 1)
+    rng = random.Random(20240214)
+    for trial in range(6):
+        n = rng.randint(2, 12)
+        rows = [
+            (
+                rng.randint(1, 3),
+                rng.choice(["a", "b"]),
+                eid,  # unique ⇒ the version order is total
+                base + datetime.timedelta(seconds=rng.randint(0, 5)),
+                float(rng.randint(0, 100)),
+                rng.random() < 0.3,
+            )
+            for eid in range(n)
+        ]
+        all_df = _df(spark, rows)
+        expected = {
+            tuple(r)
+            for r in compact_latest(all_df).filter("NOT is_del").drop("is_del").collect()
+        }
+        k = rng.randint(1, 3)
+        slots = [rng.randrange(k) for _ in rows]
+        state = str(tmp_path / f"cdc_inv_{trial}")
+        sink = cdc_apply_sink(state)
+        for b in range(k):
+            batch = [r for r, s in zip(rows, slots) if s == b]
+            if batch:
+                sink(_df(spark, batch), b)
+        got = {tuple(r) for r in serve_live_state(spark, state).collect()}
+        assert got == expected, f"trial {trial}: slicing changed the state"
+
+
+def test_txnlog_snapshot_is_fold_of_commits(tmp_path):
+    """Log invariant (no Spark): after any sequence of add/remove
+    commits, the latest manifest's file list equals the plain fold of
+    the deltas, and every historical version stays readable."""
+    import random
+
+    rng = random.Random(7)
+    log = TxnLog(str(tmp_path / "t"))
+    live: list[str] = []
+    history = []
+    for i in range(25):
+        adds = [f"data/f{i}_{j}.parquet" for j in range(rng.randint(1, 3))]
+        removes = (
+            rng.sample(live, rng.randint(0, min(2, len(live)))) if live else []
+        )
+        log.commit(add=adds, remove=removes)
+        live = [f for f in live if f not in set(removes)] + adds
+        history.append(list(live))
+    assert log.latest_version() == 24
+    root = str(tmp_path / "t")
+    for v, expected in enumerate(history):
+        got = [p.replace(root + "/", "") for p in log.snapshot_files(v)]
+        assert got == expected, f"version {v} diverged from the fold"
+
+
 def test_cdc_changes_op_derivation(spark):
     """op = delete iff event_id % 7 == 0 (the oracle's literal)."""
     events = spark.createDataFrame(
