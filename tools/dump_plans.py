@@ -371,6 +371,24 @@ HEADLINERS: dict[str, str] = {
         "aggregation over O(groups) rows. The unified history is "
         "never re-read: maintenance cost is O(delta + groups)."
     ),
+    "txn_log_snapshot_read": (
+        "The read side of the manifest transaction log: the scan node "
+        "lists EXACTLY the 4 files of the committed v2 snapshot (6 "
+        "parquet files physically exist under the table — the 2 "
+        "superseded by the purge rewrite are invisible because the "
+        "manifest, not a directory listing, names the snapshot), then "
+        "a partial+final HashAggregate pair and the broadcast 1-row "
+        "version/file-count scalar relation."
+    ),
+    "stream_cdc_apply_live": (
+        "The serving read after the 3-micro-batch foreachBatch drain: "
+        "one scan of the O(keys) state table with the tombstone "
+        "filter pushed to the scan, then partial+final aggregation. "
+        "The load-bearing plan is the PER-BATCH compaction inside "
+        "foreachBatch — one scan, one key Exchange, partial_max_by "
+        "before it, no join — pinned by "
+        "test_cdc_compact_is_joinless_single_shuffle."
+    ),
 }
 
 
