@@ -1756,6 +1756,9 @@ def _stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-order precombine guard (an old version arriving after a
     newer one must lose) and delete tombstones must persist across
     batches (so a late older update cannot resurrect a deleted key).
+    Each batch's merged state lands as ONE atomic `sources/txnlog.py`
+    commit (fresh file set + manifest swap — the Delta/Hudi streaming-
+    sink mechanic; version k stays readable as state-as-of-batch-k).
     The serving read drops tombstones and aggregates per event_type;
     the oracle is batch latest-per-key over ALL events with deletes
     filtered — streaming apply converges to the batch answer only if

@@ -31,15 +31,14 @@ Scale posture: each micro-batch does one map-side-combined ``max_by``
 over the batch (O(batch) → O(changed keys)) plus one state merge
 shuffled on the key — state stays compacted at exactly one row per
 ever-seen key, so batch cost is O(batch + |keys|), independent of
-stream history length. State lands as parquet via localCheckpoint-
-then-overwrite (single-writer gate twin of a staging-dir commit swap —
-at cluster scale the swap is a `sources/txnlog.py` commit, which is
-how Delta/Hudi land exactly this merge).
+stream history length. State lands through a `sources/txnlog.py`
+commit per batch — fresh file set + atomic manifest swap, which is
+exactly how Delta/Hudi land this merge: readers see whole batch
+states only, and every micro-batch's state stays readable by version
+(time travel) until a vacuum.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -79,32 +78,51 @@ def compact_latest(changes: DataFrame) -> DataFrame:
 
 def cdc_apply_sink(state_path: str, applied_batches: list | None = None):
     """``foreachBatch`` function MERGEing each micro-batch into the
-    parquet state table at ``state_path``.
+    transaction-logged state table at ``state_path``.
+
+    Each batch lands as ONE atomic `sources/txnlog.py` commit: the
+    merged state is written to a fresh per-commit file set (never
+    overwriting the files just read — so no lineage break is needed)
+    and the manifest swaps the previous snapshot for the new one
+    exactly once. A serving reader positioned on version N sees batch
+    N's complete state or batch N−1's — never a half-applied merge;
+    this is the Delta/Hudi streaming-sink commit mechanic, and it
+    gives state TIME TRAVEL for free (version k = state as of
+    micro-batch k, superseded file sets retained until a vacuum).
 
     ``applied_batches`` (optional) collects batch ids on the driver —
     the gate uses its length to certify a real multi-batch drain.
     """
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if applied_batches is not None:
             applied_batches.append(batch_id)
         spark = batch.sparkSession
+        log = TxnLog(state_path)
         merged = compact_latest(batch)
-        if os.path.isdir(state_path):
-            state = spark.read.parquet(state_path).select(*STATE_COLS)
+        prev = log.latest_version()
+        if prev >= 0:
+            state = log.read_snapshot(spark, prev).select(*STATE_COLS)
             merged = compact_latest(
                 state.unionByName(merged.select(*STATE_COLS))
             )
-        # Materialize before overwriting the files just read.
-        merged.select(*STATE_COLS).localCheckpoint().write.mode(
-            "overwrite"
-        ).parquet(state_path)
+        log.write_commit(
+            merged.select(*STATE_COLS),
+            remove=log.manifest(prev)["files"] if prev >= 0 else [],
+        )
 
     return _apply
 
 
-def serve_live_state(spark, state_path: str) -> DataFrame:
-    """Serving view of the applied state: tombstones filtered out."""
-    return spark.read.parquet(state_path).filter(~F.col("is_del")).drop(
-        "is_del"
+def serve_live_state(spark, state_path: str, version: int | None = None) -> DataFrame:
+    """Serving view of the applied state (tombstones filtered out) at
+    the latest — or a pinned per-micro-batch — snapshot version."""
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    return (
+        TxnLog(state_path)
+        .read_snapshot(spark, version)
+        .filter(~F.col("is_del"))
+        .drop("is_del")
     )

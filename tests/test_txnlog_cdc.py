@@ -130,9 +130,23 @@ def test_cdc_tombstone_survives_late_older_update(spark, tmp_path):
     sink(_df(spark, [_row(1, "view", 21, TS2, 9.0, is_del=True)]), 0)
     sink(_df(spark, [_row(1, "view", 7, TS1, 1.0)]), 1)
     assert serve_live_state(spark, state).count() == 0
-    # The tombstone row itself is still in physical state (version 21).
-    raw = spark.read.parquet(state).collect()
+    # The tombstone row itself is still in committed state (version 21).
+    raw = TxnLog(state).read_snapshot(spark).collect()
     assert len(raw) == 1 and raw[0].is_del and raw[0].event_id == 21
+
+
+def test_cdc_state_commits_are_versioned_per_batch(spark, tmp_path):
+    """Each micro-batch lands as one txnlog commit: version k is the
+    complete state as of batch k (time travel), and the serving view
+    pinned at version 0 ignores everything batch 1 merged."""
+    state = str(tmp_path / "state")
+    sink = cdc_apply_sink(state)
+    sink(_df(spark, [_row(1, "view", 10, TS1, 1.0)]), 0)
+    sink(_df(spark, [_row(2, "view", 20, TS2, 2.0)]), 1)
+    log = TxnLog(state)
+    assert log.latest_version() == 1
+    assert {r.event_id for r in serve_live_state(spark, state, 0).collect()} == {10}
+    assert {r.event_id for r in serve_live_state(spark, state).collect()} == {10, 20}
 
 
 def test_cdc_compact_ties_break_on_event_id(spark):

@@ -382,11 +382,13 @@ HEADLINERS: dict[str, str] = {
     ),
     "stream_cdc_apply_live": (
         "The serving read after the 3-micro-batch foreachBatch drain: "
-        "one scan of the O(keys) state table with the tombstone "
-        "filter pushed to the scan, then partial+final aggregation. "
-        "The load-bearing plan is the PER-BATCH compaction inside "
-        "foreachBatch — one scan, one key Exchange, partial_max_by "
-        "before it, no join — pinned by "
+        "the scan lists exactly the files of the LATEST txnlog state "
+        "commit (each micro-batch landed as one atomic manifest swap; "
+        "superseded per-batch states remain readable by version), "
+        "with the tombstone filter pushed into the scan, then "
+        "partial+final aggregation. The load-bearing plan is the "
+        "PER-BATCH compaction inside foreachBatch — one scan, one key "
+        "Exchange, partial_max_by before it, no join — pinned by "
         "test_cdc_compact_is_joinless_single_shuffle."
     ),
 }
