@@ -83,6 +83,11 @@ def zorder_column(
     parts = []
     for d, c in enumerate(cols):
         mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"zorder_column: no numeric bounds for {c!r} — input is "
+                "empty, or the column is all-null / not castable to double"
+            )
         span = (mx - mn) or 1.0
         bucket = F.least(
             F.lit(top).cast("long"),

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,12 +66,17 @@ class TxnLog:
     def _manifest_file(self, version: int) -> str:
         return os.path.join(self.log_path, f"v{version}.json")
 
+    #: Committed manifests are EXACTLY ``v<int>.json`` — anything else
+    #: in the log dir (staged temp files, editor artifacts, checkpoint
+    #: sidecars) must be ignored, not parsed.
+    _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+
     def latest_version(self) -> int:
         """Highest committed version, or -1 for an empty log."""
         versions = [
-            int(name[1:-5])
+            int(m.group(1))
             for name in os.listdir(self.log_path)
-            if name.startswith("v") and name.endswith(".json")
+            if (m := self._MANIFEST_RE.match(name))
         ]
         return max(versions, default=-1)
 
@@ -140,6 +146,7 @@ class TxnLog:
         df: DataFrame,
         remove: list[str] = (),
         n_files: int = 1,
+        expected_version: int | None = None,
     ) -> int:
         """Land ``df`` as a new file set and commit it in one step.
 
@@ -147,7 +154,16 @@ class TxnLog:
         overwriting a live file — commits only ever ADD paths, the
         manifest decides liveness), then the manifest publishes them
         together with the ``remove`` list.
+
+        ``expected_version`` pins the optimistic-concurrency CAS: pass
+        the version the caller READ before computing ``df`` so a
+        concurrent commit surfaces as ``FileExistsError`` (rebase and
+        retry) instead of silently stacking on top of a peer's append
+        — a lost update. Defaults to latest-at-entry, which is only
+        safe single-writer.
         """
+        if expected_version is None:
+            expected_version = self.latest_version()
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(DATA_DIR, f"c{commit_id}")
         out = os.path.join(self.root, rel_dir)
@@ -157,7 +173,9 @@ class TxnLog:
             for name in os.listdir(out)
             if name.endswith(".parquet")
         )
-        return self.commit(add=add, remove=remove)
+        return self.commit(
+            add=add, remove=remove, expected_version=expected_version
+        )
 
     # -- read -----------------------------------------------------------
 

@@ -2,7 +2,7 @@
 state, one micro-batch at a time.
 
 The reference pipeline is append-only end to end (its JDBC sink is
-``mode="append"`` — `database/postgres_sink.py:10-18` — state never
+``mode="append"`` — `processing/spark_stream.py:40-48` — state never
 updates in place). The batch half of the engine already closes that
 gap (`operators/merge.py` one-pass MERGE, `plans/registry.py`
 ``merge_roundtrip`` copy-on-write); this module closes the STREAMING
@@ -107,9 +107,14 @@ def cdc_apply_sink(state_path: str, applied_batches: list | None = None):
             merged = compact_latest(
                 state.unionByName(merged.select(*STATE_COLS))
             )
+        # Pin the CAS to the version we MERGED FROM: if a concurrent
+        # writer lands prev+1 first, this commit must fail loudly
+        # (FileExistsError → Spark retries the batch, which re-reads
+        # the new latest) rather than silently dropping the peer's rows.
         log.write_commit(
             merged.select(*STATE_COLS),
             remove=log.manifest(prev)["files"] if prev >= 0 else [],
+            expected_version=prev,
         )
 
     return _apply

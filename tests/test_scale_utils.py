@@ -363,3 +363,19 @@ def test_read_merged_schema_handles_evolution(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 0.5
     assert merged.count() == 2
+
+
+def test_zorder_rejects_empty_or_allnull_column(spark):
+    """ADVICE r7: null min/max bounds (empty input, all-null column)
+    must raise a descriptive ValueError, not a TypeError inside the
+    bucket arithmetic."""
+    import pytest
+
+    from big_data_trend_analysis_spark.sources.lakehouse import zorder_column
+
+    empty = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError, match="zorder_column"):
+        zorder_column(empty, ["a", "b"])
+    allnull = spark.createDataFrame([(1, None), (2, None)], "a long, b long")
+    with pytest.raises(ValueError, match="'b'"):
+        zorder_column(allnull, ["a", "b"])

@@ -89,6 +89,36 @@ def test_txnlog_empty_read_raises(spark, tmp_path):
         TxnLog(str(tmp_path / "t")).read_snapshot(spark)
 
 
+def test_txnlog_write_commit_cas_pins_merged_from_version(spark, tmp_path):
+    """ADVICE r7: ``write_commit`` must let the caller pin the version
+    it merged FROM — a peer committing in between must surface as the
+    documented ``FileExistsError`` CAS loss, never a silent lost
+    update (or a misleading remove-validation ValueError)."""
+    log = TxnLog(str(tmp_path / "t"))
+    log.write_commit(spark.range(3), n_files=1)  # v0
+    merged_from = log.latest_version()
+    # A concurrent writer lands v1 while our merge is "in flight".
+    log.commit(add=["data/peer.parquet"], expected_version=merged_from)
+    with pytest.raises(FileExistsError):
+        log.write_commit(
+            spark.range(5), n_files=1, expected_version=merged_from
+        )
+    # The peer's append is intact — nothing was stacked on top of it.
+    assert log.latest_version() == merged_from + 1
+    assert "data/peer.parquet" in log.manifest(merged_from + 1)["files"]
+
+
+def test_txnlog_latest_version_ignores_stray_files(tmp_path):
+    """ADVICE r7: non-manifest names in ``_txnlog/`` (vacuum sidecars,
+    editor artifacts) must be skipped, not int()-parsed."""
+    log = TxnLog(str(tmp_path / "t"))
+    log.commit(add=["data/a.parquet"])
+    for stray in ("vacuum.json", "v1.json.swp", ".tmp-zzz.json", "vx.json"):
+        with open(os.path.join(log.log_path, stray), "w") as f:
+            f.write("{}")
+    assert log.latest_version() == 0
+
+
 # ---------------------------------------------------------------- cdc apply
 
 
