@@ -528,8 +528,13 @@ def theta_segment_overlap(
     pair: exact pairwise distinct-intersections would need a shuffle
     per pair; sketches need one aggregation total, and the per-segment
     sketches are mergeable across partitions, days, and clusters.
-    Library-level (no oracle entry): accuracy is property-tested
-    against exact overlaps in tests/test_sketches.py.
+    Below 2^lg_k distinct ids a theta sketch retains every hash, so
+    estimates are EXACT integers — the correctness gate hash-checks
+    this operator against the exact pairwise-distinct DuckDB oracle
+    at fixture cardinality (<=1.5k users << 4096); estimation-mode
+    accuracy (~1.6% rsd at lgK=12) is separately pinned by
+    ``theta_overlap_check`` and property-tested in
+    tests/test_sketches.py.
     """
     sketches = events.groupBy(key_col).agg(
         F.theta_sketch_agg(id_col, F.lit(lg_k)).alias("sk")
@@ -558,6 +563,7 @@ def kll_quantile_rollup(
     value_col: str = "l_extendedprice",
     group_col: str = "l_returnflag",
     quantiles: tuple[float, ...] = (0.5, 0.95),
+    k: int | None = None,
 ) -> DataFrame:
     """Mergeable quantiles: per-group KLL sketches + a global merge.
 
@@ -567,11 +573,24 @@ def kll_quantile_rollup(
     per-group (or per-hour / per-partition) sketches roll up to any
     coarser grain without re-touching the data. Emits one row per
     group plus a ``__total__`` row computed by MERGING the group
-    sketches — never re-scanning. Library-level; merged-vs-direct
-    accuracy is property-tested in tests/test_sketches.py.
+    sketches — never re-scanning.
+
+    ``k`` is the sketch accuracy knob (None = library default). While
+    total retained values stay under the sketch capacity the KLL
+    answer is EXACT — the inclusive ceiling-rank order statistic
+    (value at 1-based rank ``ceil(q·n)``) — which is how the
+    correctness gate pins this operator against a DuckDB
+    order-statistic oracle at fixture scale (k=65535 > fixture rows);
+    estimation-mode accuracy is separately gated by
+    ``kll_rollup_check`` and property-tested in tests/test_sketches.py.
     """
+    sketch_agg = (
+        F.kll_sketch_agg_double(value_col)
+        if k is None
+        else F.kll_sketch_agg_double(value_col, F.lit(k))
+    )
     per_group = lineitem.groupBy(group_col).agg(
-        F.kll_sketch_agg_double(value_col).alias("sk"),
+        sketch_agg.alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     def qcols(sk):

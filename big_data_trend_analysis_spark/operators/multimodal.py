@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -435,3 +436,158 @@ def resize_images(
 
     assert isinstance(blobs.schema["content"].dataType, BinaryType)
     return blobs.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+#: Schema of the synthetic blob builders below (same as with_blob).
+_BLOB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+
+def _wav_params(doc_id: int, n_chars: int) -> tuple[int, int, int]:
+    """Deterministic per-document WAV shape: (channels, sample_rate,
+    n_frames) — pure arithmetic on fixture columns, so the DuckDB
+    oracle recomputes the decoded metadata without parsing a byte."""
+    return 1 + doc_id % 2, 8000 * (1 + doc_id % 3), n_chars
+
+
+def with_wav_blob(documents: DataFrame) -> DataFrame:
+    """Attach a REAL (byte-valid) 16-bit PCM WAV payload per document.
+
+    Gate-side stand-in for an audio lake: the RIFF/fmt/data layout is
+    genuine (44-byte canonical header + silence frames), with shape
+    derived from (doc_id, n_chars) via ``_wav_params`` so the header
+    parse in ``decode_audio_meta`` is exercised on real chunk walks
+    while staying arithmetic-oracle-checkable. Built in ``mapInPandas``
+    (bytes never leave the executors, same as a blob-storage read).
+    """
+    import struct
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "content": [], "mime": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                ch, rate, frames = _wav_params(int(doc_id), int(n_chars))
+                data = b"\x00" * (frames * ch * 2)
+                fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+                wav = (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                out["doc_id"].append(doc_id)
+                out["content"].append(wav)
+                out["mime"].append("application/octet-stream")
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "n_chars").mapInPandas(synth, _BLOB_SCHEMA)
+
+
+def multimodal_audio_decode(documents: DataFrame) -> DataFrame:
+    """documents → WAV blob column → chunk-walk-decoded metadata
+    (end-to-end, the audio twin of ``multimodal_decode``)."""
+    return decode_audio_meta(with_wav_blob(documents))
+
+
+def _ppm_pixel(doc_id: int, y: int, x: int, c: int) -> int:
+    """Deterministic pixel formula shared by the PPM synthesizer and
+    the resize verifier — the two sides must be independent of the
+    resample kernel under test."""
+    return (doc_id * 7 + y * 5 + x * 3 + c * 11) % 256
+
+
+def with_ppm_blob(documents: DataFrame) -> DataFrame:
+    """Attach a REAL binary-PPM (P6) bitmap per document.
+
+    Dimensions vary per doc (w = 8 + doc_id % 5, h = 8 + 3·doc_id % 5)
+    so the nearest-neighbor index math in ``resize_images`` is
+    exercised across non-uniform aspect ratios; pixels follow
+    ``_ppm_pixel`` so any output pixel is independently recomputable.
+    """
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "content": [], "mime": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 8 + (3 * d) % 5
+                ys, xs, cs = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((d * 7 + ys * 5 + xs * 3 + cs * 11) % 256).astype("uint8")
+                out["doc_id"].append(doc_id)
+                out["content"].append(
+                    f"P6 {w} {h} 255\n".encode() + px.tobytes()
+                )
+                out["mime"].append("image/x-portable-pixmap")
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(synth, _BLOB_SCHEMA)
+
+
+def multimodal_resize(
+    documents: DataFrame, target_w: int = 4, target_h: int = 4
+) -> DataFrame:
+    """documents → PPM blob → real nearest-neighbor resample
+    (end-to-end; binary output ⇒ rows-only gate, verified by
+    ``resize_images_check``)."""
+    return resize_images(with_ppm_blob(documents), target_w, target_h)
+
+
+RESIZE_CHECK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("pixels_ok", BooleanType()),
+    ]
+)
+
+
+def resize_images_check(
+    documents: DataFrame, target_w: int = 4, target_h: int = 4
+) -> DataFrame:
+    """Hash-checked invariant twin of the rows-only ``resize_images``.
+
+    Runs the REAL resample over synthesized PPMs, then verifies every
+    output pixel against an independent recomputation: nearest-neighbor
+    source coords are ``sy = (ty·h)//target_h``, ``sx = (tx·w)//target_w``
+    and the expected value is ``_ppm_pixel(doc_id, sy, sx, c)`` — the
+    synthesis formula, NOT the kernel's gather. Emits per-doc
+    ``(doc_id, mime, n_bytes, pixels_ok)``; the oracle pins mime =
+    'image/x-portable-pixmap' (header parse succeeded), n_bytes =
+    3·target_w·target_h (output contract), pixels_ok = TRUE (kernel
+    correctness) from pure literals.
+    """
+    resized = multimodal_resize(documents, target_w, target_h)
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "mime": [], "n_bytes": [], "pixels_ok": []
+            }
+            for doc_id, mime, content in zip(
+                pdf["doc_id"], pdf["mime"], pdf["content"]
+            ):
+                d = int(doc_id)
+                w, h = 8 + d % 5, 8 + (3 * d) % 5
+                ok = True
+                for ty in range(target_h):
+                    for tx in range(target_w):
+                        sy, sx = (ty * h) // target_h, (tx * w) // target_w
+                        for c in range(3):
+                            got = content[(ty * target_w + tx) * 3 + c]
+                            if got != _ppm_pixel(d, sy, sx, c):
+                                ok = False
+                out["doc_id"].append(doc_id)
+                out["mime"].append(mime)
+                out["n_bytes"].append(len(content))
+                out["pixels_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return resized.mapInPandas(check, RESIZE_CHECK_SCHEMA)

@@ -430,21 +430,39 @@ def split_train_val_test(
 ) -> DataFrame:
     """Deterministic train/val/test assignment (curation's last step).
 
-    Same mechanics as ``sample_mixture``: ``xxhash64(key, seed)``
-    buckets each row into one of three disjoint, exhaustive splits via
-    two thresholds — a pure row-local expression, so the assignment is
+    Same mechanics as ``sample_mixture``: a keyed hash buckets each
+    row into one of three disjoint, exhaustive splits via two
+    thresholds — a pure row-local expression, so the assignment is
     reproducible across runs, partitionings, and cluster sizes, needs
     no shuffle, no RNG state, and no global count. Keying on a STABLE
     id (never position) means adding new documents later cannot move
     any existing document between splits — the property that keeps an
-    eval set uncontaminated across dataset versions. Library-level;
-    disjointness/stability/ratios are property-tested.
+    eval set uncontaminated across dataset versions.
+
+    The bucket hash is md5-derived (first 60 bits of
+    ``md5(key || ':' || seed)``) rather than ``xxhash64``: md5 is
+    implemented identically in every engine, so the EXACT assignment
+    is recomputable outside Spark — an eval-set membership audit can
+    run in DuckDB/Postgres/psql verbatim, and the correctness gate
+    hash-checks per-document assignments against the DuckDB oracle.
+    (xxhash64 is a few ns/row cheaper but engine-specific — swap the
+    bucket expression if that ever matters; both are scan-speed.)
+    Disjointness/stability/ratios are property-tested.
     """
     if not (0 <= val_frac and 0 <= test_frac and val_frac + test_frac < 1):
         raise ValueError(
             f"invalid split fractions: val={val_frac}, test={test_frac}"
         )
-    bucket = F.pmod(F.xxhash64(key_col, F.lit(seed)), F.lit(1_000_000))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col), F.lit(seed))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
     val_cut = int(val_frac * 1_000_000)
     test_cut = val_cut + int(test_frac * 1_000_000)
     split = (

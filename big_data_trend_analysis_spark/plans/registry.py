@@ -1744,6 +1744,198 @@ def _txn_log_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _txnlog_three_commits(spark: SparkSession, sf_dir: str, root: str):
+    """Shared gate construction: the snapshot-read trio of commits —
+    v0 pre-cut base (2 files), v1 post-cut append (2 files), v2
+    GDPR-style purge rewrite of v0's files (pre-cut clicks deleted,
+    2 files). Returns the TxnLog."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    log.write_commit(events.filter(F.col("ts") < cut), n_files=2)  # v0
+    log.write_commit(events.filter(F.col("ts") >= cut), n_files=2)  # v1
+    v0_rel = log.manifest(0)["added"]
+    purged = log.read_snapshot(spark, 0).filter(F.col("event_type") != "click")
+    log.write_commit(purged, remove=v0_rel, n_files=2)  # v2
+    return log
+
+
+def _txn_log_vacuum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Txnlog lifecycle completion: VACUUM + version-chain compaction
+    (VERDICT r7 #2 — the log grew monotonically before this).
+
+    Builds the three-commit log, then ``vacuum(retain_versions=1)``:
+    v0's superseded pre-purge files (the only ones no retained
+    manifest lists) are deleted and the v0/v1 manifests dropped.
+    Gate-proven postconditions, all oracle-pinned:
+
+    - the latest snapshot is untouched (per-event_type totals equal
+      the raw-events recomputation — vacuum may not move a byte of
+      live data);
+    - superseded versions are unreadable BY CONTRACT
+      (``v0_unreadable`` = the documented ValueError, not a silent
+      directory fallback);
+    - physical disk == manifest: ``n_files_disk`` equals
+      ``n_files_live`` equals 4 (before vacuum: 6 on disk);
+    - the audit stats are exact literals (2 data files aged out, 2
+      manifests compacted, earliest retained version 2).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txnvac_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    log = _txnlog_three_commits(spark, sf_dir, root)
+
+    stats = log.vacuum(retain_versions=1)
+    try:
+        log.read_snapshot(spark, 0)
+        v0_unreadable = False
+    except ValueError:
+        v0_unreadable = True
+    n_live = len(log.snapshot_files())
+    n_disk = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(os.path.join(root, "data"))
+    )
+    scal = spark.createDataFrame(
+        [(
+            stats["data_files_removed"],
+            stats["manifests_removed"],
+            stats["earliest_retained"],
+            n_disk,
+            n_live,
+            v0_unreadable,
+        )],
+        "n_data_removed long, n_manifests_removed long, "
+        "earliest_retained long, n_files_disk long, n_files_live long, "
+        "v0_unreadable boolean",
+    )
+    return (
+        log.read_snapshot(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+
+
+def _txnlog_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read path (VERDICT r7 #3) — the inverse of
+    ``stream_cdc_apply_live``: the per-commit txnlog versions read
+    back as a change stream a downstream consumer can subscribe to.
+
+    ``TxnLog.read_changes`` derives each version's changes from the
+    commit's OWN add/remove file delta — O(touched files) per
+    version, never O(snapshot) — keyed on event_id: appends surface
+    as inserts, the purge rewrite as deletes for the purged clicks,
+    and the rows the rewrite copied verbatim are dropped as no-ops
+    (so the feed equals the semantic snapshot diff). The gate
+    aggregates the feed per (version, change type, event_type); the
+    oracle recomputes every cell from raw events + the commit-plan
+    arithmetic. A wrong no-op filter, a missed tombstone, or a
+    version misattribution each flips a different cell.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txncdf_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    log = _txnlog_three_commits(spark, sf_dir, root)
+
+    return (
+        log.read_changes(spark, key_cols=["event_id"])
+        .groupBy("_commit_version", "_change_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .withColumnRenamed("_commit_version", "commit_version")
+        .withColumnRenamed("_change_type", "change_type")
+    )
+
+
+def _txnlog_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional schema evolution on the log-backed table
+    (VERDICT r7 #5): a column add lands in the SAME atomic commit as
+    its first files — readers of version N use version N's schema.
+
+    v0 commits the pre-cut slice under the 4-column schema; v1
+    appends the post-cut slice with an added ``score`` column
+    (round(value·0.5, 6)). Postconditions, all oracle-pinned:
+
+    - the LATEST snapshot reads old+new files under the evolved
+      schema — pre-evolution rows surface ``score`` as null (counted
+      by ``n_scored``), no mergeSchema footer-union scan needed (the
+      manifest pins the schema);
+    - the PRE-EVOLUTION version still reads under ITS OWN narrower
+      schema (``v0_cols`` = 4, not the union) — time travel returns
+      what version 0 actually was;
+    - totals over coalesce(score, 0) equal the raw recomputation.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txnsch_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    base_cols = ["event_id", "user_id", "event_type", "value"]
+    log.write_commit(
+        events.filter(F.col("ts") < cut).select(*base_cols), n_files=2
+    )  # v0: 4-column schema
+    log.write_commit(
+        events.filter(F.col("ts") >= cut).select(
+            *base_cols, F.round(F.col("value") * 0.5, 6).alias("score")
+        ),
+        n_files=2,
+    )  # v1: schema evolves in the same commit as its files
+
+    latest = log.read_snapshot(spark)
+    scal = spark.createDataFrame(
+        [(len(log.read_snapshot(spark, 0).columns), len(latest.columns))],
+        "v0_cols long, latest_cols long",
+    )
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("score").alias("n_scored"),
+            # score is a 6-dp double — sum in decimal(18,6), not the
+            # 2-dp price default
+            exact_sum(
+                F.coalesce(F.col("score"), F.lit(0.0)), "decimal(18,6)"
+            ).alias("sum_score"),
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+
+
 def _stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply through the real streaming machinery — the
     change-stream half of the MERGE story (`streaming/cdc.py`).
@@ -2276,11 +2468,109 @@ def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-redaction gate (functions/text.py::mask_pii).
+
+    Every document's text is seeded with one instance of each PII
+    shape — the SSN digits vary with doc_id so redaction is exercised
+    per-row (a constant suffix would let one lucky match green the
+    gate) — then the typed-placeholder mask runs. Scan-speed JVM
+    ``regexp_replace`` chain; the DuckDB twin runs the identical
+    patterns with the 'g' flag, so the gate also pins Java-regex ↔ RE2
+    dialect agreement on these patterns over real corpus text.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.text import mask_pii
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" ssn "),
+            F.lpad(F.pmod("doc_id", F.lit(1000)).cast("string"), 3, "0"),
+            F.lit(
+                "-45-6789 card 4111 1111 1111 1111"
+                " call (415) 555-0133 ip 192.168.1.77"
+            ),
+        ).alias("raw"),
+    )
+    return seeded.select("doc_id", mask_pii(F.col("raw")).alias("redacted"))
+
+
+def _lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class language-ID gate (functions/text.py::lang_id_multi):
+    per-document argmax over the four stopword profiles with the
+    pinned alphabetical tie-break and 'other' threshold — all
+    row-local higher-order expressions, hash-checked per document."""
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.text import lang_id_multi
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_multi(F.col("text")).alias("lang_pred"))
+
+
+def _split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic three-way split gate: per-document assignment is
+    hash-checked (the md5-bucket expression is engine-portable, so the
+    oracle recomputes the EXACT membership — the audit a frozen eval
+    set needs). Shuffle-free: one row-local expression."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.split_train_val_test(docs).select("doc_id", "split")
+
+
+def _kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL rollup gate: k=65535 keeps every fixture value retained, so
+    the sketch answers are EXACT ceiling-rank order statistics the
+    oracle recomputes (estimation-mode accuracy is gated separately by
+    ``kll_rollup_check``). Per-group sketches merge to the __total__
+    row without re-scanning — the mergeability contract itself."""
+    tune_session(spark)
+    return aggregates.kll_quantile_rollup(
+        load_table(spark, sf_dir, "lineitem"), k=65535
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # ---- window (first 50): the driver's correctness gate reads these ----
     # Ordering is enforced by tests/test_rotation_policy.py against
     # tools/green_ledger.json: every entry that is new or changed since
     # its last green driver row MUST sit inside the window.
+    # NEW in round 8 (first batch): the eight library operators
+    # promoted to gate rows (VERDICT r7 top-next) — sketch set
+    # operations, mergeable-quantile rollup, PII masking, multi-class
+    # language ID, portable train/val/test split, the curation
+    # capstone, audio metadata decode, and the image-resize kernel
+    # (rows-only; its planted-pixel twin is the hash gate).
+    "theta_segment_overlap": _q(aggregates.theta_segment_overlap, "events"),
+    "kll_quantile_rollup": _kll_quantile_rollup,
+    "mask_pii": _mask_pii,
+    "lang_id_multi": _lang_id_multi,
+    "split_train_val_test": _split_train_val_test,
+    "curate_for_training": _q(textstats.curate_for_training, "documents"),
+    "decode_audio_meta": _q(multimodal.multimodal_audio_decode, "documents"),
+    "resize_images": _q(multimodal.multimodal_resize, "documents"),
+    "resize_images_check": _q(multimodal.resize_images_check, "documents"),
+    # CHANGED in round 8: sources/txnlog.py gained the pinned-CAS
+    # write_commit + strict manifest-name parsing (ADVICE r7) — both
+    # txnlog-closure queries re-enter the window for fresh rows.
+    "txn_log_snapshot_read": _txn_log_snapshot_read,
+    "stream_cdc_apply_live": _stream_cdc_apply_live,
+    # CHANGED in round 8: their gated operators gained the exactness
+    # docs / k parameter (shared source closure) — fresh rows needed.
+    "kll_rollup_check": _q(aggregates.kll_rollup_check, "lineitem"),
+    "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
+    # NEW in round 8 (second batch): txnlog lifecycle completion —
+    # VACUUM + version-chain compaction, the change-data-feed read
+    # path, and transactional (manifest-pinned) schema evolution.
+    "txn_log_vacuum_check": _txn_log_vacuum_check,
+    "txnlog_cdf_read": _txnlog_cdf_read,
+    "txnlog_schema_evolve": _txnlog_schema_evolve,
     # NEW in round 7 (fourth batch): distributed BPE tokenizer
     # training, MOR read view + small-file compaction (lakehouse
     # maintenance pair), key-skew diagnostics, growth accumulation.
@@ -2328,13 +2618,16 @@ QUERIES: dict[str, QueryFn] = {
     "sql_tpch_q15": _sql_tpch_q15,
     "stateful_decay_live_v2": _stateful_decay_live_v2,
     "ann_ivfpq_check": _q(similarity.ann_ivfpq_check, "embeddings"),
-    "merge_roundtrip": _merge_roundtrip,
-    "file_skipping_check": _file_skipping_check,
     # 8-15: CHANGED in round 7 (ADVICE fixes) — negative-id planted
     # twins, session-unique gate artifacts, skyline local prune.
+    # ---- end of the 50-entry driver window ----
+    # (r7 greens displaced by the round-8 batch; unchanged since
+    # their r7 rows, which the fingerprint ledger certifies.)
+    "skyline_pareto": _q(relational.skyline_pareto, "orders"),
     "dedup_minhash_check": _q(dedup.dedup_minhash_check, "documents"),
     "dedup_simhash_check": _q(dedup.dedup_simhash_check, "documents"),
-    "skyline_pareto": _q(relational.skyline_pareto, "orders"),
+    "merge_roundtrip": _merge_roundtrip,
+    "file_skipping_check": _file_skipping_check,
     "bucketed_write_join": _bucketed_write_join,
     "multiformat_roundtrip": _multiformat_roundtrip,
     "schema_evolution_read": _schema_evolution_read,
@@ -2349,13 +2642,6 @@ QUERIES: dict[str, QueryFn] = {
     # oldest standing green (r4) rotated through for a fresh row
     # (implementation unchanged since its last green run).
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
-    # NEW in round 7 (sixth batch): the lakehouse transaction log
-    # (atomic manifest commits, snapshot isolation, time travel) and
-    # the streaming CDC apply (foreachBatch MERGE with out-of-order
-    # precombine + cross-batch delete tombstones).
-    "txn_log_snapshot_read": _txn_log_snapshot_read,
-    "stream_cdc_apply_live": _stream_cdc_apply_live,
-    # ---- end of the 50-entry driver window ----
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
     "trend_anomaly": _q(trend.trend_anomaly, "events"),
     "stream_session_live": _stream_session_live,
@@ -2414,8 +2700,6 @@ QUERIES: dict[str, QueryFn] = {
     "window_range_frame": _q(windows.window_range_frame, "events"),
     "interval_overlap": _q(temporal.interval_overlap, "events"),
     "repetition_signals": _q(textstats.repetition_signals, "documents"),
-    "kll_rollup_check": _q(aggregates.kll_rollup_check, "lineitem"),
-    "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
     "time_weighted_avg": _q(temporal.time_weighted_avg, "events"),
     "ewma_smooth": _q(windows.ewma_smooth, "events"),
     "sql_tpch_q10": _sql_tpch_q10,
@@ -2507,7 +2791,180 @@ _COSINE = (
     " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
+
+def _pii_sql(x: str) -> str:
+    """DuckDB twin of functions/text.py::mask_pii — the IDENTICAL
+    pattern chain (imported, not copied) applied globally; RE2 and
+    Java regex agree on these constructs (\\b, \\d, non-capturing
+    groups, bounded repetition)."""
+    from big_data_trend_analysis_spark.functions.text import _PII_PATTERNS
+
+    out = x
+    for pattern, token in _PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
+def _clean_sql(x: str) -> str:
+    """DuckDB twin of textstats._clean_expr (the text_clean chain)."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"lower({x}), 'https?://[^ ]+', '<url>', 'g'), "
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'), "
+        "'[^a-z0-9<> ]', ' ', 'g'), "
+        "'  +', ' ', 'g'))"
+    )
+
+
+def _split_bucket_sql(key: str, seed: int = 29) -> str:
+    """DuckDB twin of split_train_val_test's md5 bucket: first 60 bits
+    of md5(key || ':' || seed) mod 1e6 — bit-identical to Spark's
+    conv(substring(md5(concat_ws(':', key, seed)), 1, 15), 16, 10)."""
+    return (
+        f"(('0x' || substring(md5(CAST({key} AS VARCHAR) || ':{seed}'), 1, 15))"
+        "::BIGINT % 1000000)"
+    )
+
+
+def _lang_score_sql(code: str) -> str:
+    """DuckDB twin of one lang_id_multi profile score."""
+    from big_data_trend_analysis_spark.functions.text import LANG_PROFILES
+
+    words = _sql_in_list(sorted(LANG_PROFILES[code]))
+    return (
+        f"(len(list_filter(string_split(text, ' '), t -> t IN ({words}))) * 1.0"
+        " / greatest(len(string_split(text, ' ')), 1))"
+    )
+
 ORACLE_SQL: dict[str, str] = {
+    # Theta-sketch estimates are exact below 2^lg_k distinct ids
+    # (fixture regime), so the oracle is the exact pairwise relation.
+    "theta_segment_overlap": """
+        WITH su AS (SELECT DISTINCT event_type, user_id FROM events),
+        sz AS (SELECT event_type, COUNT(*) AS n FROM su GROUP BY event_type),
+        pairs AS (
+            SELECT za.event_type AS segment_a, zb.event_type AS segment_b,
+                   za.n AS na, zb.n AS nb
+            FROM sz za JOIN sz zb ON za.event_type < zb.event_type),
+        ix AS (
+            SELECT a.event_type AS segment_a, b.event_type AS segment_b,
+                   COUNT(*) AS ni
+            FROM su a JOIN su b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT p.segment_a, p.segment_b,
+               CAST(COALESCE(ix.ni, 0) AS BIGINT) AS n_overlap,
+               CAST(p.na + p.nb - COALESCE(ix.ni, 0) AS BIGINT) AS n_union,
+               round(COALESCE(ix.ni, 0) * 1.0
+                     / (p.na + p.nb - COALESCE(ix.ni, 0)), 6) AS jaccard
+        FROM pairs p LEFT JOIN ix
+          ON ix.segment_a = p.segment_a AND ix.segment_b = p.segment_b
+    """,
+    # KLL at k=65535 retains every fixture value: the sketch quantile
+    # is the inclusive ceiling-rank order statistic, recomputed here.
+    "kll_quantile_rollup": """
+        WITH r AS (
+            SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem),
+        rt AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                   row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM lineitem)
+        SELECT grp, CAST(any_value(n) AS BIGINT) AS n_rows,
+               round(min(v) FILTER (rn = CAST(ceil(0.50 * n) AS BIGINT)), 6) AS p50,
+               round(min(v) FILTER (rn = CAST(ceil(0.95 * n) AS BIGINT)), 6) AS p95
+        FROM r GROUP BY grp
+        UNION ALL
+        SELECT '__total__', CAST(any_value(n) AS BIGINT),
+               round(min(v) FILTER (rn = CAST(ceil(0.50 * n) AS BIGINT)), 6),
+               round(min(v) FILTER (rn = CAST(ceil(0.95 * n) AS BIGINT)), 6)
+        FROM rt
+    """,
+    "mask_pii": f"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-45-6789 card 4111 1111 1111 1111'
+                        || ' call (415) 555-0133 ip 192.168.1.77' AS raw
+            FROM documents)
+        SELECT doc_id, {_pii_sql("raw")} AS redacted FROM seeded
+    """,
+    "lang_id_multi": f"""
+        WITH sc AS (
+            SELECT doc_id,
+                   {_lang_score_sql("de")} AS s_de,
+                   {_lang_score_sql("en")} AS s_en,
+                   {_lang_score_sql("es")} AS s_es,
+                   {_lang_score_sql("fr")} AS s_fr
+            FROM documents),
+        m AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+                     greatest(s_de, s_en, s_es, s_fr) AS mx FROM sc)
+        SELECT doc_id,
+               CASE WHEN mx < 0.08 THEN 'other'
+                    WHEN s_de = mx THEN 'de'
+                    WHEN s_en = mx THEN 'en'
+                    WHEN s_es = mx THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM m
+    """,
+    "split_train_val_test": f"""
+        SELECT doc_id,
+               CASE WHEN b < 50000 THEN 'val'
+                    WHEN b < 100000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (SELECT doc_id, {_split_bucket_sql("doc_id")} AS b FROM documents)
+    """,
+    "curate_for_training": f"""
+        WITH toks AS (
+            SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+        gated AS (
+            SELECT doc_id,
+                   {_QUALITY} AS quality,
+                   {_clean_sql(_pii_sql("text"))} AS clean_text
+            FROM toks
+            WHERE (len(l) - len(list_distinct(l))) * 1.0
+                  / greatest(len(l), 1) <= 0.5
+              AND {_QUALITY} >= 0.5),
+        surv AS (
+            SELECT min(doc_id) AS doc_id,
+                   arg_min(clean_text, doc_id) AS clean_text,
+                   arg_min(quality, doc_id) AS quality
+            FROM gated GROUP BY md5(clean_text))
+        SELECT doc_id,
+               CASE WHEN {_split_bucket_sql("doc_id")} < 50000 THEN 'val'
+                    WHEN {_split_bucket_sql("doc_id")} < 100000 THEN 'test'
+                    ELSE 'train' END AS split,
+               clean_text, quality
+        FROM surv
+    """,
+    # The WAV synthesizer derives its shape from (doc_id, n_chars) via
+    # multimodal._wav_params; the oracle recomputes the decoded
+    # metadata from the same arithmetic — the chunk-walk parse under
+    # test must reproduce it from real RIFF bytes.
+    "decode_audio_meta": """
+        SELECT doc_id,
+               'audio/wav' AS mime,
+               CAST(44 + n_chars * (1 + doc_id % 2) * 2 AS BIGINT) AS n_bytes,
+               CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+               CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+               CAST(n_chars AS BIGINT) AS n_samples
+        FROM documents
+    """,
+    # resize_images itself is rows-only (binary output); this twin pins
+    # the kernel: header parse succeeded (mime), output contract
+    # (3·4·4 bytes), and every pixel equal to the independent
+    # planted-formula recomputation (pixels_ok).
+    "resize_images_check": """
+        SELECT doc_id,
+               'image/x-portable-pixmap' AS mime,
+               CAST(48 AS BIGINT) AS n_bytes,
+               TRUE AS pixels_ok
+        FROM documents
+    """,
     "unigram_perplexity": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -3702,6 +4159,66 @@ ORACLE_SQL: dict[str, str] = {
     # strictly pre-cut, changelog strictly post-cut, so changelog-wins
     # coincides with global latest); the rewrite set is recomputed
     # arithmetically from the two per-side latests.
+    "txn_log_vacuum_check": """
+        WITH live AS (
+            SELECT * FROM events
+            WHERE NOT (ts < TIMESTAMP '2024-01-11 00:00:00'
+                       AND event_type = 'click')
+        ),
+        scal AS (
+            SELECT CAST(2 AS BIGINT) AS n_data_removed,
+                   CAST(2 AS BIGINT) AS n_manifests_removed,
+                   CAST(2 AS BIGINT) AS earliest_retained,
+                   CAST(4 AS BIGINT) AS n_files_disk,
+                   CAST(4 AS BIGINT) AS n_files_live,
+                   TRUE AS v0_unreadable
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               n_data_removed, n_manifests_removed, earliest_retained,
+               n_files_disk, n_files_live, v0_unreadable
+        FROM live CROSS JOIN scal
+        GROUP BY event_type, n_data_removed, n_manifests_removed,
+                 earliest_retained, n_files_disk, n_files_live, v0_unreadable
+    """,
+    "txnlog_cdf_read": """
+        SELECT CAST(0 AS INTEGER) AS commit_version,
+               'insert' AS change_type, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
+        GROUP BY event_type
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'insert', event_type,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        FROM events WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+        GROUP BY event_type
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'delete', event_type,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-11 00:00:00' AND event_type = 'click'
+        GROUP BY event_type
+    """,
+    "txnlog_schema_evolve": """
+        WITH scal AS (
+            SELECT CAST(4 AS BIGINT) AS v0_cols, CAST(5 AS BIGINT) AS latest_cols
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (ts >= TIMESTAMP '2024-01-11 00:00:00')
+                    AS BIGINT) AS n_scored,
+               CAST(SUM(CAST(
+                   CASE WHEN ts >= TIMESTAMP '2024-01-11 00:00:00'
+                        THEN round(value * 0.5, 6) ELSE 0.0 END
+                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_score,
+               v0_cols, latest_cols
+        FROM events CROSS JOIN scal
+        GROUP BY event_type, v0_cols, latest_cols
+    """,
     "txn_log_snapshot_read": """
         WITH live AS (
             SELECT * FROM events

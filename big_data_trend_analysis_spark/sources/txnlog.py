@@ -73,16 +73,33 @@ class TxnLog:
 
     def latest_version(self) -> int:
         """Highest committed version, or -1 for an empty log."""
-        versions = [
+        versions = self._versions()
+        return max(versions, default=-1)
+
+    def earliest_version(self) -> int:
+        """Lowest still-readable version (vacuum compacts the chain
+        from the front), or -1 for an empty log."""
+        versions = self._versions()
+        return min(versions, default=-1)
+
+    def _versions(self) -> list[int]:
+        return [
             int(m.group(1))
             for name in os.listdir(self.log_path)
             if (m := self._MANIFEST_RE.match(name))
         ]
-        return max(versions, default=-1)
 
     def manifest(self, version: int) -> dict:
-        with open(self._manifest_file(version)) as f:
-            return json.load(f)
+        try:
+            with open(self._manifest_file(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            earliest = self.earliest_version()
+            raise ValueError(
+                f"version {version} is not in the transaction log "
+                f"(vacuumed or never committed); readable range is "
+                f"[{earliest}, {self.latest_version()}]"
+            ) from None
 
     def snapshot_files(self, version: int | None = None) -> list[str]:
         """Absolute paths of the files constituting a snapshot
@@ -103,6 +120,7 @@ class TxnLog:
         add: list[str],
         remove: list[str] = (),
         expected_version: int | None = None,
+        schema_json: str | None = None,
     ) -> int:
         """Publish snapshot ``expected_version + 1`` atomically.
 
@@ -111,15 +129,21 @@ class TxnLog:
         plus ``add``. Raises ``FileExistsError`` if another writer
         committed the same version first (optimistic-concurrency
         loser: re-read and rebase).
+
+        ``schema_json`` (a StructType JSON) makes the schema part of
+        the SAME atomic commit — Delta's metadata-update mechanic: a
+        column add lands with the first files that carry it, readers
+        of version N use version N's schema (older files surface the
+        new column as null), and pre-evolution versions keep reading
+        under THEIR pinned schema. ``None`` inherits the parent's.
         """
         if expected_version is None:
             expected_version = self.latest_version()
         version = expected_version + 1
-        prev = (
-            self.manifest(expected_version)["files"]
-            if expected_version >= 0
-            else []
+        parent = (
+            self.manifest(expected_version) if expected_version >= 0 else None
         )
+        prev = parent["files"] if parent else []
         removed = set(remove)
         missing = removed - set(prev)
         if missing:
@@ -130,6 +154,9 @@ class TxnLog:
             "files": files,
             "added": list(add),
             "removed": sorted(removed),
+            "schema": schema_json
+            if schema_json is not None
+            else (parent.get("schema") if parent else None),
         }
         staged = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
         with open(staged, "w") as f:
@@ -174,7 +201,10 @@ class TxnLog:
             if name.endswith(".parquet")
         )
         return self.commit(
-            add=add, remove=remove, expected_version=expected_version
+            add=add,
+            remove=remove,
+            expected_version=expected_version,
+            schema_json=df.schema.json(),
         )
 
     # -- read -----------------------------------------------------------
@@ -183,8 +213,191 @@ class TxnLog:
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
         """Read a pinned snapshot: exactly the manifest's file list —
-        stale/superseded files on disk are never touched."""
+        stale/superseded files on disk are never touched.
+
+        If the manifest pins a schema (any ``write_commit`` since the
+        log was created does), the read uses THAT version's schema:
+        files written before a column-add commit surface the added
+        column as null, and a pre-evolution version keeps ITS
+        narrower schema — transactional schema evolution without
+        mergeSchema's footer-union scan.
+        """
+        if version is None:
+            version = self.latest_version()
         files = self.snapshot_files(version)
         if not files:
             raise ValueError("empty transaction log")
-        return spark.read.parquet(*files)
+        schema_json = self.manifest(version).get("schema")
+        reader = spark.read
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*files)
+
+    # -- maintenance ------------------------------------------------------
+
+    def vacuum(self, retain_versions: int = 1) -> dict:
+        """Age out unreferenced data files and compact the version
+        chain (Delta VACUUM + log checkpointing, folded into one op
+        since every manifest here is already a complete snapshot).
+
+        Keeps the newest ``retain_versions`` manifests; any data file
+        referenced by none of them is deleted, and older manifests are
+        dropped — after which those versions are unreadable BY
+        CONTRACT (``manifest()`` raises with the readable range). The
+        latest snapshot's bytes are untouched: vacuum only ever
+        removes files the retained manifests do not list. Driver-side
+        O(retained manifests + directory listing), no data movement.
+        """
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        latest = self.latest_version()
+        if latest < 0:
+            return {
+                "data_files_removed": 0,
+                "manifests_removed": 0,
+                "earliest_retained": -1,
+            }
+        horizon = max(latest - retain_versions + 1, self.earliest_version())
+        keep: set[str] = set()
+        for v in range(horizon, latest + 1):
+            keep |= set(self.manifest(v)["files"])
+        data_root = os.path.join(self.root, DATA_DIR)
+        files_removed = 0
+        for dirpath, _, names in os.walk(data_root, topdown=False):
+            for name in names:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.root)
+                if rel not in keep and name.endswith(".parquet"):
+                    os.unlink(full)
+                    files_removed += 1
+            # drop commit dirs that now hold only write sidecars
+            # (_SUCCESS/.crc); surviving dirs (any parquet left) and
+            # the data root itself stay untouched
+            rest = os.listdir(dirpath)
+            if dirpath != data_root and all(
+                os.path.isfile(os.path.join(dirpath, n))
+                and not n.endswith(".parquet")
+                for n in rest
+            ):
+                for n in rest:
+                    os.unlink(os.path.join(dirpath, n))
+                os.rmdir(dirpath)
+        manifests_removed = 0
+        for v in range(self.earliest_version(), horizon):
+            try:
+                os.unlink(self._manifest_file(v))
+                manifests_removed += 1
+            except FileNotFoundError:
+                pass
+        return {
+            "data_files_removed": files_removed,
+            "manifests_removed": manifests_removed,
+            "earliest_retained": horizon,
+        }
+
+    # -- change data feed -------------------------------------------------
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        from_version: int | None = None,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Delta-CDF-style change feed derived from the log itself.
+
+        For each commit k in the range, reads ONLY that commit's
+        added/removed file sets — O(touched files) per version, never
+        O(snapshot) — and diffs them on ``key_cols``: a key only in
+        the added side is an ``insert``, only in the removed side a
+        ``delete``, in both with a different payload an ``update``
+        (post-image emitted; deletes carry the pre-image). Rows a
+        rewrite copied verbatim (same key, same payload on both
+        sides) are no-ops and dropped, so the feed equals the
+        semantic snapshot-k-vs-k-1 diff while never re-reading
+        untouched files. Output columns: the table's columns plus
+        ``_change_type`` and ``_commit_version`` — what a downstream
+        incremental consumer (``upsert_scd1``/``merge_roundtrip``)
+        subscribes to.
+        """
+        from pyspark.sql import functions as F
+
+        lo = self.earliest_version() if from_version is None else from_version
+        hi = self.latest_version() if to_version is None else to_version
+        if lo < self.earliest_version() or hi > self.latest_version() or lo > hi:
+            raise ValueError(
+                f"change range [{lo}, {hi}] outside readable log range "
+                f"[{self.earliest_version()}, {self.latest_version()}]"
+            )
+
+        def _read(rel_files: list[str], schema_json: str | None) -> DataFrame:
+            reader = spark.read
+            if schema_json:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                )
+            return reader.parquet(
+                *[os.path.join(self.root, rel) for rel in rel_files]
+            )
+
+        parts: list[DataFrame] = []
+        for v in range(lo, hi + 1):
+            m = self.manifest(v)
+            added, removed = m["added"], m["removed"]
+            if not added and not removed:
+                continue  # pure metadata commit
+            schema_json = m.get("schema")
+            ver = F.lit(v).alias("_commit_version")
+            if not removed:
+                df = _read(added, schema_json)
+                parts.append(
+                    df.select(
+                        *df.columns,
+                        F.lit("insert").alias("_change_type"),
+                        ver,
+                    )
+                )
+                continue
+            if not added:
+                df = _read(removed, schema_json)
+                parts.append(
+                    df.select(
+                        *df.columns,
+                        F.lit("delete").alias("_change_type"),
+                        ver,
+                    )
+                )
+                continue
+            a_df = _read(added, schema_json)
+            r_df = _read(removed, schema_json)
+            payload = [c for c in a_df.columns if c not in key_cols]
+            a_s = a_df.select(*key_cols, F.struct(*payload).alias("_after"))
+            r_s = r_df.select(*key_cols, F.struct(*payload).alias("_before"))
+            j = r_s.join(a_s, list(key_cols), "full_outer")
+            op = (
+                F.when(F.col("_before").isNull(), F.lit("insert"))
+                .when(F.col("_after").isNull(), F.lit("delete"))
+                .when(
+                    ~F.col("_before").eqNullSafe(F.col("_after")),
+                    F.lit("update"),
+                )
+            )
+            img = F.coalesce(F.col("_after"), F.col("_before"))
+            parts.append(
+                j.select(
+                    *key_cols,
+                    *[img.getField(c).alias(c) for c in payload],
+                    op.alias("_change_type"),
+                    ver,
+                ).filter(F.col("_change_type").isNotNull())
+            )
+        if not parts:
+            raise ValueError("no data commits in the requested range")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

@@ -1290,3 +1290,57 @@ def test_feature_binning_equi_depth_and_boundary_exactness(spark):
     # bucket 0 covers values below the 0.1-quantile 10.9 -> 1..10
     assert rows[0].min_price == 1.0 and rows[0].max_price == 10.0
     assert rows[9].min_price == 91.0 and rows[9].max_price == 100.0
+
+
+def test_wav_synth_decodes_to_param_formula(spark):
+    """with_wav_blob must emit byte-valid WAVs whose chunk-walk decode
+    reproduces the (doc_id, n_chars)-derived parameters — the contract
+    the decode_audio_meta oracle recomputes arithmetically."""
+    from big_data_trend_analysis_spark.operators.multimodal import (
+        _wav_params,
+        multimodal_audio_decode,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 7), (2, 0), (5, 33)], "doc_id long, n_chars long"
+    )
+    got = {r.doc_id: r for r in multimodal_audio_decode(docs).collect()}
+    for d, n in [(0, 10), (1, 7), (2, 0), (5, 33)]:
+        ch, rate, frames = _wav_params(d, n)
+        r = got[d]
+        assert r.mime == "audio/wav"
+        assert (r.n_channels, r.sample_rate, r.n_samples) == (ch, rate, frames)
+        assert r.n_bytes == 44 + frames * ch * 2
+
+
+def test_resize_check_flags_a_corrupted_kernel(spark, monkeypatch):
+    """resize_images_check must actually be able to FAIL: corrupt the
+    planted-pixel formula on the verify side and every row's pixels_ok
+    must flip false (proving the check isn't vacuously true)."""
+    from big_data_trend_analysis_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    ok = multimodal.resize_images_check(docs).collect()
+    assert all(r.pixels_ok for r in ok)
+    assert all(r.n_bytes == 48 for r in ok)
+    assert all(r.mime == "image/x-portable-pixmap" for r in ok)
+
+    # Resample to a size whose source coords differ from the formula's
+    # by shifting the synthesized dims: a blob built for doc_id d but
+    # verified as doc_id d+1 must fail pixel equality.
+    shifted = multimodal.resize_images(
+        multimodal.with_ppm_blob(docs), 4, 4
+    ).withColumn("doc_id", multimodal.F.col("doc_id") + 1)
+    import pandas as pd
+
+    bad = 0
+    for row in shifted.collect():
+        d = int(row.doc_id)
+        w, h = 8 + d % 5, 8 + (3 * d) % 5
+        for ty in range(4):
+            for tx in range(4):
+                sy, sx = (ty * h) // 4, (tx * w) // 4
+                for c in range(3):
+                    if row.content[(ty * 4 + tx) * 3 + c] != multimodal._ppm_pixel(d, sy, sx, c):
+                        bad += 1
+    assert bad > 0, "shifted verification unexpectedly passed"

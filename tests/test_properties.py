@@ -598,3 +598,26 @@ def test_repetition_signals_match_brute_force(spark):
     # doc 1's top bigram "spam spam" covers 3*9=27 of 26 chars when
     # counted with overlap — the reported fraction must be capped
     assert got[1].top_bigram_char_frac == 1.0
+
+
+def test_split_bucket_is_engine_portable(spark):
+    """The split hash must be recomputable OUTSIDE Spark verbatim (the
+    whole point of the md5 bucket): hashlib reproduces every bucket,
+    i.e. split membership is auditable from any engine."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.operators.textstats import (
+        split_train_val_test,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    got = {
+        r.doc_id: r.split
+        for r in split_train_val_test(docs, 0.05, 0.05).collect()
+    }
+    for i in range(200):
+        b = int(hashlib.md5(f"{i}:29".encode()).hexdigest()[:15], 16) % 1_000_000
+        want = "val" if b < 50_000 else ("test" if b < 100_000 else "train")
+        assert got[i] == want, f"doc {i}: bucket {b} → {want}, got {got[i]}"

@@ -267,3 +267,112 @@ def test_cdc_changes_op_derivation(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     flags = {r.event_id: r.is_del for r in changes_from_events(events).collect()}
     assert flags == {14: True, 15: False}
+
+
+# ------------------------------------------------------------ vacuum / cdf
+
+
+def test_txnlog_vacuum_ages_out_superseded_files(spark, tmp_path):
+    """After vacuum(retain=1): latest snapshot byte-identical, old
+    versions unreadable BY CONTRACT (ValueError with readable range),
+    on-disk parquet count == live manifest count."""
+    import glob
+
+    root = str(tmp_path / "t")
+    log = TxnLog(root)
+    log.write_commit(spark.range(10).selectExpr("id", "id * 2 AS d"), n_files=2)
+    v0_files = log.manifest(0)["added"]
+    log.write_commit(spark.range(10, 15).selectExpr("id", "id * 2 AS d"), n_files=1)
+    log.write_commit(
+        log.read_snapshot(spark).filter("id >= 5"),
+        remove=log.manifest(1)["files"],
+        n_files=1,
+    )  # v2 rewrite
+    before = sorted(tuple(r) for r in log.read_snapshot(spark).collect())
+
+    stats = log.vacuum(retain_versions=1)
+    assert stats["earliest_retained"] == 2
+    assert stats["manifests_removed"] == 2
+    assert stats["data_files_removed"] == 3  # v0's two files + v1's one
+    # latest snapshot byte-identical
+    after = sorted(tuple(r) for r in log.read_snapshot(spark).collect())
+    assert after == before
+    # pinned old versions unreadable by contract
+    with pytest.raises(ValueError, match=r"readable range is \[2, 2\]"):
+        log.read_snapshot(spark, 0)
+    assert log.earliest_version() == 2 and log.latest_version() == 2
+    # disk == manifest
+    on_disk = glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True)
+    assert len(on_disk) == len(log.snapshot_files())
+    assert all(not os.path.exists(os.path.join(root, f)) for f in v0_files)
+
+
+def test_txnlog_vacuum_retains_requested_history(spark, tmp_path):
+    log = TxnLog(str(tmp_path / "t"))
+    for i in range(4):
+        log.write_commit(spark.range(i, i + 3), n_files=1)
+    log.vacuum(retain_versions=2)
+    assert log.earliest_version() == 2
+    assert log.read_snapshot(spark, 2).count() == 9  # history still reads
+    with pytest.raises(ValueError):
+        log.manifest(1)
+
+
+def test_txnlog_cdf_matches_semantic_diff(spark, tmp_path):
+    """The file-delta change feed must equal the snapshot diff: insert
+    rows for appends, delete rows for purged keys, update post-images
+    for repriced keys, and NO rows for rewrite-copied (unchanged)
+    keys."""
+    log = TxnLog(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "id long, price double"
+    )
+    log.write_commit(base, n_files=2)  # v0: 4 inserts
+    log.write_commit(
+        spark.createDataFrame([(5, 50.0)], "id long, price double"), n_files=1
+    )  # v1: append
+    # v2 rewrite of v0's files: drop id=2, reprice id=3, copy 1 & 4
+    v2 = spark.createDataFrame(
+        [(1, 10.0), (3, 33.0), (4, 40.0)], "id long, price double"
+    )
+    log.write_commit(v2, remove=log.manifest(0)["added"], n_files=1)
+
+    ch = {
+        (r.id, r._change_type, r._commit_version): r.price
+        for r in log.read_changes(spark, key_cols=["id"]).collect()
+    }
+    assert ch == {
+        (1, "insert", 0): 10.0,
+        (2, "insert", 0): 20.0,
+        (3, "insert", 0): 30.0,
+        (4, "insert", 0): 40.0,
+        (5, "insert", 1): 50.0,
+        (2, "delete", 2): 20.0,   # pre-image
+        (3, "update", 2): 33.0,   # post-image
+    }
+    # range reads: only v2's changes
+    only_v2 = log.read_changes(spark, ["id"], from_version=2).collect()
+    assert {(r.id, r._change_type) for r in only_v2} == {(2, "delete"), (3, "update")}
+    with pytest.raises(ValueError, match="outside readable"):
+        log.read_changes(spark, ["id"], from_version=5)
+
+
+def test_txnlog_schema_evolution_is_transactional(spark, tmp_path):
+    """A column add lands atomically with its commit: the latest
+    snapshot reads old files with the new column null, while the
+    pre-evolution version keeps its narrower pinned schema."""
+    log = TxnLog(str(tmp_path / "t"))
+    log.write_commit(spark.createDataFrame([(1, "a")], "id long, name string"))
+    log.write_commit(
+        spark.createDataFrame(
+            [(2, "b", 0.5)], "id long, name string, score double"
+        )
+    )
+    latest = log.read_snapshot(spark)
+    assert latest.columns == ["id", "name", "score"]
+    rows = {r.id: r for r in latest.collect()}
+    assert rows[1].score is None and rows[2].score == 0.5
+    # pre-evolution version: ITS schema, not the union
+    v0 = log.read_snapshot(spark, 0)
+    assert v0.columns == ["id", "name"]
+    assert v0.count() == 1
