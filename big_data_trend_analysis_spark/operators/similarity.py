@@ -32,6 +32,46 @@ from big_data_trend_analysis_spark.functions.vectors import as_double, cosine, d
 EMBEDDING_DIM = 64
 DEFAULT_PROBES = (0, 1, 2)
 
+#: Absolute ceiling on ANY driver-side sample collect in this module
+#: (codebook training, probe LUTs, PCA partials, knob tuning). These
+#: are the engine's only driver-side data paths; every one targets a
+#: corpus-size-independent sample, and this enforced bound makes sure
+#: a future edit cannot silently unbound one (ADVICE r7 watch item).
+_BOUNDED_SAMPLE_MAX = 100_000
+
+
+def _bounded_collect(df: DataFrame, what: str) -> list:
+    """collect() with the module's sample ceiling enforced at runtime."""
+    rows = df.collect()
+    if len(rows) > _BOUNDED_SAMPLE_MAX:
+        raise RuntimeError(
+            f"{what}: driver-side sample pulled {len(rows)} rows "
+            f"(> _BOUNDED_SAMPLE_MAX={_BOUNDED_SAMPLE_MAX}) — the sample "
+            "rate is mis-sized; refusing an unbounded driver collect"
+        )
+    return rows
+
+
+def _hash_sample_matrix(
+    embeddings: DataFrame, target: int, what: str
+) -> tuple[int, np.ndarray]:
+    """Deterministic bounded sample of the embedding matrix.
+
+    One count job sizes the xxhash64 filter rate so roughly ``target``
+    rows survive (deterministic per vec_id → identical sample every
+    run, partitioning, and cluster size); the collect is bounds-
+    checked. Returns (corpus_size, row-sorted sample matrix).
+    """
+    n = embeddings.count()
+    sample = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    if n > target:
+        sample = sample.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
+            < int(1_000_000 * target / n)
+        )
+    rows = sorted(_bounded_collect(sample, what), key=lambda r: r.vec_id)
+    return n, np.stack([np.asarray(r.v, dtype=float) for r in rows])
+
 
 def train_ivf_centroids(
     embeddings: DataFrame,
@@ -53,16 +93,9 @@ def train_ivf_centroids(
     """
     target = n_centroids * sample_per_centroid
     # One count job (rewritten to parquet row-group stats for plain
-    # scans, but a job either way) to size the hash-sample rate.
-    n = embeddings.count()
-    sample = embeddings.select("vec_id", as_double("embedding").alias("v"))
-    if n > target:
-        # xxhash64 is deterministic per vec_id → same sample every run.
-        sample = sample.filter(
-            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000)) < int(1_000_000 * target / n)
-        )
-    rows = sorted(sample.collect(), key=lambda r: r.vec_id)
-    mat = np.stack([np.asarray(r.v, dtype=float) for r in rows])
+    # scans, but a job either way) sizes the hash-sample rate; the
+    # collect is bounds-checked against _BOUNDED_SAMPLE_MAX.
+    n, mat = _hash_sample_matrix(embeddings, target, "train_ivf_centroids")
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
     rng = np.random.default_rng(seed)
@@ -178,29 +211,34 @@ def ann_recall_check(
     embeddings: DataFrame,
     n_probes: int = 20,
     k: int = 5,
-    min_recall: float = 0.25,
+    min_recall: float = 0.35,
 ) -> DataFrame:
     """Self-checking ANN accuracy invariant (hash-checked).
 
-    Runs the exact brute-force top-k AND the IVF path (production
-    defaults: nprobe=2 of 8 cells) for the same ``n_probes`` probes,
-    then asserts MACRO recall — total hits over total exact neighbors —
-    ≥ ``min_recall`` as a boolean the oracle demands be TRUE. Macro,
-    not per-probe: the fixtures' embeddings are near-uniform (no
-    cluster structure), so an individual probe's recall swings 0–80 %
-    while the 100-pair macro rate is stable (measured 0.47–0.49 across
-    sf0.001/0.01/0.1 — min_recall 0.25 leaves 2× headroom). The IVF
-    side is deterministic (fixed-seed codebook on a deterministic
-    sample), so the boolean cannot flap between runs. Same design as
-    the sketch ``*_check`` queries: turns "the index ran" into "the
-    index actually finds its neighbors" inside the driver gate.
+    Runs the exact brute-force top-k AND the IVF path for the same
+    ``n_probes`` probes, then asserts MACRO recall — total hits over
+    total exact neighbors — ≥ ``min_recall`` as a boolean the oracle
+    demands be TRUE. Macro, not per-probe: the fixtures' embeddings
+    are near-uniform (no cluster structure), so an individual probe's
+    recall swings 0–80 % while the 100-pair macro rate is stable
+    (measured 0.47–0.49 across sf0.001/0.01/0.1). Since round 8
+    ``nprobe`` is DERIVED by ``tune_ivf_nprobe`` from the sampled
+    neighbor-cell-rank distribution (target: half the sample-level
+    nearest neighbors covered — resolves to 2 of 8 cells on the
+    fixtures) and the floor is tightened 0.25 → 0.35, so the gate now
+    also fails if the tuner under-probes. The IVF side is
+    deterministic (fixed-seed codebook on a deterministic sample), so
+    the boolean cannot flap between runs. Same design as the sketch
+    ``*_check`` queries: turns "the index ran" into "the index
+    actually finds its neighbors" inside the driver gate.
     """
     probe_ids = tuple(range(n_probes))
+    nprobe = tune_ivf_nprobe(embeddings, target_recall=0.5)
     exact = sim_search(embeddings, probe_ids=probe_ids, k=k).select(
         "probe_id", "vec_id"
     )
     approx = (
-        ann_ivf(embeddings, probe_ids=probe_ids, k=k)
+        ann_ivf(embeddings, probe_ids=probe_ids, k=k, nprobe=nprobe)
         .select("probe_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )
@@ -247,6 +285,91 @@ def _hyperplanes(n_planes: int, dim: int = EMBEDDING_DIM) -> list[list[float]]:
     """Deterministic random hyperplanes (fixed seed → plan-stable)."""
     rng = np.random.default_rng(42)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def tune_lsh_knobs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    target_recall: float = 0.9,
+    max_cand_frac: float = 0.01,
+    bits_cap: int = 16,
+    bands_cap: int = 16,
+    sample_size: int = 256,
+) -> tuple[int, int]:
+    """Derive (bands, bits_per_band) for hyperplane LSH from a sampled
+    similarity histogram instead of hand constants (ROADMAP item,
+    VERDICT r7 #7).
+
+    Theory (Charikar SimHash): a random hyperplane agrees on a pair at
+    cosine s with prob p(s) = 1 − arccos(s)/π, so a b-bit band
+    collides w.p. p(s)^b and OR-of-L bands recalls a threshold-t pair
+    w.p. 1 − (1 − p(t)^b)^L. The BACKGROUND candidate rate — the term
+    hand-tuning gets wrong, and the reason 4-bit bands once made 30%
+    of all pairs candidates — is estimated from data: q_b = E[p(s)^b]
+    over the sampled pairwise-similarity histogram. The tuner picks
+    the smallest b whose expected candidate fraction L·q_b stays
+    under ``max_cand_frac`` with an L that still meets
+    ``target_recall``, preferring fewer total bits (cheaper
+    signatures). Driver cost: one bounded hash-sample (≤
+    ``sample_size`` rows) + O(sample²) numpy — corpus-size-
+    independent, deterministic (hash sample, no RNG).
+    """
+    _, mat = _hash_sample_matrix(embeddings, sample_size, "tune_lsh_knobs")
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = (mat @ mat.T)[np.triu_indices(len(mat), k=1)]
+    p_bg = 1.0 - np.arccos(np.clip(sims, -1.0, 1.0)) / np.pi
+    p_t = 1.0 - float(np.arccos(min(max(threshold, -1.0), 1.0))) / np.pi
+    for bits in range(4, bits_cap + 1):
+        p_band = p_t**bits
+        if p_band >= 1.0:
+            bands = 1
+        else:
+            bands = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - p_band)))
+        if bands < 1 or bands > bands_cap:
+            continue
+        if bands * float(np.mean(p_bg**bits)) <= max_cand_frac:
+            return bands, bits
+    # No setting meets the candidate budget at the recall target:
+    # return the most selective feasible signature rather than raising
+    # (the verify stage restores precision; recall degrades visibly in
+    # the *_check gates instead of silently).
+    return bands_cap, bits_cap
+
+
+def tune_ivf_nprobe(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    target_recall: float = 0.5,
+    sample_size: int = 256,
+) -> int:
+    """Derive IVF ``nprobe`` from the sampled neighbor-cell-rank
+    distribution instead of a hand constant (VERDICT r7 #7).
+
+    For each sampled vector, find its nearest sampled neighbor and
+    the IVF cell that neighbor lands in; record the RANK of that cell
+    in the vector's own centroid-distance order. ``nprobe`` is the
+    smallest p covering ``target_recall`` of sampled neighbors — by
+    construction, probing p cells finds at least that fraction of
+    sample-level nearest neighbors. On clustered corpora this returns
+    1–2; on near-uniform fixtures (no cluster structure) it honestly
+    reports that more cells must be probed. Bounded sample, same
+    deterministic codebook as ``ann_ivf`` — corpus-size-independent.
+    """
+    cents = train_ivf_centroids(embeddings, n_centroids=n_centroids)
+    _, mat = _hash_sample_matrix(embeddings, sample_size, "tune_ivf_nprobe")
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    nn = np.argmax(sims, axis=1)
+    cell_scores = mat @ cents.T  # (sample, K) cosine to each centroid
+    cell_order = np.argsort(-cell_scores, axis=1, kind="stable")
+    nn_cell = np.argmax(cell_scores[nn], axis=1)
+    # rank of the neighbor's cell in my probe order
+    ranks = np.argmax(cell_order == nn_cell[:, None], axis=1)
+    for p in range(1, len(cents) + 1):
+        if float(np.mean(ranks < p)) >= target_recall:
+            return p
+    return len(cents)
 
 
 def embed_neardup(
@@ -348,8 +471,18 @@ def embed_neardup_check(
     positive offset would collide once real ids reach it (the ADVICE r6
     finding on the dedup twins, applied family-wide). In pair output
     the twin is always ``vec_id_a`` (pairs order vec_id_a < vec_id_b).
+
+    Since round 8 the LSH knobs are DERIVED, not hand constants:
+    ``tune_lsh_knobs`` sizes (bands, bits) from the corpus's sampled
+    similarity histogram for 90% recall at the 0.9 threshold under a
+    1% candidate budget (14×12 on the fixtures vs the hand 8×12 —
+    more bands, higher recall, same verify cost). The planted twins
+    sit at cos ≈ 0.9988 where per-pair recall is 1 − (1 − 0.9844^12)^14
+    ≈ 1 − 2e-11, so the all-found boolean also gates the tuner: knobs
+    mis-sized toward too-few bands or too-many bits flip it false.
     """
     base = embeddings.select("vec_id", "embedding")
+    bands, bits_per_band = tune_lsh_knobs(embeddings, threshold=threshold)
     seeds = base.filter(F.col("vec_id") < n_planted)
     # Alternating ±noise relative perturbation, JVM-side transform —
     # plan-stable (no randomness) and dimension-agnostic.
@@ -368,7 +501,12 @@ def embed_neardup_check(
         (-(F.col("vec_id") + 1)).alias("vec_id"), twin_vec.alias("embedding")
     )
     augmented = base.unionByName(planted)
-    pairs = embed_neardup(augmented, threshold=threshold)
+    pairs = embed_neardup(
+        augmented,
+        threshold=threshold,
+        bands=bands,
+        bits_per_band=bits_per_band,
+    )
     recovered = pairs.filter(
         (F.col("vec_id_a") == -(F.col("vec_id_b") + 1))
         & (F.col("vec_id_b") < n_planted)
@@ -492,15 +630,7 @@ def train_pq_codebooks(
         mat = sample_mat
     else:
         target = k * sample_per_code * m
-        n = embeddings.count()
-        sample = embeddings.select("vec_id", as_double("embedding").alias("v"))
-        if n > target:
-            sample = sample.filter(
-                F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
-                < int(1_000_000 * target / n)
-            )
-        rows = sorted(sample.collect(), key=lambda r: r.vec_id)
-        mat = np.stack([np.asarray(r.v, dtype=float) for r in rows])
+        n, mat = _hash_sample_matrix(embeddings, target, "train_pq_codebooks")
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
     rng = np.random.default_rng(seed)
@@ -598,13 +728,14 @@ def embed_pq_check(
         else F.lit(True)
     )
     pulled = sorted(
-        embeddings.select(
-            "vec_id",
-            as_double("embedding").alias("v"),
-            hash_pass.alias("in_sample"),
-        )
-        .filter(F.col("in_sample") | (F.col("vec_id") < n_planted))
-        .collect(),
+        _bounded_collect(
+            embeddings.select(
+                "vec_id",
+                as_double("embedding").alias("v"),
+                hash_pass.alias("in_sample"),
+            ).filter(F.col("in_sample") | (F.col("vec_id") < n_planted)),
+            "embed_pq_check sample",
+        ),
         key=lambda r: r.vec_id,
     )
     sample_mat = np.stack(
@@ -794,9 +925,12 @@ def ann_ivfpq_check(
     # Probe LUTs + routed cells, driver-computed from O(n_planted) rows
     # (corpus-size-independent, like codebook training).
     probe_rows = sorted(
-        embeddings.filter(F.col("vec_id") < n_planted)
-        .select("vec_id", as_double("embedding").alias("v"))
-        .collect(),
+        _bounded_collect(
+            embeddings.filter(F.col("vec_id") < n_planted).select(
+                "vec_id", as_double("embedding").alias("v")
+            ),
+            "ann_ivfpq_check probes",
+        ),
         key=lambda r: r.vec_id,
     )
     routed = []
@@ -870,7 +1004,9 @@ def embed_pca_check(
     - ``orthonormal_ok``: ‖VᵀV − I‖∞ < 1e-8 for the eigenvector block.
     """
     dim = EMBEDDING_DIM
-    parts = pca_moment_partials(embeddings, dim=dim).collect()
+    parts = _bounded_collect(
+        pca_moment_partials(embeddings, dim=dim), "embed_pca_check partials"
+    )
     n = sum(r.n for r in parts)
     s = np.sum([np.asarray(r.s) for r in parts], axis=0)
     g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in parts], axis=0)

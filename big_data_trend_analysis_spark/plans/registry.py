@@ -143,20 +143,27 @@ def _stream_decay_trend_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's oracle check covers the actual streaming path, not just
     its batch twin. Checkpoint/table names are unique per invocation.
     """
+    import os
     import shutil
     import tempfile
     import uuid
 
     from big_data_trend_analysis_spark.streaming.jobs import decay_trend_stream
-    from big_data_trend_analysis_spark.streaming.sources import stream_events
+    from big_data_trend_analysis_spark.streaming.sources import (
+        EVENTS_SOURCE_ENV,
+        stream_events_from_uri,
+    )
 
     tune_session(spark)
     name = f"decay_live_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    # kafka://host:port/topic when the deployment has a broker (+
+    # spark-sql-kafka jar); unset = the container's file-replay twin.
+    source = os.environ.get(EVENTS_SOURCE_ENV)
     try:
       with _stream_partitions(spark):
         query = (
-            decay_trend_stream(stream_events(spark, sf_dir))
+            decay_trend_stream(stream_events_from_uri(spark, source, sf_dir))
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
@@ -2162,6 +2169,174 @@ def _runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cbo_reorder_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reorder proven in-gate (VERDICT r7 #6 — the
+    deferred ANALYZE/CBO item, un-deferred for its provable part).
+
+    Three catalog tables (external, session-unique /tmp locations)
+    get ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS``; the
+    star join is then written in a deliberately BAD syntactic order —
+    fact first (``orders ⋈ customer ⋈ nation``), selective dim last.
+    With ``spark.sql.cbo.enabled`` + ``joinReorder`` OFF the optimized
+    plan keeps the syntactic order; ON (with the stats in the
+    catalog) the reorderer builds the dims first and joins the fact
+    LAST — the shape that keeps a 100 TB fact table from flowing
+    through two shuffles. ``cbo_reordered`` records exactly that
+    plan-shape flip (baseline != CBO order AND fact last), oracle-
+    pinned TRUE; the aggregate values are plan-order-invariant and
+    recomputed from the raw fixtures.
+    """
+    import re
+    import shutil
+
+    tune_session(spark)
+    sfx = _gate_suffix(spark, sf_dir)
+    tbls = {t: f"bdta_cbo_{t}_{sfx}" for t in ("orders", "customer", "nation")}
+    _cleanup_at_exit(
+        spark,
+        paths=[f"/tmp/{n}" for n in tbls.values()],
+        tables=list(tbls.values()),
+    )
+    for t, name in tbls.items():
+        shutil.rmtree(f"/tmp/{name}", ignore_errors=True)
+        load_table(spark, sf_dir, t).write.mode("overwrite").format(
+            "parquet"
+        ).option("path", f"/tmp/{name}").saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    q = f"""
+        SELECT n.n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM {tbls["orders"]} o
+        JOIN {tbls["customer"]} c ON o.o_custkey = c.c_custkey
+        JOIN {tbls["nation"]} n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY n.n_name
+    """
+
+    def join_order(df) -> list[str]:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        seen: list[str] = []
+        for m in re.findall(r"bdta_cbo_(orders|customer|nation)_", plan):
+            if m not in seen:
+                seen.append(m)
+        return seen
+
+    confs = {
+        "spark.sql.cbo.enabled": None,
+        "spark.sql.cbo.joinReorder.enabled": None,
+    }
+    prior = {}
+    for k in confs:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+    try:
+        for k in confs:
+            spark.conf.set(k, "false")
+        baseline = join_order(spark.sql(q))
+        for k in confs:
+            spark.conf.set(k, "true")
+        df = spark.sql(q)
+        cbo_order = join_order(df)
+        rows = [(r.n_name, r.n_orders, r.sum_price) for r in df.collect()]
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    cbo_reordered = cbo_order != baseline and cbo_order[-1] == "orders"
+    return spark.createDataFrame(
+        [(*r, cbo_reordered) for r in rows],
+        "n_name string, n_orders long, sum_price double, "
+        "cbo_reordered boolean",
+    )
+
+
+def _aqe_skew_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join split proven in-gate (VERDICT r7 #4) — the
+    automatic complement to the manual salting `join_skewed` proves.
+
+    A 95%-hot key is derived from events (`k = 0` unless
+    ``event_id % 20 == 0``) with a uuid pad so the hot shuffle
+    partition is real megabytes, and the join runs inside a scoped
+    conf block that forces the shuffle-join regime (broadcast off)
+    with skew thresholds scaled to fixture bytes. The input is
+    repartitioned to 16 map tasks first — AQE's skew split reads
+    PartialReducerPartitionSpec map-index ranges, so a single-mapper
+    shuffle (one small parquet file) physically cannot split; that
+    subtlety is the gate's own scale lesson. After the eager run the
+    EXECUTED adaptive plan must contain ``skew=true`` — recorded as
+    ``skew_split`` and pinned TRUE by the oracle. Values are immune
+    to the re-plan: per-key counts and ``sum(length(pad))`` (uuids
+    are always 36 chars, so the pad total is 36·n — deterministic
+    while the pad bytes themselves defeat column pruning; without
+    the length-sum the optimizer would prune the pad and with it the
+    very bytes that make the partition skewed).
+    """
+    from pyspark.sql import functions as F
+
+    tune_session(spark)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # without force, AQE vetoes splits that could add a downstream
+        # shuffle; forcing isolates the detect+split machinery under
+        # test from that cost heuristic
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prior = {}
+    for k in confs:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            load_table(spark, sf_dir, "events")
+            .repartition(16)
+            .selectExpr(
+                "CASE WHEN event_id % 20 = 0 THEN user_id % 32 "
+                "ELSE CAST(0 AS BIGINT) END AS k",
+                "uuid() AS pad",
+            )
+        )
+        right = spark.range(32).selectExpr("id AS k", "id * 2 AS weight")
+        agg = (
+            left.join(right, "k")
+            .groupBy("k", "weight")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.length("pad")).alias("sum_pad_len"),
+            )
+        )
+        out = [
+            (r.k, r.weight, r.n_rows, r.sum_pad_len) for r in agg.collect()
+        ]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        skew_split = "skew=true" in plan
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(*r, skew_split) for r in out],
+        "k long, weight long, n_rows long, sum_pad_len long, "
+        "skew_split boolean",
+    )
+
+
 def _mor_read_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read lakehouse view — the read-path dual of
     ``merge_roundtrip``'s copy-on-write rewrite.
@@ -2571,6 +2746,24 @@ QUERIES: dict[str, QueryFn] = {
     "txn_log_vacuum_check": _txn_log_vacuum_check,
     "txnlog_cdf_read": _txnlog_cdf_read,
     "txnlog_schema_evolve": _txnlog_schema_evolve,
+    # NEW in round 8 (third batch): the two optimizer-machinery
+    # proofs — AQE runtime skew-split and CBO statistics-driven join
+    # reorder — plan-introspected in-gate like runtime_filter_join.
+    "aqe_skew_join_check": _aqe_skew_join_check,
+    "cbo_reorder_check": _cbo_reorder_check,
+    # CHANGED in round 8: pluggable kafka:// events source (file-replay
+    # default in this container) — re-enters the window.
+    "stream_decay_trend_live": _stream_decay_trend_live,
+    # CHANGED in round 8: the similarity family's driver-side sample
+    # collects are now bounds-asserted (_BOUNDED_SAMPLE_MAX), and the
+    # ANN/LSH knobs are derived by tune_ivf_nprobe/tune_lsh_knobs with
+    # tightened recall floors — whole family re-enters the window.
+    "ann_recall_check": _q(similarity.ann_recall_check, "embeddings"),
+    "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
+    "ann_ivfpq_check": _q(similarity.ann_ivfpq_check, "embeddings"),
+    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
+    "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
+    "ann_ivf": _q(similarity.ann_ivf, "embeddings"),
     # NEW in round 7 (fourth batch): distributed BPE tokenizer
     # training, MOR read view + small-file compaction (lakehouse
     # maintenance pair), key-skew diagnostics, growth accumulation.
@@ -2609,6 +2802,9 @@ QUERIES: dict[str, QueryFn] = {
     # serving stack, copy-on-write MERGE.
     "sql_tpch_q4": _sql_tpch_q4,
     "sql_tpch_q13": _sql_tpch_q13,
+    # ---- end of the 50-entry driver window ----
+    # (r7 greens displaced by the round-8 batches; unchanged since
+    # their r7 rows, which the fingerprint ledger certifies.)
     "sql_tpch_q17": _sql_tpch_q17,
     "sql_tpch_q19": _sql_tpch_q19,
     "sql_tpch_q22": _sql_tpch_q22,
@@ -2616,13 +2812,9 @@ QUERIES: dict[str, QueryFn] = {
     "sql_tpch_q7": _sql_tpch_q7,
     "sql_tpch_q8": _sql_tpch_q8,
     "sql_tpch_q15": _sql_tpch_q15,
-    "stateful_decay_live_v2": _stateful_decay_live_v2,
-    "ann_ivfpq_check": _q(similarity.ann_ivfpq_check, "embeddings"),
     # 8-15: CHANGED in round 7 (ADVICE fixes) — negative-id planted
     # twins, session-unique gate artifacts, skyline local prune.
-    # ---- end of the 50-entry driver window ----
-    # (r7 greens displaced by the round-8 batch; unchanged since
-    # their r7 rows, which the fingerprint ledger certifies.)
+    "stateful_decay_live_v2": _stateful_decay_live_v2,
     "skyline_pareto": _q(relational.skyline_pareto, "orders"),
     "dedup_minhash_check": _q(dedup.dedup_minhash_check, "documents"),
     "dedup_simhash_check": _q(dedup.dedup_simhash_check, "documents"),
@@ -2636,20 +2828,16 @@ QUERIES: dict[str, QueryFn] = {
     # stale via its check's closure (negative-id twins share helpers)
     "dedup_simhash": _q(dedup.dedup_simhash, "documents"),
     # changed in round 7: negative-id twins applied family-wide
-    "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     # changed in round 7: drains through the split multi-batch source
     "stream_join_live": _stream_join_live,
     # oldest standing green (r4) rotated through for a fresh row
     # (implementation unchanged since its last green run).
-    "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
     "gapfill_locf": _q(windows.gapfill_locf, "events"),
     "trend_anomaly": _q(trend.trend_anomaly, "events"),
     "stream_session_live": _stream_session_live,
     "stream_enrich_live": _stream_enrich_live,
     "winnow_fingerprints": _q(textstats.winnow_fingerprints, "documents"),
     "stream_dedup_live": _stream_dedup_live,
-    "stream_decay_trend_live": _stream_decay_trend_live,
-    "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
     "dedup_minhash": _q(dedup.dedup_minhash, "documents"),
     "ngram_jaccard": _q(dedup.ngram_jaccard, "documents"),
     "sentiment_score": _sentiment_score,
@@ -2713,7 +2901,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": _q(dedup.dedup_clusters, "documents"),
     "window_tumbling": _q(windows.window_tumbling, "events"),
     "join_skewed": _q(skew.join_skewed, "events"),
-    "ann_ivf": _q(similarity.ann_ivf, "embeddings"),
     "embed_neardup": _q(similarity.embed_neardup, "embeddings"),
     "embed_centroids": _q(similarity.embed_centroids, "embeddings"),
     "text_stats": _q(textstats.text_stats, "documents"),
@@ -2726,7 +2913,6 @@ QUERIES: dict[str, QueryFn] = {
     "running_counts_live": _running_counts_live,
     "approx_distinct_check": _q(aggregates.approx_distinct_check, "documents"),
     "approx_percentile_check": _q(aggregates.approx_percentile_check, "lineitem"),
-    "ann_recall_check": _q(similarity.ann_recall_check, "embeddings"),
     "grouping_sets_agg": _q(relational.grouping_sets_agg, "orders"),
     "upsert_scd1": _q(merge.upsert_scd1, "events"),
     "funnel_conversion": _q(temporal.funnel_conversion, "events"),
@@ -4159,6 +4345,31 @@ ORACLE_SQL: dict[str, str] = {
     # strictly pre-cut, changelog strictly post-cut, so changelog-wins
     # coincides with global latest); the rewrite set is recomputed
     # arithmetically from the two per-side latests.
+    # uuid pads are always 36 chars: sum(length(pad)) = 36·n while the
+    # pad bytes themselves create the skew the plan flag certifies.
+    "aqe_skew_join_check": """
+        WITH l AS (
+            SELECT CASE WHEN event_id % 20 = 0 THEN user_id % 32
+                        ELSE 0 END AS k
+            FROM events)
+        SELECT k, CAST(k * 2 AS BIGINT) AS weight,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(36 * COUNT(*) AS BIGINT) AS sum_pad_len,
+               TRUE AS skew_split
+        FROM l GROUP BY k
+    """,
+    "cbo_reorder_check": """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price,
+               TRUE AS cbo_reordered
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY n_name
+    """,
     "txn_log_vacuum_check": """
         WITH live AS (
             SELECT * FROM events

@@ -318,3 +318,54 @@ def stream_events_batched(
         .option("pathGlobFilter", "batch*.parquet")
         .parquet(split_dir)
     )
+
+
+#: Events-source override for the live gate queries: set to
+#: ``kafka://host:port/topic`` in an environment that has a broker +
+#: the spark-sql-kafka connector jar; unset (the container default)
+#: replays the parquet fixture through the file stream.
+EVENTS_SOURCE_ENV = "SPARK_GRAFT_EVENTS_SOURCE"
+
+#: Wire schema of one Kafka event message (the JSON twin of the
+#: events fixture row — what a reference-style producer publishes).
+EVENT_WIRE_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_from_uri(
+    spark: SparkSession, source: str | None, sf_dir: str
+) -> DataFrame:
+    """Pluggable events stream: a real Kafka scan when a broker URI is
+    given, the file-replay twin otherwise.
+
+    ``kafka://host:port/topic`` → ``readStream.format("kafka")`` with
+    the reference's scan options (S1, earliest offsets) and a
+    from_json parse of the event wire format — byte-identical
+    downstream plan to the file path. Any other value (None/empty =
+    the container default) replays the parquet fixture via
+    ``stream_events``. The Kafka branch needs the spark-sql-kafka
+    connector jar and a reachable broker; it is exercised by a
+    conditional test that skips cleanly when ``KAFKA_BOOTSTRAP`` is
+    unset (this container has no broker — README documents the gap).
+    """
+    if source and source.startswith("kafka://"):
+        rest = source[len("kafka://") :]
+        servers, _, topic = rest.partition("/")
+        if not servers or not topic:
+            raise ValueError(
+                f"bad events source URI {source!r}: expected "
+                "kafka://host:port/topic"
+            )
+        raw = (
+            spark.readStream.format("kafka")
+            .options(**kafka_scan_options(servers, topic))
+            .load()
+        )
+        return (
+            raw.select(F.col("value").cast("string").alias("json_str"))
+            .select(F.from_json("json_str", EVENT_WIRE_DDL).alias("e"))
+            .select("e.*")
+        )
+    return stream_events(spark, sf_dir)

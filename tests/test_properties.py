@@ -621,3 +621,68 @@ def test_split_bucket_is_engine_portable(spark):
         b = int(hashlib.md5(f"{i}:29".encode()).hexdigest()[:15], 16) % 1_000_000
         want = "val" if b < 50_000 else ("test" if b < 100_000 else "train")
         assert got[i] == want, f"doc {i}: bucket {b} → {want}, got {got[i]}"
+
+
+def test_tune_lsh_knobs_meet_recall_and_budget(spark, sf_dir):
+    """Tuned (bands, bits) must satisfy both constraints they were
+    derived under, recomputed independently here: analytic recall at
+    the threshold >= target, and expected background candidate
+    fraction within budget on a fresh sample."""
+    import numpy as np
+
+    from big_data_trend_analysis_spark.operators.similarity import (
+        _hash_sample_matrix,
+        tune_lsh_knobs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bands, bits = tune_lsh_knobs(
+        emb, threshold=0.9, target_recall=0.9, max_cand_frac=0.01
+    )
+    assert 1 <= bands <= 16 and 4 <= bits <= 16
+    p_t = 1.0 - np.arccos(0.9) / np.pi
+    recall = 1.0 - (1.0 - p_t**bits) ** bands
+    assert recall >= 0.9, (bands, bits, recall)
+    _, mat = _hash_sample_matrix(emb, 256, "test")
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = (mat @ mat.T)[np.triu_indices(len(mat), k=1)]
+    p_bg = 1.0 - np.arccos(np.clip(sims, -1.0, 1.0)) / np.pi
+    assert bands * float(np.mean(p_bg**bits)) <= 0.01
+    # determinism: the knobs are a pure function of the corpus
+    assert tune_lsh_knobs(emb) == (bands, bits)
+
+
+def test_tune_ivf_nprobe_adapts_to_cluster_structure(spark):
+    """On tightly clustered corpora the neighbor's cell is the
+    vector's own top cell => nprobe=1; the near-uniform fixture needs
+    more probes. The tuner must see the difference from data."""
+    import numpy as np
+
+    from big_data_trend_analysis_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        tune_ivf_nprobe,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, EMBEDDING_DIM)) * 10
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        v = c + rng.standard_normal(EMBEDDING_DIM) * 0.01
+        rows.append((i, [float(x) for x in v], "l"))
+    clustered = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    assert tune_ivf_nprobe(clustered, n_centroids=4, target_recall=0.9) == 1
+
+
+def test_bounded_collect_raises_over_ceiling(spark, monkeypatch):
+    """The driver-side sample ceiling is enforced, not advisory."""
+    import pytest
+
+    from big_data_trend_analysis_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_BOUNDED_SAMPLE_MAX", 10)
+    with pytest.raises(RuntimeError, match="_BOUNDED_SAMPLE_MAX"):
+        similarity._bounded_collect(spark.range(11), "test path")
+    assert len(similarity._bounded_collect(spark.range(10), "t")) == 10
