@@ -142,3 +142,36 @@ def array_functions_suite(documents: DataFrame) -> DataFrame:
         ),
         F.size(F.filter(toks, lambda t: F.length(t) > 6)).alias("n_long"),
     )
+
+
+def map_functions_suite(events: DataFrame) -> DataFrame:
+    """MapType surface parity row: build a per-user event_type→count
+    map (map_from_entries over an exact pre-aggregation) and exercise
+    the map higher-order functions — size, element_at, map_filter,
+    transform_values, map_keys/map_values. Maps never cross the
+    engine boundary (key order is undefined in both engines); every
+    output is a scalar the oracle recomputes relationally, so the
+    gate pins the HOF semantics, not an encoding. One key shuffle to
+    the (user, type) counts, map ops are row-local.
+    """
+    m = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "c")))
+            ).alias("m")
+        )
+    )
+    doubled = F.transform_values("m", lambda k, v: v * 2)
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.element_at("m", "click").alias("n_clicks"),
+        F.size(F.map_filter("m", lambda k, v: v >= 3)).alias("n_heavy_types"),
+        F.aggregate(
+            F.map_values(doubled), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("double_total"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
+    )

@@ -862,3 +862,87 @@ def group_entropy(documents: DataFrame) -> DataFrame:
             rounded_sum(term).alias("entropy_r"),
         )
     )
+
+
+def boilerplate_lines(
+    documents: DataFrame, max_df: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (CCNet/RefinedWeb step).
+
+    Lines repeated across more than ``max_df`` documents (nav bars,
+    cookie banners, subscribe footers, license headers) are
+    boilerplate and are stripped from EVERY document — the corpus-wide
+    complement of the row-local ``repetition_signals``: no single
+    document looks abnormal, the repetition is only visible across
+    documents.
+
+    Plan shape for 100 TB: one posexplode to the per-(doc, line)
+    relation; the document-frequency aggregation shuffles DISTINCT
+    (doc, line) pairs once; the boilerplate relation (df > max_df) is
+    tiny by construction — boilerplate is by definition few DISTINCT
+    strings — so it broadcasts back onto the line relation, and each
+    document reassembles order-preserved (array_sort on the exploded
+    position) in one final doc_id aggregation. Two shuffles total,
+    both bounded by the line relation, never O(corpus²).
+
+    Returns (doc_id, clean_text, n_lines_kept, n_lines_dropped).
+    """
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split(text_col, "\n")).alias("pos", "line")
+    )
+    boiler = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line", "left").select(
+        "doc_id",
+        "pos",
+        "line",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    collected = F.array_sort(F.collect_list(F.struct("pos", "line", "is_boiler")))
+    kept_arr = F.filter(collected, lambda x: ~x.getField("is_boiler"))
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n", F.transform(kept_arr, lambda x: x.getField("line"))
+        ).alias("clean_text"),
+        F.size(kept_arr).alias("n_lines_kept"),
+        (F.count(F.lit(1)) - F.size(kept_arr)).alias("n_lines_dropped"),
+    )
+
+
+def stratified_sample_exact(
+    documents: DataFrame,
+    k_per_stratum: int = 10,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 31,
+) -> DataFrame:
+    """Exact-k per-stratum sample under a deterministic portable order.
+
+    The fixed-size complement of the rate-based ``sample_mixture``:
+    carve EXACTLY ``k`` rows per stratum (an eval slice, a labeling
+    batch, a per-domain inspection set), chosen by ranking each
+    stratum on the md5 bucket of its stable key — so membership is
+    reproducible across runs/partitionings/engines (the
+    ``split_train_val_test`` portability discipline: any engine can
+    recompute the ranking), and adding documents to OTHER strata
+    never changes a stratum's sample. One window shuffle on the
+    stratum key; ties on the 60-bit hash broken by the key itself.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(key_col), F.lit(seed))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(stratum_col).orderBy(bucket, F.col(key_col))
+    return (
+        documents.select(
+            key_col, stratum_col, F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= k_per_stratum)
+    )

@@ -329,3 +329,97 @@ def ewma_smooth(events: DataFrame, decay: float = 0.9, span: int = 10) -> DataFr
             F.round((num.cast("double") / den.cast("double")), 6).alias("ewma"),
         )
     )
+
+
+def window_navigation_suite(events: DataFrame) -> DataFrame:
+    """The navigation window functions not yet covered by
+    ``window_lag_lead`` (lag/lead/ntile) or ``window_distribution``
+    (percent_rank/cume_dist): first_value, nth_value, defaulted lag,
+    and offset lead — the "compare to session start / to N steps
+    away" analytics of a timeline. One deterministic per-user total
+    order (ts, event_id), one shuffle serves all four. nth_value uses
+    both engines' default running frame (unbounded preceding → current
+    row): null until the Nth row arrives — pinned by the oracle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.first_value("event_type").over(w).alias("first_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.lag("value", 1, -1.0).over(w).alias("prev_value_dflt"),
+        F.lead("event_id", 2).over(w).alias("next2_event_id"),
+    )
+
+
+def gapfill_linear(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Gap-filled bucket series with LINEAR interpolation — the
+    ``interpolate()`` companion of ``gapfill_locf``'s carry-forward
+    (TimescaleDB's two gapfill modes). Same spine mechanics (sequence
+    explode per type, left join of actual buckets); a missing
+    bucket's measure is interpolated between the nearest observed
+    buckets on either side:
+
+        v(t) = v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev)
+
+    via ignore-nulls last/first over the ordered per-type window —
+    two window passes on the |types × buckets| relation, never the
+    fact table. Buckets before the first / after the last observation
+    stay null (no extrapolation). Edge fractions are exact-int ratios
+    of epoch seconds, so both engines interpolate bit-identically
+    after the 6-dp round.
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    daily = _materialize(
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n_events", "sum_value"
+        )
+    )
+    bounds = daily.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval {width}"))
+            ).alias("bucket"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "bucket"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs = F.col("sum_value")
+    obs_bucket = F.when(obs.isNotNull(), F.col("bucket"))
+    prev_val = F.last(obs, ignorenulls=True).over(wp)
+    next_val = F.first(obs, ignorenulls=True).over(wf)
+    prev_t = F.unix_timestamp(F.last(obs_bucket, ignorenulls=True).over(wp))
+    next_t = F.unix_timestamp(F.first(obs_bucket, ignorenulls=True).over(wf))
+    frac = (F.unix_timestamp("bucket") - prev_t) / (next_t - prev_t)
+    interp = F.when(obs.isNotNull(), obs).otherwise(
+        F.when(
+            prev_val.isNotNull() & next_val.isNotNull(),
+            F.round(prev_val + (next_val - prev_val) * frac, 6),
+        )
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        interp.alias("sum_value_interp"),
+    )

@@ -2643,6 +2643,120 @@ def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (SQL:1999 ``WITH RECURSIVE``, new in Spark 4)
+    proven on a real iterative computation: bounded-depth BFS over
+    the event-type transition graph.
+
+    The edge relation is derived in-plan (the ``event_transitions``
+    lag shape, distinct, self-loops cut); the recursive member walks
+    it from the 'view' source, bounded by the hop predicate — Spark's
+    recursive CTEs are UNION ALL semantics, so cycles MUST be cut by
+    the recursive term, which the depth bound does. Emits per-node
+    min-hop distance and the bounded-walk count. Scale posture: the
+    recursion iterates over the O(types²) edge relation — node-graph-
+    sized state, never corpus-sized; the corpus is touched exactly
+    once to derive edges. DuckDB runs the IDENTICAL statement (its
+    WITH RECURSIVE has the same UNION ALL semantics), so this is the
+    rare gate whose Spark and oracle texts coincide.
+    """
+    tune_session(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rcte_v")
+    return spark.sql(_SQL_RCTE.format(events="events_rcte_v"))
+
+
+_SQL_RCTE = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   event_type AS dst
+            FROM {events}
+        ) WHERE src IS NOT NULL AND src <> dst
+    ),
+    reach(node, hop) AS (
+        SELECT 'view' AS node, 0 AS hop
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hop < 3
+    )
+    SELECT node, MIN(hop) AS min_hops, COUNT(*) AS n_walks
+    FROM reach GROUP BY node
+"""
+
+
+def _sql_udf_tvf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    a scalar UDF and a table-valued UDF exercised in one query.
+
+    The declarative extensibility tier between built-ins and Python
+    UDFs: both functions are SQL bodies, so Catalyst INLINES them —
+    the plan is identical to hand-written expressions (whole-stage
+    codegen, pushdown intact), unlike the Arrow/pickle boundary every
+    Python UDF pays. The TVF runs row-expanding in a correlated
+    LATERAL join (the §2.4 UDTF shape without leaving the JVM). All
+    arithmetic stays in exact decimals so the oracle — the same
+    bodies inlined by hand — matches bit-for-bit.
+    """
+    tune_session(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_fn_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bdta_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN CAST(CAST(p AS DECIMAL(12,2)) "
+        "* (CAST('1.00' AS DECIMAL(3,2)) - CAST(d AS DECIMAL(4,2))) AS DOUBLE)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bdta_price_parts(p DOUBLE, d DOUBLE) "
+        "RETURNS TABLE(part STRING, amt DOUBLE) RETURN "
+        "SELECT 'gross', p UNION ALL SELECT 'discount', "
+        "CAST(CAST(p AS DECIMAL(12,2)) * CAST(d AS DECIMAL(4,2)) AS DOUBLE)"
+    )
+    return spark.sql("""
+        SELECT l_returnflag, part,
+               CAST(SUM(CAST(amt AS DECIMAL(16,4))) AS DOUBLE) AS sum_amt,
+               CAST(SUM(CAST(bdta_disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(16,4))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS n_rows
+        FROM lineitem_fn_v,
+             LATERAL bdta_price_parts(l_extendedprice, l_discount)
+        WHERE l_quantity < 10
+        GROUP BY l_returnflag, part
+    """)
+
+
+def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal gate
+    (textstats.boilerplate_lines — the CCNet/RefinedWeb step).
+
+    The fixture's documents are single-line, so the gate PLANTS the
+    boilerplate (the mask_pii seeding discipline): every document is
+    wrapped header + text + per-doc unique line + footer. The
+    header/footer repeat corpus-wide (df = N ≫ max_df) and must be
+    stripped from every document; the original text and the unique
+    line must survive IN ORDER. The oracle is the fully general SQL
+    twin (per-line document frequencies recomputed, order-preserving
+    reassembly) — no fixture-shape assumptions, so exact-duplicate
+    documents crossing the df cut at another SF stay consistent.
+    """
+    from pyspark.sql import functions as F
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("PLEASE ACCEPT COOKIES TO CONTINUE"),
+            F.col("text"),
+            F.concat(F.lit("unique-"), F.col("doc_id")),
+            F.lit("SUBSCRIBE TO OUR NEWSLETTER"),
+        ).alias("text"),
+    )
+    return textstats.boilerplate_lines(seeded, max_df=3)
+
+
 def _mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-redaction gate (functions/text.py::mask_pii).
 
@@ -2754,6 +2868,23 @@ QUERIES: dict[str, QueryFn] = {
     # CHANGED in round 8: pluggable kafka:// events source (file-replay
     # default in this container) — re-enters the window.
     "stream_decay_trend_live": _stream_decay_trend_live,
+    # NEW in round 8 (fourth batch): corpus-level boilerplate-line
+    # removal (CCNet step) and exact-k stratified sampling under the
+    # portable-hash ordering.
+    "boilerplate_lines": _boilerplate_lines,
+    "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
+    # NEW in round 8 (fourth batch, cont.): the Spark-4 SQL surface —
+    # recursive CTE iteration and SQL-defined scalar/table functions
+    # (Catalyst-inlined, JVM-side — the tier below Python UDFs).
+    "semdedup_check": _q(similarity.semdedup_check, "embeddings"),
+    "recursive_cte_reach": _recursive_cte_reach,
+    "sql_udf_tvf_check": _sql_udf_tvf_check,
+    # NEW in round 8 (fifth batch): navigation windows, MapType HOF
+    # surface, linear-interpolation gapfill (TimescaleDB's second
+    # gapfill mode beside gapfill_locf).
+    "window_navigation_suite": _q(windows.window_navigation_suite, "events"),
+    "map_functions_suite": _q(scalar.map_functions_suite, "events"),
+    "gapfill_linear": _q(windows.gapfill_linear, "events"),
     # CHANGED in round 8: the similarity family's driver-side sample
     # collects are now bounds-asserted (_BOUNDED_SAMPLE_MAX), and the
     # ANN/LSH knobs are derived by tune_ivf_nprobe/tune_lsh_knobs with
@@ -2793,8 +2924,10 @@ QUERIES: dict[str, QueryFn] = {
     "unigram_perplexity": _q(textstats.unigram_perplexity, "documents"),
     "feature_binning": _q(aggregates.feature_binning, "lineitem"),
     "pagerank_fixed": _q(graph.pagerank_fixed, "events"),
+    # ---- end of the 50-entry driver window ----
+    # (r7 greens displaced by the round-8 batches; unchanged since
+    # their r7 rows, which the fingerprint ledger certifies.)
     "cdc_snapshot_diff": _q(merge.cdc_snapshot_diff, "orders"),
-    "semdedup_check": _q(similarity.semdedup_check, "embeddings"),
     "stream_outer_join_live": _stream_outer_join_live,
     # 0-7: NEW in round 7 — TPC-H join archetypes (Q4 semi, Q13 outer
     # histogram, Q17 correlated avg, Q19 disjunctive pushdown, Q22
@@ -2802,9 +2935,6 @@ QUERIES: dict[str, QueryFn] = {
     # serving stack, copy-on-write MERGE.
     "sql_tpch_q4": _sql_tpch_q4,
     "sql_tpch_q13": _sql_tpch_q13,
-    # ---- end of the 50-entry driver window ----
-    # (r7 greens displaced by the round-8 batches; unchanged since
-    # their r7 rows, which the fingerprint ledger certifies.)
     "sql_tpch_q17": _sql_tpch_q17,
     "sql_tpch_q19": _sql_tpch_q19,
     "sql_tpch_q22": _sql_tpch_q22,
@@ -4345,6 +4475,140 @@ ORACLE_SQL: dict[str, str] = {
     # strictly pre-cut, changelog strictly post-cut, so changelog-wins
     # coincides with global latest); the rewrite set is recomputed
     # arithmetically from the two per-side latests.
+    "window_navigation_suite": """
+        SELECT user_id, event_id,
+               first_value(event_type) OVER w AS first_type,
+               nth_value(event_type, 2) OVER w AS second_type,
+               COALESCE(lag(value, 1) OVER w, -1.0) AS prev_value_dflt,
+               lead(event_id, 2) OVER w AS next2_event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    # Maps never cross the engine boundary: the oracle recomputes every
+    # scalar relationally from the (user, type) counts.
+    "map_functions_suite": """
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(COUNT(*) AS INTEGER) AS n_types,
+               CAST(MAX(CASE WHEN event_type = 'click' THEN c END)
+                    AS BIGINT) AS n_clicks,
+               CAST(COUNT(*) FILTER (c >= 3) AS INTEGER) AS n_heavy_types,
+               CAST(SUM(c) * 2 AS BIGINT) AS double_total,
+               array_to_string(list_sort(list(event_type)), ',') AS keys_csv
+        FROM c GROUP BY user_id
+    """,
+    "gapfill_linear": """
+        WITH buckets AS (
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM buckets),
+        spine AS (
+            SELECT t.event_type,
+                   unnest(generate_series(b.lo, b.hi, INTERVAL '10 minutes'))
+                       AS bucket
+            FROM (SELECT DISTINCT event_type FROM buckets) t, bounds b
+        ),
+        j AS (
+            SELECT s.event_type, s.bucket, b.n_events, b.sum_value
+            FROM spine s
+            LEFT JOIN buckets b
+              ON s.event_type = b.event_type AND s.bucket = b.bucket
+        ),
+        x AS (
+            SELECT event_type, bucket, n_events, sum_value,
+                   last_value(sum_value IGNORE NULLS) OVER wp AS prev_val,
+                   first_value(sum_value IGNORE NULLS) OVER wf AS next_val,
+                   epoch(last_value(CASE WHEN sum_value IS NOT NULL
+                                         THEN bucket END IGNORE NULLS)
+                         OVER wp) AS prev_t,
+                   epoch(first_value(CASE WHEN sum_value IS NOT NULL
+                                          THEN bucket END IGNORE NULLS)
+                         OVER wf) AS next_t,
+                   epoch(bucket) AS t
+            FROM j
+            WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING),
+                   wf AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, bucket,
+               COALESCE(n_events, 0) AS n_events,
+               CASE WHEN sum_value IS NOT NULL THEN sum_value
+                    WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
+                    THEN round(prev_val + (next_val - prev_val)
+                               * (t - prev_t) / (next_t - prev_t), 6)
+               END AS sum_value_interp
+        FROM x
+    """,
+    # Identical statement on both engines (same WITH RECURSIVE
+    # semantics); DuckDB only needs the view name swapped.
+    "recursive_cte_reach": _SQL_RCTE.format(events="events") + """
+    """,
+    "sql_udf_tvf_check": """
+        WITH t AS (
+            SELECT l_returnflag, l_extendedprice AS p, l_discount AS d
+            FROM lineitem WHERE l_quantity < 10),
+        parts AS (
+            SELECT l_returnflag, p, d, 'gross' AS part, p AS amt FROM t
+            UNION ALL
+            SELECT l_returnflag, p, d, 'discount',
+                   CAST(CAST(p AS DECIMAL(12,2)) * CAST(d AS DECIMAL(4,2))
+                        AS DOUBLE)
+            FROM t)
+        SELECT l_returnflag, part,
+               CAST(SUM(CAST(amt AS DECIMAL(16,4))) AS DOUBLE) AS sum_amt,
+               CAST(SUM(CAST(
+                   CAST(CAST(p AS DECIMAL(12,2))
+                        * (CAST('1.00' AS DECIMAL(3,2))
+                           - CAST(d AS DECIMAL(4,2))) AS DOUBLE)
+                   AS DECIMAL(16,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM parts GROUP BY l_returnflag, part
+    """,
+    # Fully general boilerplate twin: per-line document frequencies
+    # recomputed in SQL, order-preserving reassembly — no fixture-shape
+    # assumptions beyond the gate's own seeding.
+    "boilerplate_lines": """
+        WITH seeded AS (
+            SELECT doc_id,
+                   'PLEASE ACCEPT COOKIES TO CONTINUE' || chr(10) || text
+                   || chr(10) || 'unique-' || CAST(doc_id AS VARCHAR)
+                   || chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER' AS text
+            FROM documents),
+        l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM seeded),
+        lines AS (
+            SELECT doc_id, unnest(ls) AS line,
+                   unnest(generate_series(1, len(ls))) AS pos
+            FROM l),
+        dfr AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+                FROM lines GROUP BY line),
+        boiler AS (SELECT line FROM dfr WHERE df > 3)
+        SELECT doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (line NOT IN (SELECT line FROM boiler)),
+                        '') AS clean_text,
+               CAST(COUNT(*) FILTER (line NOT IN (SELECT line FROM boiler))
+                    AS INTEGER) AS n_lines_kept,
+               CAST(COUNT(*) FILTER (line IN (SELECT line FROM boiler))
+                    AS BIGINT) AS n_lines_dropped
+        FROM lines GROUP BY doc_id
+    """,
+    "stratified_sample_exact": """
+        SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR) || ':31'), 1, 15)
+                       )::BIGINT, doc_id) AS rnk
+            FROM documents)
+        WHERE rnk <= 10
+    """,
     # uuid pads are always 36 chars: sum(length(pad)) = 36·n while the
     # pad bytes themselves create the skew the plan flag certifies.
     "aqe_skew_join_check": """

@@ -1344,3 +1344,71 @@ def test_resize_check_flags_a_corrupted_kernel(spark, monkeypatch):
                     if row.content[(ty * 4 + tx) * 3 + c] != multimodal._ppm_pixel(d, sy, sx, c):
                         bad += 1
     assert bad > 0, "shifted verification unexpectedly passed"
+
+
+def test_boilerplate_lines_strips_corpus_repeats_in_order(spark):
+    """Lines over the df cut vanish from every doc; unique lines
+    survive in their original order; a doc that was ALL boilerplate
+    ends up empty (not missing)."""
+    from big_data_trend_analysis_spark.operators.textstats import (
+        boilerplate_lines,
+    )
+
+    footer = "subscribe now"
+    rows = [
+        (1, f"{footer}\nalpha\nbeta"),
+        (2, f"gamma\n{footer}\ndelta"),
+        (3, f"epsilon\nzeta\n{footer}"),
+        (4, f"eta\n{footer}\ntheta"),
+        (5, footer),  # all boilerplate
+        (6, "iota\niota\nkappa"),  # intra-doc repeat is NOT boilerplate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_lines(docs, max_df=3).collect()}
+    assert out[1].clean_text == "alpha\nbeta"
+    assert out[2].clean_text == "gamma\ndelta"
+    assert out[3].clean_text == "epsilon\nzeta"
+    assert out[4].clean_text == "eta\ntheta"
+    assert out[5].clean_text == "" and out[5].n_lines_dropped == 1
+    # df counts DISTINCT docs: 'iota' appears twice in one doc only
+    assert out[6].clean_text == "iota\niota\nkappa"
+    assert out[1].n_lines_kept == 2 and out[1].n_lines_dropped == 1
+
+
+def test_stratified_sample_exact_k_stable_portable(spark):
+    """Exactly k per stratum; adding docs to OTHER strata never moves
+    a stratum's sample; ranking is hashlib-recomputable (portable)."""
+    import hashlib
+
+    from big_data_trend_analysis_spark.operators.textstats import (
+        stratified_sample_exact,
+    )
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample_exact(docs, k_per_stratum=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 5, "de": 5}
+
+    # independent recomputation of the winners per stratum
+    def bucket(i):
+        return int(hashlib.md5(f"{i}:31".encode()).hexdigest()[:15], 16)
+
+    for lang in ("en", "de"):
+        ids = [i for i, l in rows if l == lang]
+        expect = set(sorted(ids, key=lambda i: (bucket(i), i))[:5])
+        assert by_lang[lang] == expect
+
+    # growth in the other stratum cannot move this stratum's sample
+    grown = docs.union(
+        spark.createDataFrame([(1000 + i, "de") for i in range(50)],
+                              "doc_id long, lang string")
+    )
+    out2 = {
+        (r.lang, r.doc_id)
+        for r in stratified_sample_exact(grown, k_per_stratum=5).collect()
+        if r.lang == "en"
+    }
+    assert out2 == {("en", d) for d in by_lang["en"]}

@@ -100,6 +100,19 @@ HEAVY_QUERIES = [
     # on the synthesized events tier
     "txn_log_snapshot_read",
     "stream_cdc_apply_live",
+    # round-8 additions: txnlog lifecycle, curation heavies, tuned
+    # similarity checks, corpus-level boilerplate removal
+    "txn_log_vacuum_check",
+    "txnlog_cdf_read",
+    "txnlog_schema_evolve",
+    "curate_for_training",
+    "boilerplate_lines",
+    "embed_neardup_check",
+    "split_train_val_test",
+    # (mask_pii/lang_id_multi/decode_audio_meta/resize_images are
+    # scan-speed or fixed-size mapInPandas rows — covered by bench;
+    # aqe_skew_join_check/cbo_reorder_check read the TPC-H/derived
+    # tables the synthesized tier does not include.)
     # (bucketed_write_join, skew_profile, target_encoding,
     # expectations_check, runtime_filter_join and the TPC-H suite read
     # the TPC-H tables, which the synthesized tier does not include —
