@@ -179,3 +179,36 @@ def mask_pii(text: Column | str) -> Column:
     for pattern, token in _PII_PATTERNS:
         c = F.regexp_replace(c, pattern, token)
     return c
+
+
+def url_normalize(url: Column | str) -> Column:
+    """Canonicalize a URL for dedup/grouping (web-corpus curation).
+
+    The normalization every crawl pipeline applies before URL-level
+    dedup: lowercase scheme+host, drop the fragment, drop tracking
+    parameters (``utm_*``, ``ref``), keep the remaining query in
+    order, never emit a default port (``parse_url``'s HOST is already
+    port-free). Pure JVM expressions (parse_url + regexp), scan-speed,
+    and dialect-conservative so the oracle reproduces it with plain
+    regex extraction.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    path = F.parse_url(c, F.lit("PATH"))
+    query = F.parse_url(c, F.lit("QUERY"))
+    query_clean = F.regexp_replace(
+        F.coalesce(query, F.lit("")),
+        "(^|&)(utm_[^=&]*|ref)=[^&]*",
+        "",
+    )
+    query_clean = F.regexp_replace(query_clean, "^&", "")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query_clean != "", F.concat(F.lit("?"), query_clean)).otherwise(
+            F.lit("")
+        ),
+    )

@@ -1106,3 +1106,42 @@ def gini_by_group(events: DataFrame) -> DataFrame:
         _n(cents.v100).alias("n_rows"),
         _gini(cents.v100).alias("gini_r"),
     )
+
+
+def benford_first_digit(lineitem: DataFrame) -> DataFrame:
+    """Benford first-digit audit of ``l_extendedprice`` — the classic
+    fraud / data-fabrication screen: naturally-occurring monetary
+    amounts follow P(d) = log10(1 + 1/d); synthetic or truncated data
+    does not. One hash aggregation over the first digit (extracted
+    from the exact 2-dp decimal STRING, not via log10 — float log of
+    an exact power of 10 is an off-by-ulp trap both engines would
+    have to agree on); emits per-digit observed counts, Benford
+    expectation, and the χ² total folded in exact decimal. The
+    statistic itself is the flag — the fixture's uniform prices fail
+    Benford loudly, which is precisely what the audit should say.
+    """
+    digit = F.substring(
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string"), 1, 1
+    ).cast("int")
+    obs = lineitem.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = obs.agg(F.sum("n_obs").alias("n_tot"))
+    p_benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    chi_term = F.round(
+        F.pow(F.col("n_obs") - p_benford * F.col("n_tot"), 2)
+        / (p_benford * F.col("n_tot")),
+        6,
+    )
+    per_digit = obs.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_obs",
+        p_benford.alias("p_benford"),
+        chi_term.alias("chi2_term"),
+    )
+    chi2 = per_digit.agg(
+        F.sum(F.col("chi2_term").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("chi2_total")
+    )
+    return per_digit.crossJoin(F.broadcast(chi2))

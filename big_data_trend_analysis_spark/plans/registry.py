@@ -53,6 +53,7 @@ from big_data_trend_analysis_spark.functions.text import EN_STOPWORDS
 from big_data_trend_analysis_spark.operators import (
     aggregates,
     dedup,
+    drift,
     entities,
     graph,
     merge,
@@ -2726,6 +2727,44 @@ def _sql_udf_tvf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization gate (functions/text.py::url_normalize) —
+    the normalization every crawl pipeline applies before URL-level
+    dedup. The fixture has no URL column, so each document is seeded
+    a deterministically messy URL (uppercase scheme/host, default
+    :443 port, utm_*/ref tracking params, fragment); normalization
+    must lowercase scheme+host, drop the port (parse_url's HOST is
+    port-free), strip the trackers, keep the payload param, and drop
+    the fragment. The oracle is the GENERAL regex twin, not the
+    seeded shape inverted — so it also pins Spark's parse_url
+    semantics against plain RFC-3986 component extraction.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.text import url_normalize
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Src"),
+            F.pmod("doc_id", F.lit(7)).cast("string"),
+            F.lit(".Example.COM:443/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&id="),
+            F.col("doc_id").cast("string"),
+            F.lit("&ref=x#frag"),
+        ).alias("url"),
+    )
+    return urls.select(
+        "doc_id",
+        "url",
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+        url_normalize(F.col("url")).alias("url_norm"),
+    )
+
+
 def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate-line removal gate
     (textstats.boilerplate_lines — the CCNet/RefinedWeb step).
@@ -2885,6 +2924,16 @@ QUERIES: dict[str, QueryFn] = {
     "window_navigation_suite": _q(windows.window_navigation_suite, "events"),
     "map_functions_suite": _q(scalar.map_functions_suite, "events"),
     "gapfill_linear": _q(windows.gapfill_linear, "events"),
+    # NEW in round 8 (sixth batch): the drift/monitoring family — the
+    # statistics a production pipeline runs on every ingest beside
+    # last week's (PSI, two-sample KS, mutual information).
+    "psi_drift": _q(drift.psi_drift, "events"),
+    "ks_test_check": _q(drift.ks_test_check, "events"),
+    "mutual_information": _q(drift.mutual_information, "events"),
+    # NEW in round 8 (seventh batch): crawl-pipeline URL
+    # canonicalization and the Benford first-digit audit.
+    "url_normalize": _url_normalize,
+    "benford_first_digit": _q(aggregates.benford_first_digit, "lineitem"),
     # CHANGED in round 8: the similarity family's driver-side sample
     # collects are now bounds-asserted (_BOUNDED_SAMPLE_MAX), and the
     # ANN/LSH knobs are derived by tune_ivf_nprobe/tune_lsh_knobs with
@@ -2911,6 +2960,9 @@ QUERIES: dict[str, QueryFn] = {
     "compact_small_files": _compact_small_files,
     "skew_profile": _q(aggregates.skew_profile, "lineitem"),
     "user_growth_daily": _q(temporal.user_growth_daily, "events"),
+    # ---- end of the 50-entry driver window ----
+    # (r7 greens displaced by the round-8 batches; unchanged since
+    # their r7 rows, which the fingerprint ledger certifies.)
     # NEW in round 7 (third batch): Q21 double self-correlation,
     # inverted-index build, MAD outlier detection, smoothed target
     # encoding.
@@ -2924,9 +2976,6 @@ QUERIES: dict[str, QueryFn] = {
     "unigram_perplexity": _q(textstats.unigram_perplexity, "documents"),
     "feature_binning": _q(aggregates.feature_binning, "lineitem"),
     "pagerank_fixed": _q(graph.pagerank_fixed, "events"),
-    # ---- end of the 50-entry driver window ----
-    # (r7 greens displaced by the round-8 batches; unchanged since
-    # their r7 rows, which the fingerprint ledger certifies.)
     "cdc_snapshot_diff": _q(merge.cdc_snapshot_diff, "orders"),
     "stream_outer_join_live": _stream_outer_join_live,
     # 0-7: NEW in round 7 — TPC-H join archetypes (Q4 semi, Q13 outer
@@ -4475,6 +4524,142 @@ ORACLE_SQL: dict[str, str] = {
     # strictly pre-cut, changelog strictly post-cut, so changelog-wins
     # coincides with global latest); the rewrite set is recomputed
     # arithmetically from the two per-side latests.
+    # General RFC-3986 component twin (regex extraction), not the
+    # seeded shape inverted — pins parse_url semantics too.
+    "url_normalize": r"""
+        WITH u AS (
+            SELECT doc_id,
+                   'HTTPS://Src' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.Example.COM:443/Docs/' || CAST(doc_id AS VARCHAR)
+                   || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                   || '&ref=x#frag' AS url
+            FROM documents),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                   regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)
+                       AS path,
+                   regexp_replace(regexp_replace(
+                       regexp_extract(url, '\?([^#]*)', 1),
+                       '(^|&)(utm_[^=&]*|ref)=[^&]*', '', 'g'),
+                       '^&', '') AS q
+            FROM u)
+        SELECT doc_id, url, host,
+               scheme || '://' || host || path
+               || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_norm
+        FROM parts
+    """,
+    "benford_first_digit": """
+        WITH obs AS (
+            SELECT CAST(substring(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                       AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                   COUNT(*) AS n_obs
+            FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM obs),
+        pd AS (
+            SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+                   round(log10(1.0 + 1.0 / digit), 6) AS p_benford,
+                   round(pow(n_obs - round(log10(1.0 + 1.0 / digit), 6)
+                                     * n_tot, 2)
+                         / (round(log10(1.0 + 1.0 / digit), 6) * n_tot), 6)
+                       AS chi2_term
+            FROM obs, t)
+        SELECT digit, n_obs, p_benford, chi2_term,
+               (SELECT CAST(SUM(CAST(chi2_term AS DECIMAL(18,6))) AS DOUBLE)
+                FROM pd) AS chi2_total
+        FROM pd
+    """,
+    # Drift family: every share/log-term is a ratio of exact integer
+    # counts (identical IEEE doubles), rounded to 6 dp before exact-
+    # decimal totaling — the unigram_perplexity discipline.
+    "psi_drift": """
+        WITH s AS (
+            SELECT value,
+                   ts < TIMESTAMP '2024-01-11 00:00:00' AS is_base
+            FROM events),
+        b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM s),
+        binned AS (
+            SELECT least(9, CAST(floor((value - lo) / ((hi - lo) / 10))
+                                 AS INTEGER)) AS bin,
+                   is_base
+            FROM s, b),
+        counts AS (
+            SELECT bin,
+                   COUNT(*) FILTER (is_base) AS n_base,
+                   COUNT(*) FILTER (NOT is_base) AS n_cur
+            FROM binned GROUP BY bin),
+        t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
+                     CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM counts),
+        sh AS (
+            SELECT bin, n_base, n_cur,
+                   greatest(1e-6, n_base / t_base) AS p,
+                   greatest(1e-6, n_cur / t_cur) AS q
+            FROM counts, t),
+        pb AS (
+            SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   round((q - p) * ln(q / p), 6) AS psi_term
+            FROM sh)
+        SELECT bin, n_base, n_cur, psi_term,
+               (SELECT CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE)
+                FROM pb) AS psi_total
+        FROM pb
+    """,
+    "ks_test_check": """
+        WITH s AS (
+            SELECT value,
+                   ts < TIMESTAMP '2024-01-11 00:00:00' AS is_base
+            FROM events),
+        pv AS (
+            SELECT value,
+                   COUNT(*) FILTER (is_base) AS c_base,
+                   COUNT(*) FILTER (NOT is_base) AS c_cur
+            FROM s GROUP BY value),
+        t AS (SELECT CAST(SUM(c_base) AS BIGINT) AS n_base,
+                     CAST(SUM(c_cur) AS BIGINT) AS n_cur FROM pv),
+        cdf AS (
+            SELECT CAST(SUM(c_base) OVER (ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) / n_base AS f_base,
+                   CAST(SUM(c_cur) OVER (ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) / n_cur AS f_cur,
+                   n_base, n_cur
+            FROM pv, t),
+        d AS (
+            SELECT n_base, n_cur,
+                   round(MAX(abs(f_base - f_cur)), 6) AS d_stat
+            FROM cdf GROUP BY n_base, n_cur)
+        SELECT n_base, n_cur, d_stat,
+               round(1.36 * sqrt((n_base + n_cur) / (n_base * n_cur)), 6)
+                   AS d_crit,
+               d_stat > round(1.36 * sqrt((n_base + n_cur)
+                                          / (n_base * n_cur)), 6) AS drift
+        FROM d
+    """,
+    "mutual_information": """
+        WITH xy AS (
+            SELECT event_type,
+                   CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+                   COUNT(*) AS n_xy
+            FROM events GROUP BY 1, 2),
+        nx AS (SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x
+               FROM xy GROUP BY 1),
+        ny AS (SELECT dow, CAST(SUM(n_xy) AS BIGINT) AS n_y
+               FROM xy GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_tot FROM xy),
+        pc AS (
+            SELECT xy.event_type, xy.dow, CAST(n_xy AS BIGINT) AS n_xy,
+                   round((n_xy / n_tot)
+                         * ln((n_tot * n_xy) / (n_x * n_y)), 6) AS mi_term
+            FROM xy JOIN nx USING (event_type) JOIN ny USING (dow), t)
+        SELECT event_type, dow, n_xy, mi_term,
+               (SELECT CAST(SUM(CAST(mi_term AS DECIMAL(18,6))) AS DOUBLE)
+                FROM pc) AS mi_total
+        FROM pc
+    """,
     "window_navigation_suite": """
         SELECT user_id, event_id,
                first_value(event_type) OVER w AS first_type,

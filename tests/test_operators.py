@@ -1412,3 +1412,93 @@ def test_stratified_sample_exact_k_stable_portable(spark):
         if r.lang == "en"
     }
     assert out2 == {("en", d) for d in by_lang["en"]}
+
+
+def test_drift_family_matches_brute_force(spark):
+    """PSI / KS-D / MI must equal plain-Python recomputation on a
+    small planted split (counts-exact, log-term rounding identical)."""
+    import datetime
+    import math
+
+    from big_data_trend_analysis_spark.operators.drift import (
+        ks_test_check,
+        mutual_information,
+        psi_drift,
+    )
+
+    base_day = datetime.datetime(2024, 1, 5)
+    cur_day = datetime.datetime(2024, 1, 20)
+    rows = []
+    vals_base, vals_cur = [], []
+    for i in range(60):
+        v = float(i % 10)  # baseline: uniform over 0..9
+        rows.append((i, base_day, 1, "view", v, "{}"))
+        vals_base.append(v)
+    for i in range(40):
+        v = float(i % 5)  # current: shifted low
+        rows.append((1000 + i, cur_day, 1, "view", v, "{}"))
+        vals_cur.append(v)
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    # KS: D = max CDF gap over merged support
+    got = ks_test_check(ev).collect()[0]
+    support = sorted(set(vals_base + vals_cur))
+    d = max(
+        abs(
+            sum(1 for v in vals_base if v <= s) / len(vals_base)
+            - sum(1 for v in vals_cur if v <= s) / len(vals_cur)
+        )
+        for s in support
+    )
+    assert got.n_base == 60 and got.n_cur == 40
+    assert abs(got.d_stat - round(d, 6)) < 1e-9
+    crit = round(1.36 * math.sqrt((60 + 40) / (60 * 40)), 6)
+    assert got.d_crit == crit and got.drift == (got.d_stat > crit)
+
+    # PSI: recompute bins/shares/terms by hand
+    lo, hi = 0.0, 9.0
+    def bin_of(v):
+        return min(9, int((v - lo) / ((hi - lo) / 10)))
+    nb = {b: 0 for b in range(10)}
+    nc = {b: 0 for b in range(10)}
+    for v in vals_base: nb[bin_of(v)] += 1
+    for v in vals_cur: nc[bin_of(v)] += 1
+    expect_terms = {}
+    for b in range(10):
+        p = max(1e-6, nb[b] / 60)
+        q = max(1e-6, nc[b] / 40)
+        expect_terms[b] = round((q - p) * math.log(q / p), 6)
+    out = {r.bin: r for r in psi_drift(ev).collect()}
+    for b, r in out.items():
+        assert abs(r.psi_term - expect_terms[b]) < 1e-9, b
+    psi_total = round(sum(expect_terms.values()), 6)
+    assert abs(next(iter(out.values())).psi_total - psi_total) < 1e-9
+
+    # MI: single (type, dow) pair here ⇒ MI must be exactly 0
+    mi = mutual_information(ev.filter("event_id < 60")).collect()
+    assert all(r.mi_term == 0.0 and r.mi_total == 0.0 for r in mi)
+
+
+def test_url_normalize_edge_shapes(spark):
+    """No-query URLs, tracker-only queries, and mixed params must all
+    canonicalize correctly (empty query ⇒ no '?')."""
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.text import url_normalize
+
+    rows = [
+        (1, "HTTP://A.B.C/path"),                         # no query
+        (2, "https://a.b/x?utm_campaign=z&ref=r#f"),      # trackers only
+        (3, "https://a.b/x?id=1&utm_medium=m&keep=2"),    # mixed
+        (4, "https://a.b:443/"),                          # port + root path
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {r.i: r.n for r in df.select("i", url_normalize("url").alias("n")).collect()}
+    assert got[1] == "http://a.b.c/path"
+    assert got[2] == "https://a.b/x"
+    assert got[3] == "https://a.b/x?id=1&keep=2"
+    assert got[4] == "https://a.b/"
