@@ -411,10 +411,16 @@ def gapfill_linear(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     prev_t = F.unix_timestamp(F.last(obs_bucket, ignorenulls=True).over(wp))
     next_t = F.unix_timestamp(F.first(obs_bucket, ignorenulls=True).over(wf))
     frac = (F.unix_timestamp("bucket") - prev_t) / (next_t - prev_t)
+    # 6-dp quantization via floor(x·1e6 + 0.5): interpolated values
+    # land exactly on .5×1e-6 ties (2-dp endpoints × dyadic fractions),
+    # where engine round() tie rules diverge — floor of the identical
+    # double is deterministic cross-engine (the unigram_perplexity
+    # discipline).
+    lin = prev_val + (next_val - prev_val) * frac
     interp = F.when(obs.isNotNull(), obs).otherwise(
         F.when(
             prev_val.isNotNull() & next_val.isNotNull(),
-            F.round(prev_val + (next_val - prev_val) * frac, 6),
+            F.floor(lin * 1_000_000.0 + 0.5) / 1_000_000.0,
         )
     )
     return joined.select(

@@ -4725,8 +4725,9 @@ ORACLE_SQL: dict[str, str] = {
                COALESCE(n_events, 0) AS n_events,
                CASE WHEN sum_value IS NOT NULL THEN sum_value
                     WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
-                    THEN round(prev_val + (next_val - prev_val)
-                               * (t - prev_t) / (next_t - prev_t), 6)
+                    THEN floor((prev_val + (next_val - prev_val)
+                                * ((t - prev_t) / (next_t - prev_t)))
+                               * 1000000.0 + 0.5) / 1000000.0
                END AS sum_value_interp
         FROM x
     """,

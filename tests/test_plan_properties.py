@@ -66,6 +66,21 @@ CROSS_JOIN_ALLOWED = {
     "bpe_merge_rounds",
     # 5-row top-k × broadcast 1-row (total, n_keys) scalar
     "skew_profile",
+    # --- round 8 ---
+    # O(segments) sketch relation × broadcast self on an inequality —
+    # bounded by segments², never data (same shape as its check twin)
+    "theta_segment_overlap",
+    # per-bin/per-cell relations × broadcast 1-row totals
+    "psi_drift",
+    "mutual_information",
+    "benford_first_digit",
+    # per-type agg × broadcast 1-row vacuum/schema scalar rows
+    "txn_log_vacuum_check",
+    "txnlog_schema_evolve",
+    # spine = types × broadcast 1-row (lo, hi) bounds (locf's shape)
+    "gapfill_linear",
+    # per-value CDF rows × broadcast 1-row totals
+    "ks_test_check",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any

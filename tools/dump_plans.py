@@ -391,6 +391,78 @@ HEADLINERS: dict[str, str] = {
         "Exchange, partial_max_by before it, no join — pinned by "
         "test_cdc_compact_is_joinless_single_shuffle."
     ),
+    # ---- round-8 headliners ----
+    "boilerplate_lines": (
+        "Two shuffles, both bounded by the LINE relation (distinct "
+        "(doc,line) for the df counts, doc_id for reassembly); the "
+        "boilerplate set (df > k) is tiny by definition and broadcasts "
+        "back onto the line relation. The fact table is exploded once."
+    ),
+    "curate_for_training": (
+        "The whole gate→redact→clean→dedup→split capstone is ONE plan: "
+        "every gate is a pushable scan-side expression, the only wide "
+        "exchange is the dedup groupBy on md5 fingerprints, and the "
+        "portable-hash split adds zero shuffles."
+    ),
+    "txn_log_vacuum_check": (
+        "Vacuum is pure driver-side manifest arithmetic (no Spark job); "
+        "the plan shown is the post-vacuum snapshot read — an explicit "
+        "file-list scan + one hash aggregation, identical to the "
+        "pre-vacuum plan because vacuum may not move live bytes."
+    ),
+    "txnlog_cdf_read": (
+        "Each commit contributes a scan of ONLY its added/removed file "
+        "sets (never the snapshot) and one keyed full-outer diff; the "
+        "union of per-version change sets is |changes|-sized — the CDC "
+        "contract at any corpus size."
+    ),
+    "psi_drift": (
+        "Two hash aggregations (bin counts, totals) over one scan; the "
+        "bounds and totals relations are 1-row broadcasts, so the PSI "
+        "of a 100 TB feature column costs one pass + O(bins) rows of "
+        "shuffle."
+    ),
+    "ks_test_check": (
+        "The CDF window runs over the |distinct values| relation, not "
+        "the row count — the per-value conditional-count aggregation "
+        "is the only corpus-sized stage; the single-partition window "
+        "is O(support), acceptable at any SF because the support is "
+        "value-domain-bounded."
+    ),
+    "aqe_skew_join_check": (
+        "Plan shown is the scoped-conf shuffle join; at runtime AQE "
+        "splits the hot partition by map-index range (skew=true in the "
+        "executed plan — asserted in-gate). The 16-mapper repartition "
+        "exists because a single-mapper shuffle physically cannot split."
+    ),
+    "cbo_reorder_check": (
+        "With column statistics in the catalog, the CBO reorderer "
+        "rewrites the fact-first syntactic join tree dims-first, so the "
+        "fact relation flows through ONE join instead of two — the "
+        "introspected order flip is the gate's boolean."
+    ),
+    "theta_segment_overlap": (
+        "One corpus-sized aggregation builds the per-segment sketches; "
+        "every pairwise intersection/union/Jaccard is sketch-on-sketch "
+        "over the O(segments) relation (broadcast self-join) — never a "
+        "shuffle per pair."
+    ),
+    "kll_quantile_rollup": (
+        "Per-group KLL sketches absorb the corpus map-side; the "
+        "__total__ row MERGES the group sketches (O(groups) rows) "
+        "without re-touching data — the re-aggregable percentile "
+        "contract."
+    ),
+    "recursive_cte_reach": (
+        "The recursion (UnionLoop) iterates over the O(types²) edge "
+        "relation derived once from the corpus — node-graph-sized "
+        "state per step, the corpus scanned exactly once."
+    ),
+    "gapfill_linear": (
+        "The spine explode + left join + two ignore-nulls window "
+        "passes all run on the |types × buckets| rollup (materialized "
+        "once); the fact table contributes one aggregation scan."
+    ),
 }
 
 
