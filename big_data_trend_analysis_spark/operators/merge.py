@@ -1,7 +1,8 @@
 """Changelog MERGE (SCD-1 upsert) as a single-pass aggregation.
 
 The reference engine is append-only (its JDBC sink is mode="append",
-`postgres_sink.py` — it never updates state in place); a lakehouse
+`processing/spark_stream.py:40-48` — it never updates state in
+place); a lakehouse
 deployment of the same pipelines needs MERGE: apply a changelog onto a
 base snapshot, latest-writer-wins per key. Spark without a table
 format (Delta/Iceberg) doesn't ship MERGE, so this operator spells out
@@ -25,7 +26,7 @@ aggregate absorbs skew (a hot key reduces to ≤2 rows per map task).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Snapshot boundary: events strictly before this instant form the
@@ -61,6 +62,59 @@ def upsert_scd1(events: DataFrame) -> DataFrame:
         .when(F.col("chg").isNotNull(), "insert")
         .otherwise("keep")
         .alias("op"),
+    )
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """SCD-2 history build: the full type-2 dimension beside
+    ``upsert_scd1``'s latest-wins flattening — every (user_id,
+    event_type) attribute becomes a chain of versions with
+    ``effective_from``/``effective_to`` validity ranges, the warehouse
+    shape every as-of join and audit query reads.
+
+    Real SCD-2 is change COMPRESSION, not one-row-per-event: an event
+    whose value null-safe-equals the previous one extends the open
+    version instead of opening a new one (gaps-and-islands). A running
+    sum over the change flags labels each event with its version
+    ordinal, one aggregation collapses the islands, and ``lead`` over
+    the |versions| relation closes each range — ``effective_to`` is
+    NULL on the open (current) version, by warehouse convention.
+
+    Scale shape: the single wide exchange is the (user_id, event_type)
+    hash partitioning, and it serves the change-flag window, the
+    running sum, the island aggregation, and the lead window alike —
+    Spark reuses the one sort order; the lead pass runs on versions,
+    not events. Ties break on event_id so the chain is deterministic
+    under any physical row order.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    ).withColumn(
+        "chg",
+        F.when(F.col("value").eqNullSafe(F.lag("value").over(w)), 0).otherwise(1),
+    )
+    islands = flagged.withColumn(
+        "version_n", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    versions = islands.groupBy("user_id", "event_type", "version_n").agg(
+        # every event in an island null-safe-equals the island's value
+        # by construction, so min() IS the value (and both engines
+        # agree on the all-NULL island: min of nothing is NULL)
+        F.min("value").alias("value"),
+        F.min("ts").alias("effective_from"),
+        F.count(F.lit(1)).alias("n_events_in_version"),
+    )
+    wv = Window.partitionBy("user_id", "event_type").orderBy("version_n")
+    return versions.select(
+        "user_id",
+        "event_type",
+        F.col("version_n").cast("long").alias("version_n"),
+        F.round("value", 6).alias("value"),
+        "effective_from",
+        F.lead("effective_from").over(wv).alias("effective_to"),
+        F.lead("effective_from").over(wv).isNull().alias("is_current"),
+        "n_events_in_version",
     )
 
 

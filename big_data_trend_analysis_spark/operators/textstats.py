@@ -831,6 +831,84 @@ def bpe_merge_rounds(documents: DataFrame, rounds: int = 2) -> DataFrame:
     return out
 
 
+def bpe_encode(documents: DataFrame, rounds: int = 2) -> DataFrame:
+    """BPE tokenizer APPLICATION — encode every document with the
+    merge table ``bpe_merge_rounds`` learns, end to end in ONE plan.
+
+    Completes the tokenizer story: training is useless without the
+    encode path a data pipeline runs over the whole corpus to budget
+    tokens per document. The 100 TB shape is the standard production
+    trick: encode the **vocabulary**, not the corpus — the merge
+    chain (re-derived in-plan with the identical argmax-and-replace
+    rounds as the trainer, each rule a broadcast 1-row scalar; zero
+    driver collects) runs over the |vocab| relation only, and the
+    corpus-sized side is a single explode + equi-join of doc words
+    against the encoded vocab + one per-doc aggregation. Applying a
+    merge to a distinct word once instead of to every occurrence is
+    exact because BPE encoding is a pure function of the word.
+
+    Output per document: word count, post-BPE token count, and a
+    lossless-ness flag (symbols stripped of separator spaces must
+    reassemble every word exactly — tokenization never invents or
+    drops a byte).
+    """
+    doc_words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+
+    words = doc_words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    sym0 = F.concat(
+        F.lit("  "), F.concat_ws("  ", F.split(F.col("w"), "")), F.lit("  ")
+    )
+    vocab = words.select("w", "freq", sym0.alias("s")).localCheckpoint()
+
+    for _ in range(rounds):
+        arr = vocab.withColumn("a", F.split(F.trim(F.col("s")), "  "))
+        pairs = arr.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(a, 1, size(a) - 1)").alias("lhs"),
+                    F.expr("slice(a, 2, size(a) - 1)").alias("rhs"),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.desc("pf"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        pat = F.concat(
+            F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
+        merged = F.col("s")
+        for _ in range(2):
+            merged = F.replace(merged, pat, rep)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select("w", "freq", merged.alias("s"))
+            .localCheckpoint()
+        )
+
+    encoded = vocab.select(
+        "w",
+        F.size(F.split(F.trim(F.col("s")), "  ")).alias("tpw"),
+        (F.replace(F.col("s"), F.lit(" "), F.lit("")) == F.col("w")).alias("rt"),
+    )
+    return (
+        doc_words.join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("tpw").cast("long")).alias("n_tokens"),
+            F.bool_and("rt").alias("roundtrip_ok"),
+        )
+    )
+
+
 def group_entropy(documents: DataFrame) -> DataFrame:
     """Per-source label-balance audit: Shannon entropy of the language
     mix — the dataset-composition check a multilingual training

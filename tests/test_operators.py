@@ -1346,6 +1346,66 @@ def test_resize_check_flags_a_corrupted_kernel(spark, monkeypatch):
     assert bad > 0, "shifted verification unexpectedly passed"
 
 
+def test_scd2_history_compresses_changes_into_versions(spark):
+    """Repeated values extend the open version (null-safe: a run of
+    NULLs is ONE version); each change opens the next; effective_to
+    chains to the successor's effective_from; only the last version
+    is current; per-version event counts cover every input row."""
+    from big_data_trend_analysis_spark.operators.merge import scd2_history
+
+    vals = [5.0, 5.0, 7.0, 7.0, 5.0, None, None, 3.0]
+    rows = [
+        (i, f"2024-01-0{i + 1} 00:00:00", 1, "click", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = sorted(scd2_history(df).collect(), key=lambda r: r.version_n)
+    assert [r.value for r in out] == [5.0, 7.0, 5.0, None, 3.0]
+    assert [r.n_events_in_version for r in out] == [2, 2, 1, 2, 1]
+    assert [r.is_current for r in out] == [False] * 4 + [True]
+    for prev, nxt in zip(out, out[1:]):
+        assert prev.effective_to == nxt.effective_from
+    assert out[-1].effective_to is None
+    assert sum(r.n_events_in_version for r in out) == len(vals)
+
+
+def test_bpe_encode_hand_computed_token_counts(spark):
+    """'low low lower': round 1 learns (l,o) — pf 3, lexicographic
+    over the (o,w) tie — round 2 learns (lo,w); encoding then maps
+    'low' to ONE token and 'lower' to [low, e, r]. Per-doc counts and
+    the lossless-ness flag follow by hand."""
+    from big_data_trend_analysis_spark.operators.textstats import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "lower low")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_encode(docs, rounds=2).collect()}
+    assert out[1].n_words == 3 and out[1].n_tokens == 1 + 1 + 3
+    assert out[2].n_words == 2 and out[2].n_tokens == 3 + 1
+    assert out[1].roundtrip_ok and out[2].roundtrip_ok
+
+
+def test_bpe_encode_roundtrip_on_pathological_repeats(spark):
+    """'aaaaaaaa': the (a,a) merge's fixpoint replace must encode runs
+    without inventing or dropping a byte — the reassembly flag is the
+    invariant, whatever the token count."""
+    from big_data_trend_analysis_spark.operators.textstats import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(i, "aaaaaaaa aaaa aaa a") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = bpe_encode(docs, rounds=2).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.roundtrip_ok and r.n_words == 4
+        # (a,a) then (aa,aa): 'aaaaaaaa'→2, 'aaaa'→1, 'aaa'→[aa,a]→2, 'a'→1
+        assert r.n_tokens == 2 + 1 + 2 + 1
+
+
 def test_boilerplate_lines_strips_corpus_repeats_in_order(spark):
     """Lines over the df cut vanish from every doc; unique lines
     survive in their original order; a doc that was ALL boilerplate

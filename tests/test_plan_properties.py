@@ -66,6 +66,9 @@ CROSS_JOIN_ALLOWED = {
     "bpe_merge_rounds",
     # 5-row top-k × broadcast 1-row (total, n_keys) scalar
     "skew_profile",
+    # |vocab| relation × broadcast 1-row merge rule per round (the
+    # bpe_merge_rounds shape, reused by the encode path)
+    "bpe_encode_check",
     # --- round 8 ---
     # O(segments) sketch relation × broadcast self on an inequality —
     # bounded by segments², never data (same shape as its check twin)

@@ -463,6 +463,19 @@ HEADLINERS: dict[str, str] = {
         "passes all run on the |types × buckets| rollup (materialized "
         "once); the fact table contributes one aggregation scan."
     ),
+    "bpe_encode_check": (
+        "The merge chain (argmax + broadcast 1-row rule per round) "
+        "runs entirely on the |vocab| relation; the corpus appears "
+        "exactly twice — the word-frequency collapse and the final "
+        "explode-join-aggregate — so encode cost is one corpus pass "
+        "plus vocab-sized work, the production tokenizer shape."
+    ),
+    "zorder_skipping_check": (
+        "The Morton key is pure shift/and/add on longs (whole-stage "
+        "codegen, no UDF); repartitionByRange + sortWithinPartitions "
+        "cluster both dimensions at once, and the audit itself is one "
+        "scan with input_file_name — no join, no second pass."
+    ),
 }
 
 

@@ -109,6 +109,11 @@ HEAVY_QUERIES = [
     "boilerplate_lines",
     "embed_neardup_check",
     "split_train_val_test",
+    # round-8 eighth batch: tokenizer encode (corpus join + vocab
+    # merge chain), Morton-layout write+audit, SCD-2 islands
+    "bpe_encode_check",
+    "zorder_skipping_check",
+    "scd2_history",
     # (mask_pii/lang_id_multi/decode_audio_meta/resize_images are
     # scan-speed or fixed-size mapInPandas rows — covered by bench;
     # aqe_skew_join_check/cbo_reorder_check read the TPC-H/derived
