@@ -218,6 +218,21 @@ def test_upsert_scd1_is_single_scan_single_shuffle(plans):
     assert "Join" not in plan, "upsert_scd1 reintroduced a join"
 
 
+def test_scd2_history_single_exchange(plans):
+    """The SCD-2 islands build must reuse ONE (user_id, event_type)
+    exchange for everything downstream: the change-flag window, the
+    running-sum ordinals, the island aggregation (its keys extend the
+    partitioning, so no re-shuffle), and the lead() range close — and
+    the gaps-and-islands formulation must stay joinless.
+    """
+    plan = plans["scd2_history"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, "re-scans input"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, "extra shuffle"
+    assert "Join" not in plan, "islands reintroduced a join"
+    # event-order sort + version-order sort only
+    assert len(re.findall(r"\(\d+\) Sort", plan)) <= 2, "extra sorts"
+
+
 def test_funnel_conversion_is_single_scan(plans):
     """The window-chain funnel must not re-scan per stage.
 
