@@ -706,6 +706,14 @@ def _sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hard ceiling on driver-side partition-list collects (the only
+#: O(partitions) driver pulls in the gate queries). Mirrors the
+#: similarity family's ``_BOUNDED_SAMPLE_MAX``: the bound is asserted
+#: at the pull site so a schema change cannot silently unbound it.
+#: 100k date partitions ≈ 270 years of daily data — never legitimate.
+_PARTITION_LIST_MAX = 100_000
+
+
 def _gate_suffix(spark: SparkSession, sf_dir: str) -> str:
     """Collision-free artifact suffix for the side-effecting gate queries.
 
@@ -1698,10 +1706,19 @@ def _merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts_new = winners.select("p_date").distinct()
     # Bounded O(dates) collect — the COW rewrite set, what a table
-    # format's commit log would hold.
-    affected = sorted(
-        r.p_date for r in parts_old.union(parts_new).distinct().collect()
-    )
+    # format's commit log would hold. The ceiling is enforced, not
+    # assumed (the similarity-family _BOUNDED_SAMPLE_MAX discipline):
+    # a future edit that widens the partition scheme cannot silently
+    # turn this into an unbounded driver pull.
+    affected_rows = parts_old.union(parts_new).distinct().collect()
+    if len(affected_rows) > _PARTITION_LIST_MAX:
+        raise ValueError(
+            f"merge_roundtrip: {len(affected_rows)} affected partitions "
+            f"(> _PARTITION_LIST_MAX={_PARTITION_LIST_MAX}) — the "
+            "partition list is no longer O(dates); repartition the "
+            "table or raise the ceiling deliberately"
+        )
+    affected = sorted(r.p_date for r in affected_rows)
     affected_df = spark.createDataFrame(
         [(d,) for d in affected], "p_date date"
     )
@@ -1725,7 +1742,13 @@ def _merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(mode_key)
         else:
             spark.conf.set(mode_key, prior)
-    written = {r.p_date for r in rewrite.select("p_date").distinct().collect()}
+    written_rows = rewrite.select("p_date").distinct().collect()
+    if len(written_rows) > _PARTITION_LIST_MAX:
+        raise ValueError(
+            f"merge_roundtrip: {len(written_rows)} rewritten partitions "
+            f"exceed _PARTITION_LIST_MAX={_PARTITION_LIST_MAX}"
+        )
+    written = {r.p_date for r in written_rows}
     for d in affected:
         if d not in written:
             shutil.rmtree(os.path.join(path, f"p_date={d}"), ignore_errors=True)
@@ -3013,6 +3036,9 @@ QUERIES: dict[str, QueryFn] = {
     # compression (gaps-and-islands) + validity ranges on ONE
     # (user_id, event_type) exchange.
     "scd2_history": _q(merge.scd2_history, "events"),
+    # CHANGED in round 8: partition-list collects now carry the
+    # enforced _PARTITION_LIST_MAX ceiling — re-enters the window.
+    "merge_roundtrip": _merge_roundtrip,
     # CHANGED in round 8: the similarity family's driver-side sample
     # collects are now bounds-asserted (_BOUNDED_SAMPLE_MAX), and the
     # ANN/LSH knobs are derived by tune_ivf_nprobe/tune_lsh_knobs with
@@ -3076,7 +3102,6 @@ QUERIES: dict[str, QueryFn] = {
     "skyline_pareto": _q(relational.skyline_pareto, "orders"),
     "dedup_minhash_check": _q(dedup.dedup_minhash_check, "documents"),
     "dedup_simhash_check": _q(dedup.dedup_simhash_check, "documents"),
-    "merge_roundtrip": _merge_roundtrip,
     "file_skipping_check": _file_skipping_check,
     "bucketed_write_join": _bucketed_write_join,
     "multiformat_roundtrip": _multiformat_roundtrip,
