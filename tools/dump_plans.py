@@ -476,6 +476,13 @@ HEADLINERS: dict[str, str] = {
         "cluster both dimensions at once, and the audit itself is one "
         "scan with input_file_name — no join, no second pass."
     ),
+    "scd2_history": (
+        "One scan, ONE (user_id, event_type) exchange reused by the "
+        "change-flag window, the running-sum version ordinals, the "
+        "island aggregation (keys extend the partitioning — no "
+        "re-shuffle), and the lead() range close; no join anywhere. "
+        "Pinned by test_scd2_history_single_exchange."
+    ),
 }
 
 
