@@ -109,7 +109,10 @@ def ks_test_check(
     |rows|), one max. ``drift`` flags D against the classical
     large-sample critical value c(α)·√((n+m)/(n·m)) with c(0.05) =
     1.36 — the boolean the oracle pins alongside the exact counts.
-    Emits 1 row: (n_base, n_cur, d_stat, d_crit, drift).
+    The n·m product is computed in double (ADVICE r8: a BIGINT
+    product overflows silently past ~3e9 rows per slice; doubles
+    lose only ulp-level precision under a √, identically on both
+    engines). Emits 1 row: (n_base, n_cur, d_stat, d_crit, drift).
     """
     sliced = _slices(events)
     per_value = sliced.groupBy("value").agg(
@@ -126,6 +129,9 @@ def ks_test_check(
         "n_base",
         "n_cur",
     )
+    nb = F.col("n_base").cast("double")
+    nc = F.col("n_cur").cast("double")
+    d_crit = F.round(F.lit(alpha_c) * F.sqrt((nb + nc) / (nb * nc)), 6)
     return cdf.groupBy("n_base", "n_cur").agg(
         F.round(F.max(F.abs(F.col("f_base") - F.col("f_cur"))), 6).alias(
             "d_stat"
@@ -134,25 +140,8 @@ def ks_test_check(
         "n_base",
         "n_cur",
         "d_stat",
-        F.round(
-            F.lit(alpha_c)
-            * F.sqrt(
-                (F.col("n_base") + F.col("n_cur"))
-                / (F.col("n_base") * F.col("n_cur"))
-            ),
-            6,
-        ).alias("d_crit"),
-        (
-            F.col("d_stat")
-            > F.round(
-                F.lit(alpha_c)
-                * F.sqrt(
-                    (F.col("n_base") + F.col("n_cur"))
-                    / (F.col("n_base") * F.col("n_cur"))
-                ),
-                6,
-            )
-        ).alias("drift"),
+        d_crit.alias("d_crit"),
+        (F.col("d_stat") > d_crit).alias("drift"),
     )
 
 
@@ -163,9 +152,13 @@ def mutual_information(events: DataFrame) -> DataFrame:
     Σ_xy (n_xy/N)·ln(N·n_xy / (n_x·n_y)). Everything derives from ONE
     (x, y) contingency aggregation — marginals are re-aggregations of
     the contingency relation (O(|X|·|Y|) rows), so the corpus is
-    scanned exactly once. Per-cell contributions rounded to 6 dp,
-    total folded in exact decimal. Emits one row per (event_type,
-    dow) cell plus the MI total repeated.
+    scanned exactly once. Count products inside the log are computed
+    in double (ADVICE r8: N·n_xy as BIGINT overflows silently past
+    ~3e9 rows, wrapping to a wrong MI while the oracle errors); the
+    double rounding is ulp-level under a ln, identical on both
+    engines. Per-cell contributions rounded to 6 dp, total folded in
+    exact decimal. Emits one row per (event_type, dow) cell plus the
+    MI total repeated.
     """
     xy = events.select(
         "event_type", F.dayofweek("ts").alias("dow")
@@ -181,7 +174,8 @@ def mutual_information(events: DataFrame) -> DataFrame:
     term = F.round(
         (F.col("n_xy") / F.col("n_tot"))
         * F.log(
-            (F.col("n_tot") * F.col("n_xy")) / (F.col("n_x") * F.col("n_y"))
+            (F.col("n_tot").cast("double") * F.col("n_xy"))
+            / (F.col("n_x").cast("double") * F.col("n_y"))
         ),
         6,
     )

@@ -340,6 +340,12 @@ def window_navigation_suite(events: DataFrame) -> DataFrame:
     order (ts, event_id), one shuffle serves all four. nth_value uses
     both engines' default running frame (unbounded preceding → current
     row): null until the Nth row arrives — pinned by the oracle.
+
+    The defaulted lag is COALESCE(lag(value), -1) rather than lag's
+    3-arg default (ADVICE r8): Spark's 3-arg default applies only at
+    the partition boundary and preserves a genuine NULL ``value`` in
+    the previous row, while the oracle's COALESCE maps both to -1 —
+    COALESCE on both sides keeps the engines aligned under NULLs.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
@@ -347,7 +353,9 @@ def window_navigation_suite(events: DataFrame) -> DataFrame:
         "event_id",
         F.first_value("event_type").over(w).alias("first_type"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
-        F.lag("value", 1, -1.0).over(w).alias("prev_value_dflt"),
+        F.coalesce(F.lag("value", 1).over(w), F.lit(-1.0)).alias(
+            "prev_value_dflt"
+        ),
         F.lead("event_id", 2).over(w).alias("next2_event_id"),
     )
 

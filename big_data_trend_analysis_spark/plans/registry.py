@@ -1882,6 +1882,11 @@ def _txn_log_vacuum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - superseded versions are unreadable BY CONTRACT
       (``v0_unreadable`` = the documented ValueError, not a silent
       directory fallback);
+    - the change feed honors the CDF retention contract (ADVICE r8):
+      v2's pre-image files aged out with v0's snapshot, so
+      ``read_changes`` must raise the documented "was vacuumed"
+      error up front (``cdf_vacuumed``) — never a mid-scan
+      missing-path failure;
     - physical disk == manifest: ``n_files_disk`` equals
       ``n_files_live`` equals 4 (before vacuum: 6 on disk);
     - the audit stats are exact literals (2 data files aged out, 2
@@ -1904,6 +1909,11 @@ def _txn_log_vacuum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         v0_unreadable = False
     except ValueError:
         v0_unreadable = True
+    try:
+        log.read_changes(spark, key_cols=["event_id"])
+        cdf_vacuumed = False
+    except ValueError as exc:
+        cdf_vacuumed = "was vacuumed" in str(exc)
     n_live = len(log.snapshot_files())
     n_disk = sum(
         len([f for f in files if f.endswith(".parquet")])
@@ -1917,10 +1927,11 @@ def _txn_log_vacuum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_disk,
             n_live,
             v0_unreadable,
+            cdf_vacuumed,
         )],
         "n_data_removed long, n_manifests_removed long, "
         "earliest_retained long, n_files_disk long, n_files_live long, "
-        "v0_unreadable boolean",
+        "v0_unreadable boolean, cdf_vacuumed boolean",
     )
     return (
         log.read_snapshot(spark)
@@ -4737,10 +4748,12 @@ ORACLE_SQL: dict[str, str] = {
                    round(MAX(abs(f_base - f_cur)), 6) AS d_stat
             FROM cdf GROUP BY n_base, n_cur)
         SELECT n_base, n_cur, d_stat,
-               round(1.36 * sqrt((n_base + n_cur) / (n_base * n_cur)), 6)
+               round(1.36 * sqrt((CAST(n_base AS DOUBLE) + n_cur)
+                                 / (CAST(n_base AS DOUBLE) * n_cur)), 6)
                    AS d_crit,
-               d_stat > round(1.36 * sqrt((n_base + n_cur)
-                                          / (n_base * n_cur)), 6) AS drift
+               d_stat > round(1.36 * sqrt((CAST(n_base AS DOUBLE) + n_cur)
+                                          / (CAST(n_base AS DOUBLE) * n_cur)),
+                              6) AS drift
         FROM d
     """,
     "mutual_information": """
@@ -4757,7 +4770,8 @@ ORACLE_SQL: dict[str, str] = {
         pc AS (
             SELECT xy.event_type, xy.dow, CAST(n_xy AS BIGINT) AS n_xy,
                    round((n_xy / n_tot)
-                         * ln((n_tot * n_xy) / (n_x * n_y)), 6) AS mi_term
+                         * ln((CAST(n_tot AS DOUBLE) * n_xy)
+                              / (CAST(n_x AS DOUBLE) * n_y)), 6) AS mi_term
             FROM xy JOIN nx USING (event_type) JOIN ny USING (dow), t)
         SELECT event_type, dow, n_xy, mi_term,
                (SELECT CAST(SUM(CAST(mi_term AS DECIMAL(18,6))) AS DOUBLE)
@@ -4936,16 +4950,18 @@ ORACLE_SQL: dict[str, str] = {
                    CAST(2 AS BIGINT) AS earliest_retained,
                    CAST(4 AS BIGINT) AS n_files_disk,
                    CAST(4 AS BIGINT) AS n_files_live,
-                   TRUE AS v0_unreadable
+                   TRUE AS v0_unreadable,
+                   TRUE AS cdf_vacuumed
         )
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
                n_data_removed, n_manifests_removed, earliest_retained,
-               n_files_disk, n_files_live, v0_unreadable
+               n_files_disk, n_files_live, v0_unreadable, cdf_vacuumed
         FROM live CROSS JOIN scal
         GROUP BY event_type, n_data_removed, n_manifests_removed,
-                 earliest_retained, n_files_disk, n_files_live, v0_unreadable
+                 earliest_retained, n_files_disk, n_files_live, v0_unreadable,
+                 cdf_vacuumed
     """,
     "txnlog_cdf_read": """
         SELECT CAST(0 AS INTEGER) AS commit_version,

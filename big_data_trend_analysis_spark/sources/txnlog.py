@@ -101,17 +101,48 @@ class TxnLog:
                 f"[{earliest}, {self.latest_version()}]"
             ) from None
 
-    def snapshot_files(self, version: int | None = None) -> list[str]:
+    def snapshot_files(
+        self,
+        version: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+    ) -> list[str]:
         """Absolute paths of the files constituting a snapshot
-        (``None`` = latest)."""
+        (``None`` = latest).
+
+        ``partition_filter`` ({col: value}) prunes by the manifest's
+        per-file partition values — a file is SKIPPED only when it
+        recorded a value for the filter column and that value
+        differs. Files written under a spec that did not include the
+        column have no recorded value and are conservatively kept
+        (Iceberg's spec-evolution rule: old-spec files cannot be
+        pruned on a new spec's column — pruning is a superset
+        guarantee, row-level filtering still applies). Driver-side
+        O(manifest), the same cost class as reading the manifest."""
         if version is None:
             version = self.latest_version()
         if version < 0:
             return []
-        return [
-            os.path.join(self.root, rel)
-            for rel in self.manifest(version)["files"]
-        ]
+        m = self.manifest(version)
+        rels = m["files"]
+        if partition_filter:
+            fp = m.get("file_partitions") or {}
+            rels = [
+                rel
+                for rel in rels
+                if all(
+                    fp.get(rel, {}).get(col) is None
+                    or fp.get(rel, {}).get(col) == str(val)
+                    for col, val in partition_filter.items()
+                )
+            ]
+        return [os.path.join(self.root, rel) for rel in rels]
+
+    def partition_spec(self, version: int | None = None) -> list[str] | None:
+        """The identity-partition column list in force at a version
+        (``None`` column list = unpartitioned)."""
+        if version is None:
+            version = self.latest_version()
+        return self.manifest(version).get("partition_spec")
 
     # -- commit ---------------------------------------------------------
 
@@ -121,6 +152,8 @@ class TxnLog:
         remove: list[str] = (),
         expected_version: int | None = None,
         schema_json: str | None = None,
+        partition_spec: list[str] | None = None,
+        file_partitions: dict[str, dict[str, str]] | None = None,
     ) -> int:
         """Publish snapshot ``expected_version + 1`` atomically.
 
@@ -128,7 +161,7 @@ class TxnLog:
         manifest's file list is the parent snapshot's minus ``remove``
         plus ``add``. Raises ``FileExistsError`` if another writer
         committed the same version first (optimistic-concurrency
-        loser: re-read and rebase).
+        loser: re-read and rebase — ``commit_retry`` is that loop).
 
         ``schema_json`` (a StructType JSON) makes the schema part of
         the SAME atomic commit — Delta's metadata-update mechanic: a
@@ -136,6 +169,17 @@ class TxnLog:
         of version N use version N's schema (older files surface the
         new column as null), and pre-evolution versions keep reading
         under THEIR pinned schema. ``None`` inherits the parent's.
+
+        ``partition_spec`` (identity-transform column names) and
+        ``file_partitions`` (per added file, the partition values it
+        was written under) are the Iceberg-style partition metadata:
+        the spec is versioned table metadata a commit can CHANGE
+        (``evolve_partition_spec`` is the pure-metadata form), while
+        every file permanently keeps the values of the spec it was
+        WRITTEN under — carried forward commit over commit, so
+        ``snapshot_files(partition_filter=...)`` can prune old-spec
+        and new-spec files each by their own recorded values.
+        ``None`` inherits the parent's spec / carries its values.
         """
         if expected_version is None:
             expected_version = self.latest_version()
@@ -149,6 +193,10 @@ class TxnLog:
         if missing:
             raise ValueError(f"cannot remove files not in snapshot: {missing}")
         files = [f for f in prev if f not in removed] + list(add)
+        # per-file partition values: parent's (minus removed) + added
+        carried = dict(parent.get("file_partitions") or {}) if parent else {}
+        carried = {f: v for f, v in carried.items() if f not in removed}
+        carried.update(file_partitions or {})
         body = {
             "version": version,
             "files": files,
@@ -157,6 +205,10 @@ class TxnLog:
             "schema": schema_json
             if schema_json is not None
             else (parent.get("schema") if parent else None),
+            "partition_spec": partition_spec
+            if partition_spec is not None
+            else (parent.get("partition_spec") if parent else None),
+            "file_partitions": carried,
         }
         staged = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
         with open(staged, "w") as f:
@@ -168,12 +220,53 @@ class TxnLog:
             os.unlink(staged)
         return version
 
+    def commit_retry(
+        self,
+        add: list[str],
+        remove: list[str] = (),
+        max_attempts: int = 10,
+        **kwargs,
+    ) -> int:
+        """Optimistic-concurrency rebase loop (Delta's winning-writer
+        protocol): CAS on the next version slot; on losing the race,
+        re-read the log and re-validate against the NEW parent.
+
+        A pure append always rebases cleanly (Delta's blind-append
+        rule). A ``remove`` set that a concurrent winner already
+        removed fails ``commit``'s snapshot validation with
+        ``ValueError`` — the analog of ConcurrentDeleteDelete: the
+        caller's pre-images are gone, so the caller must recompute,
+        not blindly retry. Raises ``RuntimeError`` if the slot is
+        still contended after ``max_attempts`` (pathological herd)."""
+        for _ in range(max_attempts):
+            try:
+                return self.commit(
+                    add,
+                    remove,
+                    expected_version=self.latest_version(),
+                    **kwargs,
+                )
+            except FileExistsError:
+                continue
+        raise RuntimeError(
+            f"commit lost the version CAS {max_attempts} times; "
+            "raise max_attempts or reduce writer contention"
+        )
+
+    #: Partition directories are ``_pt_<col>=<value>`` — the partition
+    #: column stays IN the data files (the dir key is a duplicate), so
+    #: explicit-file-list reads need no basePath path reconstruction
+    #: and commits written under DIFFERENT specs coexist in one scan.
+    _PT_PREFIX = "_pt_"
+    _PT_SEG_RE = re.compile(r"^_pt_([A-Za-z_][A-Za-z0-9_]*)=(.*)$")
+
     def write_commit(
         self,
         df: DataFrame,
         remove: list[str] = (),
         n_files: int = 1,
         expected_version: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Land ``df`` as a new file set and commit it in one step.
 
@@ -188,29 +281,84 @@ class TxnLog:
         retry) instead of silently stacking on top of a peer's append
         — a lost update. Defaults to latest-at-entry, which is only
         safe single-writer.
+
+        ``partition_by`` (identity-transform column names) writes the
+        commit hive-partitioned on DUPLICATED ``_pt_<col>`` keys — the
+        real column stays in the file — records each file's partition
+        values in the manifest, and stamps the commit's spec. One
+        shuffle on the partition columns gives exactly one file per
+        live partition value (``n_files`` is ignored); the recorded
+        values drive ``snapshot_files(partition_filter=...)``
+        manifest-side pruning.
         """
         if expected_version is None:
             expected_version = self.latest_version()
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(DATA_DIR, f"c{commit_id}")
         out = os.path.join(self.root, rel_dir)
-        df.repartition(n_files).write.mode("error").parquet(out)
-        add = sorted(
-            os.path.join(rel_dir, name)
-            for name in os.listdir(out)
-            if name.endswith(".parquet")
-        )
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            pt_cols = [self._PT_PREFIX + c for c in partition_by]
+            staged = df
+            for c in partition_by:
+                staged = staged.withColumn(self._PT_PREFIX + c, F.col(c))
+            # one task per partition value -> one file per value
+            staged.repartition(*partition_by).write.mode("error").partitionBy(
+                *pt_cols
+            ).parquet(out)
+        else:
+            df.repartition(n_files).write.mode("error").parquet(out)
+        add = []
+        file_partitions: dict[str, dict[str, str]] = {}
+        for dirpath, _, names in os.walk(out):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, name), self.root)
+                add.append(rel)
+                if partition_by:
+                    vals = {}
+                    for seg in rel.split(os.sep):
+                        if m := self._PT_SEG_RE.match(seg):
+                            # Spark hive-escapes path-hostile chars as %XX
+                            from urllib.parse import unquote
+
+                            vals[m.group(1)] = unquote(m.group(2))
+                    file_partitions[rel] = vals
+        add.sort()
         return self.commit(
             add=add,
             remove=remove,
             expected_version=expected_version,
             schema_json=df.schema.json(),
+            partition_spec=list(partition_by) if partition_by else None,
+            file_partitions=file_partitions or None,
+        )
+
+    def evolve_partition_spec(
+        self, partition_by: list[str], expected_version: int | None = None
+    ) -> int:
+        """Change the table's partition spec in a PURE METADATA commit
+        (no data movement — Iceberg's ``ALTER TABLE ... WRITE
+        PARTITIONED BY``): files already written keep the values of
+        the spec they were written under; only FUTURE writes use the
+        new spec. The commit is the same atomic CAS as any other, so
+        a spec change serializes with concurrent data commits."""
+        return self.commit(
+            add=[],
+            remove=[],
+            expected_version=expected_version,
+            partition_spec=list(partition_by),
         )
 
     # -- read -----------------------------------------------------------
 
     def read_snapshot(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        partition_filter: dict[str, str] | None = None,
     ) -> DataFrame:
         """Read a pinned snapshot: exactly the manifest's file list —
         stale/superseded files on disk are never touched.
@@ -221,10 +369,15 @@ class TxnLog:
         column as null, and a pre-evolution version keeps ITS
         narrower schema — transactional schema evolution without
         mergeSchema's footer-union scan.
+
+        ``partition_filter`` prunes the file list manifest-side (see
+        ``snapshot_files``) — a SUPERSET guarantee: the caller still
+        applies the row-level predicate; pruning only shrinks the
+        scan.
         """
         if version is None:
             version = self.latest_version()
-        files = self.snapshot_files(version)
+        files = self.snapshot_files(version, partition_filter)
         if not files:
             raise ValueError("empty transaction log")
         schema_json = self.manifest(version).get("schema")
@@ -249,6 +402,15 @@ class TxnLog:
         latest snapshot's bytes are untouched: vacuum only ever
         removes files the retained manifests do not list. Driver-side
         O(retained manifests + directory listing), no data movement.
+
+        Change-feed consequence (ADVICE r8): the earliest retained
+        version's PRE-IMAGE (``removed``) files live in the dropped
+        ``horizon-1`` snapshot, so they are aged out with it — that
+        version's ``read_changes`` feed becomes unreadable and raises
+        the documented "was vacuumed" error. Versions strictly after
+        the horizon keep a complete feed: their remove-sets are
+        subsets of retained snapshots' file lists. Retain K ≥ 2 to
+        keep a usable change window across a vacuum.
         """
         if retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
@@ -321,6 +483,20 @@ class TxnLog:
         ``_change_type`` and ``_commit_version`` — what a downstream
         incremental consumer (``upsert_scd1``/``merge_roundtrip``)
         subscribes to.
+
+        **CDF retention contract** (ADVICE r8): ``vacuum`` retains
+        only the files the retained manifests LIST as live — the
+        pre-image (``removed``) files of the earliest retained
+        rewrite commit are aged out, so that version's change feed is
+        no longer derivable even though its snapshot is. The range
+        check alone would pass and the job would die mid-scan on a
+        missing path; instead every version's add/remove file sets
+        are existence-checked up front (driver-side, O(range ×
+        manifest) — the same cost class as reading the manifests) and
+        a vacuumed feed raises the Delta-style contract error naming
+        the first still-derivable version. Delta draws the same line:
+        VACUUM deletes pre-images and ``table_changes`` beyond
+        retention fails loudly rather than returning a partial feed.
         """
         from pyspark.sql import functions as F
 
@@ -330,6 +506,24 @@ class TxnLog:
             raise ValueError(
                 f"change range [{lo}, {hi}] outside readable log range "
                 f"[{self.earliest_version()}, {self.latest_version()}]"
+            )
+        vacuumed = None  # latest version in range with aged-out inputs
+        for v in range(lo, hi + 1):
+            m = self.manifest(v)
+            for rel in (*m["added"], *m["removed"]):
+                if not os.path.exists(os.path.join(self.root, rel)):
+                    vacuumed = v
+        if vacuumed is not None:
+            raise ValueError(
+                f"version {vacuumed}'s change feed was vacuumed "
+                f"(pre-image files aged out); "
+                + (
+                    f"change-feed-readable range is "
+                    f"[{vacuumed + 1}, {hi}]"
+                    if vacuumed < hi
+                    else "no change feed is readable at the current "
+                    "retention"
+                )
             )
 
         def _read(rel_files: list[str], schema_json: str | None) -> DataFrame:
