@@ -2046,6 +2046,191 @@ def _txnlog_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _txnlog_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-writer optimistic concurrency under REAL contention
+    (VERDICT r8 #2): two threads race the same version slot; the CAS
+    admits exactly one, the loser rebases, and nothing is lost.
+
+    v0 lands the pre-cut base; then two writer THREADS each pin the
+    same pre-read ``base`` version, synchronize on a barrier, and
+    ``write_commit`` disjoint halves of the post-cut slice (even /
+    odd ``event_id``). Because both CAS on ``base + 1``, exactly one
+    ``FileExistsError`` is deterministic regardless of scheduling;
+    the loser rebases (re-read latest, recommit) and converges.
+    ``vacuum(retain_versions=3)`` then reclaims the loser's ORPHANED
+    first-attempt files — staged data that never made a manifest —
+    without touching any committed version. Oracle-pinned:
+
+    - per-event_type totals over the final snapshot equal the WHOLE
+      events table (no lost update: winner's AND loser's rows);
+    - ``n_versions`` = 3, ``n_conflicts`` = 1 (exactly one CAS
+      loser), ``n_orphans_removed`` = 2 (the dead first attempt),
+      disk == manifest == 6 files after the vacuum.
+
+    Scale shape: the race is on the KB-sized manifest link — the
+    same object-store put-if-absent Delta serializes on; data files
+    land before the CAS, so contention never blocks executors.
+    """
+    import os
+    import shutil
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txncc_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    log.write_commit(events.filter(F.col("ts") < cut), n_files=2)  # v0
+    post = events.filter(F.col("ts") >= cut)
+
+    base = log.latest_version()  # BOTH writers read this same base
+    barrier = threading.Barrier(2)
+    conflicts: list[int] = []
+    errors: list[BaseException] = []
+
+    def writer(df: DataFrame) -> None:
+        try:
+            barrier.wait()
+            try:
+                log.write_commit(df, n_files=2, expected_version=base)
+            except FileExistsError:  # CAS loser: rebase and recommit
+                conflicts.append(1)
+                log.write_commit(
+                    df, n_files=2, expected_version=log.latest_version()
+                )
+        except BaseException as exc:  # surfaced via the scalar row
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(
+            target=writer,
+            args=(post.filter(F.pmod("event_id", F.lit(2)) == lit),),
+        )
+        for lit in (0, 1)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+
+    stats = log.vacuum(retain_versions=3)  # keeps v0..v2, reaps orphans
+    n_disk = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(os.path.join(root, "data"))
+    )
+    scal = spark.createDataFrame(
+        [(
+            log.latest_version() + 1,
+            len(conflicts),
+            stats["data_files_removed"],
+            n_disk,
+            len(log.snapshot_files()),
+        )],
+        "n_versions long, n_conflicts long, n_orphans_removed long, "
+        "n_files_disk long, n_files_live long",
+    )
+    return (
+        log.read_snapshot(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+
+
+def _txnlog_partition_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution via a metadata commit (VERDICT r8 #3,
+    Iceberg's ``ALTER TABLE ... WRITE PARTITIONED BY``): version N−1
+    reads under the old spec, version N under the new, and manifest
+    file skipping works on BOTH sides of the change.
+
+    - **v0** pre-cut slice written ``partition_by=['event_type']`` —
+      one file per live type (the manifest records each file's
+      values);
+    - **v1** pure-metadata spec change to ``['day']`` — zero files
+      move;
+    - **v2** post-cut slice written under the NEW spec — one file per
+      day.
+
+    File-skipping arithmetic, all oracle-recomputed from raw events:
+    a ``day = 2024-01-12`` filter prunes v2 to 1 file but must
+    conservatively keep ALL v0 files (their spec never recorded a
+    day — Iceberg's rule that old-spec files are unprunable on new
+    columns), and an ``event_type = 'click'`` filter the mirror
+    image. The returned relation row-filters the day-pruned read, so
+    a pruning bug that drops a needed file changes the totals, and
+    one that leaks extra files changes the scan counts.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txnpe_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    day = F.col("ts").cast("date").cast("string").alias("day")
+    shaped = events.select("event_id", "user_id", "event_type", "value", day, "ts")
+    log.write_commit(
+        shaped.filter(F.col("ts") < cut).drop("ts"),
+        partition_by=["event_type"],
+    )  # v0: one file per pre-cut event type
+    log.evolve_partition_spec(["day"])  # v1: metadata only
+    log.write_commit(
+        shaped.filter(F.col("ts") >= cut).drop("ts"),
+        partition_by=["day"],
+    )  # v2: one file per post-cut day
+
+    pin_day = "2024-01-12"
+    n_v0 = len(log.snapshot_files(0))
+    n_all = len(log.snapshot_files())
+    scal = spark.createDataFrame(
+        [(
+            log.latest_version() + 1,
+            n_v0,
+            n_all - n_v0,
+            len(log.snapshot_files(partition_filter={"day": pin_day})),
+            len(log.snapshot_files(partition_filter={"event_type": "click"})),
+            ",".join(log.partition_spec(0)),
+            ",".join(log.partition_spec()),
+        )],
+        "n_versions long, n_files_v0 long, n_files_v2 long, "
+        "n_scan_day long, n_scan_type long, spec_v0 string, "
+        "spec_latest string",
+    )
+    return (
+        log.read_snapshot(spark, partition_filter={"day": pin_day})
+        .filter(F.col("day") == pin_day)  # row filter over the superset
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+
+
 def _stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply through the real streaming machinery — the
     change-stream half of the MERGE story (`streaming/cdc.py`).
@@ -3001,6 +3186,12 @@ QUERIES: dict[str, QueryFn] = {
     "txn_log_vacuum_check": _txn_log_vacuum_check,
     "txnlog_cdf_read": _txnlog_cdf_read,
     "txnlog_schema_evolve": _txnlog_schema_evolve,
+    # NEW in round 9: multi-writer OCC under a real 2-thread race
+    # (exactly one CAS loser, rebase converges, vacuum reaps the
+    # orphaned attempt) and Iceberg-style partition-spec evolution
+    # (metadata commit; manifest file skipping on both specs).
+    "txnlog_concurrent_commit": _txnlog_concurrent_commit,
+    "txnlog_partition_evolve": _txnlog_partition_evolve,
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
@@ -4962,6 +5153,57 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY event_type, n_data_removed, n_manifests_removed,
                  earliest_retained, n_files_disk, n_files_live, v0_unreadable,
                  cdf_vacuumed
+    """,
+    "txnlog_concurrent_commit": """
+        WITH scal AS (
+            SELECT CAST(3 AS BIGINT) AS n_versions,
+                   CAST(1 AS BIGINT) AS n_conflicts,
+                   CAST(2 AS BIGINT) AS n_orphans_removed,
+                   CAST(6 AS BIGINT) AS n_files_disk,
+                   CAST(6 AS BIGINT) AS n_files_live
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               n_versions, n_conflicts, n_orphans_removed,
+               n_files_disk, n_files_live
+        FROM events CROSS JOIN scal
+        GROUP BY event_type, n_versions, n_conflicts, n_orphans_removed,
+                 n_files_disk, n_files_live
+    """,
+    "txnlog_partition_evolve": """
+        WITH pre AS (
+            SELECT * FROM events
+            WHERE ts < TIMESTAMP '2024-01-11 00:00:00'),
+        post AS (
+            SELECT * FROM events
+            WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'),
+        scal AS (SELECT
+            CAST(3 AS BIGINT) AS n_versions,
+            (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM pre)
+                AS n_files_v0,
+            (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+             FROM post) AS n_files_v2,
+            (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM pre)
+              + (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                 FROM post WHERE CAST(ts AS DATE) = DATE '2024-01-12')
+                AS n_scan_day,
+            (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+             FROM post)
+              + (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                 FROM pre WHERE event_type = 'click') AS n_scan_type,
+            'event_type' AS spec_v0,
+            'day' AS spec_latest)
+        SELECT p.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_value,
+               n_versions, n_files_v0, n_files_v2, n_scan_day, n_scan_type,
+               spec_v0, spec_latest
+        FROM post p CROSS JOIN scal
+        WHERE CAST(p.ts AS DATE) = DATE '2024-01-12'
+        GROUP BY p.event_type, n_versions, n_files_v0, n_files_v2,
+                 n_scan_day, n_scan_type, spec_v0, spec_latest
     """,
     "txnlog_cdf_read": """
         SELECT CAST(0 AS INTEGER) AS commit_version,
