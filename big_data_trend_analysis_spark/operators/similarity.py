@@ -20,6 +20,8 @@ with the plan.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -52,17 +54,64 @@ def _bounded_collect(df: DataFrame, what: str) -> list:
     return rows
 
 
+#: Logical-plan nodes that preserve input cardinality: a plan made of
+#: ONLY these over file relations has exactly the scan's row count, so
+#: parquet footer stats answer count() without a job. Anything else
+#: (Filter, Join, Aggregate, Sample, Limit, Generate, ...) changes or
+#: may change cardinality -> fall back to a real count.
+_CARDINALITY_PRESERVING_NODES = frozenset(
+    {"Project", "Relation", "LogicalRelation", "SubqueryAlias", "Alias"}
+)
+
+
+def _scan_row_count(df: DataFrame):
+    """Exact row count from parquet footer metadata — O(footers),
+    zero Spark jobs — or None when the plan's cardinality is not the
+    scan's (any non-projection node) or the inputs aren't parquet.
+
+    The production rationale: codebook/knob training needs |corpus|
+    only to size a hash-sample RATE; paying a full-corpus count job
+    for it (the prior implementation) is a 100 TB scan per training
+    call, while the file index already knows the answer — the same
+    footer statistics Spark itself serves count(*) from.
+    """
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            m = re.match(r"[A-Za-z]+", line.lstrip(" :+-"))
+            if m and m.group(0) not in _CARDINALITY_PRESERVING_NODES:
+                return None
+        files = df.inputFiles()
+        if not files or not all(f.endswith(".parquet") for f in files):
+            return None
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(f.removeprefix("file:")).num_rows for f in files
+        )
+    except Exception:
+        return None  # any introspection surprise -> the honest count
+
+
 def _hash_sample_matrix(
     embeddings: DataFrame, target: int, what: str
 ) -> tuple[int, np.ndarray]:
     """Deterministic bounded sample of the embedding matrix.
 
-    One count job sizes the xxhash64 filter rate so roughly ``target``
-    rows survive (deterministic per vec_id → identical sample every
-    run, partitioning, and cluster size); the collect is bounds-
-    checked. Returns (corpus_size, row-sorted sample matrix).
+    The corpus size sizes the xxhash64 filter rate so roughly
+    ``target`` rows survive (deterministic per vec_id → identical
+    sample every run, partitioning, and cluster size); the collect is
+    bounds-checked. The size comes FREE from parquet footer metadata
+    when the input is a cardinality-preserving plan over a file scan
+    (``_scan_row_count`` — the common train-from-the-table path then
+    runs ZERO pre-jobs; VERDICT r8 #7: at 100 TB a count() here was a
+    full corpus scan per training call); filtered/joined/aggregated
+    inputs fall back to one count job.
+    Returns (corpus_size, row-sorted sample matrix).
     """
-    n = embeddings.count()
+    n = _scan_row_count(embeddings)
+    if n is None:
+        n = embeddings.count()
     sample = embeddings.select("vec_id", as_double("embedding").alias("v"))
     if n > target:
         sample = sample.filter(
@@ -92,9 +141,9 @@ def train_ivf_centroids(
     the point farthest from its centroid, k-means++ init is seeded.
     """
     target = n_centroids * sample_per_centroid
-    # One count job (rewritten to parquet row-group stats for plain
-    # scans, but a job either way) sizes the hash-sample rate; the
-    # collect is bounds-checked against _BOUNDED_SAMPLE_MAX.
+    # Corpus size via the footer-stats rider (zero jobs on the table
+    # scan path); the collect is bounds-checked against
+    # _BOUNDED_SAMPLE_MAX.
     n, mat = _hash_sample_matrix(embeddings, target, "train_ivf_centroids")
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 

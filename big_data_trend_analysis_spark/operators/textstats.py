@@ -703,6 +703,95 @@ def unigram_perplexity(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_perplexity(documents: DataFrame, lam: float = 0.7) -> DataFrame:
+    """Per-document cross-entropy under a Jelinek-Mercer-interpolated
+    bigram LM — the n=2 step from ``unigram_perplexity`` toward the
+    CCNet quality filter's real KenLM n-gram model (VERDICT r8 #5).
+
+    P(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}·) + (1−λ)·c(w_i)/N —
+    the classical JM smoothing (Jelinek & Mercer 1980; Chen & Goodman
+    1999 survey): the ML bigram estimate backed off toward the corpus
+    unigram so unseen-in-context words keep finite information content.
+    Plan shape mirrors the unigram operator and stays declarative:
+
+    - bigrams form ROW-LOCALLY (zip_with over the shifted token
+      array — no shuffle, no self-join) then explode once;
+    - the LM relations are vocab-sized: bigram counts (one corpus
+      aggregation, localCheckpoint — three consumers), context
+      counts as a re-aggregation, unigram counts from the shared
+      tokenization;
+    - per-bigram bits = round(−log2(λ·p_ml + (1−λ)·p_uni), 6) fixed
+      to ``decimal(18,6)``; the interpolation weights are BOTH plain
+      double literals (0.7 / 0.3) — computing ``1 − λ`` at runtime
+      differs between engines (IEEE 1.0−0.7 vs DuckDB's exact
+      decimal), the engine's float-discipline pitfall;
+    - one join bigrams→bits (LM side orders of magnitude smaller
+      than the corpus) and one doc_id aggregation with the same
+      floor-based exact-decimal mean as the unigram operator.
+
+    Documents with fewer than two tokens have no bigrams and drop
+    out (both engines agree by construction). Returns
+    ``(doc_id, n_bigrams, bits_per_bigram)``.
+    """
+    lam_c = {0.7: 0.3, 0.5: 0.5}.get(lam, round(1.0 - lam, 10))
+    arr = F.split("text", " ")
+    toks = documents.select("doc_id", F.explode(arr).alias("token"))
+    uni = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint()
+    )
+    total = uni.agg(F.sum("cu").alias("total"))
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = documents.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cb = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint()
+    )
+    cc = cb.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    probs = (
+        cb.join(cc, "w1")
+        .join(uni.withColumnRenamed("token", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log2(
+                    F.lit(lam) * (F.col("cb") / F.col("cc"))
+                    + F.lit(lam_c) * (F.col("cu") / F.col("total"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("bits"),
+        )
+    )
+    return (
+        big.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # the unigram operator's tie-free mean: exact 6-dp decimal
+            # numerator, single-IEEE-op steps, identical both engines
+            (
+                F.floor(
+                    F.sum("bits").cast("double") / F.count(F.lit(1)) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("bits_per_bigram"),
+        )
+    )
+
+
 def inverted_index_build(documents: DataFrame, k: int = 50) -> DataFrame:
     """Distributed inverted-index (posting-list) build — the retrieval
     half of a training-data pipeline (BM25/winnowing consume this).
@@ -855,7 +944,25 @@ def bpe_encode(documents: DataFrame, rounds: int = 2) -> DataFrame:
     doc_words = documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.col("w") != "")
+    encoded = _bpe_encoded_vocab(doc_words, rounds)
+    return (
+        doc_words.join(encoded.select("w", "tpw", "rt"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("tpw").cast("long")).alias("n_tokens"),
+            F.bool_and("rt").alias("roundtrip_ok"),
+        )
+    )
 
+
+def _bpe_encoded_vocab(doc_words: DataFrame, rounds: int) -> DataFrame:
+    """Shared encode-the-vocabulary stage of ``bpe_encode`` /
+    ``pack_sequences_bpe``: re-derive the merge chain over the
+    |vocab| relation (identical argmax-and-replace rounds as
+    ``bpe_merge_rounds``, each rule a broadcast 1-row scalar) and
+    return ``(w, freq, tpw, rt)`` — tokens-per-word and the
+    lossless-reassembly flag for every distinct word."""
     words = doc_words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     sym0 = F.concat(
         F.lit("  "), F.concat_ws("  ", F.split(F.col("w"), "")), F.lit("  ")
@@ -893,19 +1000,66 @@ def bpe_encode(documents: DataFrame, rounds: int = 2) -> DataFrame:
             .localCheckpoint()
         )
 
-    encoded = vocab.select(
+    return vocab.select(
         "w",
+        "freq",
         F.size(F.split(F.trim(F.col("s")), "  ")).alias("tpw"),
         (F.replace(F.col("s"), F.lit(" "), F.lit("")) == F.col("w")).alias("rt"),
     )
-    return (
-        doc_words.join(encoded, "w")
+
+
+def pack_sequences_bpe(
+    documents: DataFrame,
+    rounds: int = 2,
+    token_budget: int = 2048,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``pack_sequences`` over REAL tokenizer lengths (VERDICT r8 #6):
+    budget by post-BPE token counts, the way a production pretraining
+    pipeline packs — whitespace word counts under-count tokens by the
+    tokens-per-word factor, so whitespace-budgeted sequences overflow
+    the model's context window.
+
+    Composition, still one Catalyst plan: encode the VOCABULARY (the
+    ``bpe_encode`` production trick — the merge chain runs on |vocab|
+    rows), join doc words to tokens-per-word, aggregate to per-doc
+    BPE lengths, then the bucketed concat-and-chunk arithmetic of
+    ``pack_sequences`` (hash-bucketed streams, exclusive running sum,
+    floor-divide by the budget — one shuffle per stage, no driver
+    data). Documents with no non-empty words have zero tokens and
+    drop with the word explode (both engines agree). Returns
+    ``(doc_id, bucket, n_toks, local_seq, seq_id)`` where ``n_toks``
+    is the document's BPE token count.
+    """
+    doc_words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    encoded = _bpe_encoded_vocab(doc_words, rounds)
+    counts = (
+        doc_words.join(encoded.select("w", "tpw"), "w")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.col("tpw").cast("long")).alias("n_tokens"),
-            F.bool_and("rt").alias("roundtrip_ok"),
+        .agg(F.sum(F.col("tpw").cast("long")).alias("n_toks"))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.pmod(F.col("doc_id"), F.lit(n_buckets)).alias("bucket"),
         )
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = counts.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_toks").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    return cum.select(
+        "doc_id",
+        "bucket",
+        "n_toks",
+        F.floor(F.col("cum_before") / F.lit(token_budget)).alias("local_seq"),
+        (F.col("bucket") * F.lit(1_000_000)
+         + F.floor(F.col("cum_before") / F.lit(token_budget))).alias("seq_id"),
     )
 
 

@@ -288,6 +288,112 @@ def _stream_dedup_within_wm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data ACCOUNTING (VERDICT r8 #4): the reference's
+    error side-channel covers exceptions (`edw_stream.py:124-136` →
+    ``stream_sink_live``); this gate closes the other silent-loss
+    corner — rows the watermark drops — by draining the per-batch
+    ``numRowsDroppedByWatermark`` counters alongside the append-mode
+    results and pinning BOTH against a first-principles oracle.
+
+    Protocol (measured on this Spark, sf0.001/0.01/0.1, and encoded
+    in the oracle exactly):
+
+    - the 1-day windowed count over the ``event_id % 3`` 3-file split
+      drains as 3 deterministic micro-batches under a 3-day
+      watermark;
+    - the LATE-ROW FILTER inside the stateful aggregation lags the
+      reported watermark by one batch (the filter for batch N uses
+      the watermark computed after batch N−2), so batches 0 and 1
+      drop nothing and batch 2 drops against
+      ``max(ts over batch 0) − 3 days``;
+    - the counter counts POST-SHUFFLE groups — distinct
+      (window, event_type) cells whose window end ≤ the filter
+      watermark — not raw input rows (partial aggregation runs
+      before the state store);
+    - the append sink finalizes exactly the windows whose end ≤ the
+      FINAL watermark (global max − 3 days), and each finalized
+      cell's count excludes the dropped late contributions — the
+      data-level proof the drops really happened.
+
+    Emits one row per finalized (day, event_type) cell plus the audit
+    scalars (per-batch input rows, late-cell count, batch count)
+    broadcast alongside. A changed drop predicate, a watermark that
+    stops lagging, or a leak of late rows into state each flips a
+    different pinned value.
+    """
+    import json
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.streaming.sources import (
+        stream_events_batched,
+    )
+
+    tune_session(spark)
+    name = f"late_audit_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    try:
+      with _stream_partitions(spark):
+        agg = (
+            stream_events_batched(spark, sf_dir)
+            .withWatermark("ts", "3 days")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_ontime"))
+        )
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        audits = []
+        for p in query.recentProgress:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            if d["numInputRows"] > 0:
+                audits.append(
+                    (
+                        int(d["batchId"]),
+                        int(d["numInputRows"]),
+                        sum(
+                            int(op.get("numRowsDroppedByWatermark", 0))
+                            for op in d["stateOperators"]
+                        ),
+                    )
+                )
+        query.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if len(audits) != 3:  # the %3 split must drain as 3 data batches
+        raise AssertionError(f"expected 3 data batches, saw {audits}")
+    scal = spark.createDataFrame(
+        [(
+            len(audits),
+            audits[0][1],
+            audits[1][1],
+            audits[2][1],
+            sum(a[2] for a in audits),
+        )],
+        "n_data_batches long, n_input_b0 long, n_input_b1 long, "
+        "n_input_b2 long, n_late_cells long",
+    )
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_ontime",
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+
+
 def _stream_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension join through the real streaming path.
 
@@ -3192,6 +3298,16 @@ QUERIES: dict[str, QueryFn] = {
     # (metadata commit; manifest file skipping on both specs).
     "txnlog_concurrent_commit": _txnlog_concurrent_commit,
     "txnlog_partition_evolve": _txnlog_partition_evolve,
+    # NEW in round 9: the n=2 LM quality filter (Jelinek-Mercer
+    # interpolated bigram perplexity) and sequence packing budgeted
+    # by REAL post-BPE token counts (vocab-encode join, then the
+    # bucketed concat-and-chunk arithmetic).
+    "bigram_perplexity": _q(textstats.bigram_perplexity, "documents"),
+    "pack_sequences_bpe": _q(textstats.pack_sequences_bpe, "documents"),
+    # NEW in round 9: watermark late-data accounting — per-batch
+    # numRowsDroppedByWatermark counters + the finalized append
+    # results, both pinned against the event-time-split oracle.
+    "stream_late_audit": _stream_late_audit,
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
@@ -3257,6 +3373,12 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_merge_rounds": _q(textstats.bpe_merge_rounds, "documents"),
     "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
+    # ---- end of the 50-entry driver window ----
+    # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
+    # green_ledger.WINDOW. Everything below is unchanged since its
+    # last green driver row, which the fingerprint ledger certifies;
+    # the 10 r8 greens directly below rotated out to make room for the
+    # round-9 stale-or-new set.)
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
     "expectations_check": _q(relational.expectations_check, "lineitem", "orders"),
     "runtime_filter_join": _runtime_filter_join,
@@ -3267,9 +3389,6 @@ QUERIES: dict[str, QueryFn] = {
     "compact_small_files": _compact_small_files,
     "skew_profile": _q(aggregates.skew_profile, "lineitem"),
     "user_growth_daily": _q(temporal.user_growth_daily, "events"),
-    # ---- end of the 50-entry driver window ----
-    # (r7 greens displaced by the round-8 batches; unchanged since
-    # their r7 rows, which the fingerprint ledger certifies.)
     # NEW in round 7 (third batch): Q21 double self-correlation,
     # inverted-index build, MAD outlier detection, smoothed target
     # encoding.
@@ -3636,6 +3755,44 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS pixels_ok
         FROM documents
     """,
+    # JM weights appear as explicit double literals on BOTH sides:
+    # DuckDB's 1 - 0.7 is EXACT decimal 0.3 while IEEE 1.0-0.7 is
+    # 0.30000000000000004 — the cross-engine float trap; CAST(0.3 AS
+    # DOUBLE) == Python float 0.3 == Spark lit(0.3).
+    "bigram_perplexity": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), uni AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cu
+            FROM toks GROUP BY token
+        ), tot AS (
+            SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni
+        ), big AS (
+            SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+            FROM (SELECT doc_id, string_split(text, ' ') AS a
+                  FROM documents),
+                 unnest(range(1, len(a))) AS r(i)
+        ), cb AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+            FROM big GROUP BY w1, w2
+        ), cc AS (
+            SELECT w1, CAST(SUM(cb) AS BIGINT) AS cc FROM cb GROUP BY w1
+        ), probs AS (
+            SELECT w1, w2,
+                   CAST(round(-log2(
+                       CAST(0.7 AS DOUBLE) * (cb / cc)
+                       + CAST(0.3 AS DOUBLE) * (cu / total)), 6)
+                        AS DECIMAL(18,6)) AS bits
+            FROM cb JOIN cc USING (w1) JOIN uni ON uni.token = cb.w2, tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               FLOOR(CAST(SUM(bits) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+                   AS bits_per_bigram
+        FROM big JOIN probs USING (w1, w2)
+        GROUP BY doc_id
+    """,
     "unigram_perplexity": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -3990,6 +4147,74 @@ ORACLE_SQL: dict[str, str] = {
                                                AS INTEGER)), ',') AS q_csv,
                CAST(len(v) AS BIGINT) AS n_dims
         FROM prep
+    """,
+    # Same 2-round vocab-encode chain as bpe_encode_check, then the
+    # pack_sequences window arithmetic over the summed BPE lengths.
+    "pack_sequences_bpe": """
+        WITH docw AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ), words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM docw GROUP BY w
+        ), e0 AS (
+            SELECT w, freq,
+                   '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+            FROM words
+        ), p1 AS (
+            SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS pf
+            FROM (
+                SELECT freq,
+                       unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS p
+                FROM (SELECT freq, string_split(trim(s), '  ') AS arr FROM e0)
+            ) GROUP BY lhs, rhs
+        ), m1 AS (
+            SELECT lhs, rhs FROM p1 ORDER BY pf DESC, lhs, rhs LIMIT 1
+        ), e1 AS (
+            SELECT w, freq,
+                   replace(replace(s,
+                       ' '||m1.lhs||'  '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' '),
+                       ' '||m1.lhs||'  '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' ') AS s
+            FROM e0 CROSS JOIN m1
+        ), p2 AS (
+            SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS pf
+            FROM (
+                SELECT freq,
+                       unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS p
+                FROM (SELECT freq, string_split(trim(s), '  ') AS arr FROM e1)
+            ) GROUP BY lhs, rhs
+        ), m2 AS (
+            SELECT lhs, rhs FROM p2 ORDER BY pf DESC, lhs, rhs LIMIT 1
+        ), e2 AS (
+            SELECT w,
+                   replace(replace(s,
+                       ' '||m2.lhs||'  '||m2.rhs||' ', ' '||m2.lhs||m2.rhs||' '),
+                       ' '||m2.lhs||'  '||m2.rhs||' ', ' '||m2.lhs||m2.rhs||' ') AS s
+            FROM e1 CROSS JOIN m2
+        ), enc AS (
+            SELECT w,
+                   CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS tpw
+            FROM e2
+        ), counts AS (
+            SELECT doc_id,
+                   CAST(SUM(tpw) AS BIGINT) AS n_toks,
+                   doc_id % 32 AS bucket
+            FROM docw JOIN enc USING (w)
+            GROUP BY doc_id
+        ), cum AS (
+            SELECT doc_id, bucket, n_toks,
+                   COALESCE(SUM(n_toks) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM counts
+        )
+        SELECT doc_id, bucket, n_toks,
+               CAST(FLOOR(cum_before / 2048) AS BIGINT) AS local_seq,
+               CAST(bucket * 1000000 + FLOOR(cum_before / 2048) AS BIGINT)
+                   AS seq_id
+        FROM cum
     """,
     "pack_sequences": """
         WITH toks AS (
@@ -5204,6 +5429,47 @@ ORACLE_SQL: dict[str, str] = {
         WHERE CAST(p.ts AS DATE) = DATE '2024-01-12'
         GROUP BY p.event_type, n_versions, n_files_v0, n_files_v2,
                  n_scan_day, n_scan_type, spec_v0, spec_latest
+    """,
+    # Encodes the measured streaming protocol exactly: the late filter
+    # for batch 2 uses max(ts | batch 0) − 3d (one-batch watermark
+    # lag), drops are counted as distinct post-shuffle cells, the sink
+    # finalizes windows ending ≤ the final watermark, and a finalized
+    # cell's count excludes contributions the filter dropped. HAVING
+    # keeps only cells that had ≥1 accepted contribution (cells whose
+    # every row was dropped never enter state).
+    "stream_late_audit": """
+        WITH b AS (
+            SELECT event_id % 3 AS b, CAST(ts AS DATE) AS day,
+                   event_type, ts
+            FROM events),
+        wm AS (SELECT
+            (SELECT MAX(ts) FROM b WHERE b = 0) - INTERVAL 3 DAY
+                AS wm_filter2,
+            (SELECT MAX(ts) FROM b) - INTERVAL 3 DAY AS wm_final),
+        scal AS (SELECT
+            CAST(3 AS BIGINT) AS n_data_batches,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE b = 0)
+                AS n_input_b0,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE b = 1)
+                AS n_input_b1,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE b = 2)
+                AS n_input_b2,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT DISTINCT day, event_type FROM b, wm
+                WHERE b = 2 AND day + INTERVAL 1 DAY <= wm_filter2))
+                AS n_late_cells)
+        SELECT day, event_type,
+               CAST(COUNT(*) FILTER (b.b <= 1
+                    OR day + INTERVAL 1 DAY > wm_filter2) AS BIGINT)
+                   AS n_ontime,
+               n_data_batches, n_input_b0, n_input_b1, n_input_b2,
+               n_late_cells
+        FROM b, wm CROSS JOIN scal
+        WHERE day + INTERVAL 1 DAY <= wm_final
+        GROUP BY day, event_type, n_data_batches, n_input_b0, n_input_b1,
+                 n_input_b2, n_late_cells
+        HAVING COUNT(*) FILTER (b.b <= 1
+                    OR day + INTERVAL 1 DAY > wm_filter2) > 0
     """,
     "txnlog_cdf_read": """
         SELECT CAST(0 AS INTEGER) AS commit_version,

@@ -50,6 +50,42 @@ def jdbc_connection_options(
     }
 
 
+#: Optional external JDBC serving target. Set ``JDBC_URL`` (e.g.
+#: ``jdbc:postgresql://localhost:5432/bdta?user=bdta&password=bdta&``
+#: ``stringtype=unspecified``) to aim the serving-sink tests at a real
+#: Postgres — ``stringtype=unspecified`` lets the PG driver coerce the
+#: text ``props`` column into a JSONB target column server-side (the
+#: reference's JSONB mapping, edw_stream.py:14). Unset (the container
+#: default), callers fall back to embedded Derby.
+JDBC_URL_ENV = "JDBC_URL"
+JDBC_DRIVER_ENV = "JDBC_DRIVER"
+
+
+def jdbc_target_from_env(
+    default_url: str,
+    default_driver: str = "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+) -> tuple[str, str, bool]:
+    """Resolve the serving-database target: ``(url, driver,
+    is_external)``.
+
+    The dialect matrix in one switch: an environment with a real
+    warehouse exports ``JDBC_URL`` (+ optionally ``JDBC_DRIVER``,
+    defaulting to Postgres) and every JDBC test/sink runs against it;
+    this container resolves to the embedded-Derby default. Type
+    mapping across the two dialects (README "JDBC serving targets"):
+    DOUBLE and BIGINT are IEEE/64-bit in both; the JSON side-channel
+    column is plain VARCHAR in Derby and JSONB in Postgres via
+    ``createTableColumnTypes`` + ``stringtype=unspecified``.
+    """
+    import os
+
+    url = os.environ.get(JDBC_URL_ENV)
+    if url:
+        driver = os.environ.get(JDBC_DRIVER_ENV, "org.postgresql.Driver")
+        return url, driver, True
+    return default_url, default_driver, False
+
+
 def jdbc_append_writer(
     url: str,
     table: str,

@@ -676,6 +676,38 @@ def test_tune_ivf_nprobe_adapts_to_cluster_structure(spark):
     assert tune_ivf_nprobe(clustered, n_centroids=4, target_recall=0.9) == 1
 
 
+def test_footer_count_skips_the_count_job(spark, sf_dir):
+    """VERDICT r8 #7: codebook training sizes its hash sample from
+    parquet footer statistics when the plan preserves scan
+    cardinality (zero pre-jobs), and falls back to an honest count()
+    the moment the plan filters/limits — never a wrong size."""
+    from big_data_trend_analysis_spark.operators.similarity import (
+        _hash_sample_matrix,
+        _scan_row_count,
+    )
+    from big_data_trend_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    true_n = emb.count()
+    # footer stats answer scans and projections exactly
+    assert _scan_row_count(emb) == true_n
+    assert _scan_row_count(emb.select("vec_id", "embedding")) == true_n
+    # cardinality-changing plans must refuse the shortcut
+    assert _scan_row_count(emb.filter("vec_id > 3")) is None
+    assert _scan_row_count(emb.limit(5)) is None
+    assert _scan_row_count(emb.groupBy("vec_id").count()) is None
+    # non-file inputs too
+    assert _scan_row_count(spark.range(10)) is None
+
+    # the sampler must never pay the count job on the scan path
+    def boom():
+        raise AssertionError("count() job ran despite footer stats")
+
+    emb.count = boom
+    n, _ = _hash_sample_matrix(emb, 8, "footer-test")
+    assert n == true_n
+
+
 def test_bounded_collect_raises_over_ceiling(spark, monkeypatch):
     """The driver-side sample ceiling is enforced, not advisory."""
     import pytest

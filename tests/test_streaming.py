@@ -612,6 +612,73 @@ def test_jdbc_append_sink_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
     assert Decimal(got.sv) == Decimal(want.sv)
 
 
+def test_jdbc_roundtrip_against_postgres_jsonb(spark, sf_dir):
+    """Postgres dialect branch of the serving sink (VERDICT r8 #9) —
+    runs only where ``JDBC_URL`` points at a reachable Postgres with
+    the PG driver jar on the classpath (``docker compose -f
+    docker-compose.integration.yml up``; export
+    JDBC_URL='jdbc:postgresql://localhost:5432/bdta?user=bdta&password=bdta&stringtype=unspecified').
+
+    Exercises the one mapping Derby cannot: the reference's JSONB
+    side-channel column (edw_stream.py:14). ``createTableColumnTypes``
+    pins ``props`` to JSONB; ``stringtype=unspecified`` lets the PG
+    driver coerce the text JSON server-side; the read-back casts JSONB
+    to text and re-extracts a field, so parity fails if the JSON was
+    mangled, truncated, or re-ordered lossily."""
+    import os
+
+    import pytest
+
+    from big_data_trend_analysis_spark.streaming.sinks import (
+        jdbc_target_from_env,
+    )
+
+    url, driver, is_external = jdbc_target_from_env("jdbc:derby:memory:unused")
+    if not is_external or not url.startswith("jdbc:postgresql:"):
+        pytest.skip("no Postgres target (JDBC_URL unset or not postgresql)")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    try:
+        (
+            events.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "events_served_jsonb")
+            .option("driver", driver)
+            .option("createTableColumnTypes", "props JSONB")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception as exc:
+        if "ClassNotFoundException" in str(exc):
+            pytest.skip("Postgres JDBC driver jar not on the classpath")
+        raise
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "(SELECT event_id, event_type, value, "
+                "props::text AS props FROM events_served_jsonb) t")
+        .option("driver", driver)
+        .load()
+    )
+    agg = lambda df: sorted(  # noqa: E731
+        tuple(r)
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("ids"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            # field survives the text->JSONB->text trip semantically
+            # (JSONB may normalize spacing, so compare extracted
+            # values, not raw text)
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k"),
+        )
+        .collect()
+    )
+    assert agg(back) == agg(events)
+
+
 def test_stream_stream_left_outer_join_parity(spark, sf_dir, tmp_path):
     """The watermarked LEFT OUTER stream-stream join must equal the
     batch outer join: matched purchases carry their signup time,
@@ -911,25 +978,72 @@ def test_events_source_uri_dispatch(spark, sf_dir):
 
 
 def test_kafka_uri_events_source_against_real_broker(spark, sf_dir):
-    """Executes the kafka:// branch end-to-end — only where a broker
-    and the spark-sql-kafka jar exist (set KAFKA_BOOTSTRAP, e.g.
-    'localhost:9092', and pre-publish the events topic). This
-    container has neither; the skip documents the gap (README)."""
+    """END-TO-END Kafka parity (VERDICT r8 #8) — publish the events
+    fixture through the engine's own wire-format serializer
+    (``serialize_for_kafka``, reference K2), drain it back through the
+    ``kafka://`` source (reference S1), and diff against the parquet
+    fixture value-by-value.
+
+    Runs only where a broker and the spark-sql-kafka jar exist: start
+    one with ``docker compose -f docker-compose.integration.yml up``
+    and export ``KAFKA_BOOTSTRAP=localhost:9092`` (plus
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``
+    on the Spark session). This container has neither; the skip
+    documents the gap (README "Integration backends")."""
     import os
+    import uuid
 
     import pytest
+    from pyspark.sql import functions as F
 
     bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
     if not bootstrap:
         pytest.skip("no Kafka broker in this environment (KAFKA_BOOTSTRAP unset)")
+    from big_data_trend_analysis_spark.sources.tables import load_table
+    from big_data_trend_analysis_spark.streaming.sinks import (
+        kafka_sink_options,
+        serialize_for_kafka,
+    )
     from big_data_trend_analysis_spark.streaming.sources import (
         stream_events_from_uri,
     )
 
-    df = stream_events_from_uri(
-        spark, f"kafka://{bootstrap}/events", sf_dir
+    topic = f"bdta_events_{uuid.uuid4().hex[:8]}"
+    events = load_table(spark, sf_dir, "events")
+    try:
+        (
+            serialize_for_kafka(events)
+            .write.format("kafka")
+            .options(**kafka_sink_options(bootstrap, topic))
+            .save()
+        )
+    except Exception as exc:  # jar missing is an environment gap, not a bug
+        if "Failed to find data source" in str(exc):
+            pytest.skip("spark-sql-kafka connector jar not on the classpath")
+        raise
+
+    name = f"kafka_parity_{uuid.uuid4().hex[:8]}"
+    df = stream_events_from_uri(spark, f"kafka://{bootstrap}/{topic}", sf_dir)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
     )
-    q = df.writeStream.format("memory").queryName("kafka_uri_probe").start()
-    q.processAllAvailable()
+    q.awaitTermination(180)
     q.stop()
-    assert spark.table("kafka_uri_probe").columns == df.columns
+    got = spark.table(name)
+    # exact parity: every row survived the serialize->publish->scan->
+    # parse pipeline once, with values (incl. event-time) intact
+    agg = lambda d: sorted(
+        tuple(r)
+        for r in d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("event_id").alias("ids"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            F.max("ts").alias("mx"),
+        )
+        .collect()
+    )
+    assert agg(got) == agg(events)
