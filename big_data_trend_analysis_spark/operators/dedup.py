@@ -411,6 +411,99 @@ def ngram_jaccard(
     )
 
 
+def containment_dedup(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT near-dup pairs — the dedup mode
+    Jaccard cannot see: C(A→B) = |S(A) ∩ S(B)| / |S(A)| flags a
+    document QUOTED/SUBSET inside a much larger one (|A| ≪ |B| drives
+    Jaccard toward 0 while containment stays ≈ 1). The signal the
+    training-data dedup literature (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") targets with
+    substring/suffix machinery, re-expressed set-relationally.
+
+    Same inverted-index economics as ``ngram_jaccard``: the per-doc
+    distinct shingle relation is built once; document-frequency
+    pruning (df ≤ ``max_df``) keeps stop-shingles out of the
+    candidate self-join; candidate ORDERED pairs need ≥ ``min_shared``
+    shared rare shingles; exact intersections are computed only for
+    candidates via ``array_intersect`` over the collected sets. This
+    variant keeps shingles as STRINGS so the DuckDB twin recomputes
+    the identical relation — the corpus-scale deployment swaps in the
+    ``xxhash64`` shingle representation exactly as ``ngram_jaccard``
+    does, same plan shape.
+
+    Returns ordered ``(doc_small, doc_big, n_small, n_inter,
+    containment)`` rows with C ≥ ``threshold``: ``doc_small`` is the
+    contained (quoted) side by construction of the ratio's
+    denominator.
+    """
+    sets = _materialize(
+        _doc_shingles(documents, n, distinct=True, hashed=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("token").alias("sh"))
+    )
+    shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    doc_freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = _materialize(
+        shingles.join(
+            doc_freq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    )
+    candidates = (
+        rare.alias("l")
+        .join(
+            rare.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_small"),
+            F.col("r.doc_id").alias("doc_big"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_small", "doc_big")
+    )
+    candidates = _materialize(candidates)
+    candidate_ids = (
+        candidates.select(F.col("doc_small").alias("doc_id"))
+        .union(candidates.select(F.col("doc_big").alias("doc_id")))
+        .distinct()
+    )
+    shingle_sets = sets.join(candidate_ids, "doc_id", "left_semi")
+    return (
+        candidates.join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_small"), F.col("sh").alias("sh_a")
+            ),
+            "doc_small",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_big"), F.col("sh").alias("sh_b")
+            ),
+            "doc_big",
+        )
+        .select(
+            "doc_small",
+            "doc_big",
+            F.size("sh_a").alias("n_small"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size("sh_a"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def candidate_edges(
     documents: DataFrame,
     n: int = 3,

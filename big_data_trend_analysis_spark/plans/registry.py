@@ -3189,6 +3189,35 @@ def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.boilerplate_lines(seeded, max_df=3)
 
 
+def _containment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (quotation) dedup gate: every 5th document is
+    quoted — a synthetic doc holding its first 12 words plus a unique
+    tail token — and union'd into the corpus. ``containment_dedup``
+    must surface the quote→source pairs (quote shingles ⊂ source
+    shingles except the tail-grams) that Jaccard-style symmetric
+    dedup scores near zero. The oracle replays the ENTIRE algorithm —
+    seeding, shingling, df pruning, candidate floor, exact
+    intersections — so a pruning change, an asymmetry flip (the
+    contained side must be the denominator), or a ratio drift each
+    breaks the hash.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.operators import dedup
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 12)),
+            F.lit(" qtail"),
+            F.col("doc_id"),
+        ).alias("text"),
+    )
+    return dedup.containment_dedup(docs.unionByName(quotes))
+
+
 def _mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-redaction gate (functions/text.py::mask_pii).
 
@@ -3308,6 +3337,10 @@ QUERIES: dict[str, QueryFn] = {
     # numRowsDroppedByWatermark counters + the finalized append
     # results, both pinned against the event-time-split oracle.
     "stream_late_audit": _stream_late_audit,
+    # NEW in round 9: asymmetric shingle-containment dedup — the
+    # quotation/subset mode Jaccard scores near zero (Lee et al. 2022);
+    # planted quote docs, fully general replayed-algorithm oracle.
+    "containment_check": _containment_check,
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
@@ -3372,13 +3405,13 @@ QUERIES: dict[str, QueryFn] = {
     # maintenance pair), key-skew diagnostics, growth accumulation.
     "bpe_merge_rounds": _q(textstats.bpe_merge_rounds, "documents"),
     "group_entropy": _q(textstats.group_entropy, "documents"),
-    "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     # ---- end of the 50-entry driver window ----
     # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
     # green_ledger.WINDOW. Everything below is unchanged since its
     # last green driver row, which the fingerprint ledger certifies;
-    # the 10 r8 greens directly below rotated out to make room for the
+    # the 11 r8 greens directly below rotated out to make room for the
     # round-9 stale-or-new set.)
+    "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
     "expectations_check": _q(relational.expectations_check, "lineitem", "orders"),
     "runtime_filter_join": _runtime_filter_join,
@@ -5437,6 +5470,52 @@ ORACLE_SQL: dict[str, str] = {
     # cell's count excludes contributions the filter dropped. HAVING
     # keeps only cells that had ≥1 accepted contribution (cells whose
     # every row was dropped never enter state).
+    # Replays containment_dedup end to end: seeding, Spark-exact
+    # shingling (sequence(0, greatest(len-3,0)) + capped slices),
+    # df<=10 rare pruning, >=2-shared candidate floor, exact
+    # intersection counts, threshold 0.6 on the SMALL side ratio.
+    "containment_check": """
+        WITH seeded AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   array_to_string((string_split(text, ' '))[1:12], ' ')
+                       || ' qtail' || doc_id
+            FROM documents WHERE doc_id % 5 = 0
+        ), words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM seeded
+        ), sh AS (
+            -- mirrors _doc_shingles: sequence(0, greatest(len-3, 0))
+            -- inclusive + capped 3-slices, so sub-3-word docs yield
+            -- one short shingle on BOTH engines
+            SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
+            FROM words, unnest(range(0, greatest(len(w) - 2, 1))) AS r(i)
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_sh
+            FROM sh GROUP BY doc_id
+        ), dfreq AS (
+            SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+        ), rare AS (
+            SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)
+            WHERE df <= 10
+        ), cand AS (
+            SELECT l.doc_id AS doc_small, r.doc_id AS doc_big
+            FROM rare l JOIN rare r
+              ON l.s = r.s AND l.doc_id <> r.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), inter AS (
+            SELECT c.doc_small, c.doc_big,
+                   CAST(COUNT(*) AS INTEGER) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_small
+            JOIN sh b ON b.doc_id = c.doc_big AND b.s = a.s
+            GROUP BY 1, 2
+        )
+        SELECT doc_small, doc_big, z.n_sh AS n_small, n_inter,
+               round(n_inter / z.n_sh, 6) AS containment
+        FROM inter JOIN sizes z ON z.doc_id = doc_small
+        WHERE round(n_inter / z.n_sh, 6) >= 0.6
+""",
     "stream_late_audit": """
         WITH b AS (
             SELECT event_id % 3 AS b, CAST(ts AS DATE) AS day,

@@ -84,6 +84,16 @@ CROSS_JOIN_ALLOWED = {
     "gapfill_linear",
     # per-value CDF rows × broadcast 1-row totals
     "ks_test_check",
+    # --- round 9 ---
+    # per-type agg × broadcast 1-row OCC/partition-evolution scalars
+    # (the txn_log_vacuum_check shape)
+    "txnlog_concurrent_commit",
+    "txnlog_partition_evolve",
+    # finalized (day, type) cells × broadcast 1-row audit scalars
+    "stream_late_audit",
+    # vocab-sized LM relation × broadcast 1-row corpus total (the
+    # unigram_perplexity shape)
+    "bigram_perplexity",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any

@@ -551,6 +551,32 @@ def test_txnlog_partition_spec_evolution_and_pruning(spark, tmp_path):
     assert len(log.snapshot_files(0, partition_filter={"k1": "b"})) == 1
 
 
+def test_txnlog_partition_values_survive_hive_escaping(spark, tmp_path):
+    """Partition values with path-hostile characters (space, slash,
+    equals, percent, colon) hive-escape into the directory name;
+    the manifest must record the ORIGINAL values (unquoted) and
+    pruning must match on them exactly."""
+    log = TxnLog(str(tmp_path / "t"))
+    vals = ["a b", "a/b", "a=b", "a%b", "a:b"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, k string"
+    )
+    log.write_commit(df, partition_by=["k"])
+    recorded = sorted(
+        p["k"] for p in log.manifest(0)["file_partitions"].values()
+    )
+    assert recorded == sorted(vals)
+    for i, v in enumerate(vals):
+        files = log.snapshot_files(partition_filter={"k": v})
+        assert len(files) == 1, (v, files)
+        got = (
+            log.read_snapshot(spark, partition_filter={"k": v})
+            .filter(F.col("k") == v)
+            .collect()
+        )
+        assert [(r.id, r.k) for r in got] == [(i, v)]
+
+
 def test_txnlog_partitioned_vacuum_cleans_nested_dirs(spark, tmp_path):
     """Vacuum on partitioned commits: hive-nested superseded files age
     out; the retained partitioned snapshot is byte-identical."""

@@ -114,6 +114,16 @@ HEAVY_QUERIES = [
     "bpe_encode_check",
     "zorder_skipping_check",
     "scd2_history",
+    # round-9 additions: bigram LM (corpus-sized token/bigram aggs),
+    # BPE-budgeted packing (vocab encode + corpus join + window),
+    # containment dedup (shingle df prune + candidate self-join),
+    # watermark late-audit drain, txnlog OCC race + spec evolution
+    "bigram_perplexity",
+    "pack_sequences_bpe",
+    "containment_check",
+    "stream_late_audit",
+    "txnlog_concurrent_commit",
+    "txnlog_partition_evolve",
     # (mask_pii/lang_id_multi/decode_audio_meta/resize_images are
     # scan-speed or fixed-size mapInPandas rows — covered by bench;
     # aqe_skew_join_check/cbo_reorder_check read the TPC-H/derived
