@@ -483,6 +483,27 @@ HEADLINERS: dict[str, str] = {
         "re-shuffle), and the lead() range close; no join anywhere. "
         "Pinned by test_scd2_history_single_exchange."
     ),
+    "bigram_perplexity": (
+        "Bigrams never shuffle to form: zip_with over the shifted "
+        "token array builds pairs row-locally and explodes once. The "
+        "three LM relations (bigram counts, context re-aggregation, "
+        "unigram counts) are vocab-sized; the corpus-sized side "
+        "touches exactly one join against the small probs relation "
+        "(AQE broadcasts it at fixture scale; at 100 TB it is a "
+        "shuffle join whose build side is orders of magnitude "
+        "smaller) plus one doc_id aggregation."
+    ),
+    "containment_check": (
+        "The inverted-index dedup economics: the per-doc shingle-set "
+        "relation is built in ONE corpus shuffle; document-frequency "
+        "pruning keeps stop-shingles out of the candidate self-join "
+        "(df ≤ 10, so join fan-out is bounded per shingle, never "
+        "quadratic in docs); exact array_intersect verification "
+        "touches only candidate pairs after a left-semi prune of the "
+        "set relation. Same plan shape as ngram_jaccard with string "
+        "shingles so the oracle can replay it; the corpus-scale "
+        "deployment swaps in xxhash64 shingles unchanged."
+    ),
 }
 
 
