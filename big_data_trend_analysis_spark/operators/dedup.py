@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 
@@ -502,6 +503,131 @@ def containment_dedup(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def incremental_dedup(
+    archive: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Incremental new-batch-vs-archive dedup — the PRODUCTION dedup
+    shape: when a fresh crawl lands beside an already-curated archive,
+    dedup cost must be O(batch × posting-index), never a re-dedup of
+    the whole corpus (at 100 TB the archive side is read-only index
+    relations: fingerprints + shingle postings, exactly what this plan
+    touches).
+
+    Per batch document, first matching rule wins:
+
+    - ``drop_exact``: its md5 text fingerprint already exists in the
+      archive or on a smaller-id batch doc (first-wins within the
+      batch) — one fingerprint-sized aggregation + window, no text
+      shuffle;
+    - ``drop_near``: word-``n``-gram Jaccard ≥ ``threshold`` against
+      some ARCHIVE doc — rare-shingle candidates join BATCH-side
+      postings against ARCHIVE-side postings only (df ≤ ``max_df``
+      over the combined corpus bounds fan-out per shingle; the
+      archive × archive quadrant is never joined), exact
+      ``array_intersect`` verification on candidates only.
+      Batch-internal NEAR dups are out of scope by design — that is
+      the ordinary ``dedup_minhash`` job run on the batch alone;
+    - ``keep`` otherwise.
+
+    Emits one row per batch doc: ``(doc_id, decision, match_id)`` —
+    ``match_id`` is the smallest matching doc (deterministic), null
+    for keeps. String shingles (like ``containment_dedup``) so the
+    oracle replays the identical relation; the corpus-scale
+    deployment swaps in xxhash64 shingles unchanged.
+    """
+    fp = F.md5("text").alias("fp")
+    fps_a = archive.select("doc_id", fp)
+    fps_b = batch.select("doc_id", fp)
+    universe = fps_a.unionByName(fps_b)
+    w = Window.partitionBy("fp")
+    first_owner = universe.withColumn("min_id", F.min("doc_id").over(w))
+    exact = (
+        first_owner.join(
+            fps_b.select(F.col("doc_id").alias("b_id")),
+            F.col("doc_id") == F.col("b_id"),
+            "left_semi",
+        )
+        .filter(F.col("min_id") < F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.lit("drop_exact").alias("decision"),
+            F.col("min_id").alias("match_id"),
+        )
+    )
+    exact = _materialize(exact)
+
+    survivors = batch.join(
+        exact.select(F.col("doc_id")), "doc_id", "left_anti"
+    )
+    sets_b = _materialize(
+        _doc_shingles(survivors, n, distinct=True, hashed=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("token").alias("sh"))
+    )
+    sets_a = _materialize(
+        _doc_shingles(archive, n, distinct=True, hashed=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("token").alias("sh"))
+    )
+    sh_b = sets_b.select("doc_id", F.explode("sh").alias("shingle"))
+    sh_a = sets_a.select("doc_id", F.explode("sh").alias("shingle"))
+    doc_freq = (
+        sh_a.unionByName(sh_b)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    rare = doc_freq.filter(F.col("df") <= max_df).select("shingle")
+    candidates = (
+        sh_b.join(rare, "shingle")
+        .alias("b")
+        .join(
+            sh_a.join(rare, "shingle").alias("a"),
+            F.col("b.shingle") == F.col("a.shingle"),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("b_id"), F.col("a.doc_id").alias("a_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("b_id", "a_id")
+    )
+    # candidates feed exactly ONE downstream join — no materialization
+    # (unlike containment_dedup, where the pair relation is reused)
+    jac = F.size(F.array_intersect("sh_b", "sh_a")) / (
+        F.size("sh_b") + F.size("sh_a")
+        - F.size(F.array_intersect("sh_b", "sh_a"))
+    )
+    near = (
+        candidates.join(
+            sets_b.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")),
+            "b_id",
+        )
+        .join(
+            sets_a.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")),
+            "a_id",
+        )
+        .filter(F.round(jac, 6) >= threshold)
+        .groupBy(F.col("b_id").alias("doc_id"))
+        .agg(F.min("a_id").alias("match_id"))
+        .select("doc_id", F.lit("drop_near").alias("decision"), "match_id")
+    )
+    keeps = (
+        survivors.select("doc_id")
+        .join(near.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit("keep").alias("decision"),
+            F.lit(None).cast("long").alias("match_id"),
+        )
+    )
+    return exact.unionByName(near).unionByName(keeps)
 
 
 def candidate_edges(

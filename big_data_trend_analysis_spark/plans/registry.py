@@ -3218,6 +3218,40 @@ def _containment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_dedup(docs.unionByName(quotes))
 
 
+def _incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup gate: the corpus splits into an archive
+    (doc_id % 5 != 0) and an incoming batch (the % 5 == 0 docs plus
+    PLANTED collisions — a verbatim copy of every archive doc with
+    doc_id % 7 == 1 and a one-word-appended near-copy of every
+    archive doc with doc_id % 7 == 3). The planted copies pin both
+    drop paths deterministically at every SF (the fixture has ~no
+    natural exact dups below sf0.1); the oracle replays the whole
+    algorithm — fingerprint first-wins, combined-corpus df pruning,
+    batch×archive candidate join, exact Jaccard — so decisions AND
+    match ids must agree row for row.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.operators import dedup
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    archive = docs.filter(F.col("doc_id") % 5 != 0)
+    exact_plants = archive.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    near_plants = archive.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xx"), F.col("doc_id")).alias("text"),
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .unionByName(exact_plants)
+        .unionByName(near_plants)
+    )
+    return dedup.incremental_dedup(archive, batch)
+
+
 def _mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-redaction gate (functions/text.py::mask_pii).
 
@@ -3341,6 +3375,10 @@ QUERIES: dict[str, QueryFn] = {
     # quotation/subset mode Jaccard scores near zero (Lee et al. 2022);
     # planted quote docs, fully general replayed-algorithm oracle.
     "containment_check": _containment_check,
+    # NEW in round 9: incremental new-batch-vs-archive dedup — the
+    # production shape (O(batch x index), never a corpus re-dedup);
+    # planted exact + near collisions, replayed-algorithm oracle.
+    "incremental_dedup_check": _incremental_dedup_check,
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
@@ -3404,13 +3442,13 @@ QUERIES: dict[str, QueryFn] = {
     # training, MOR read view + small-file compaction (lakehouse
     # maintenance pair), key-skew diagnostics, growth accumulation.
     "bpe_merge_rounds": _q(textstats.bpe_merge_rounds, "documents"),
-    "group_entropy": _q(textstats.group_entropy, "documents"),
     # ---- end of the 50-entry driver window ----
     # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
     # green_ledger.WINDOW. Everything below is unchanged since its
     # last green driver row, which the fingerprint ledger certifies;
-    # the 11 r8 greens directly below rotated out to make room for the
+    # the 12 r8 greens directly below rotated out to make room for the
     # round-9 stale-or-new set.)
+    "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
     "expectations_check": _q(relational.expectations_check, "lineitem", "orders"),
@@ -5470,6 +5508,81 @@ ORACLE_SQL: dict[str, str] = {
     # cell's count excludes contributions the filter dropped. HAVING
     # keeps only cells that had ≥1 accepted contribution (cells whose
     # every row was dropped never enter state).
+    # Replays incremental_dedup end to end: planted collisions,
+    # fingerprint first-wins, combined-corpus df pruning, the
+    # batch x archive candidate join, exact Jaccard at 0.5.
+    "incremental_dedup_check": """
+        WITH archive AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+        ), batch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text FROM archive WHERE doc_id % 7 = 1
+            UNION ALL
+            SELECT doc_id + 3000000, text || ' xx' || doc_id
+            FROM archive WHERE doc_id % 7 = 3
+        ), uni AS (
+            SELECT doc_id, md5(text) AS fp FROM archive
+            UNION ALL
+            SELECT doc_id, md5(text) AS fp FROM batch
+        ), owner AS (
+            SELECT fp, MIN(doc_id) AS min_id FROM uni GROUP BY fp
+        ), exact AS (
+            SELECT u.doc_id, 'drop_exact' AS decision,
+                   CAST(o.min_id AS BIGINT) AS match_id
+            FROM uni u JOIN owner o USING (fp)
+            JOIN batch b ON b.doc_id = u.doc_id
+            WHERE o.min_id < u.doc_id
+        ), surv AS (
+            SELECT * FROM batch
+            WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+        ), wb AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM surv
+        ), wa AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM archive
+        ), shb AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
+            FROM wb, unnest(range(0, greatest(len(w) - 2, 1))) AS r(i)
+        ), sha AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
+            FROM wa, unnest(range(0, greatest(len(w) - 2, 1))) AS r(i)
+        ), dfreq AS (
+            SELECT s, COUNT(*) AS df FROM (
+                SELECT * FROM sha UNION ALL SELECT * FROM shb
+            ) GROUP BY s
+        ), rare AS (SELECT s FROM dfreq WHERE df <= 10
+        ), cand AS (
+            SELECT b.doc_id AS b_id, a.doc_id AS a_id
+            FROM (SELECT * FROM shb JOIN rare USING (s)) b
+            JOIN (SELECT * FROM sha JOIN rare USING (s)) a USING (s)
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), szb AS (
+            SELECT doc_id, COUNT(*) AS nb FROM shb GROUP BY doc_id
+        ), sza AS (
+            SELECT doc_id, COUNT(*) AS na FROM sha GROUP BY doc_id
+        ), inter AS (
+            SELECT c.b_id, c.a_id, COUNT(*) AS ni
+            FROM cand c
+            JOIN shb b ON b.doc_id = c.b_id
+            JOIN sha a ON a.doc_id = c.a_id AND a.s = b.s
+            GROUP BY 1, 2
+        ), near AS (
+            SELECT b_id AS doc_id, 'drop_near' AS decision,
+                   CAST(MIN(a_id) AS BIGINT) AS match_id
+            FROM inter
+            JOIN szb ON szb.doc_id = inter.b_id
+            JOIN sza ON sza.doc_id = inter.a_id
+            WHERE round(ni / (nb + na - ni), 6) >= 0.5
+            GROUP BY b_id
+        )
+        SELECT doc_id, decision, match_id FROM exact
+        UNION ALL
+        SELECT doc_id, decision, match_id FROM near
+        UNION ALL
+        SELECT doc_id, 'keep', CAST(NULL AS BIGINT)
+        FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM near)
+""",
     # Replays containment_dedup end to end: seeding, Spark-exact
     # shingling (sequence(0, greatest(len-3,0)) + capped slices),
     # df<=10 rare pruning, >=2-shared candidate floor, exact

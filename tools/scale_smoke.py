@@ -121,6 +121,7 @@ HEAVY_QUERIES = [
     "bigram_perplexity",
     "pack_sequences_bpe",
     "containment_check",
+    "incremental_dedup_check",
     "stream_late_audit",
     "txnlog_concurrent_commit",
     "txnlog_partition_evolve",
