@@ -334,6 +334,80 @@ def test_sample_mixture_deterministic_and_rate_accurate(spark):
     assert {r.keep_rate for r in out} == {0.5, 0.1}
 
 
+def test_containment_dedup_is_asymmetric(spark):
+    """A 12-word quote inside a 40-word source: containment of the
+    QUOTE is ~1 (pair emitted quote->source), while the source's own
+    containment in the quote is ~0.3 (no reverse pair at 0.6) — the
+    asymmetry symmetric Jaccard cannot express. An unrelated doc
+    appears in no pair."""
+    from big_data_trend_analysis_spark.operators.dedup import containment_dedup
+
+    source = " ".join(f"tok{i}" for i in range(40))
+    quote = " ".join(f"tok{i}" for i in range(12))
+    unrelated = " ".join(f"zzz{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, source), (2, quote), (3, unrelated)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_small, r.doc_big): r.containment
+        for r in containment_dedup(df, max_df=100).collect()
+    }
+    assert set(pairs) == {(2, 1)}
+    assert pairs[(2, 1)] == 1.0  # every quote trigram is in the source
+
+
+def test_incremental_dedup_decision_semantics(spark):
+    """The three decision rules, pinned on a hand-built corpus:
+    archive hit -> drop_exact with the ARCHIVE match id; batch-internal
+    exact dup -> first (smallest id) wins; near-dup of an archive doc
+    (one appended word, J~0.9) -> drop_near against the archive id;
+    novel text -> keep with null match."""
+    from big_data_trend_analysis_spark.operators.dedup import incremental_dedup
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = base + " extra"
+    archive = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                  # exact archive hit
+            (11, "brand new novel words here indeed"),   # keep
+            (12, "brand new novel words here indeed"),   # batch-internal dup
+            (13, near),                                  # near-dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.decision, r.match_id)
+        for r in incremental_dedup(archive, batch, max_df=100).collect()
+    }
+    assert got == {
+        10: ("drop_exact", 1),
+        11: ("keep", None),
+        12: ("drop_exact", 11),
+        13: ("drop_near", 1),
+    }
+
+
+def test_incremental_dedup_batch_internal_near_is_out_of_scope(spark):
+    """Two near-dup docs that BOTH arrive in the batch (neither in the
+    archive) must both keep: batch-internal near-dedup is the ordinary
+    dedup_minhash job by design, not this operator's contract."""
+    from big_data_trend_analysis_spark.operators.dedup import incremental_dedup
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    archive = spark.createDataFrame(
+        [(1, "unrelated archive text entirely")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, base + " extra")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.decision for r in incremental_dedup(archive, batch, max_df=100).collect()}
+    assert got == {10: "keep", 11: "keep"}
+
+
 def test_dedup_clusters_transitive_chain(spark):
     """Label propagation must close transitive chains: doc1-doc2 and
     doc2-doc3 share >=2 rare shingles (doc1-doc3 only 1, no direct
