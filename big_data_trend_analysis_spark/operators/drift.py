@@ -186,3 +186,154 @@ def mutual_information(events: DataFrame) -> DataFrame:
         F.sum(F.col("mi_term").cast(_TERM_DEC)).cast("double").alias("mi_total")
     )
     return per_cell.crossJoin(F.broadcast(total))
+
+
+def changepoint_cusum(events: DataFrame, crit: float = 1.358) -> DataFrame:
+    """Offline CUSUM changepoint detection over each type's daily series.
+
+    The fourth monitoring statistic beside PSI/KS/MI: for each
+    ``event_type``'s daily-count series, the cumulative deviation from
+    the series mean C_i = Σ_{j≤i}(x_j − x̄) peaks at the most likely
+    level-shift point (Page/Taylor CUSUM); the peak scaled by
+    s·√n_days is compared against the Brownian-bridge critical value
+    (``crit`` ≈ 1.358 at α = 0.05, the same constant family as
+    ``ks_test_check``). Scale shape: ONE corpus-sized hash aggregation
+    to (type, day) counts — everything after runs on the time-dim
+    relation (days × types rows). Determinism: C_i is computed as
+    ``cum_n − i·x̄`` where ``cum_n`` is an exact integer running sum
+    and ``x̄`` an exact integer ratio, so no float accumulation order
+    exists to disagree on; the sample stddev is rounded to 6 dp before
+    use (the ``trend_anomaly`` discipline).
+
+    Emits one row per event_type:
+    (event_type, n_days, cp_day, max_dev, cusum_stat, is_change).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    daily = _materialize(
+        events.groupBy(
+            "event_type", F.date_trunc("DAY", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").alias("tot_n"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.stddev_samp("n"), 6).alias("sd"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_seq = Window.partitionBy("event_type").orderBy("day")
+    dev = (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_days",
+            "sd",
+            F.round(
+                F.sum("n").over(w_run)
+                - F.row_number().over(w_seq)
+                * (F.col("tot_n").cast("double") / F.col("n_days")),
+                6,
+            ).alias("c_dev"),
+        )
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs("c_dev").desc(), F.col("day").asc()
+    )
+    picked = (
+        dev.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("cp_day"),
+            F.round(F.abs("c_dev"), 6).alias("max_dev"),
+            F.round(
+                F.abs("c_dev")
+                / F.nullif(
+                    F.col("sd") * F.sqrt(F.col("n_days").cast("double")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cusum_stat"),
+        )
+    )
+    return picked.withColumn(
+        "is_change",
+        F.coalesce(F.col("cusum_stat") > crit, F.lit(False)),
+    )
+
+
+def autocorr_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
+    """Autocorrelation of the global daily event-count series at lags 1..k.
+
+    The time-series diagnostic a monitoring pipeline runs beside the
+    drift statistics: ACF(k) = Σ_t d_t·d_{t+k} / Σ_t d_t² with
+    d_t = x_t − x̄ (mean-centred daily counts). ONE corpus-sized hash
+    aggregation to daily counts; the series itself is time-dim-sized,
+    so the global (unpartitioned) analytic window is O(days) rows on
+    one task — the same bounded-series argument as the KS merged
+    support. Determinism: x̄ is an exact integer ratio, deviations and
+    lag-products are rounded to 6 dp, and sums of rounded terms fold
+    in exact decimal — order-independent totals on both engines.
+
+    Emits one row per lag: (lag, n_days, acf).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    # daily feeds the moments agg, the numerator stack AND the
+    # denominator fold — materialized so the corpus scans once.
+    daily = _materialize(
+        events.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    stats = daily.agg(
+        F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.orderBy("day")
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_days",
+        F.round(
+            F.col("n") - F.col("tot_n").cast("double") / F.col("n_days"), 6
+        ).alias("d0"),
+    )
+    lagged = dev.select(
+        "n_days",
+        "d0",
+        *[
+            F.lag("d0", k).over(w).alias(f"d{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_expr = ", ".join(
+        f"{k}, round(d0 * d{k}, 6)" for k in range(1, max_lag + 1)
+    )
+    terms = lagged.select(
+        "n_days",
+        F.expr(f"stack({max_lag}, {stack_expr}) AS (lag, prod)"),
+    )
+    den = dev.agg(
+        F.sum(
+            F.round(F.col("d0") * F.col("d0"), 6).cast(_TERM_DEC)
+        ).alias("den_dec")
+    )
+    return (
+        terms.groupBy("lag", "n_days")
+        .agg(F.sum(F.col("prod").cast(_TERM_DEC)).alias("num_dec"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_days",
+            F.round(
+                F.col("num_dec").cast("double")
+                / F.col("den_dec").cast("double"),
+                6,
+            ).alias("acf"),
+        )
+    )

@@ -1178,3 +1178,90 @@ def stratified_sample_exact(
         )
         .filter(F.col("rnk") <= k_per_stratum)
     )
+
+
+def collocation_llr(
+    documents: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations over adjacent bigrams.
+
+    The statistically-sound collocation test beside ``cooccurrence_pmi``
+    (PMI over-rewards rare pairs; Dunning 1993's G² does not): for each
+    adjacent word pair, the 2×2 contingency (k11 = c(ab),
+    k12 = c(a·)−k11, k21 = c(·b)−k11, k22 = N−c(a·)−c(·b)+k11) scored
+    by G² = 2·Σ k·ln(k) over the table vs its margins. Scale shape:
+    ONE corpus pass materializes bigram counts (vocab²-bounded, the
+    ``udtf_bigram_topk`` relation); first-word / second-word margins
+    and N are re-aggregations of it, broadcast back. The nine k·ln(k)
+    terms are each rounded to 6 dp before the fixed-order sum — after
+    rounding, both engines combine identical doubles, so G² is
+    bit-stable (the ``mutual_information`` discipline).
+
+    Emits the ``top_k`` pairs by G² (ties lexicographic):
+    (rnk, w1, w2, k11, llr).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    toks = documents.select(
+        F.filter(F.split("text", " "), lambda t: t != "").alias("arr")
+    ).filter(F.size("arr") >= 2)
+    grams = _materialize(
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1),"
+                    " i -> struct(arr[i - 1] AS w1, arr[i] AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k11"))
+    )
+    c1 = grams.groupBy("w1").agg(F.sum("k11").alias("c1"))
+    c2 = grams.groupBy("w2").agg(F.sum("k11").alias("c2"))
+    n = grams.agg(F.sum("k11").alias("n_tot"))
+
+    def xlx(k):
+        # k·ln(k) with the 0·ln(0) = 0 convention, quantized at 6 dp so
+        # downstream arithmetic is identical-IEEE on both engines.
+        return F.round(
+            F.when(k > 0, k.cast("double") * F.log(k.cast("double")))
+            .otherwise(F.lit(0.0)),
+            6,
+        )
+
+    k11 = F.col("k11")
+    k12 = F.col("c1") - k11
+    k21 = F.col("c2") - k11
+    k22 = F.col("n_tot") - F.col("c1") - F.col("c2") + k11
+    llr = F.round(
+        F.lit(2.0)
+        * (
+            xlx(k11)
+            + xlx(k12)
+            + xlx(k21)
+            + xlx(k22)
+            - xlx(F.col("c1"))
+            - xlx(F.col("n_tot") - F.col("c1"))
+            - xlx(F.col("c2"))
+            - xlx(F.col("n_tot") - F.col("c2"))
+            + xlx(F.col("n_tot"))
+        ),
+        6,
+    )
+    scored = (
+        grams.filter(k11 >= min_count)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "k11", llr.alias("llr"))
+    )
+    order = [F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).alias("rnk"), "w1", "w2", "k11", "llr"
+    )

@@ -3379,6 +3379,20 @@ QUERIES: dict[str, QueryFn] = {
     # production shape (O(batch x index), never a corpus re-dedup);
     # planted exact + near collisions, replayed-algorithm oracle.
     "incremental_dedup_check": _incremental_dedup_check,
+    # NEW in round 9 (second batch): the advanced-analytics four —
+    # offline CUSUM changepoints + daily-series autocorrelation
+    # (completing the drift/monitoring family), the Theil-Sen robust
+    # trend slope beside trend_rising's OLS-ish lift, and Apriori
+    # 2-itemset association rules with NO corpus self-join (baskets
+    # via one collect_set, pairs JVM-side from the basket array).
+    "changepoint_cusum": _q(drift.changepoint_cusum, "events"),
+    "autocorr_daily": _q(drift.autocorr_daily, "events"),
+    "theil_sen_slope": _q(trend.theil_sen_slope, "events"),
+    "copurchase_lift": _q(aggregates.copurchase_lift, "lineitem", "part"),
+    # NEW in round 9 (second batch, cont.): Dunning G² collocations —
+    # the statistically-sound twin of cooccurrence_pmi (PMI
+    # over-rewards rare pairs; G² does not).
+    "collocation_llr": _q(textstats.collocation_llr, "documents"),
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
@@ -3413,21 +3427,10 @@ QUERIES: dict[str, QueryFn] = {
     # NEW in round 8 (seventh batch): crawl-pipeline URL
     # canonicalization and the Benford first-digit audit.
     "url_normalize": _url_normalize,
-    "benford_first_digit": _q(aggregates.benford_first_digit, "lineitem"),
     # NEW in round 8 (eighth batch): tokenizer APPLICATION (encode
     # the vocab once, join back to doc words — the production BPE
-    # shape) and Z-order layout proven to skip on the TRAILING
-    # dimension, which a linear sort cannot.
+    # shape).
     "bpe_encode_check": _q(textstats.bpe_encode, "documents"),
-    "zorder_skipping_check": _zorder_skipping_check,
-    # NEW in round 8 (eighth batch, cont.): the type-2 dimension
-    # history beside upsert_scd1's latest-wins flattening — change
-    # compression (gaps-and-islands) + validity ranges on ONE
-    # (user_id, event_type) exchange.
-    "scd2_history": _q(merge.scd2_history, "events"),
-    # CHANGED in round 8: partition-list collects now carry the
-    # enforced _PARTITION_LIST_MAX ceiling — re-enters the window.
-    "merge_roundtrip": _merge_roundtrip,
     # CHANGED in round 8: the similarity family's driver-side sample
     # collects are now bounds-asserted (_BOUNDED_SAMPLE_MAX), and the
     # ANN/LSH knobs are derived by tune_ivf_nprobe/tune_lsh_knobs with
@@ -3438,16 +3441,17 @@ QUERIES: dict[str, QueryFn] = {
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
     "ann_ivf": _q(similarity.ann_ivf, "embeddings"),
-    # NEW in round 7 (fourth batch): distributed BPE tokenizer
-    # training, MOR read view + small-file compaction (lakehouse
-    # maintenance pair), key-skew diagnostics, growth accumulation.
-    "bpe_merge_rounds": _q(textstats.bpe_merge_rounds, "documents"),
     # ---- end of the 50-entry driver window ----
     # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
     # green_ledger.WINDOW. Everything below is unchanged since its
     # last green driver row, which the fingerprint ledger certifies;
-    # the 12 r8 greens directly below rotated out to make room for the
+    # the r7/r8 greens directly below rotated out to make room for the
     # round-9 stale-or-new set.)
+    "bpe_merge_rounds": _q(textstats.bpe_merge_rounds, "documents"),
+    "zorder_skipping_check": _zorder_skipping_check,
+    "scd2_history": _q(merge.scd2_history, "events"),
+    "merge_roundtrip": _merge_roundtrip,
+    "benford_first_digit": _q(aggregates.benford_first_digit, "lineitem"),
     "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
@@ -3697,7 +3701,163 @@ def _lang_score_sql(code: str) -> str:
         " / greatest(len(string_split(text, ' ')), 1))"
     )
 
+def _xlx_sql(k: str) -> str:
+    """DuckDB twin of collocation_llr's xlx: round(k·ln(k), 6), 0 at 0."""
+    return (
+        f"round(CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE)"
+        f" * ln(CAST({k} AS DOUBLE)) ELSE 0.0 END, 6)"
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "changepoint_cusum": """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        st AS (
+            SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   round(stddev_samp(n), 6) AS sd
+            FROM daily GROUP BY 1),
+        dev AS (
+            SELECT d.event_type, d.day, st.n_days, st.sd,
+                   round(CAST(SUM(d.n) OVER (
+                             PARTITION BY d.event_type ORDER BY d.day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         - ROW_NUMBER() OVER (
+                             PARTITION BY d.event_type ORDER BY d.day)
+                           * (CAST(st.tot_n AS DOUBLE) / st.n_days),
+                         6) AS c_dev
+            FROM daily d JOIN st USING (event_type)),
+        picked AS (
+            -- DuckDB's date_trunc yields DATE; Spark's yields TIMESTAMP
+            SELECT event_type, n_days, CAST(day AS TIMESTAMP) AS cp_day,
+                   round(abs(c_dev), 6) AS max_dev,
+                   round(abs(c_dev)
+                         / nullif(sd * sqrt(CAST(n_days AS DOUBLE)), 0.0),
+                         6) AS cusum_stat,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(c_dev) DESC, day ASC) AS pick
+            FROM dev)
+        SELECT event_type, n_days, cp_day, max_dev, cusum_stat,
+               COALESCE(cusum_stat > 1.358, FALSE) AS is_change
+        FROM picked WHERE pick = 1
+    """,
+    "autocorr_daily": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1),
+        st AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+                      CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        dev AS (
+            SELECT day, n_days,
+                   round(n - CAST(tot_n AS DOUBLE) / n_days, 6) AS d0
+            FROM daily, st),
+        lagged AS (
+            SELECT n_days, d0,
+                   lag(d0, 1) OVER (ORDER BY day) AS d1,
+                   lag(d0, 2) OVER (ORDER BY day) AS d2,
+                   lag(d0, 3) OVER (ORDER BY day) AS d3
+            FROM dev),
+        terms AS (
+            SELECT n_days, 1 AS lag, round(d0 * d1, 6) AS prod FROM lagged
+            UNION ALL
+            SELECT n_days, 2, round(d0 * d2, 6) FROM lagged
+            UNION ALL
+            SELECT n_days, 3, round(d0 * d3, 6) FROM lagged),
+        den AS (SELECT SUM(CAST(round(d0 * d0, 6) AS DECIMAL(18,6)))
+                    AS den_dec FROM dev)
+        SELECT lag, n_days,
+               round(CAST(SUM(CAST(prod AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(den_dec AS DOUBLE), 6) AS acf
+        FROM terms, den GROUP BY lag, n_days, den_dec
+    """,
+    "theil_sen_slope": """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        slopes AS (
+            SELECT a.event_type,
+                   round(CAST(b.n - a.n AS DOUBLE)
+                         / date_diff('day', a.day, b.day), 6) AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day),
+        nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1)
+        SELECT s.event_type, nd.n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               round(median(slope), 6) AS sen_slope
+        FROM slopes s JOIN nd USING (event_type)
+        GROUP BY s.event_type, nd.n_days
+    """,
+    "copurchase_lift": """
+        WITH items AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        n_o AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                    AS n_orders FROM items),
+        marg AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_brand
+                 FROM items GROUP BY 1),
+        pairs AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3),
+        scored AS (
+            SELECT brand_a, brand_b, n_ab,
+                   ma.n_brand AS n_a, mb.n_brand AS n_b,
+                   round(n_ab / n_orders, 6) AS support,
+                   round(n_ab / ma.n_brand, 6) AS confidence,
+                   round((CAST(n_ab AS DOUBLE) * n_orders)
+                         / (CAST(ma.n_brand AS DOUBLE) * mb.n_brand),
+                         6) AS lift
+            FROM pairs
+            JOIN marg ma ON pairs.brand_a = ma.p_brand
+            JOIN marg mb ON pairs.brand_b = mb.p_brand, n_o)
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY lift DESC, brand_a, brand_b) AS INTEGER) AS rnk,
+               brand_a, brand_b, n_ab, n_a, n_b, support, confidence, lift
+        FROM scored
+        ORDER BY lift DESC, brand_a, brand_b
+        LIMIT 50
+    """,
+    "collocation_llr": f"""
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), t -> t <> '') AS arr
+            FROM documents),
+        grams AS (
+            SELECT p[1] AS w1, p[2] AS w2
+            FROM (SELECT unnest(list_zip(arr[1:len(arr)-1],
+                                         arr[2:len(arr)])) AS p
+                  FROM toks WHERE len(arr) >= 2)),
+        k AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+              FROM grams GROUP BY 1, 2),
+        m1 AS (SELECT w1, CAST(SUM(k11) AS BIGINT) AS c1 FROM k GROUP BY 1),
+        m2 AS (SELECT w2, CAST(SUM(k11) AS BIGINT) AS c2 FROM k GROUP BY 1),
+        nt AS (SELECT CAST(SUM(k11) AS BIGINT) AS n_tot FROM k),
+        scored AS (
+            SELECT k.w1, k.w2, k11,
+                   round(2.0 * ({_xlx_sql('k11')}
+                       + {_xlx_sql('c1 - k11')}
+                       + {_xlx_sql('c2 - k11')}
+                       + {_xlx_sql('n_tot - c1 - c2 + k11')}
+                       - {_xlx_sql('c1')}
+                       - {_xlx_sql('n_tot - c1')}
+                       - {_xlx_sql('c2')}
+                       - {_xlx_sql('n_tot - c2')}
+                       + {_xlx_sql('n_tot')}), 6) AS llr
+            FROM k JOIN m1 USING (w1) JOIN m2 USING (w2), nt
+            WHERE k11 >= 5)
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY llr DESC, w1, w2) AS INTEGER) AS rnk,
+               w1, w2, k11, llr
+        FROM scored
+        ORDER BY llr DESC, w1, w2
+        LIMIT 50
+    """,
     # Theta-sketch estimates are exact below 2^lg_k distinct ids
     # (fixture regime), so the oracle is the exact pairwise relation.
     "theta_segment_overlap": """

@@ -1,0 +1,140 @@
+"""Planted-case semantics for the round-9 advanced-analytics batch.
+
+Each test replays the operator's arithmetic by hand on a tiny planted
+input (the ``test_drift_statistics`` pattern): CUSUM must localize a
+level shift, ACF must recover alternating-series correlations exactly,
+Theil-Sen must shrug off an outlier day that would wreck an OLS fit,
+market-basket lift must match the contingency arithmetic, and the
+Dunning G² score must equal the 2x2-table formula term for term.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+_EVT = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _daily_events(spark, per_day: dict[str, list[int]]):
+    """events rows with ``counts[d]`` rows of each type on 2024-01-(d+1)."""
+    rows, eid = [], 0
+    for etype, counts in per_day.items():
+        for d, n in enumerate(counts):
+            ts = datetime.datetime(2024, 1, 1 + d)
+            for _ in range(n):
+                rows.append((eid, ts, 1, etype, 1.0, "{}"))
+                eid += 1
+    return spark.createDataFrame(rows, _EVT)
+
+
+def test_cusum_localizes_level_shift_and_skips_constant(spark):
+    from big_data_trend_analysis_spark.operators.drift import changepoint_cusum
+
+    ev = _daily_events(
+        spark,
+        {"shift": [5] * 10 + [15] * 10, "flat": [7] * 20},
+    )
+    out = {r.event_type: r for r in changepoint_cusum(ev).collect()}
+
+    s = out["shift"]
+    # mean 10 ⇒ cumulative deviation bottoms at day 10 with |C| = 50
+    assert s.cp_day == datetime.datetime(2024, 1, 10)
+    assert s.max_dev == 50.0
+    sd = round(math.sqrt(20 * 25 / 19), 6)  # stddev_samp of 10x5,10x15
+    assert s.cusum_stat == round(50.0 / (sd * math.sqrt(20)), 6)
+    assert s.is_change  # 2.179 > 1.358
+
+    f = out["flat"]
+    # constant series: sd = 0 ⇒ statistic undefined ⇒ NOT flagged
+    assert f.max_dev == 0.0
+    assert f.cusum_stat is None and f.is_change is False
+
+
+def test_autocorr_alternating_series_exact(spark):
+    from big_data_trend_analysis_spark.operators.drift import autocorr_daily
+
+    ev = _daily_events(spark, {"x": [2, 4] * 4})  # 8 days, devs ±1
+    got = {r.lag: r for r in autocorr_daily(ev).collect()}
+    assert all(got[k].n_days == 8 for k in (1, 2, 3))
+    assert got[1].acf == -0.875  # 7 products of -1 over Σd² = 8
+    assert got[2].acf == 0.75  # 6 of +1
+    assert got[3].acf == -0.625  # 5 of -1
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    from big_data_trend_analysis_spark.operators.trend import theil_sen_slope
+
+    ev = _daily_events(spark, {"a": [1, 2, 3, 4, 100]})
+    row = theil_sen_slope(ev).collect()[0]
+    # 10 pairwise slopes, six of them exactly 1 ⇒ median 1 (an OLS fit
+    # over the same series gives ~19x that).
+    assert row.n_days == 5 and row.n_pairs == 10
+    assert row.sen_slope == 1.0
+
+
+def test_copurchase_contingency_arithmetic(spark):
+    from big_data_trend_analysis_spark.operators.aggregates import copurchase_lift
+
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, "A")],
+        "p_partkey long, p_brand string",
+    )
+    # order 1 holds brand A twice (parts 1 & 4) — baskets dedup it.
+    li = spark.createDataFrame(
+        [(1, 1), (1, 4), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2),
+         (4, 1), (4, 3), (5, 2)],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = copurchase_lift(li, part, min_support=3).collect()
+    assert len(rows) == 1  # only (A,B) reaches support 3
+    r = rows[0]
+    assert (r.brand_a, r.brand_b, r.n_ab, r.n_a, r.n_b) == ("A", "B", 3, 4, 4)
+    assert r.support == round(3 / 5, 6)
+    assert r.confidence == 0.75
+    assert r.lift == round(3 * 5 / (4 * 4), 6)
+    assert r.rnk == 1
+
+
+def test_collocation_llr_matches_dunning_formula(spark):
+    from big_data_trend_analysis_spark.operators.textstats import collocation_llr
+
+    docs = [(i, "strong tea now", "en", "s", 10) for i in range(6)]
+    docs += [(100 + i, "weak tea strong arm", "en", "s", 10) for i in range(3)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = collocation_llr(df, min_count=5).collect()
+    # two pairs reach count 5: "strong tea" (x6) and "tea now" (x6)
+    assert {(r.w1, r.w2) for r in out} == {("strong", "tea"), ("tea", "now")}
+
+    # replay the G² arithmetic from the planted bigram multiset
+    grams = [("strong", "tea")] * 6 + [("tea", "now")] * 6
+    grams += [("weak", "tea"), ("tea", "strong"), ("strong", "arm")] * 3
+    n_tot = len(grams)
+
+    def xlx(k):
+        return round(k * math.log(k), 6) if k > 0 else 0.0
+
+    for r in out:
+        k11 = sum(1 for g in grams if g == (r.w1, r.w2))
+        c1 = sum(1 for g in grams if g[0] == r.w1)
+        c2 = sum(1 for g in grams if g[1] == r.w2)
+        k12, k21 = c1 - k11, c2 - k11
+        k22 = n_tot - c1 - c2 + k11
+        expect = round(
+            2.0
+            * (
+                xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+                - xlx(c1) - xlx(n_tot - c1)
+                - xlx(c2) - xlx(n_tot - c2)
+                + xlx(n_tot)
+            ),
+            6,
+        )
+        assert r.k11 == k11 and r.llr == expect, (r.w1, r.w2)
+    # ranking is by G² desc, then lexicographic
+    assert [r.rnk for r in sorted(out, key=lambda r: (-r.llr, r.w1, r.w2))] == [1, 2]
