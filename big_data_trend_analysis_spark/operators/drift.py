@@ -337,3 +337,69 @@ def autocorr_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+def seasonal_adjust_dow(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonal decomposition of the daily-count series.
+
+    The deseasonalization step before any of the other monitoring
+    statistics is trusted (a Sunday dip is weekly rhythm, not drift):
+    classical fixed-seasonality adjustment — each day's count minus
+    its day-of-week mean plus the global mean — plus the seasonality
+    STRENGTH 1 − Var(residual)/Var(deviation) (the Hyndman FPP
+    measure, 0 = no weekly pattern, → 1 = purely weekly). ONE
+    corpus-sized aggregation to daily counts; the dow means are a
+    7-row re-aggregation broadcast back. Means are exact integer
+    ratios; residuals/deviations are rounded to 6 dp and their squared
+    sums fold in exact decimal, so the variance ratio is
+    order-independent on both engines.
+
+    Emits one row per day plus the repeated strength:
+    (day, dow, n, dow_mean, adjusted, strength).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    daily = _materialize(
+        events.groupBy(
+            F.date_trunc("DAY", "ts").alias("day"),
+            F.dayofweek("ts").alias("dow"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    dow_means = daily.groupBy("dow").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("dow_mean")
+    )
+    glob = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("g_mean")
+    )
+    scored = _materialize(
+        daily.join(F.broadcast(dow_means), "dow")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "day",
+            "dow",
+            "n",
+            F.round("dow_mean", 6).alias("dow_mean"),
+            F.round(F.col("n") - F.col("dow_mean") + F.col("g_mean"), 6).alias(
+                "adjusted"
+            ),
+            F.round(F.col("n") - F.col("dow_mean"), 6).alias("resid"),
+            F.round(F.col("n") - F.col("g_mean"), 6).alias("dev"),
+        )
+    )
+    strength = scored.agg(
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.round(F.col("resid") * F.col("resid"), 6).cast(_TERM_DEC))
+            .cast("double")
+            / F.nullif(
+                F.sum(
+                    F.round(F.col("dev") * F.col("dev"), 6).cast(_TERM_DEC)
+                ).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("strength")
+    )
+    return scored.select(
+        "day", "dow", "n", "dow_mean", "adjusted"
+    ).crossJoin(F.broadcast(strength))

@@ -135,3 +135,73 @@ def pagerank_fixed(events: DataFrame, d: float = 0.85, iters: int = 3) -> DataFr
         if it < iters - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
+
+
+def triangle_count(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_support: int = 3,
+) -> DataFrame:
+    """Triangle counting on the brand co-purchase graph.
+
+    The canonical "how clustered is this graph" primitive, on the
+    graph ``copurchase_lift`` mines: nodes are brands, edges are brand
+    pairs co-purchased in ≥ ``min_support`` baskets. Edges come out of
+    the basket relation already ORIENTED (a < b from the sorted basket
+    array — each undirected edge stored exactly once), so triangles
+    enumerate via the standard two-join oriented pattern
+    e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a < b < c — every triangle found
+    exactly once, no ×6 double count. 100 TB posture: the edge
+    relation is dimension²-bounded (never corpus-sized) after ONE
+    corpus aggregation into baskets (the ``copurchase_lift`` shape);
+    on a power-law graph the same plan holds with degree-ordered
+    orientation, which bounds the join fan-out by arboricity.
+
+    Emits per-brand triangle participation plus the repeated global
+    count: (brand, n_triangles, total_triangles).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    dim = F.broadcast(part.select("p_partkey", "p_brand"))
+    baskets = (
+        lineitem.join(dim, lineitem["l_partkey"] == dim["p_partkey"])
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("basket"))
+    )
+    edges = _materialize(
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(basket, (x, i) ->"
+                    " transform(slice(basket, i + 2, size(basket)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+        .select("a", "b")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    total = tris.agg(F.count(F.lit(1)).alias("total_triangles"))
+    return per_node.crossJoin(F.broadcast(total))

@@ -365,3 +365,40 @@ def expectations_check(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     return scans.unionByName(fk).select(
         "expectation", "observed", passed.alias("passed")
     )
+
+
+def k_anonymity_check(events: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple.
+
+    The privacy-governance check beside ``mask_pii``: after direct
+    identifiers are masked, re-identification risk lives in
+    quasi-identifier COMBINATIONS — any equivalence class with fewer
+    than k members singles its users out. QI here is
+    (event_type, day-of-week, hour): one hash aggregation to class
+    sizes (the relation is |QI-space|-bounded, never corpus-sized),
+    then per-class safety flags plus the two numbers a release
+    decision needs — how many classes and how many ROWS would need
+    suppression or generalization. Pure counts: deterministic on both
+    engines with no float discipline at all.
+
+    Emits one row per equivalence class plus repeated audit totals:
+    (event_type, dow, hour, k_count, is_safe, n_risky_classes,
+    n_risky_rows).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    classes = _materialize(
+        events.groupBy(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        ).agg(F.count(F.lit(1)).alias("k_count"))
+    )
+    flagged = classes.withColumn("is_safe", F.col("k_count") >= k)
+    audit = flagged.agg(
+        F.count_if(~F.col("is_safe")).alias("n_risky_classes"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_safe"), F.col("k_count"))), F.lit(0)
+        ).alias("n_risky_rows"),
+    )
+    return flagged.crossJoin(F.broadcast(audit))

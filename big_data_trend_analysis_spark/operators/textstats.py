@@ -1265,3 +1265,124 @@ def collocation_llr(
     return top.select(
         F.row_number().over(w).alias("rnk"), "w1", "w2", "k11", "llr"
     )
+
+
+def dataset_mixing_weights(
+    documents: DataFrame,
+    max_epochs: float = 3.0,
+) -> DataFrame:
+    """Per-source sampling weights for a target pretraining mixture.
+
+    The dataset-mixing step every LLM pretraining run performs: given
+    the corpus's actual token mass per source and a target mixture
+    (uniform over observed sources here — the commonest default when
+    no tuned weights exist), the sampling weight for source s is
+    w_s = target_share·T / tokens_s (how many times each of s's tokens
+    is drawn per epoch of the blended stream). Oversampling is capped
+    at ``max_epochs`` (the repetition ceiling after which quality
+    degrades, Muennighoff 2023), and the effective post-cap token
+    contribution is reported so the pipeline can renormalize or flag
+    an infeasible mixture. Scale shape: ONE corpus-sized aggregation
+    to per-source token totals; everything after is arithmetic on the
+    sources relation (broadcast totals). All ratios are exact integer
+    ratios rounded to 6 dp.
+
+    Emits one row per source: (source, n_docs, n_tokens, token_share,
+    target_share, weight, capped_weight, effective_tokens).
+    """
+    per_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens("text")).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    out = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias(
+            "token_share"
+        ),
+        F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+        F.round(
+            (F.col("tot_tokens").cast("double") / F.col("n_sources"))
+            / F.col("n_tokens"),
+            6,
+        ).alias("weight"),
+    )
+    return out.select(
+        "*",
+        F.round(F.least(F.col("weight"), F.lit(max_epochs)), 6).alias(
+            "capped_weight"
+        ),
+        F.round(
+            F.least(F.col("weight"), F.lit(max_epochs)) * F.col("n_tokens"),
+            6,
+        ).alias("effective_tokens"),
+    )
+
+
+#: Fixed logistic-regression weights for the quality classifier —
+#: (bias, w_len, w_tok, w_stop) over the three bounded quality_score
+#: features. Stand-ins with the fasttext-classifier SHAPE (a published
+#: weight vector applied at scan speed); a trained model drops into the
+#: same expression.
+_QLR_WEIGHTS = (-2.0, 1.5, 1.2, 2.0)
+
+
+def quality_classifier_score(
+    documents: DataFrame, keep_threshold: float = 0.5
+) -> DataFrame:
+    """Linear-model quality scoring at scan speed (fasttext-filter shape).
+
+    The model-based twin of ``quality_filter``'s heuristic mean: a
+    logistic regression over the same three bounded features
+    (length / mean-token-length / stopword-ratio scores), evaluated as
+    pure JVM expressions — batch inference with NO Python in the loop,
+    the way a 100 TB quality pass must run (CCNet/fasttext classifiers
+    are exactly a linear model over cheap features). Features and the
+    logit are rounded to 6 dp before the sigmoid so both engines
+    exponentiate the identical double.
+
+    Emits (doc_id, f_len, f_tok, f_stop, score, keep).
+    """
+    from big_data_trend_analysis_spark.functions.text import (
+        n_tokens as _nt,
+        stopword_ratio,
+    )
+
+    c = F.col("text")
+    f_len = F.round(
+        F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0)), 6
+    )
+    f_tok = F.round(
+        F.least(
+            F.length(c).cast("double") / _nt(c).cast("double") / F.lit(8.0),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    f_stop = F.round(
+        F.least(stopword_ratio(c) / F.lit(0.2), F.lit(1.0)), 6
+    )
+    b, w1, w2, w3 = _QLR_WEIGHTS
+    feats = documents.select(
+        "doc_id",
+        f_len.alias("f_len"),
+        f_tok.alias("f_tok"),
+        f_stop.alias("f_stop"),
+    )
+    logit = F.round(
+        F.lit(b)
+        + F.lit(w1) * F.col("f_len")
+        + F.lit(w2) * F.col("f_tok")
+        + F.lit(w3) * F.col("f_stop"),
+        6,
+    )
+    scored = feats.select(
+        "*",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+    )
+    return scored.withColumn("keep", F.col("score") >= keep_threshold)

@@ -3393,6 +3393,18 @@ QUERIES: dict[str, QueryFn] = {
     # the statistically-sound twin of cooccurrence_pmi (PMI
     # over-rewards rare pairs; G² does not).
     "collocation_llr": _q(textstats.collocation_llr, "documents"),
+    # NEW in round 9 (third batch): pretraining dataset-mixing weights
+    # (capped-epoch uniform-target mixture arithmetic), the
+    # fasttext-shaped logistic quality classifier (linear-model batch
+    # inference as pure JVM expressions), dow seasonal adjustment +
+    # strength (deseasonalize BEFORE trusting the drift stats),
+    # k-anonymity release audit, and triangle counting on the
+    # dim²-bounded co-purchase graph (oriented two-join enumeration).
+    "dataset_mixing_weights": _q(textstats.dataset_mixing_weights, "documents"),
+    "quality_classifier_score": _q(textstats.quality_classifier_score, "documents"),
+    "seasonal_adjust_dow": _q(drift.seasonal_adjust_dow, "events"),
+    "k_anonymity_check": _q(relational.k_anonymity_check, "events"),
+    "triangle_count": _q(graph.triangle_count, "lineitem", "part"),
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
@@ -3410,18 +3422,13 @@ QUERIES: dict[str, QueryFn] = {
     # recursive CTE iteration and SQL-defined scalar/table functions
     # (Catalyst-inlined, JVM-side — the tier below Python UDFs).
     "semdedup_check": _q(similarity.semdedup_check, "embeddings"),
-    "recursive_cte_reach": _recursive_cte_reach,
-    "sql_udf_tvf_check": _sql_udf_tvf_check,
     # NEW in round 8 (fifth batch): navigation windows, MapType HOF
     # surface, linear-interpolation gapfill (TimescaleDB's second
     # gapfill mode beside gapfill_locf).
     "window_navigation_suite": _q(windows.window_navigation_suite, "events"),
-    "map_functions_suite": _q(scalar.map_functions_suite, "events"),
-    "gapfill_linear": _q(windows.gapfill_linear, "events"),
     # NEW in round 8 (sixth batch): the drift/monitoring family — the
     # statistics a production pipeline runs on every ingest beside
     # last week's (PSI, two-sample KS, mutual information).
-    "psi_drift": _q(drift.psi_drift, "events"),
     "ks_test_check": _q(drift.ks_test_check, "events"),
     "mutual_information": _q(drift.mutual_information, "events"),
     # NEW in round 8 (seventh batch): crawl-pipeline URL
@@ -3452,6 +3459,11 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_history": _q(merge.scd2_history, "events"),
     "merge_roundtrip": _merge_roundtrip,
     "benford_first_digit": _q(aggregates.benford_first_digit, "lineitem"),
+    "recursive_cte_reach": _recursive_cte_reach,
+    "sql_udf_tvf_check": _sql_udf_tvf_check,
+    "map_functions_suite": _q(scalar.map_functions_suite, "events"),
+    "gapfill_linear": _q(windows.gapfill_linear, "events"),
+    "psi_drift": _q(drift.psi_drift, "events"),
     "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
@@ -3710,6 +3722,111 @@ def _xlx_sql(k: str) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "dataset_mixing_weights": """
+        WITH s AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_sources FROM s),
+        o AS (
+            SELECT source, n_docs, n_tokens,
+                   round(n_tokens / tot_tokens, 6) AS token_share,
+                   round(1.0 / n_sources, 6) AS target_share,
+                   round((CAST(tot_tokens AS DOUBLE) / n_sources)
+                         / n_tokens, 6) AS weight
+            FROM s, t)
+        SELECT source, n_docs, n_tokens, token_share, target_share, weight,
+               round(least(weight, 3.0), 6) AS capped_weight,
+               round(least(weight, 3.0) * n_tokens, 6) AS effective_tokens
+        FROM o
+    """,
+    "quality_classifier_score": f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0),
+                         6) AS f_len,
+                   round(least((CAST(length(text) AS DOUBLE)
+                                / CAST(len(string_split(text, ' '))
+                                       AS DOUBLE)) / 8.0, 1.0),
+                         6) AS f_tok,
+                   round(least({_STOP_RATIO} / 0.2, 1.0), 6) AS f_stop
+            FROM documents),
+        scored AS (
+            SELECT doc_id, f_len, f_tok, f_stop,
+                   round(1.0 / (1.0 + exp(-round(
+                       -2.0 + 1.5 * f_len + 1.2 * f_tok + 2.0 * f_stop,
+                       6))), 6) AS score
+            FROM feats)
+        SELECT doc_id, f_len, f_tok, f_stop, score,
+               score >= 0.5 AS keep
+        FROM scored
+    """,
+    "seasonal_adjust_dow": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        dm AS (SELECT dow, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS dow_mean
+               FROM daily GROUP BY 1),
+        g AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS g_mean FROM daily),
+        sc AS (
+            SELECT CAST(d.day AS TIMESTAMP) AS day, d.dow,
+                   CAST(d.n AS BIGINT) AS n,
+                   round(dm.dow_mean, 6) AS dow_mean,
+                   round(d.n - dm.dow_mean + g.g_mean, 6) AS adjusted,
+                   round(d.n - dm.dow_mean, 6) AS resid,
+                   round(d.n - g.g_mean, 6) AS dev
+            FROM daily d JOIN dm USING (dow), g),
+        st AS (SELECT round(1.0
+                   - CAST(SUM(CAST(round(resid * resid, 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                     / nullif(CAST(SUM(CAST(round(dev * dev, 6)
+                                            AS DECIMAL(18,6))) AS DOUBLE),
+                              0.0),
+                   6) AS strength FROM sc)
+        SELECT day, dow, n, dow_mean, adjusted, strength FROM sc, st
+    """,
+    "k_anonymity_check": """
+        WITH c AS (
+            SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+                   CAST(hour(ts) AS INTEGER) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS k_count
+            FROM events GROUP BY 1, 2, 3),
+        f AS (SELECT event_type, dow, hour, k_count,
+                     k_count >= 5 AS is_safe FROM c),
+        a AS (SELECT CAST(COUNT(*) FILTER (NOT is_safe) AS BIGINT)
+                         AS n_risky_classes,
+                     CAST(COALESCE(SUM(k_count) FILTER (NOT is_safe), 0)
+                          AS BIGINT) AS n_risky_rows
+              FROM f)
+        SELECT event_type, dow, hour, k_count, is_safe,
+               n_risky_classes, n_risky_rows
+        FROM f, a
+    """,
+    "triangle_count": """
+        WITH items AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        edges AS (
+            SELECT a.p_brand AS a, b.p_brand AS b
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3),
+        tris AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM edges e1
+            JOIN edges e2 ON e1.b = e2.a
+            JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+        pn AS (
+            SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS brand FROM tris)
+            GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tris)
+        SELECT brand, n_triangles, total_triangles FROM pn, tot
+    """,
     "changepoint_cusum": """
         WITH daily AS (
             SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n

@@ -138,3 +138,103 @@ def test_collocation_llr_matches_dunning_formula(spark):
         assert r.k11 == k11 and r.llr == expect, (r.w1, r.w2)
     # ranking is by G² desc, then lexicographic
     assert [r.rnk for r in sorted(out, key=lambda r: (-r.llr, r.w1, r.w2))] == [1, 2]
+
+
+def test_mixing_weights_cap_and_shares(spark):
+    from big_data_trend_analysis_spark.operators.textstats import (
+        dataset_mixing_weights,
+    )
+
+    # big: 90 tokens over 9 docs; small: 10 tokens over 2 docs
+    docs = [(i, "w " * 9 + "w", "en", "big", 1) for i in range(9)]
+    docs += [(100, "a b c d e", "en", "small", 1),
+             (101, "a b c d e", "en", "small", 1)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in dataset_mixing_weights(df).collect()}
+    big, small = out["big"], out["small"]
+    assert big.n_tokens == 90 and small.n_tokens == 10
+    assert big.token_share == 0.9 and small.token_share == 0.1
+    assert big.target_share == 0.5 and small.target_share == 0.5
+    # weight = (T/2)/tokens_s: big undersampled, small oversampled 5x -> capped
+    assert big.weight == round(50 / 90, 6) and big.capped_weight == big.weight
+    assert small.weight == 5.0 and small.capped_weight == 3.0
+    assert small.effective_tokens == 30.0  # the cap bit: 50 were wanted
+
+
+def test_quality_classifier_monotone_in_features(spark):
+    import math
+
+    from big_data_trend_analysis_spark.operators.textstats import (
+        quality_classifier_score,
+    )
+
+    good = "the quality of the analysis is that it holds for the data " * 9
+    df = spark.createDataFrame(
+        [(1, good.strip(), "en", "s", 1), (2, "x y", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in quality_classifier_score(df).collect()}
+    g, b = out[1], out[2]
+    assert g.score > b.score and g.keep and not b.keep
+    # replay the logistic arithmetic on the engine's own features
+    for r in (g, b):
+        z = round(-2.0 + 1.5 * r.f_len + 1.2 * r.f_tok + 2.0 * r.f_stop, 6)
+        assert r.score == round(1.0 / (1.0 + math.exp(-z)), 6)
+
+
+def test_seasonal_adjust_removes_pure_weekly_pattern(spark):
+    from big_data_trend_analysis_spark.operators.drift import seasonal_adjust_dow
+
+    # 4 full weeks of a purely weekly signal: dow d gets 10+d events
+    counts = []
+    for week in range(4):
+        for d in range(7):
+            counts.append(10 + d)
+    ev = _daily_events(spark, {"x": counts})
+    rows = seasonal_adjust_dow(ev).collect()
+    g_mean = sum(counts) / len(counts)
+    # every residual is 0 -> adjusted == global mean, strength == 1
+    assert all(r.adjusted == round(g_mean, 6) for r in rows)
+    assert all(r.strength == 1.0 for r in rows)
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    import datetime
+
+    from big_data_trend_analysis_spark.operators.relational import (
+        k_anonymity_check,
+    )
+
+    rows = []
+    # safe class: 6 events, same (type, dow, hour)
+    for i in range(6):
+        rows.append((i, datetime.datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}"))
+    # risky class: 2 events
+    for i in range(2):
+        rows.append((10 + i, datetime.datetime(2024, 1, 1, 23), 1, "view", 1.0, "{}"))
+    ev = spark.createDataFrame(rows, _EVT)
+    out = {(r.event_type, r.hour): r for r in k_anonymity_check(ev).collect()}
+    assert out[("view", 9)].is_safe and not out[("view", 23)].is_safe
+    assert out[("view", 9)].n_risky_classes == 1
+    assert out[("view", 9)].n_risky_rows == 2
+
+
+def test_triangle_count_oriented_enumeration(spark):
+    from big_data_trend_analysis_spark.operators.graph import triangle_count
+
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, "D")],
+        "p_partkey long, p_brand string",
+    )
+    # 3 baskets x {A,B,C} -> triangle ABC; 3 baskets x {A,D} -> edge only
+    li_rows = []
+    for o in range(3):
+        li_rows += [(o, 1), (o, 2), (o, 3)]
+    for o in range(10, 13):
+        li_rows += [(o, 1), (o, 4)]
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_partkey long")
+    out = {r.brand: r for r in triangle_count(li, part, min_support=3).collect()}
+    assert set(out) == {"A", "B", "C"}  # D is in no triangle
+    assert all(r.n_triangles == 1 and r.total_triangles == 1 for r in out.values())
