@@ -2337,6 +2337,86 @@ def _txnlog_partition_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _txnlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-based time travel on the log-backed table — Delta's
+    ``timestampAsOf`` beside the family's version-number reads.
+
+    Three commits land with pinned ISO stamps (caller-supplied so the
+    gate is deterministic; a production writer passes its wall
+    clock): v0 = pre-cut slice @ Jan 1, v1 = even post-cut @ Jan 2,
+    v2 = odd post-cut @ Jan 3. ``version_at`` must resolve
+
+    - the exact first stamp to v0 (boundary is ≤, as in Delta),
+    - a mid-range timestamp to the LATEST commit at-or-before it
+      (v1 — not v2, which exists but is in the query's future),
+    - a far-future timestamp to the latest version,
+
+    and a pre-epoch timestamp must raise (the vacuumed-history
+    contract: a silently-wrong old answer is the failure mode).
+    Row counts and exact integer id-sums per resolved snapshot are
+    oracle-pinned from the same slice arithmetic.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txntt_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    pre = events.filter(F.col("ts") < cut)
+    post = events.filter(F.col("ts") >= cut)
+    log.write_commit(pre, n_files=2, committed_at="2024-01-01T00:00:00")
+    log.write_commit(
+        post.filter(F.col("event_id") % 2 == 0),
+        committed_at="2024-01-02T00:00:00",
+    )
+    log.write_commit(
+        post.filter(F.col("event_id") % 2 == 1),
+        committed_at="2024-01-03T00:00:00",
+    )
+
+    def _asof(label: str, ts: str) -> DataFrame:
+        v = log.version_at(ts)
+        return (
+            log.read_snapshot(spark, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("sum_id"),
+            )
+            .select(
+                F.lit(label).alias("label"),
+                F.lit(v).alias("resolved_version"),
+                "n_rows",
+                "sum_id",
+            )
+        )
+
+    out = (
+        _asof("asof_t0", "2024-01-01T00:00:00")
+        .unionByName(_asof("asof_mid", "2024-01-02T12:00:00"))
+        .unionByName(_asof("asof_latest", "2099-01-01T00:00:00"))
+    )
+    try:
+        log.version_at("1999-01-01T00:00:00")
+        pre_epoch_raises = False
+    except ValueError:
+        pre_epoch_raises = True
+    scal = spark.createDataFrame(
+        [(pre_epoch_raises,)], "pre_epoch_raises boolean"
+    )
+    return out.crossJoin(F.broadcast(scal))
+
+
 def _stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply through the real streaming machinery — the
     change-stream half of the MERGE story (`streaming/cdc.py`).
@@ -3361,6 +3441,10 @@ QUERIES: dict[str, QueryFn] = {
     # (metadata commit; manifest file skipping on both specs).
     "txnlog_concurrent_commit": _txnlog_concurrent_commit,
     "txnlog_partition_evolve": _txnlog_partition_evolve,
+    # NEW in round 9 (third batch): timestamp time travel — Delta's
+    # timestampAsOf resolved against caller-stamped manifests
+    # (version_at: latest committed_at ≤ ts; pre-epoch raises).
+    "txnlog_time_travel": _txnlog_time_travel,
     # NEW in round 9: the n=2 LM quality filter (Jelinek-Mercer
     # interpolated bigram perplexity) and sequence packing budgeted
     # by REAL post-BPE token counts (vocab-encode join, then the
@@ -3433,7 +3517,6 @@ QUERIES: dict[str, QueryFn] = {
     "mutual_information": _q(drift.mutual_information, "events"),
     # NEW in round 8 (seventh batch): crawl-pipeline URL
     # canonicalization and the Benford first-digit audit.
-    "url_normalize": _url_normalize,
     # NEW in round 8 (eighth batch): tokenizer APPLICATION (encode
     # the vocab once, join back to doc words — the production BPE
     # shape).
@@ -3464,6 +3547,7 @@ QUERIES: dict[str, QueryFn] = {
     "map_functions_suite": _q(scalar.map_functions_suite, "events"),
     "gapfill_linear": _q(windows.gapfill_linear, "events"),
     "psi_drift": _q(drift.psi_drift, "events"),
+    "url_normalize": _url_normalize,
     "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
@@ -3722,6 +3806,31 @@ def _xlx_sql(k: str) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "txnlog_time_travel": """
+        WITH pre AS (
+            SELECT event_id FROM events
+            WHERE ts < TIMESTAMP '2024-01-11 00:00:00'),
+        post AS (
+            SELECT event_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-11 00:00:00')
+        SELECT 'asof_t0' AS label, 0 AS resolved_version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               TRUE AS pre_epoch_raises
+        FROM pre
+        UNION ALL
+        SELECT 'asof_mid', 1, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(event_id) AS BIGINT), TRUE
+        FROM (SELECT event_id FROM pre
+              UNION ALL
+              SELECT event_id FROM post WHERE event_id % 2 = 0)
+        UNION ALL
+        SELECT 'asof_latest', 2, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(event_id) AS BIGINT), TRUE
+        FROM (SELECT event_id FROM pre
+              UNION ALL
+              SELECT event_id FROM post)
+    """,
     "dataset_mixing_weights": """
         WITH s AS (
             SELECT source, COUNT(*) AS n_docs,

@@ -82,6 +82,40 @@ class TxnLog:
         versions = self._versions()
         return min(versions, default=-1)
 
+    def version_at(self, ts: str) -> int:
+        """Resolve a timestamp to a version — Delta's ``timestampAsOf``:
+        the LATEST retained version whose ``committed_at`` ≤ ``ts``.
+
+        ``ts`` and the stamps are ISO-8601 ``YYYY-MM-DDTHH:MM:SS``
+        strings, which order lexicographically — no parsing, no
+        timezone ambiguity. O(versions) manifest reads, the same
+        log-sized driver work every other log inspection does (the
+        log is version-count-sized by design, never data-sized).
+
+        Raises ``ValueError`` if ``ts`` precedes the earliest
+        RETAINED stamp (after a vacuum the answer would silently
+        change — the CDF retention contract) or if no retained
+        manifest carries a stamp at all.
+        """
+        stamped = [
+            (v, at)
+            for v in sorted(self._versions())
+            if (at := self.manifest(v).get("committed_at")) is not None
+        ]
+        if not stamped:
+            raise ValueError(
+                "no commit timestamps in the transaction log; "
+                "time travel needs committed_at on commits"
+            )
+        eligible = [v for v, at in stamped if at <= ts]
+        if not eligible:
+            raise ValueError(
+                f"timestamp {ts} precedes the earliest retained commit "
+                f"({stamped[0][1]}); that history was never written or "
+                f"was vacuumed"
+            )
+        return max(eligible)
+
     def _versions(self) -> list[int]:
         return [
             int(m.group(1))
@@ -154,8 +188,16 @@ class TxnLog:
         schema_json: str | None = None,
         partition_spec: list[str] | None = None,
         file_partitions: dict[str, dict[str, str]] | None = None,
+        committed_at: str | None = None,
     ) -> int:
         """Publish snapshot ``expected_version + 1`` atomically.
+
+        ``committed_at`` (ISO-8601 ``YYYY-MM-DDTHH:MM:SS``, caller-
+        supplied so tests and replays stay deterministic — a
+        production writer passes its wall clock) stamps the manifest
+        for timestamp-based time travel: ``version_at`` resolves
+        Delta's ``timestampAsOf`` against these stamps. ``None``
+        leaves the version resolvable only by number.
 
         ``add``/``remove`` are root-relative file paths. The new
         manifest's file list is the parent snapshot's minus ``remove``
@@ -209,6 +251,7 @@ class TxnLog:
             if partition_spec is not None
             else (parent.get("partition_spec") if parent else None),
             "file_partitions": carried,
+            "committed_at": committed_at,
         }
         staged = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
         with open(staged, "w") as f:
@@ -267,6 +310,7 @@ class TxnLog:
         n_files: int = 1,
         expected_version: int | None = None,
         partition_by: list[str] | None = None,
+        committed_at: str | None = None,
     ) -> int:
         """Land ``df`` as a new file set and commit it in one step.
 
@@ -334,6 +378,7 @@ class TxnLog:
             schema_json=df.schema.json(),
             partition_spec=list(partition_by) if partition_by else None,
             file_partitions=file_partitions or None,
+            committed_at=committed_at,
         )
 
     def evolve_partition_spec(

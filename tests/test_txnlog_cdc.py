@@ -620,3 +620,53 @@ def test_txnlog_schema_evolution_is_transactional(spark, tmp_path):
     v0 = log.read_snapshot(spark, 0)
     assert v0.columns == ["id", "name"]
     assert v0.count() == 1
+
+
+def test_txnlog_version_at_timestamp_resolution(spark, tmp_path):
+    """timestampAsOf semantics: latest committed_at <= ts wins, the
+    boundary is inclusive, pre-epoch raises, and unstamped-only logs
+    refuse timestamp travel with a clear error."""
+    import pytest
+
+    log = TxnLog(str(tmp_path / "t"))
+    log.write_commit(
+        spark.createDataFrame([(1,)], "id long"),
+        committed_at="2024-01-01T00:00:00",
+    )
+    log.write_commit(
+        spark.createDataFrame([(2,)], "id long"),
+        committed_at="2024-01-02T00:00:00",
+    )
+    log.write_commit(
+        spark.createDataFrame([(3,)], "id long"),
+        committed_at="2024-01-03T00:00:00",
+    )
+    assert log.version_at("2024-01-01T00:00:00") == 0  # inclusive boundary
+    assert log.version_at("2024-01-02T12:00:00") == 1  # not the future v2
+    assert log.version_at("2099-01-01T00:00:00") == 2
+    with pytest.raises(ValueError, match="precedes the earliest"):
+        log.version_at("1999-01-01T00:00:00")
+
+    # unstamped log: version-number reads fine, timestamp travel refused
+    bare = TxnLog(str(tmp_path / "bare"))
+    bare.write_commit(spark.createDataFrame([(9,)], "id long"))
+    with pytest.raises(ValueError, match="no commit timestamps"):
+        bare.version_at("2024-01-01T00:00:00")
+
+
+def test_txnlog_version_at_respects_vacuum(spark, tmp_path):
+    """After vacuum drops old manifests, a timestamp pointing into the
+    vacuumed range raises instead of silently resolving to a newer
+    version (the CDF retention contract, applied to time travel)."""
+    import pytest
+
+    log = TxnLog(str(tmp_path / "t"))
+    for i, day in enumerate(["01", "02", "03"]):
+        log.write_commit(
+            spark.createDataFrame([(i,)], "id long"),
+            committed_at=f"2024-01-{day}T00:00:00",
+        )
+    log.vacuum(retain_versions=1)
+    assert log.version_at("2099-01-01T00:00:00") == 2
+    with pytest.raises(ValueError, match="precedes the earliest"):
+        log.version_at("2024-01-02T00:00:00")
