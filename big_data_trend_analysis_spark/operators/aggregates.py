@@ -1242,3 +1242,83 @@ def copurchase_lift(
         "confidence",
         "lift",
     )
+
+
+def standardize_features(events: DataFrame) -> DataFrame:
+    """Per-group feature scaling: z-score + min-max of ``value``.
+
+    The feature-standardization pass an ML pipeline runs before
+    training (per-category scaling so one group's range does not
+    drown another's): one tiny per-type moment/extrema aggregation
+    broadcast back onto the fact scan — scaling 100 TB prices like
+    the rollup itself, zero extra corpus shuffles. Moments are
+    rounded to 6 dp before use (the ``trend_anomaly`` discipline:
+    stddev accumulation order differs between engines); degenerate
+    groups (σ = 0 or max = min) surface NULL, not a division blowup.
+
+    Emits (event_id, event_type, value_q, z, minmax). The feature is
+    quantized to 6 dp up front (``value_q``): float averages and
+    stddevs over raw doubles are shuffle-order-dependent, so the
+    moments come from EXACT decimal Σx / Σx² folds over the quantized
+    value and the moment identity — order-independent on both engines
+    (the ``ab_test_welch`` discipline, per-group).
+    """
+    # decimal(18,6): the square must stay inside precision 38 on BOTH
+    # engines (18+18+... a (28,6)² would be silently rescaled by Spark
+    # and rejected by DuckDB). Features beyond 1e12 don't need z-scores.
+    v = F.round("value", 6)
+    vd = v.cast("decimal(18,6)")
+    q = events.select("event_id", "event_type", v.alias("value_q"))
+    stats = (
+        events.select("event_type", vd.alias("vd"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vd").cast("double").alias("sx"),
+            F.sum((F.col("vd") * F.col("vd")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("sxx"),
+            F.min("vd").cast("double").alias("min_v"),
+            F.max("vd").cast("double").alias("max_v"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("sx") / F.col("n"), 6).alias("mean_v"),
+            # n = 1 branch is explicit: double /0 is NULL on Spark but
+            # inf on DuckDB, and the engines disagree on NULL inside
+            # greatest — a CASE keeps both honest.
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    F.sqrt(
+                        F.greatest(
+                            (
+                                F.col("sxx")
+                                - F.col("sx") * F.col("sx") / F.col("n")
+                            )
+                            / (F.col("n") - 1),
+                            F.lit(0.0),
+                        )
+                    ),
+                    6,
+                ),
+            ).alias("std_v"),
+            "min_v",
+            "max_v",
+        )
+    )
+    return q.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value_q",
+        F.round(
+            (F.col("value_q") - F.col("mean_v"))
+            / F.nullif(F.col("std_v"), F.lit(0.0)),
+            6,
+        ).alias("z"),
+        F.round(
+            (F.col("value_q") - F.col("min_v"))
+            / F.nullif(F.col("max_v") - F.col("min_v"), F.lit(0.0)),
+            6,
+        ).alias("minmax"),
+    )

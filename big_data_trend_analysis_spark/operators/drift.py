@@ -403,3 +403,90 @@ def seasonal_adjust_dow(events: DataFrame) -> DataFrame:
     return scored.select(
         "day", "dow", "n", "dow_mean", "adjusted"
     ).crossJoin(F.broadcast(strength))
+
+
+def ab_test_welch(
+    lineitem: DataFrame,
+    t_crit: float = 1.96,
+) -> DataFrame:
+    """Welch's two-sample t-test between return-flag cohorts.
+
+    The experimentation primitive beside the monitoring statistics: is
+    the mean ``l_extendedprice`` of the returned cohort ('R')
+    different from the not-returned cohort ('N')? Welch's form (no
+    equal-variance assumption) with the Welch–Satterthwaite df, the
+    standard A/B readout. Scale shape: ONE hash aggregation collapses
+    the corpus to two moment rows (n, Σx, Σx²) — every statistic
+    derives from those six numbers. Determinism: the measure is 2-dp,
+    so Σx folds in decimal(18,2) and Σx² in decimal(38,4) — both
+    EXACT, order-independent — and the variance comes from the moment
+    identity (Σx² − (Σx)²/n)/(n−1) on doubles cast from those exact
+    decimals, rounded 6 dp before the t/df arithmetic.
+
+    Emits 1 row: (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
+    df_welch, significant).
+    """
+    moments = (
+        lineitem.filter(F.col("l_returnflag").isin("R", "N"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_extendedprice").cast("decimal(18,2)")
+                ).cast("decimal(38,4)")
+            )
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    mean = F.round(F.col("sx") / F.col("n"), 6)
+    var = F.round(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1),
+        6,
+    )
+    sides = moments.select(
+        "l_returnflag",
+        "n",
+        mean.alias("mean"),
+        var.alias("var"),
+    )
+    a = sides.filter(F.col("l_returnflag") == "R").select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = sides.filter(F.col("l_returnflag") == "N").select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    va_n = F.col("var_a") / F.col("n_a")
+    vb_n = F.col("var_b") / F.col("n_b")
+    t = F.round(
+        (F.col("mean_a") - F.col("mean_b")) / F.sqrt(va_n + vb_n), 6
+    )
+    df = F.round(
+        (va_n + vb_n) * (va_n + vb_n)
+        / (
+            va_n * va_n / (F.col("n_a") - 1)
+            + vb_n * vb_n / (F.col("n_b") - 1)
+        ),
+        6,
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        t.alias("t_stat"),
+        df.alias("df_welch"),
+        (F.abs(t) > t_crit).alias("significant"),
+    )

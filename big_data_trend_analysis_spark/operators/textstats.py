@@ -1386,3 +1386,37 @@ def quality_classifier_score(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
     )
     return scored.withColumn("keep", F.col("score") >= keep_threshold)
+
+
+def cap_per_key(
+    documents: DataFrame,
+    max_per_key: int = 20,
+    seed: int = 17,
+) -> DataFrame:
+    """Cap each source's contribution at ``max_per_key`` documents.
+
+    The per-domain contribution cap every crawl-derived corpus applies
+    (one mega-domain must not dominate the mixture): documents rank
+    within their source by a PORTABLE md5 order (the
+    ``split_train_val_test`` discipline — any engine recomputes the
+    exact same survivor set, and existing documents never REORDER
+    among themselves when the corpus grows; a new arrival can only
+    push out the current tail), and rank > cap is dropped. One
+    shuffle on the key; the rank window runs per source.
+    Emits the per-source audit (the kept-id sum pins membership, not
+    just counts): (source, n_docs, n_kept, n_dropped, sum_kept_ids).
+    """
+    h = F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(seed)))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = documents.select("doc_id", "source").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("rnk") <= max_per_key).alias("n_kept"),
+        F.count_if(F.col("rnk") > max_per_key).alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("rnk") <= max_per_key, F.col("doc_id"))),
+            F.lit(0),
+        ).alias("sum_kept_ids"),
+    )

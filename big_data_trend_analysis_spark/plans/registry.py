@@ -3489,19 +3489,23 @@ QUERIES: dict[str, QueryFn] = {
     "seasonal_adjust_dow": _q(drift.seasonal_adjust_dow, "events"),
     "k_anonymity_check": _q(relational.k_anonymity_check, "events"),
     "triangle_count": _q(graph.triangle_count, "lineitem", "part"),
+    # NEW in round 9 (fourth batch): the experimentation primitive
+    # (Welch's t from six exact-decimal moment numbers), per-domain
+    # contribution capping under the portable md5 order, and per-group
+    # feature scaling from exact Σx/Σx² folds (z + min-max).
+    "ab_test_welch": _q(drift.ab_test_welch, "lineitem"),
+    "cap_per_key": _q(textstats.cap_per_key, "documents"),
+    "standardize_features": _q(aggregates.standardize_features, "events"),
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
     "aqe_skew_join_check": _aqe_skew_join_check,
-    "cbo_reorder_check": _cbo_reorder_check,
     # CHANGED in round 8: pluggable kafka:// events source (file-replay
     # default in this container) — re-enters the window.
     "stream_decay_trend_live": _stream_decay_trend_live,
     # NEW in round 8 (fourth batch): corpus-level boilerplate-line
     # removal (CCNet step) and exact-k stratified sampling under the
     # portable-hash ordering.
-    "boilerplate_lines": _boilerplate_lines,
-    "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
     # NEW in round 8 (fourth batch, cont.): the Spark-4 SQL surface —
     # recursive CTE iteration and SQL-defined scalar/table functions
     # (Catalyst-inlined, JVM-side — the tier below Python UDFs).
@@ -3548,6 +3552,9 @@ QUERIES: dict[str, QueryFn] = {
     "gapfill_linear": _q(windows.gapfill_linear, "events"),
     "psi_drift": _q(drift.psi_drift, "events"),
     "url_normalize": _url_normalize,
+    "boilerplate_lines": _boilerplate_lines,
+    "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
+    "cbo_reorder_check": _cbo_reorder_check,
     "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
@@ -3806,6 +3813,82 @@ def _xlx_sql(k: str) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "ab_test_welch": """
+        WITH m AS (
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(l_extendedprice AS DECIMAL(18,2))
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+            FROM lineitem WHERE l_returnflag IN ('R', 'N')
+            GROUP BY 1),
+        s AS (
+            SELECT l_returnflag, n,
+                   round(sx / n, 6) AS mean,
+                   round((sxx - sx * sx / n) / (n - 1), 6) AS var
+            FROM m),
+        a AS (SELECT n AS n_a, mean AS mean_a, var AS var_a
+              FROM s WHERE l_returnflag = 'R'),
+        b AS (SELECT n AS n_b, mean AS mean_b, var AS var_b
+              FROM s WHERE l_returnflag = 'N')
+        SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+               round((mean_a - mean_b)
+                     / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+               round((var_a / n_a + var_b / n_b)
+                     * (var_a / n_a + var_b / n_b)
+                     / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                        + (var_b / n_b) * (var_b / n_b) / (n_b - 1)),
+                     6) AS df_welch,
+               abs(round((mean_a - mean_b)
+                         / sqrt(var_a / n_a + var_b / n_b), 6)) > 1.96
+                   AS significant
+        FROM a, b
+    """,
+    "cap_per_key": """
+        WITH r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id || ':17'), doc_id) AS rnk
+            FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (rnk <= 20) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) FILTER (rnk > 20) AS BIGINT) AS n_dropped,
+               CAST(COALESCE(SUM(doc_id) FILTER (rnk <= 20), 0)
+                    AS BIGINT) AS sum_kept_ids
+        FROM r GROUP BY 1
+    """,
+    "standardize_features": """
+        WITH q AS (
+            SELECT event_id, event_type,
+                   round(value, 6) AS value_q,
+                   CAST(round(value, 6) AS DECIMAL(18,6)) AS vd
+            FROM events),
+        st AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(vd) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(vd * vd AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sxx,
+                   CAST(MIN(vd) AS DOUBLE) AS min_v,
+                   CAST(MAX(vd) AS DOUBLE) AS max_v
+            FROM q GROUP BY 1),
+        ss AS (
+            SELECT event_type,
+                   round(sx / n, 6) AS mean_v,
+                   CASE WHEN n > 1 THEN
+                       round(sqrt(greatest(
+                           (sxx - sx * sx / n) / (n - 1), 0.0)), 6)
+                   END AS std_v,
+                   min_v, max_v
+            FROM st)
+        SELECT q.event_id, q.event_type, q.value_q,
+               round((q.value_q - ss.mean_v) / nullif(ss.std_v, 0.0),
+                     6) AS z,
+               round((q.value_q - ss.min_v)
+                     / nullif(ss.max_v - ss.min_v, 0.0), 6) AS minmax
+        FROM q JOIN ss USING (event_type)
+    """,
     "txnlog_time_travel": """
         WITH pre AS (
             SELECT event_id FROM events

@@ -238,3 +238,82 @@ def test_triangle_count_oriented_enumeration(spark):
     out = {r.brand: r for r in triangle_count(li, part, min_support=3).collect()}
     assert set(out) == {"A", "B", "C"}  # D is in no triangle
     assert all(r.n_triangles == 1 and r.total_triangles == 1 for r in out.values())
+
+
+def test_welch_t_matches_hand_moments(spark):
+    import math
+
+    from big_data_trend_analysis_spark.operators.drift import ab_test_welch
+
+    a_vals = [100.0, 110.0, 120.0, 130.0]  # R cohort
+    b_vals = [100.0, 100.0, 101.0]  # N cohort
+    rows = [(i, 1, 1, 1, v, 0.0, 0.0, "R", "O",
+             datetime.datetime(2024, 1, 1)) for i, v in enumerate(a_vals)]
+    rows += [(100 + i, 1, 1, 1, v, 0.0, 0.0, "N", "O",
+              datetime.datetime(2024, 1, 1)) for i, v in enumerate(b_vals)]
+    li = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], 1.0, r[4], r[5], r[6], r[7], r[8], r[9])
+         for r in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    r = ab_test_welch(li).collect()[0]
+
+    def moments(vals):
+        n = len(vals)
+        sx, sxx = sum(vals), sum(v * v for v in vals)
+        return n, round(sx / n, 6), round((sxx - sx * sx / n) / (n - 1), 6)
+
+    n_a, mean_a, var_a = moments(a_vals)
+    n_b, mean_b, var_b = moments(b_vals)
+    assert (r.n_a, r.mean_a, r.var_a) == (n_a, mean_a, var_a)
+    assert (r.n_b, r.mean_b, r.var_b) == (n_b, mean_b, var_b)
+    se2 = var_a / n_a + var_b / n_b
+    assert r.t_stat == round((mean_a - mean_b) / math.sqrt(se2), 6)
+    assert r.df_welch == round(
+        se2 * se2
+        / ((var_a / n_a) ** 2 / (n_a - 1) + (var_b / n_b) ** 2 / (n_b - 1)),
+        6,
+    )
+    assert r.significant == (abs(r.t_stat) > 1.96)
+
+
+def test_cap_per_key_survivors_are_replayable(spark):
+    import hashlib
+
+    from big_data_trend_analysis_spark.operators.textstats import cap_per_key
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    ids = list(range(30))
+    df = spark.createDataFrame([(i, "t", "en", "s", 1) for i in ids], schema)
+    r = cap_per_key(df, max_per_key=5).collect()[0]
+    assert (r.n_docs, r.n_kept, r.n_dropped) == (30, 5, 25)
+    # the md5 order is portable: replay the exact survivor set here
+    kept = sorted(
+        ids, key=lambda i: (hashlib.md5(f"{i}:17".encode()).hexdigest(), i)
+    )[:5]
+    assert r.sum_kept_ids == sum(kept)
+
+
+def test_standardize_features_exact_moments(spark):
+    ev_rows = [(i, datetime.datetime(2024, 1, 1), 1, "a", float(v), "{}")
+               for i, v in enumerate([1, 2, 3, 4])]
+    ev_rows += [(10, datetime.datetime(2024, 1, 1), 1, "b", 7.0, "{}")]
+    ev = spark.createDataFrame(ev_rows, _EVT)
+
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        standardize_features,
+    )
+
+    out = {(r.event_type, r.event_id): r for r in standardize_features(ev).collect()}
+    # group a: mean 2.5, var (30 - 100/4)/3 = 5/3, std = sqrt(5/3)
+    std = round((5 / 3) ** 0.5, 6)
+    r = out[("a", 3)]  # value 4.0
+    assert r.z == round((4.0 - 2.5) / std, 6)
+    assert r.minmax == 1.0
+    assert out[("a", 0)].minmax == 0.0
+    # singleton group: std undefined -> z NULL; minmax degenerate -> NULL
+    s = out[("b", 10)]
+    assert s.z is None and s.minmax is None

@@ -125,6 +125,20 @@ HEAVY_QUERIES = [
     "stream_late_audit",
     "txnlog_concurrent_commit",
     "txnlog_partition_evolve",
+    # round-9 continuation: G² collocations (corpus bigram agg), the
+    # CUSUM/QI/scaling events aggs (one corpus hash agg each, scaling
+    # joined back to the corpus), per-domain capping (corpus window),
+    # and timestamp time travel (3 txnlog writes on synthesized events)
+    "collocation_llr",
+    "changepoint_cusum",
+    "k_anonymity_check",
+    "standardize_features",
+    "cap_per_key",
+    "txnlog_time_travel",
+    # (copurchase_lift / triangle_count / ab_test_welch read the TPC-H
+    # lineitem tier, which this tool does not synthesize — bench covers
+    # them; the remaining round-9 rows are scan-speed or days-relation
+    # arithmetic.)
     # (mask_pii/lang_id_multi/decode_audio_meta/resize_images are
     # scan-speed or fixed-size mapInPandas rows — covered by bench;
     # aqe_skew_join_check/cbo_reorder_check read the TPC-H/derived
