@@ -362,3 +362,122 @@ def user_growth_daily(events: DataFrame) -> DataFrame:
     return daily.select(
         "d0", "new_users", F.sum("new_users").over(cum).alias("cum_users")
     )
+
+
+def survival_km(events: DataFrame) -> DataFrame:
+    """Kaplan–Meier churn curve over user lifetimes.
+
+    The statistical upgrade of ``retention_cohort``'s triangle: treat
+    each user's LAST active day as their churn event, users still
+    active on the corpus's final observed day as right-censored, and
+    estimate S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) — the standard
+    survival readout (median lifetime, churn hazard) a growth team
+    reads daily. Scale shape: ONE corpus aggregation to per-user last
+    days, ONE re-aggregation to the per-day death counts — everything
+    after (at-risk suffix sums, the product) runs on the bounded days
+    relation. Determinism: d/n are exact integer ratios; the product
+    is computed as exp(Σ ln(1 − d/n)) with per-day log terms rounded
+    to 6 dp and folded in exact decimal (the ``pagerank_fixed``
+    discipline), and the hazard ratio is clamped at 1e-6 from 1 (the
+    PSI guard) so a fixture where everyone churns on one day stays
+    finite.
+
+    Emits one row per observed day:
+    (day, n_risk, d_churned, hazard, s_km).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    last_days = events.groupBy("user_id").agg(
+        F.max(F.date_trunc("DAY", "ts")).alias("last_day")
+    )
+    per_day = _materialize(
+        last_days.groupBy(F.col("last_day").alias("day")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    max_day = per_day.agg(F.max("day").alias("max_day"))
+    w_desc = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = per_day.crossJoin(F.broadcast(max_day)).select(
+        "day",
+        F.sum("c").over(w_desc).alias("n_risk"),
+        F.when(F.col("day") < F.col("max_day"), F.col("c"))
+        .otherwise(F.lit(0))
+        .alias("d_churned"),
+    )
+    hazard = F.round(F.col("d_churned") / F.col("n_risk"), 6)
+    term = F.round(
+        F.log(
+            F.greatest(
+                F.lit(1e-6),
+                F.lit(1.0) - F.col("d_churned") / F.col("n_risk"),
+            )
+        ),
+        6,
+    )
+    w_asc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        "day",
+        "n_risk",
+        "d_churned",
+        hazard.alias("hazard"),
+        F.round(
+            F.exp(
+                F.sum(term.cast("decimal(18,6)")).over(w_asc).cast("double")
+            ),
+            6,
+        ).alias("s_km"),
+    )
+
+
+def rfm_segmentation(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary).
+
+    The classic marketing segmentation: per customer, days since last
+    order (R), order count (F), exact-decimal revenue (M), each cut
+    into quartiles and concatenated into the familiar '111'-'444'
+    segment code. Scale shape: ONE hash aggregation to per-customer
+    RFM, quartiles via ntile over the customer relation. Determinism:
+    every ntile ORDER BY carries the customer key as the tie-break —
+    a TOTAL order, so both engines assign the identical quartile even
+    among ties (SQL-standard NTILE remainder rule on an identical
+    order is identical).
+
+    Emits one row per customer: (o_custkey, recency_days, frequency,
+    monetary, r_q, f_q, m_q, segment).
+    """
+    from big_data_trend_analysis_spark.functions.numeric import exact_sum
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.date_trunc("DAY", "o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        exact_sum("o_totalprice").alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("anchor_day"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor_day", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_q"),
+        F.ntile(4).over(f_w).alias("f_q"),
+        F.ntile(4).over(m_w).alias("m_q"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ),
+    )

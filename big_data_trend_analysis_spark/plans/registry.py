@@ -3428,7 +3428,6 @@ QUERIES: dict[str, QueryFn] = {
     # CHANGED in round 8: their gated operators gained the exactness
     # docs / k parameter (shared source closure) — fresh rows needed.
     "kll_rollup_check": _q(aggregates.kll_rollup_check, "lineitem"),
-    "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
     # NEW in round 8 (second batch): txnlog lifecycle completion —
     # VACUUM + version-chain compaction, the change-data-feed read
     # path, and transactional (manifest-pinned) schema evolution.
@@ -3496,10 +3495,15 @@ QUERIES: dict[str, QueryFn] = {
     "ab_test_welch": _q(drift.ab_test_welch, "lineitem"),
     "cap_per_key": _q(textstats.cap_per_key, "documents"),
     "standardize_features": _q(aggregates.standardize_features, "events"),
+    # NEW in round 9 (fifth batch): Kaplan-Meier churn survival (the
+    # statistical upgrade of retention_cohort — censoring handled,
+    # product as exp of decimal-folded rounded logs) and RFM customer
+    # segmentation (total-ordered ntile quartiles, replayable).
+    "survival_km": _q(temporal.survival_km, "events"),
+    "rfm_segmentation": _q(temporal.rfm_segmentation, "orders"),
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
-    "aqe_skew_join_check": _aqe_skew_join_check,
     # CHANGED in round 8: pluggable kafka:// events source (file-replay
     # default in this container) — re-enters the window.
     "stream_decay_trend_live": _stream_decay_trend_live,
@@ -3555,6 +3559,8 @@ QUERIES: dict[str, QueryFn] = {
     "boilerplate_lines": _boilerplate_lines,
     "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
     "cbo_reorder_check": _cbo_reorder_check,
+    "aqe_skew_join_check": _aqe_skew_join_check,
+    "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
     "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
@@ -3813,6 +3819,64 @@ def _xlx_sql(k: str) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "survival_km": """
+        WITH ld AS (
+            SELECT user_id, MAX(date_trunc('day', ts)) AS last_day
+            FROM events GROUP BY 1),
+        pd AS (SELECT last_day AS day, COUNT(*) AS c FROM ld GROUP BY 1),
+        mx AS (SELECT MAX(day) AS max_day FROM pd),
+        r AS (
+            SELECT CAST(day AS TIMESTAMP) AS day,
+                   CAST(SUM(c) OVER (ORDER BY day DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+                   CAST(CASE WHEN day < max_day THEN c ELSE 0 END
+                        AS BIGINT) AS d_churned
+            FROM pd, mx),
+        t AS (
+            SELECT day, n_risk, d_churned,
+                   round(d_churned / n_risk, 6) AS hazard,
+                   round(ln(greatest(1e-6,
+                                     1.0 - d_churned / n_risk)), 6) AS term
+            FROM r)
+        SELECT day, n_risk, d_churned, hazard,
+               round(exp(CAST(SUM(CAST(term AS DECIMAL(18,6))) OVER (
+                   ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)),
+                     6) AS s_km
+        FROM t
+    """,
+    "rfm_segmentation": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   MAX(date_trunc('day', o_orderdate)) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                        AS DOUBLE) AS monetary
+            FROM orders GROUP BY 1),
+        a AS (SELECT MAX(last_order) AS anchor_day FROM pc),
+        rfm AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', last_order, anchor_day)
+                        AS INTEGER) AS recency_days,
+                   frequency, monetary
+            FROM pc, a),
+        q AS (
+            SELECT o_custkey, recency_days, frequency, monetary,
+                   CAST(ntile(4) OVER (
+                       ORDER BY recency_days ASC, o_custkey ASC)
+                        AS INTEGER) AS r_q,
+                   CAST(ntile(4) OVER (
+                       ORDER BY frequency DESC, o_custkey ASC)
+                        AS INTEGER) AS f_q,
+                   CAST(ntile(4) OVER (
+                       ORDER BY monetary DESC, o_custkey ASC)
+                        AS INTEGER) AS m_q
+            FROM rfm)
+        SELECT o_custkey, recency_days, frequency, monetary,
+               r_q, f_q, m_q,
+               CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+                   || CAST(m_q AS VARCHAR) AS segment
+        FROM q
+    """,
     "ab_test_welch": """
         WITH m AS (
             SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

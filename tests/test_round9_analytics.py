@@ -317,3 +317,61 @@ def test_standardize_features_exact_moments(spark):
     # singleton group: std undefined -> z NULL; minmax degenerate -> NULL
     s = out[("b", 10)]
     assert s.z is None and s.minmax is None
+
+
+def test_survival_km_hand_computed_curve(spark):
+    import math
+
+    # 10 users: 4 churn on day 1, 3 on day 2, 3 still active on day 3
+    rows, eid = [], 0
+    for u in range(10):
+        last = 1 if u < 4 else (2 if u < 7 else 3)
+        for d in range(1, last + 1):
+            rows.append((eid, datetime.datetime(2024, 1, d), u, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(rows, _EVT)
+
+    from big_data_trend_analysis_spark.operators.temporal import survival_km
+
+    out = {r.day.day: r for r in survival_km(ev).collect()}
+    assert (out[1].n_risk, out[1].d_churned) == (10, 4)
+    assert (out[2].n_risk, out[2].d_churned) == (6, 3)
+    assert (out[3].n_risk, out[3].d_churned) == (3, 0)  # censored, not churned
+
+    def s(*hazards):
+        return round(
+            math.exp(sum(round(math.log(1 - h), 6) for h in hazards)), 6
+        )
+
+    assert out[1].s_km == s(0.4)
+    assert out[2].s_km == s(0.4, 0.5)
+    assert out[3].s_km == s(0.4, 0.5)  # censor day carries S unchanged
+
+
+def test_rfm_quartiles_are_total_ordered(spark):
+    rows = []
+    day0 = datetime.datetime(2024, 1, 1)
+    # customer c: c orders, each 100.0, last order on day c
+    for c in range(1, 9):
+        for k in range(c):
+            rows.append((c * 100 + k, c, "O", 100.0,
+                         day0 + datetime.timedelta(days=c), "1-URGENT"))
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    from big_data_trend_analysis_spark.operators.temporal import rfm_segmentation
+
+    out = {r.o_custkey: r for r in rfm_segmentation(orders).collect()}
+    # customer 8: most recent, most frequent, highest spend -> '111'
+    assert out[8].segment == "111" and out[8].recency_days == 0
+    # customer 1: stalest, least frequent, lowest spend -> '444'
+    assert out[1].segment == "444" and out[1].recency_days == 7
+    # ntile(4) over 8 customers: exactly 2 per quartile on each axis
+    from collections import Counter
+
+    for axis in ("r_q", "f_q", "m_q"):
+        assert Counter(getattr(r, axis) for r in out.values()) == {
+            1: 2, 2: 2, 3: 2, 4: 2
+        }
