@@ -504,6 +504,37 @@ HEADLINERS: dict[str, str] = {
         "shingles so the oracle can replay it; the corpus-scale "
         "deployment swaps in xxhash64 shingles unchanged."
     ),
+    "copurchase_lift": (
+        "Market basket with NO corpus self-join: the brand dim "
+        "broadcasts onto the fact scan, ONE ObjectHashAggregate "
+        "exchange builds per-order baskets (width bounded by the "
+        "25-brand dimension), and pairs explode JVM-side from the "
+        "basket array via nested `transform` — the pair relation is "
+        "dim²-bounded before it ever shuffles. Marginals and the "
+        "basket count are re-aggregations of the cached baskets; all "
+        "joins below are broadcasts."
+    ),
+    "collocation_llr": (
+        "One corpus pass materializes bigram counts (Generate over a "
+        "row-local `transform(sequence(...))` — no per-doc window, no "
+        "shuffle before the count agg); both margins and N are tiny "
+        "re-aggregations broadcast back. The nine k·ln k terms are "
+        "scalar expressions inside one codegen stage."
+    ),
+    "survival_km": (
+        "Two hash aggregations collapse the corpus (per-user last day, "
+        "then per-day death counts); the at-risk suffix sum, hazard and "
+        "the exp-of-summed-logs product run as windows over the "
+        "days-sized relation on one task — bounded by the calendar, "
+        "not the corpus."
+    ),
+    "changepoint_cusum": (
+        "One corpus-sized hash aggregate to (type, day) counts; the "
+        "per-type moment rollup broadcasts back and the CUSUM running "
+        "sum + argmax windows execute on the days×types relation. "
+        "The deviation is cum_n − i·x̄ over exact integers, so no "
+        "float accumulation order exists anywhere in the plan."
+    ),
 }
 
 
