@@ -481,3 +481,37 @@ def rfm_segmentation(orders: DataFrame) -> DataFrame:
             F.col("m_q").cast("string"),
         ),
     )
+
+
+def event_paths_topk(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k 3-step event-type paths across user timelines.
+
+    The clickstream path-analysis primitive (what feeds a Sankey
+    diagram or a next-step model's prior): each user's events in
+    (ts, event_id) total order yield consecutive type triples via two
+    ``lead`` windows — one shuffle on the user key, no self-joins —
+    then one map-side-combining count per path string. Top-k is a
+    distributed TakeOrdered with the rank assigned after the limit
+    (the ``cooccurrence_pmi`` tail discipline). Path cardinality is
+    |types|³-bounded, so the count relation never scales with the
+    corpus.
+
+    Emits (rnk, path, n_paths).
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    triples = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    counts = triples.groupBy(
+        F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n_paths"))
+    order = [F.col("n_paths").desc(), F.col("path").asc()]
+    top = counts.orderBy(*order).limit(k)
+    w_rnk = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w_rnk).alias("rnk"), "path", "n_paths"
+    )

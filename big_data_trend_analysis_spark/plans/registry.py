@@ -3501,12 +3501,13 @@ QUERIES: dict[str, QueryFn] = {
     # segmentation (total-ordered ntile quartiles, replayable).
     "survival_km": _q(temporal.survival_km, "events"),
     "rfm_segmentation": _q(temporal.rfm_segmentation, "orders"),
+    # NEW in round 9 (fifth batch, cont.): clickstream path mining —
+    # top-k consecutive event-type triples via two lead windows on
+    # one user-key shuffle (|types|³-bounded count relation).
+    "event_paths_topk": _q(temporal.event_paths_topk, "events"),
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
-    # CHANGED in round 8: pluggable kafka:// events source (file-replay
-    # default in this container) — re-enters the window.
-    "stream_decay_trend_live": _stream_decay_trend_live,
     # NEW in round 8 (fourth batch): corpus-level boilerplate-line
     # removal (CCNet step) and exact-k stratified sampling under the
     # portable-hash ordering.
@@ -3561,6 +3562,7 @@ QUERIES: dict[str, QueryFn] = {
     "cbo_reorder_check": _cbo_reorder_check,
     "aqe_skew_join_check": _aqe_skew_join_check,
     "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
+    "stream_decay_trend_live": _stream_decay_trend_live,
     "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
@@ -3819,6 +3821,25 @@ def _xlx_sql(k: str) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "event_paths_topk": """
+        WITH t AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        c AS (
+            SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n_paths
+            FROM t WHERE e3 IS NOT NULL
+            GROUP BY 1)
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY n_paths DESC, path) AS INTEGER) AS rnk,
+               path, n_paths
+        FROM c
+        ORDER BY n_paths DESC, path
+        LIMIT 20
+    """,
     "survival_km": """
         WITH ld AS (
             SELECT user_id, MAX(date_trunc('day', ts)) AS last_day

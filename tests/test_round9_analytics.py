@@ -375,3 +375,21 @@ def test_rfm_quartiles_are_total_ordered(spark):
         assert Counter(getattr(r, axis) for r in out.values()) == {
             1: 2, 2: 2, 3: 2, 4: 2
         }
+
+
+def test_event_paths_triples_counted_once(spark):
+    rows = []
+    ts0 = datetime.datetime(2024, 1, 1)
+    # user 1: a b c d -> paths "a>b>c", "b>c>d"; user 2: a b c -> "a>b>c"
+    for i, t in enumerate(["a", "b", "c", "d"]):
+        rows.append((i, ts0 + datetime.timedelta(minutes=i), 1, t, 1.0, "{}"))
+    for i, t in enumerate(["a", "b", "c"]):
+        rows.append((10 + i, ts0 + datetime.timedelta(minutes=i), 2, t, 1.0, "{}"))
+    ev = spark.createDataFrame(rows, _EVT)
+
+    from big_data_trend_analysis_spark.operators.temporal import event_paths_topk
+
+    out = {r.path: r for r in event_paths_topk(ev).collect()}
+    assert out["a > b > c"].n_paths == 2 and out["a > b > c"].rnk == 1
+    assert out["b > c > d"].n_paths == 1
+    assert len(out) == 2  # user boundaries never produce cross-user paths
