@@ -330,9 +330,12 @@ def autocorr_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
         .select(
             "lag",
             "n_days",
+            # constant series ⇒ Σd² = 0 ⇒ ACF undefined: NULL on both
+            # engines (Spark ANSI raises on /0, DuckDB returns inf —
+            # nullif sidesteps both).
             F.round(
                 F.col("num_dec").cast("double")
-                / F.col("den_dec").cast("double"),
+                / F.nullif(F.col("den_dec").cast("double"), F.lit(0.0)),
                 6,
             ).alias("acf"),
         )
@@ -445,9 +448,12 @@ def ab_test_welch(
         )
     )
     mean = F.round(F.col("sx") / F.col("n"), 6)
+    # nullif guards: a 1-row cohort has no sample variance, and two
+    # constant cohorts make the standard error 0 — NULL t on both
+    # engines instead of a Spark-ANSI /0 error vs a DuckDB inf.
     var = F.round(
         (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-        / (F.col("n") - 1),
+        / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0)),
         6,
     )
     sides = moments.select(
@@ -469,13 +475,16 @@ def ab_test_welch(
     va_n = F.col("var_a") / F.col("n_a")
     vb_n = F.col("var_b") / F.col("n_b")
     t = F.round(
-        (F.col("mean_a") - F.col("mean_b")) / F.sqrt(va_n + vb_n), 6
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.nullif(F.sqrt(va_n + vb_n), F.lit(0.0)),
+        6,
     )
     df = F.round(
         (va_n + vb_n) * (va_n + vb_n)
-        / (
+        / F.nullif(
             va_n * va_n / (F.col("n_a") - 1)
-            + vb_n * vb_n / (F.col("n_b") - 1)
+            + vb_n * vb_n / (F.col("n_b") - 1),
+            F.lit(0.0),
         ),
         6,
     )

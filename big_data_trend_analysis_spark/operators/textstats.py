@@ -1298,17 +1298,20 @@ def dataset_mixing_weights(
         F.sum("n_tokens").alias("tot_tokens"),
         F.count(F.lit(1)).alias("n_sources"),
     )
+    # nullif guards: a source of empty/NULL texts has 0 tokens, and an
+    # all-empty corpus has a 0 total — NULL on both engines (Spark ANSI
+    # raises on /0, DuckDB returns inf).
     out = per_src.crossJoin(F.broadcast(totals)).select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias(
-            "token_share"
-        ),
+        F.round(
+            F.col("n_tokens") / F.nullif(F.col("tot_tokens"), F.lit(0)), 6
+        ).alias("token_share"),
         F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
         F.round(
             (F.col("tot_tokens").cast("double") / F.col("n_sources"))
-            / F.col("n_tokens"),
+            / F.nullif(F.col("n_tokens"), F.lit(0)),
             6,
         ).alias("weight"),
     )

@@ -3911,7 +3911,8 @@ ORACLE_SQL: dict[str, str] = {
         s AS (
             SELECT l_returnflag, n,
                    round(sx / n, 6) AS mean,
-                   round((sxx - sx * sx / n) / (n - 1), 6) AS var
+                   round((sxx - sx * sx / n)
+                         / nullif(CAST(n - 1 AS DOUBLE), 0.0), 6) AS var
             FROM m),
         a AS (SELECT n AS n_a, mean AS mean_a, var AS var_a
               FROM s WHERE l_returnflag = 'R'),
@@ -3919,15 +3920,17 @@ ORACLE_SQL: dict[str, str] = {
               FROM s WHERE l_returnflag = 'N')
         SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
                round((mean_a - mean_b)
-                     / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+                     / nullif(sqrt(var_a / n_a + var_b / n_b), 0.0),
+                     6) AS t_stat,
                round((var_a / n_a + var_b / n_b)
                      * (var_a / n_a + var_b / n_b)
-                     / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
-                        + (var_b / n_b) * (var_b / n_b) / (n_b - 1)),
+                     / nullif((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                              + (var_b / n_b) * (var_b / n_b) / (n_b - 1),
+                              0.0),
                      6) AS df_welch,
                abs(round((mean_a - mean_b)
-                         / sqrt(var_a / n_a + var_b / n_b), 6)) > 1.96
-                   AS significant
+                         / nullif(sqrt(var_a / n_a + var_b / n_b), 0.0),
+                         6)) > 1.96 AS significant
         FROM a, b
     """,
     "cap_per_key": """
@@ -4009,10 +4012,11 @@ ORACLE_SQL: dict[str, str] = {
                      CAST(COUNT(*) AS BIGINT) AS n_sources FROM s),
         o AS (
             SELECT source, n_docs, n_tokens,
-                   round(n_tokens / tot_tokens, 6) AS token_share,
+                   round(n_tokens / nullif(tot_tokens, 0), 6)
+                       AS token_share,
                    round(1.0 / n_sources, 6) AS target_share,
                    round((CAST(tot_tokens AS DOUBLE) / n_sources)
-                         / n_tokens, 6) AS weight
+                         / nullif(n_tokens, 0), 6) AS weight
             FROM s, t)
         SELECT source, n_docs, n_tokens, token_share, target_share, weight,
                round(least(weight, 3.0), 6) AS capped_weight,
@@ -4164,7 +4168,7 @@ ORACLE_SQL: dict[str, str] = {
                     AS den_dec FROM dev)
         SELECT lag, n_days,
                round(CAST(SUM(CAST(prod AS DECIMAL(18,6))) AS DOUBLE)
-                     / CAST(den_dec AS DOUBLE), 6) AS acf
+                     / nullif(CAST(den_dec AS DOUBLE), 0.0), 6) AS acf
         FROM terms, den GROUP BY lag, n_days, den_dec
     """,
     "theil_sen_slope": """

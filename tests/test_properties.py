@@ -718,3 +718,89 @@ def test_bounded_collect_raises_over_ceiling(spark, monkeypatch):
     with pytest.raises(RuntimeError, match="_BOUNDED_SAMPLE_MAX"):
         similarity._bounded_collect(spark.range(11), "test path")
     assert len(similarity._bounded_collect(spark.range(10), "t")) == 10
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=50), min_size=4, max_size=15)
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_km_survival_invariants(spark, counts):
+    """Kaplan–Meier invariants on ANY lifetime distribution: S is in
+    (0, 1], non-increasing over days, at-risk counts non-increasing,
+    and the final-day cohort is censored (d = 0), never churned."""
+    from big_data_trend_analysis_spark.operators.temporal import survival_km
+
+    rows, eid, uid = [], 0, 0
+    for d, n in enumerate(counts):  # n users whose LAST day is day d+1
+        for _ in range(n):
+            for k in range(1, d + 2):
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, k), uid, "view", 1.0, "{}")
+                )
+                eid += 1
+            uid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = sorted(survival_km(ev).collect(), key=lambda r: r.day)
+    assert out[0].n_risk == sum(counts)
+    s_prev, risk_prev = 1.0 + 1e-9, out[0].n_risk + 1
+    for r in out:
+        assert 0.0 < r.s_km <= 1.0 + 1e-9
+        assert r.s_km <= s_prev + 1e-9
+        assert r.n_risk < risk_prev + 1
+        s_prev, risk_prev = r.s_km, r.n_risk
+    assert out[-1].d_churned == 0  # censoring, not churn
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=5, max_size=12)
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_acf_bounded_and_lag_count(spark, counts):
+    """|ACF(k)| ≤ 1 (Cauchy–Schwarz) for any daily-count series, and
+    the three lag rows always exist with the right n_days."""
+    from big_data_trend_analysis_spark.operators.drift import autocorr_daily
+
+    rows, eid = [], 0
+    for d, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, d + 1), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.lag: r for r in autocorr_daily(ev).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert r.n_days == len(counts)
+        if r.acf is not None:  # constant series -> 0/0 -> NULL
+            assert abs(r.acf) <= 1.0 + 1e-6
+
+
+@given(
+    n_docs=st.integers(min_value=1, max_value=60),
+    cap=st.integers(min_value=1, max_value=25),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cap_per_key_partition(spark, n_docs, cap):
+    """kept + dropped = total and kept = min(cap, total) for any corpus
+    size and cap."""
+    from big_data_trend_analysis_spark.operators.textstats import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(n_docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = cap_per_key(df, max_per_key=cap).collect()[0]
+    assert r.n_kept == min(cap, n_docs)
+    assert r.n_kept + r.n_dropped == n_docs == r.n_docs
