@@ -94,6 +94,30 @@ CROSS_JOIN_ALLOWED = {
     # vocab-sized LM relation × broadcast 1-row corpus total (the
     # unigram_perplexity shape)
     "bigram_perplexity",
+    # --- round 9 continuation: all "small relation × broadcast 1-row
+    # scalar(s)" shapes (the psi_drift/unigram_perplexity pattern) ---
+    # days relation × broadcast 1-row moments / decimal denominator
+    "autocorr_daily",
+    # pair relation × broadcast 1-row basket count
+    "copurchase_lift",
+    # vocab² bigram relation × broadcast 1-row corpus total
+    "collocation_llr",
+    # sources relation × broadcast 1-row token totals
+    "dataset_mixing_weights",
+    # days relation × broadcast 1-row global mean + 1-row strength
+    "seasonal_adjust_dow",
+    # QI-class relation × broadcast 1-row audit totals
+    "k_anonymity_check",
+    # per-node triangle counts × broadcast 1-row global count
+    "triangle_count",
+    # days relation × broadcast 1-row censor day
+    "survival_km",
+    # customer relation × broadcast 1-row anchor day
+    "rfm_segmentation",
+    # scalar × scalar: 1-row cohort moments each side
+    "ab_test_welch",
+    # 3 as-of aggregate rows × broadcast 1-row raise-contract flag
+    "txnlog_time_travel",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
