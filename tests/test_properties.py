@@ -804,3 +804,67 @@ def test_cap_per_key_partition(spark, n_docs, cap):
     r = cap_per_key(df, max_per_key=cap).collect()[0]
     assert r.n_kept == min(cap, n_docs)
     assert r.n_kept + r.n_dropped == n_docs == r.n_docs
+
+
+@given(
+    pre=st.integers(min_value=2, max_value=20),
+    post=st.integers(min_value=25, max_value=60),
+    split=st.integers(min_value=3, max_value=9),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cusum_localizes_any_clean_level_shift(spark, pre, post, split):
+    """For a two-level series with a clear shift at day `split`, the
+    CUSUM argmax must land exactly on the last pre-shift day and the
+    change must be flagged (the contrast here is always far above the
+    1.358 Brownian-bridge critical value)."""
+    from big_data_trend_analysis_spark.operators.drift import changepoint_cusum
+
+    n_days = 12
+    counts = [pre] * split + [post] * (n_days - split)
+    rows, eid = [], 0
+    for d, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, d + 1), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = changepoint_cusum(ev).collect()[0]
+    assert r.cp_day == datetime.datetime(2024, 1, split)
+    assert r.is_change
+
+
+@given(
+    slope=st.integers(min_value=1, max_value=9),
+    outlier=st.integers(min_value=200, max_value=900),
+    pos=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_theil_sen_breaks_down_gracefully(spark, slope, outlier, pos):
+    """One arbitrary outlier day injected into a perfect linear series
+    must leave the Theil-Sen slope EXACTLY at the true slope (the
+    estimator's 29% breakdown point, exercised at 1/7 contamination)."""
+    from big_data_trend_analysis_spark.operators.trend import theil_sen_slope
+
+    counts = [1 + slope * d for d in range(7)]
+    counts[pos] += outlier
+    rows, eid = [], 0
+    for d, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, d + 1), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = theil_sen_slope(ev).collect()[0]
+    assert r.sen_slope == float(slope)
