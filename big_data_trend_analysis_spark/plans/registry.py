@@ -3117,6 +3117,58 @@ def _running_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-topics leaderboard through the real path:
+    windowed per-type counts maintained as complete-mode state across
+    ≥2 REAL micro-batches (the event_id % 3 split), top-3 ranked at
+    read time on the drained state table — the serve-side shape of a
+    streaming leaderboard. The oracle is the plain batch windowed
+    count + rank, pinning that streaming state accumulated across
+    batches to exactly the batch answer before ranking.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.streaming.jobs import (
+        trending_topk_counts,
+    )
+    from big_data_trend_analysis_spark.streaming.sources import (
+        stream_events_batched,
+    )
+
+    tune_session(spark)
+    name = f"trending_live_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdta_ckpt_")
+    try:
+      with _stream_partitions(spark):
+        query = (
+            trending_topk_counts(stream_events_batched(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 def _recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (SQL:1999 ``WITH RECURSIVE``, new in Spark 4)
     proven on a real iterative computation: bounded-depth BFS over
@@ -3417,7 +3469,6 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id_multi": _lang_id_multi,
     "split_train_val_test": _split_train_val_test,
     "curate_for_training": _q(textstats.curate_for_training, "documents"),
-    "decode_audio_meta": _q(multimodal.multimodal_audio_decode, "documents"),
     "resize_images": _q(multimodal.multimodal_resize, "documents"),
     "resize_images_check": _q(multimodal.resize_images_check, "documents"),
     # CHANGED in round 8: sources/txnlog.py gained the pinned-CAS
@@ -3505,6 +3556,10 @@ QUERIES: dict[str, QueryFn] = {
     # top-k consecutive event-type triples via two lead windows on
     # one user-key shuffle (|types|³-bounded count relation).
     "event_paths_topk": _q(temporal.event_paths_topk, "events"),
+    # NEW in round 9 (fifth batch, cont.): the streaming trending
+    # leaderboard — complete-mode windowed counts across ≥2 real
+    # micro-batches, top-3 ranked at read time on the state table.
+    "stream_topk_live": _stream_topk_live,
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
@@ -3563,6 +3618,7 @@ QUERIES: dict[str, QueryFn] = {
     "aqe_skew_join_check": _aqe_skew_join_check,
     "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
     "stream_decay_trend_live": _stream_decay_trend_live,
+    "decode_audio_meta": _q(multimodal.multimodal_audio_decode, "documents"),
     "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
@@ -3821,6 +3877,23 @@ def _xlx_sql(k: str) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "stream_topk_live": """
+        WITH c AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                       AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2),
+        r AS (
+            SELECT window_start, event_type, n_events,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type) AS INTEGER)
+                       AS rnk
+            FROM c)
+        SELECT window_start, event_type, n_events, rnk
+        FROM r WHERE rnk <= 3
+    """,
     "event_paths_topk": """
         WITH t AS (
             SELECT event_type AS e1,

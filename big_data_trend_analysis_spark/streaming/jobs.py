@@ -272,3 +272,21 @@ def running_keyword_counts(texts: DataFrame, text_col: str = "text") -> DataFram
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def trending_topk_counts(
+    events: DataFrame, window_width: str = "1 day"
+) -> DataFrame:
+    """Windowed per-type counts maintained as streaming state — the
+    'trending topics' aggregate the reference serves to Grafana
+    (README.md:7; spark_stream.py's windowed counts are this job's
+    driver-loop ancestor). Complete-mode shape: each micro-batch
+    updates its (window, type) cells; the top-k RANK happens at read
+    time on the state table (ranking is not expressible mid-stream
+    over an updating aggregate — state holds counts, the dashboard
+    ranks), which is exactly how a streaming leaderboard serves.
+    """
+    return events.groupBy(
+        F.window("ts", window_width).getField("start").alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
