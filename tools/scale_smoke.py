@@ -136,6 +136,7 @@ HEAVY_QUERIES = [
     "cap_per_key",
     "txnlog_time_travel",
     "survival_km",
+    "stream_topk_live",
     # (copurchase_lift / triangle_count / ab_test_welch read the TPC-H
     # lineitem tier, which this tool does not synthesize — bench covers
     # them; the remaining round-9 rows are scan-speed or days-relation
