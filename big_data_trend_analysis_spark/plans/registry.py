@@ -3169,6 +3169,61 @@ def _stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dpp_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning proven in-gate — the fourth optimizer
+    proof beside ``runtime_filter_join`` (bloom), ``aqe_skew_join_check``
+    and ``cbo_reorder_check``.
+
+    The 100 TB partitioned-fact saver: when a day-partitioned fact
+    joins a SELECTIVE dimension on the partition column, Catalyst
+    plans a ``dynamicpruningexpression`` into the fact scan's
+    PartitionFilters — partitions for days the dim filter killed are
+    never read, decided at RUNTIME from the dim's actual rows (the
+    static twin is ``file_skipping_check``'s literal pruning). The
+    gate writes the events fixture day-partitioned, derives a Mondays
+    dimension from the same fixture, joins on the partition column,
+    and pins BOTH the plan artifact (``dpp_planned``) and the pruned
+    aggregate against the oracle's recomputation from raw events.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tune_session(spark)
+    root = f"/tmp/bdta_dpp_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events")
+    events.withColumn(
+        "day", F.to_date(F.date_trunc("DAY", "ts"))
+    ).write.partitionBy("day").parquet(root)
+
+    fact = spark.read.parquet(root)
+    mondays = (
+        events.select(
+            F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+        )
+        .distinct()
+        .filter(F.dayofweek("day") == 2)
+    )
+    agg = (
+        fact.join(F.broadcast(mondays), "day")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+        )
+    )
+    plan = agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    return agg.withColumn(
+        "dpp_planned", F.lit("dynamicpruning" in plan.lower())
+    )
+
+
 def _recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (SQL:1999 ``WITH RECURSIVE``, new in Spark 4)
     proven on a real iterative computation: bounded-depth BFS over
@@ -3464,7 +3519,6 @@ QUERIES: dict[str, QueryFn] = {
     # capstone, audio metadata decode, and the image-resize kernel
     # (rows-only; its planted-pixel twin is the hash gate).
     "theta_segment_overlap": _q(aggregates.theta_segment_overlap, "events"),
-    "kll_quantile_rollup": _kll_quantile_rollup,
     "mask_pii": _mask_pii,
     "lang_id_multi": _lang_id_multi,
     "split_train_val_test": _split_train_val_test,
@@ -3560,6 +3614,10 @@ QUERIES: dict[str, QueryFn] = {
     # leaderboard — complete-mode windowed counts across ≥2 real
     # micro-batches, top-3 ranked at read time on the state table.
     "stream_topk_live": _stream_topk_live,
+    # NEW in round 9 (fifth batch, cont.): dynamic partition pruning
+    # proven in-gate — the fourth optimizer proof (runtime filter /
+    # AQE skew / CBO reorder / DPP).
+    "dpp_check": _dpp_check,
     # NEW in round 8 (third batch): the two optimizer-machinery
     # proofs — AQE runtime skew-split and CBO statistics-driven join
     # reorder — plan-introspected in-gate like runtime_filter_join.
@@ -3619,6 +3677,7 @@ QUERIES: dict[str, QueryFn] = {
     "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),
     "stream_decay_trend_live": _stream_decay_trend_live,
     "decode_audio_meta": _q(multimodal.multimodal_audio_decode, "documents"),
+    "kll_quantile_rollup": _kll_quantile_rollup,
     "group_entropy": _q(textstats.group_entropy, "documents"),
     "stream_dedup_within_wm_live": _stream_dedup_within_wm_live,
     "incremental_agg_maintain": _q(merge.incremental_agg_maintain, "events"),
@@ -3877,6 +3936,18 @@ def _xlx_sql(k: str) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "dpp_check": """
+        WITH d AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+            WHERE CAST(dayofweek(ts) + 1 AS INTEGER) = 2)
+        SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(e.event_id) AS BIGINT) AS sum_id,
+               TRUE AS dpp_planned
+        FROM events e
+        JOIN d ON CAST(date_trunc('day', e.ts) AS DATE) = d.day
+        GROUP BY 1
+    """,
     "stream_topk_live": """
         WITH c AS (
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
