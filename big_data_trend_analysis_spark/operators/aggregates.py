@@ -1147,6 +1147,44 @@ def benford_first_digit(lineitem: DataFrame) -> DataFrame:
     return per_digit.crossJoin(F.broadcast(chi2))
 
 
+def _brand_basket_pairs(
+    lineitem: DataFrame, part: DataFrame, min_support: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared basket machinery for ``copurchase_lift`` /
+    ``graph.triangle_count``: broadcast the brand dim onto the fact
+    scan, collapse to per-order sorted brand baskets in ONE
+    ``collect_set`` aggregation (materialized — every consumer
+    re-derives from the cache, the corpus scans once), explode the
+    a < b oriented pairs JVM-side from the basket array, and cut
+    pairs below ``min_support``. Returns ``(baskets, pairs)`` where
+    pairs carries (brand_a, brand_b, n_ab).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    dim = F.broadcast(part.select("p_partkey", "p_brand"))
+    baskets = _materialize(
+        lineitem.join(dim, lineitem["l_partkey"] == dim["p_partkey"])
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("basket"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(basket, (x, i) ->"
+                    " transform(slice(basket, i + 2, size(basket)),"
+                    " y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    return baskets, pairs
+
+
 def copurchase_lift(
     lineitem: DataFrame,
     part: DataFrame,
@@ -1172,33 +1210,11 @@ def copurchase_lift(
     Emits the ``top_k`` pairs by lift (ties break lexicographically):
     (rnk, brand_a, brand_b, n_ab, n_a, n_b, support, confidence, lift).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
-
-    dim = F.broadcast(part.select("p_partkey", "p_brand"))
-    baskets = _materialize(
-        lineitem.join(dim, lineitem["l_partkey"] == dim["p_partkey"])
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("basket"))
-    )
+    baskets, pairs = _brand_basket_pairs(lineitem, part, min_support)
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     marginals = baskets.select(
         F.explode("basket").alias("brand")
     ).groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(basket, (x, i) ->"
-                    " transform(slice(basket, i + 2, size(basket)),"
-                    " y -> struct(x AS brand_a, y AS brand_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.brand_a", "p.brand_b")
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= min_support)
-    )
     m_a = marginals.select(
         F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a")
     )

@@ -273,10 +273,12 @@ def autocorr_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
 
     The time-series diagnostic a monitoring pipeline runs beside the
     drift statistics: ACF(k) = Σ_t d_t·d_{t+k} / Σ_t d_t² with
-    d_t = x_t − x̄ (mean-centred daily counts). ONE corpus-sized hash
-    aggregation to daily counts; the series itself is time-dim-sized,
-    so the global (unpartitioned) analytic window is O(days) rows on
-    one task — the same bounded-series argument as the KS merged
+    d_t = x_t − x̄ (mean-centred daily counts), paired by CALENDAR
+    distance (a day with no events is missing data, not a lag-1
+    neighbor of the next observed day). ONE corpus-sized hash
+    aggregation to daily counts; the calendar self-join runs on the
+    time-dim relation — O(days²) worst case with days bounded by the
+    calendar, the same bounded-series argument as the KS merged
     support. Determinism: x̄ is an exact integer ratio, deviations and
     lag-products are rounded to 6 dp, and sums of rounded terms fold
     in exact decimal — order-independent totals on both engines.
@@ -295,7 +297,6 @@ def autocorr_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
     stats = daily.agg(
         F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("n_days")
     )
-    w = Window.orderBy("day")
     dev = daily.crossJoin(F.broadcast(stats)).select(
         "day",
         "n_days",
@@ -303,20 +304,31 @@ def autocorr_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
             F.col("n") - F.col("tot_n").cast("double") / F.col("n_days"), 6
         ).alias("d0"),
     )
-    lagged = dev.select(
-        "n_days",
-        "d0",
-        *[
-            F.lag("d0", k).over(w).alias(f"d{k}")
-            for k in range(1, max_lag + 1)
-        ],
+    # CALENDAR-aware lags: the relation holds only days WITH events, so
+    # a row-adjacency lag is wrong both ways across gaps (a weekend
+    # hole makes row-lag 1 a 3-day jump AND hides the true 2-day pair
+    # sitting at row-lag 1). Pairs come from a calendar self-join on
+    # the tiny days relation instead — the available-case ACF
+    # estimator over a gapped series. A generated lag spine keeps all
+    # ``max_lag`` output rows even when a lag has no aligned pair
+    # (acf NULL).
+    gap = F.datediff(F.col("c.day"), F.col("p.day"))
+    nums = (
+        dev.alias("c")
+        .join(
+            F.broadcast(dev.alias("p")),
+            (gap >= 1) & (gap <= max_lag),
+        )
+        .groupBy(gap.alias("lag"))
+        .agg(
+            F.sum(
+                F.round(F.col("c.d0") * F.col("p.d0"), 6).cast(_TERM_DEC)
+            ).alias("num_dec")
+        )
     )
-    stack_expr = ", ".join(
-        f"{k}, round(d0 * d{k}, 6)" for k in range(1, max_lag + 1)
-    )
-    terms = lagged.select(
+    spine = stats.select(
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
         "n_days",
-        F.expr(f"stack({max_lag}, {stack_expr}) AS (lag, prod)"),
     )
     den = dev.agg(
         F.sum(
@@ -324,8 +336,7 @@ def autocorr_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
         ).alias("den_dec")
     )
     return (
-        terms.groupBy("lag", "n_days")
-        .agg(F.sum(F.col("prod").cast(_TERM_DEC)).alias("num_dec"))
+        spine.join(nums, "lag", "left")
         .crossJoin(F.broadcast(den))
         .select(
             "lag",
@@ -429,7 +440,11 @@ def ab_test_welch(
     Emits 1 row: (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
     df_welch, significant).
     """
-    moments = (
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    # moments feeds BOTH cohort branches of the crossJoin — materialized
+    # so the corpus collapses in one aggregation, not once per branch.
+    moments = _materialize(
         lineitem.filter(F.col("l_returnflag").isin("R", "N"))
         .groupBy("l_returnflag")
         .agg(
@@ -497,5 +512,7 @@ def ab_test_welch(
         "var_b",
         t.alias("t_stat"),
         df.alias("df_welch"),
-        (F.abs(t) > t_crit).alias("significant"),
+        # degenerate cohorts (NULL t) are NOT significant — the
+        # changepoint_cusum / trend_anomaly flag discipline.
+        F.coalesce(F.abs(t) > t_crit, F.lit(False)).alias("significant"),
     )

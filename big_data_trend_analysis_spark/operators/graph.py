@@ -160,29 +160,16 @@ def triangle_count(
     Emits per-brand triangle participation plus the repeated global
     count: (brand, n_triangles, total_triangles).
     """
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        _brand_basket_pairs,
+    )
     from big_data_trend_analysis_spark.operators.dedup import _materialize
 
-    dim = F.broadcast(part.select("p_partkey", "p_brand"))
-    baskets = (
-        lineitem.join(dim, lineitem["l_partkey"] == dim["p_partkey"])
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("basket"))
-    )
+    _, pairs = _brand_basket_pairs(lineitem, part, min_support)
     edges = _materialize(
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(basket, (x, i) ->"
-                    " transform(slice(basket, i + 2, size(basket)),"
-                    " y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("e")
+        pairs.select(
+            F.col("brand_a").alias("a"), F.col("brand_b").alias("b")
         )
-        .select("e.a", "e.b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= min_support)
-        .select("a", "b")
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tris = (

@@ -449,11 +449,16 @@ def rfm_segmentation(orders: DataFrame) -> DataFrame:
     monetary, r_q, f_q, m_q, segment).
     """
     from big_data_trend_analysis_spark.functions.numeric import exact_sum
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
 
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max(F.date_trunc("DAY", "o_orderdate")).alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        exact_sum("o_totalprice").alias("monetary"),
+    # per_cust feeds both the anchor rollup and the RFM projection —
+    # materialized so the orders corpus aggregates once.
+    per_cust = _materialize(
+        orders.groupBy("o_custkey").agg(
+            F.max(F.date_trunc("DAY", "o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            exact_sum("o_totalprice").alias("monetary"),
+        )
     )
     anchor = per_cust.agg(F.max("last_order").alias("anchor_day"))
     rfm = per_cust.crossJoin(F.broadcast(anchor)).select(

@@ -1290,9 +1290,15 @@ def dataset_mixing_weights(
     Emits one row per source: (source, n_docs, n_tokens, token_share,
     target_share, weight, capped_weight, effective_tokens).
     """
-    per_src = documents.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(n_tokens("text")).alias("n_tokens"),
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    # per_src feeds both the totals rollup and the weights projection —
+    # materialized so the corpus tokenizes once.
+    per_src = _materialize(
+        documents.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens("text")).alias("n_tokens"),
+        )
     )
     totals = per_src.agg(
         F.sum("n_tokens").alias("tot_tokens"),

@@ -4072,9 +4072,10 @@ ORACLE_SQL: dict[str, str] = {
                               + (var_b / n_b) * (var_b / n_b) / (n_b - 1),
                               0.0),
                      6) AS df_welch,
-               abs(round((mean_a - mean_b)
-                         / nullif(sqrt(var_a / n_a + var_b / n_b), 0.0),
-                         6)) > 1.96 AS significant
+               COALESCE(abs(round((mean_a - mean_b)
+                            / nullif(sqrt(var_a / n_a + var_b / n_b),
+                                     0.0),
+                            6)) > 1.96, FALSE) AS significant
         FROM a, b
     """,
     "cap_per_key": """
@@ -4296,24 +4297,22 @@ ORACLE_SQL: dict[str, str] = {
             SELECT day, n_days,
                    round(n - CAST(tot_n AS DOUBLE) / n_days, 6) AS d0
             FROM daily, st),
-        lagged AS (
-            SELECT n_days, d0,
-                   lag(d0, 1) OVER (ORDER BY day) AS d1,
-                   lag(d0, 2) OVER (ORDER BY day) AS d2,
-                   lag(d0, 3) OVER (ORDER BY day) AS d3
-            FROM dev),
-        terms AS (
-            SELECT n_days, 1 AS lag, round(d0 * d1, 6) AS prod FROM lagged
-            UNION ALL
-            SELECT n_days, 2, round(d0 * d2, 6) FROM lagged
-            UNION ALL
-            SELECT n_days, 3, round(d0 * d3, 6) FROM lagged),
+        nums AS (
+            SELECT CAST(date_diff('day', p.day, c.day) AS INTEGER) AS lag,
+                   SUM(CAST(round(c.d0 * p.d0, 6) AS DECIMAL(18,6)))
+                       AS num_dec
+            FROM dev c JOIN dev p
+              ON date_diff('day', p.day, c.day) BETWEEN 1 AND 3
+            GROUP BY 1),
+        spine AS (
+            SELECT CAST(gs.lag AS INTEGER) AS lag, st.n_days
+            FROM st, generate_series(1, 3) AS gs(lag)),
         den AS (SELECT SUM(CAST(round(d0 * d0, 6) AS DECIMAL(18,6)))
                     AS den_dec FROM dev)
-        SELECT lag, n_days,
-               round(CAST(SUM(CAST(prod AS DECIMAL(18,6))) AS DOUBLE)
+        SELECT s.lag, s.n_days,
+               round(CAST(num_dec AS DOUBLE)
                      / nullif(CAST(den_dec AS DOUBLE), 0.0), 6) AS acf
-        FROM terms, den GROUP BY lag, n_days, den_dec
+        FROM spine s LEFT JOIN nums USING (lag), den
     """,
     "theil_sen_slope": """
         WITH daily AS (

@@ -393,3 +393,31 @@ def test_event_paths_triples_counted_once(spark):
     assert out["a > b > c"].n_paths == 2 and out["a > b > c"].rnk == 1
     assert out["b > c > d"].n_paths == 1
     assert len(out) == 2  # user boundaries never produce cross-user paths
+
+
+def test_autocorr_skips_calendar_gaps(spark):
+    # days 1,2,3,5,6 with counts 2,4,2,4,2 — day 4 has no events, so
+    # the (5,3) adjacency is a 2-day jump and must NOT count at lag 1
+    # (it must count at lag 2 instead).
+    counts = {1: 2, 2: 4, 3: 2, 5: 4, 6: 2}
+    rows, eid = [], 0
+    for d, n in counts.items():
+        for _ in range(n):
+            rows.append((eid, datetime.datetime(2024, 1, d), 1, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(rows, _EVT)
+
+    from big_data_trend_analysis_spark.operators.drift import autocorr_daily
+
+    mu = sum(counts.values()) / 5  # 2.8
+    dev = {d: round(n - mu, 6) for d, n in counts.items()}
+    den = sum(round(v * v, 6) for v in dev.values())
+
+    def acf(pairs):
+        return round(sum(round(dev[a] * dev[b], 6) for a, b in pairs) / den, 6)
+
+    out = {r.lag: r.acf for r in autocorr_daily(ev).collect()}
+    assert out[1] == acf([(2, 1), (3, 2), (6, 5)])  # (5,3) excluded
+    assert out[2] == acf([(3, 1), (5, 3)])  # true 2-day gaps only
+    # lag 3: (6,3) and (5,2) are exactly 3 calendar days apart
+    assert out[3] == acf([(6, 3), (5, 2)])
