@@ -1207,8 +1207,16 @@ def copurchase_lift(
     baskets); support/confidence/lift are exact-integer ratios rounded
     to 6 dp — identical IEEE results on both engines.
 
+    Association rules are DIRECTIONAL (ADVICE r9): the pair relation
+    is stored once under the a < b orientation, but BOTH rules'
+    confidences are emitted — ``confidence_ab`` = n_ab/n_a = P(b|a)
+    ("bought a also bought b") and ``confidence_ba`` = n_ab/n_b =
+    P(a|b) — so either readout is available without re-mining. Lift
+    is orientation-symmetric and stays single.
+
     Emits the ``top_k`` pairs by lift (ties break lexicographically):
-    (rnk, brand_a, brand_b, n_ab, n_a, n_b, support, confidence, lift).
+    (rnk, brand_a, brand_b, n_ab, n_a, n_b, support, confidence_ab,
+    confidence_ba, lift).
     """
     baskets, pairs = _brand_basket_pairs(lineitem, part, min_support)
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
@@ -1232,7 +1240,8 @@ def copurchase_lift(
             "n_a",
             "n_b",
             F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
-            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence_ab"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("confidence_ba"),
             F.round(
                 (F.col("n_ab").cast("double") * F.col("n_orders"))
                 / (F.col("n_a").cast("double") * F.col("n_b")),
@@ -1255,7 +1264,8 @@ def copurchase_lift(
         "n_a",
         "n_b",
         "support",
-        "confidence",
+        "confidence_ab",
+        "confidence_ba",
         "lift",
     )
 

@@ -536,6 +536,14 @@ def incremental_dedup(
       the ordinary ``dedup_minhash`` job run on the batch alone;
     - ``keep`` otherwise.
 
+    The exact and near paths run INDEPENDENTLY over the full batch
+    (df counts cover archive ∪ whole batch) and the first-rule-wins
+    priority is applied in one final assembly join — round 10's
+    stage-fusion: the old shape serialized the shingle pipeline
+    behind an exact-survivors anti-join barrier for no semantic gain
+    (an exact dup that also near-matches still reports
+    ``drop_exact``).
+
     Emits one row per batch doc: ``(doc_id, decision, match_id)`` —
     ``match_id`` is the smallest matching doc (deterministic), null
     for keeps. String shingles (like ``containment_dedup``) so the
@@ -555,41 +563,28 @@ def incremental_dedup(
             "left_semi",
         )
         .filter(F.col("min_id") < F.col("doc_id"))
-        .select(
-            "doc_id",
-            F.lit("drop_exact").alias("decision"),
-            F.col("min_id").alias("match_id"),
-        )
+        .select("doc_id", F.col("min_id").alias("exact_match"))
     )
-    exact = _materialize(exact)
-
-    survivors = batch.join(
-        exact.select(F.col("doc_id")), "doc_id", "left_anti"
-    )
-    sets_b = _materialize(
-        _doc_shingles(survivors, n, distinct=True, hashed=False)
-        .groupBy("doc_id")
-        .agg(F.collect_set("token").alias("sh"))
-    )
-    sets_a = _materialize(
-        _doc_shingles(archive, n, distinct=True, hashed=False)
-        .groupBy("doc_id")
-        .agg(F.collect_set("token").alias("sh"))
-    )
-    sh_b = sets_b.select("doc_id", F.explode("sh").alias("shingle"))
-    sh_a = sets_a.select("doc_id", F.explode("sh").alias("shingle"))
+    # ONE materialized flat shingle explode per side (VERDICT r9 watch
+    # item: the collect_set→re-explode shape cost ~20 scheduler stages);
+    # df counts, the candidate join, and the verification sets ALL
+    # derive from these two cached postings relations. The batch side
+    # shingles the WHOLE batch (no exact-survivors barrier — priority
+    # is applied in the final assembly).
+    post_b = _materialize(_doc_shingles(batch, n, distinct=True, hashed=False))
+    post_a = _materialize(_doc_shingles(archive, n, distinct=True, hashed=False))
     doc_freq = (
-        sh_a.unionByName(sh_b)
-        .groupBy("shingle")
+        post_a.unionByName(post_b)
+        .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    rare = doc_freq.filter(F.col("df") <= max_df).select("shingle")
-    candidates = (
-        sh_b.join(rare, "shingle")
+    rare = doc_freq.filter(F.col("df") <= max_df).select("token")
+    candidates = _materialize(
+        post_b.join(rare, "token")
         .alias("b")
         .join(
-            sh_a.join(rare, "shingle").alias("a"),
-            F.col("b.shingle") == F.col("a.shingle"),
+            post_a.join(rare, "token").alias("a"),
+            F.col("b.token") == F.col("a.token"),
         )
         .groupBy(
             F.col("b.doc_id").alias("b_id"), F.col("a.doc_id").alias("a_id")
@@ -598,36 +593,56 @@ def incremental_dedup(
         .filter(F.col("n_shared") >= min_shared)
         .select("b_id", "a_id")
     )
-    # candidates feed exactly ONE downstream join — no materialization
-    # (unlike containment_dedup, where the pair relation is reused)
+    # Verification sets collect ONLY candidate docs (the ngram_jaccard
+    # prune): full-corpus collect_set shuffles were the other half of
+    # the old stage bill — candidate id lists are near-dup-sized.
+    sets_b = (
+        post_b.join(
+            candidates.select(F.col("b_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("token").alias("sh_b"))
+    )
+    sets_a = (
+        post_a.join(
+            candidates.select(F.col("a_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("token").alias("sh_a"))
+    )
     jac = F.size(F.array_intersect("sh_b", "sh_a")) / (
         F.size("sh_b") + F.size("sh_a")
         - F.size(F.array_intersect("sh_b", "sh_a"))
     )
     near = (
         candidates.join(
-            sets_b.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")),
-            "b_id",
+            sets_b.withColumnRenamed("doc_id", "b_id"), "b_id"
         )
-        .join(
-            sets_a.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")),
-            "a_id",
-        )
+        .join(sets_a.withColumnRenamed("doc_id", "a_id"), "a_id")
         .filter(F.round(jac, 6) >= threshold)
         .groupBy(F.col("b_id").alias("doc_id"))
-        .agg(F.min("a_id").alias("match_id"))
-        .select("doc_id", F.lit("drop_near").alias("decision"), "match_id")
+        .agg(F.min("a_id").alias("near_match"))
     )
-    keeps = (
-        survivors.select("doc_id")
-        .join(near.select("doc_id"), "doc_id", "left_anti")
+    # Final assembly: one pass over the batch ids, rule priority as a
+    # CASE over two left joins (replaces the old anti-join + 3-way
+    # union chain — fewer shuffles, same decisions).
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
         .select(
             "doc_id",
-            F.lit("keep").alias("decision"),
-            F.lit(None).cast("long").alias("match_id"),
+            F.when(F.col("exact_match").isNotNull(), F.lit("drop_exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
         )
     )
-    return exact.unionByName(near).unionByName(keeps)
 
 
 def candidate_edges(
@@ -1103,4 +1118,64 @@ def dedup_simhash_check(
             ),
             F.lit(True),
         ).alias("exclusion_ok"),
+    )
+
+
+def ngram_jaccard_check(
+    documents: DataFrame,
+    n_planted: int = 20,
+    min_tokens: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Inverted-index Jaccard recall gate, hash-checked (closing the
+    dedup family's last planted-gate gap — VERDICT r9 #3; minhash/
+    simhash/containment/incremental/semantic all had one).
+
+    The same drop-last-token twin construction as
+    ``dedup_minhash_check``: a twin's distinct trigram set is a
+    SUBSET of its seed's (off by at most the one last-window
+    shingle), so the true pair Jaccard is ≥ (L-3)/(L-2) ≈ 0.94 ≫
+    ``threshold``. Unlike MinHash banding, df-pruning recall is NOT
+    unconditional: a fully-templated seed whose every shingle repeats
+    corpus-wide (df > max_df everywhere — sf0.001's doc 8 is one) is
+    legitimately invisible to the inverted index. So the gate is the
+    replayed-ELIGIBILITY design (the ``containment_check`` pattern):
+    one row per planted seed with the engine's ``found`` flag, and
+    the DuckDB oracle independently replays the algorithm's candidate
+    rule — eligible ⇔ ≥ ``min_shared`` seed∩twin shingles with
+    combined-corpus df ≤ ``max_df`` (verification can never reject a
+    planted candidate: J ≈ 0.94) — and demands found == eligible row
+    for row, at every SF. String-vs-xxhash64 shingle representations
+    agree on every df count and set size up to 2^-64-scale collisions.
+
+    Twins live in the NEGATIVE id space (twin = -(seed+1)) — disjoint
+    from any non-negative corpus id regardless of corpus size; the
+    twin is always ``doc_id_a`` in pair output (pairs are emitted
+    with doc_id_a < doc_id_b).
+    """
+    toks = F.split("text", " ")
+    seeds = documents.filter(
+        (F.col("doc_id") < n_planted) & (F.size(toks) >= min_tokens)
+    )
+    twins = seeds.select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    augmented = documents.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).unionByName(twins)
+
+    pairs = ngram_jaccard(augmented, threshold=threshold)
+    hits = pairs.filter(
+        (F.col("doc_id_a") == -(F.col("doc_id_b") + 1))
+        & (F.col("doc_id_b") < n_planted)
+        & (F.col("doc_id_b") >= 0)
+    ).select(F.col("doc_id_b").alias("seed_id"), F.lit(True).alias("hit"))
+    return (
+        seeds.select(F.col("doc_id").alias("seed_id"))
+        .join(hits, "seed_id", "left")
+        .select("seed_id", F.coalesce("hit", F.lit(False)).alias("found"))
     )

@@ -315,17 +315,19 @@ def fake_embed(frames: DataFrame) -> DataFrame:
     return frames.mapInPandas(embed, EMBED_SCHEMA)
 
 
-def multimodal_pipeline(documents: DataFrame) -> DataFrame:
+def pipeline_from_blobs(blobs: DataFrame) -> DataFrame:
     """blob → frame-sample → embed → per-doc mean-pooled vector norm.
 
     The full multimodal ingestion shape: opaque bytes fan out to
     frames, frames embed to vectors, vectors mean-pool per document.
     Surfaced as (doc_id, n_frames, round(norm,6)) so the result is a
-    flat, comparable relation.
+    flat, comparable relation. Shared by ``multimodal_pipeline``
+    (corpus blobs) and ``multimodal_pipeline_check`` (planted blobs
+    whose pooled norm the oracle recomputes arithmetically).
     """
     from big_data_trend_analysis_spark.functions.vectors import as_double
 
-    embedded = fake_embed(frame_sample(with_blob(documents)))
+    embedded = fake_embed(frame_sample(blobs))
     pooled = (
         embedded.select(
             "doc_id", F.posexplode(as_double("embedding")).alias("pos", "val")
@@ -339,6 +341,53 @@ def multimodal_pipeline(documents: DataFrame) -> DataFrame:
         F.countDistinct("frame_idx").alias("n_frames")
     )
     return n_frames.join(pooled, "doc_id")
+
+
+def multimodal_pipeline(documents: DataFrame) -> DataFrame:
+    """``pipeline_from_blobs`` over the corpus text-byte blobs."""
+    return pipeline_from_blobs(with_blob(documents))
+
+
+def multimodal_pipeline_check(
+    documents: DataFrame, n_planted: int = 64
+) -> DataFrame:
+    """Hash-checked twin of the rows-only ``multimodal_pipeline``
+    (VERDICT r9 #2 — its decode/resize components had planted gates;
+    the end-to-end pooled norm did not).
+
+    Plants deterministic blobs for the first ``n_planted`` doc ids:
+    ``1 + d%5`` segments of 48 repeated bytes each, segment ``i``
+    filled with byte ``33 + (d+i)%26``. The real pipeline then MUST
+    produce, per doc:
+
+    - ``n_frames = least(1 + d%5, 4)`` (frame_sample's stride-16
+      slices, 4-frame cap) — frame ``i``'s 16 bytes all equal
+      ``b_i = 33 + (d+i)%26`` because the slice lands inside
+      segment ``i``;
+    - every embedding position gets exactly ``x_i = (b_i - 32)/32``
+      (one byte per position, and ``b_i < 64`` keeps the stub's
+      ``%64`` inert), so the per-position mean is
+      ``mu = avg_i(x_i)`` and the pooled norm is
+      ``round(sqrt(16·mu²), 6) = round(4·|mu|, 6)``.
+
+    The oracle recomputes both from doc_id arithmetic alone — no
+    Python, no bytes. Every x_i is an exact small-mantissa double
+    (k/32), sums are exact, and the only rounding (the /n of the mean
+    and the final sqrt) lands ≥1e-7 from every round-to-6 boundary,
+    so the comparison is IEEE-stable on both engines.
+    """
+    planted = documents.filter(F.col("doc_id") < n_planted).select(
+        "doc_id",
+        F.encode(
+            F.expr(
+                "array_join(transform(sequence(0, cast(doc_id % 5 as int)),"
+                " i -> repeat(char(33 + pmod(doc_id + i, 26)), 48)), '')"
+            ),
+            "UTF-8",
+        ).alias("content"),
+        F.lit("video/fake").alias("mime"),
+    )
+    return pipeline_from_blobs(planted)
 
 
 RESIZE_SCHEMA = StructType(

@@ -22,14 +22,15 @@ Oracle-parity conventions (kept rigorously in both dialects):
 Rows-only entries (no oracle; SURVEY §5.2-1) — exactly
 ``set(QUERIES) - set(ORACLE_SQL)``: ``approx_distinct`` (HLL++
 estimate), ``approx_percentile`` (KLL estimate), ``cms_topk_sketch``
-(binary sketch), ``sample_mixture`` (engine-hash sampling), the three
-near-dup detectors (``dedup_minhash``/``dedup_simhash``/
-``ngram_jaccard``), the two ANN variants (``ann_ivf``/
-``embed_neardup``), and ``multimodal_pipeline`` (binary feature
-artifacts). Each has an exact, hash-checked twin covering the same
-input path, and the two approx aggregates additionally have
-``*_check`` queries asserting their accuracy invariant in the
-hash-checked set.
+(binary sketch), the three near-dup detectors
+(``dedup_minhash``/``dedup_simhash``/``ngram_jaccard``), the two ANN
+variants (``ann_ivf``/``embed_neardup``), and ``multimodal_pipeline``
+(binary feature artifacts). Each has an exact, hash-checked twin
+covering the same input path, and the two approx aggregates
+additionally have ``*_check`` queries asserting their accuracy
+invariant in the hash-checked set. (``sample_mixture`` left this list
+in round 10: its bucket is now the portable md5 form, so its oracle
+replays membership exactly.)
 
 ``QUERIES`` insertion order is deliberate: the driver's per-round
 correctness report covers the first 50 entries, so entries without a
@@ -2349,12 +2350,16 @@ def _txnlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the exact first stamp to v0 (boundary is ≤, as in Delta),
     - a mid-range timestamp to the LATEST commit at-or-before it
       (v1 — not v2, which exists but is in the query's future),
-    - a far-future timestamp to the latest version,
+    - the exact last stamp to the latest version,
 
-    and a pre-epoch timestamp must raise (the vacuumed-history
-    contract: a silently-wrong old answer is the failure mode).
-    Row counts and exact integer id-sums per resolved snapshot are
-    oracle-pinned from the same slice arithmetic.
+    a pre-epoch timestamp must raise (the vacuumed-history
+    contract: a silently-wrong old answer is the failure mode), and
+    a FUTURE timestamp must raise too (ADVICE r9: Delta's 'timestamp
+    after latest commit' — silently resolving the future to 'latest'
+    would pin a different snapshot on every replay). Stamp hygiene is
+    also pinned: a non-monotonic commit stamp must be refused at
+    WRITE time. Row counts and exact integer id-sums per resolved
+    snapshot are oracle-pinned from the same slice arithmetic.
     """
     import shutil
 
@@ -2404,15 +2409,29 @@ def _txnlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         _asof("asof_t0", "2024-01-01T00:00:00")
         .unionByName(_asof("asof_mid", "2024-01-02T12:00:00"))
-        .unionByName(_asof("asof_latest", "2099-01-01T00:00:00"))
+        .unionByName(_asof("asof_latest", "2024-01-03T00:00:00"))
     )
     try:
         log.version_at("1999-01-01T00:00:00")
         pre_epoch_raises = False
     except ValueError:
         pre_epoch_raises = True
+    try:
+        log.version_at("2099-01-01T00:00:00")
+        future_ts_raises = False
+    except ValueError:
+        future_ts_raises = True
+    try:
+        # stamp hygiene: a commit stamped BEFORE its parent must be
+        # refused at write time (else version_at's order breaks)
+        log.commit(add=[], remove=[], committed_at="2023-12-31T00:00:00")
+        backwards_stamp_raises = False
+    except ValueError:
+        backwards_stamp_raises = True
     scal = spark.createDataFrame(
-        [(pre_epoch_raises,)], "pre_epoch_raises boolean"
+        [(pre_epoch_raises, future_ts_raises, backwards_stamp_raises)],
+        "pre_epoch_raises boolean, future_ts_raises boolean, "
+        "backwards_stamp_raises boolean",
     )
     return out.crossJoin(F.broadcast(scal))
 
@@ -3169,6 +3188,118 @@ def _stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_restart_recovery_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint kill-and-resume recovery — the exactly-once property
+    every other ``*_live`` gate left unproven (VERDICT r9 #1: they all
+    drain inside ONE query instance; the reference's own defect is no
+    checkpointLocation at all, processing/spark_stream.py:50-55).
+
+    Phase 1 starts a keyed streaming aggregation over a file source
+    directory containing ONLY batch0 of the event_id % 3 split, drains
+    it availableNow, and STOPS the query. The remaining two batch
+    files are then added and a NEW query instance (fresh runId, fresh
+    memory sink) starts on the SAME checkpointLocation: the file
+    source's commit log must skip batch0's file and the state store
+    must restore batch0's per-key counts — the final complete-mode
+    state equals the plain batch aggregate over ALL events only if
+    BOTH recoveries worked (a fresh-state restart loses batch0's
+    contribution; a re-read double-counts it — each breaks the oracle
+    hash).
+
+    Recovery metadata is pinned alongside the values: the resumed
+    instance keeps the checkpoint's query id, gets a new runId, and
+    its first micro-batch CONTINUES the batch numbering (min batchId
+    ≥ 1 — batch 0 is never re-executed). Value sums fold through
+    decimal(18,6) (the ``standardize_features`` discipline) so both
+    engines agree bit-for-bit.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.streaming.sources import (
+        EVENT_STREAM_BATCHES,
+        _split_events_dir,
+    )
+
+    tune_session(spark)
+    split_dir = _split_events_dir(sf_dir, EVENT_STREAM_BATCHES)
+    work = tempfile.mkdtemp(prefix="bdta_restart_")
+    ckpt = os.path.join(work, "ckpt")
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+    ddl = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def _agg_stream() -> DataFrame:
+        ev = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "batch*.parquet")
+            .parquet(src)
+        )
+        vd = F.round("value", 6).cast("decimal(18,6)")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(vd).alias("sum_dec"),
+        )
+
+    def _drain(name: str):
+        q = (
+            _agg_stream()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        batches = [
+            int(p["batchId"] if isinstance(p, dict) else p.batchId)
+            for p in q.recentProgress
+        ]
+        qid, rid = str(q.id), str(q.runId)
+        q.stop()
+        return qid, rid, batches
+
+    try:
+      with _stream_partitions(spark):
+        shutil.copy(os.path.join(split_dir, "batch0.parquet"), src)
+        qid1, rid1, _ = _drain(f"restart_p1_{uuid.uuid4().hex[:12]}")
+        for b in range(1, EVENT_STREAM_BATCHES):
+            shutil.copy(os.path.join(split_dir, f"batch{b}.parquet"), src)
+        name2 = f"restart_p2_{uuid.uuid4().hex[:12]}"
+        qid2, rid2, batches2 = _drain(name2)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    scal = spark.createDataFrame(
+        [
+            (
+                qid1 == qid2,
+                rid1 != rid2,
+                bool(batches2) and min(batches2) >= 1,
+            )
+        ],
+        "same_query_id boolean, new_run_id boolean, resumed_numbering boolean",
+    )
+    return (
+        spark.table(name2)
+        .select(
+            "event_type",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+
+
 def _dpp_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning proven in-gate — the fourth optimizer
     proof beside ``runtime_filter_join`` (bloom), ``aqe_skew_join_check``
@@ -3567,6 +3698,30 @@ QUERIES: dict[str, QueryFn] = {
     # production shape (O(batch x index), never a corpus re-dedup);
     # planted exact + near collisions, replayed-algorithm oracle.
     "incremental_dedup_check": _incremental_dedup_check,
+    # NEW in round 10: checkpoint kill-and-resume recovery — a REAL
+    # stop + new-query-instance restart on the same checkpointLocation
+    # (state store + file-source commit log both recovered; VERDICT
+    # r9 #1, the top-next item).
+    "stream_restart_recovery_live": _stream_restart_recovery_live,
+    # NEW in round 10: the dedup family's last planted-recall gate —
+    # drop-last-token twins through the FULL rare-shingle inverted
+    # index + exact-Jaccard verify (VERDICT r9 #3).
+    "ngram_jaccard_check": _q(dedup.ngram_jaccard_check, "documents"),
+    # NEW in round 10: the end-to-end multimodal gate — planted
+    # constant-segment blobs through the REAL frame-sample → embed →
+    # mean-pool pipeline; the oracle recomputes frame counts and the
+    # pooled norm from doc_id arithmetic alone (VERDICT r9 #2).
+    # multimodal_pipeline itself re-enters the window: its body now
+    # routes through the shared pipeline_from_blobs.
+    "multimodal_pipeline_check": _q(
+        multimodal.multimodal_pipeline_check, "documents"
+    ),
+    "multimodal_pipeline": _q(multimodal.multimodal_pipeline, "documents"),
+    # CHANGED in round 10: sample_mixture's bucket swapped from
+    # xxhash64 to the portable md5 form — membership now replays
+    # exactly in DuckDB, retiring the rows-only carve-out (VERDICT
+    # r9 #4).
+    "sample_mixture": _q(textstats.sample_mixture, "documents"),
     # NEW in round 9 (second batch): the advanced-analytics four —
     # offline CUSUM changepoints + daily-series autocorrelation
     # (completing the drift/monitoring family), the Theil-Sen robust
@@ -3753,7 +3908,6 @@ QUERIES: dict[str, QueryFn] = {
     "approx_distinct": _q(aggregates.approx_distinct, "documents"),
     "approx_percentile": _q(aggregates.approx_percentile_agg, "lineitem"),
     "cms_topk_sketch": _q(aggregates.cms_topk_sketch, "documents"),
-    "sample_mixture": _q(textstats.sample_mixture, "documents"),
     # ---- beyond the window: fresh r4/r5/r6 green rows stand ----
     # (displaced from the r4 rotation block to make room for the
     # round-7 second batch; unchanged since their r4 green rows)
@@ -3838,7 +3992,6 @@ QUERIES: dict[str, QueryFn] = {
     "cms_window_probe": _q(aggregates.cms_window_probe, "events"),
     "stream_cms_live": _stream_cms_live,
     "stream_sink_live": _stream_sink_live,
-    "multimodal_pipeline": _q(multimodal.multimodal_pipeline, "documents"),
     "fuzzy_token_join": _q(dedup.fuzzy_token_join, "documents"),
     "sql_tpch_q3": _sql_tpch_q3,
     "bm25_rank": _q(textstats.bm25_rank, "documents"),
@@ -4132,17 +4285,19 @@ ORACLE_SQL: dict[str, str] = {
         SELECT 'asof_t0' AS label, 0 AS resolved_version,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(event_id) AS BIGINT) AS sum_id,
-               TRUE AS pre_epoch_raises
+               TRUE AS pre_epoch_raises,
+               TRUE AS future_ts_raises,
+               TRUE AS backwards_stamp_raises
         FROM pre
         UNION ALL
         SELECT 'asof_mid', 1, CAST(COUNT(*) AS BIGINT),
-               CAST(SUM(event_id) AS BIGINT), TRUE
+               CAST(SUM(event_id) AS BIGINT), TRUE, TRUE, TRUE
         FROM (SELECT event_id FROM pre
               UNION ALL
               SELECT event_id FROM post WHERE event_id % 2 = 0)
         UNION ALL
         SELECT 'asof_latest', 2, CAST(COUNT(*) AS BIGINT),
-               CAST(SUM(event_id) AS BIGINT), TRUE
+               CAST(SUM(event_id) AS BIGINT), TRUE, TRUE, TRUE
         FROM (SELECT event_id FROM pre
               UNION ALL
               SELECT event_id FROM post)
@@ -4351,7 +4506,8 @@ ORACLE_SQL: dict[str, str] = {
             SELECT brand_a, brand_b, n_ab,
                    ma.n_brand AS n_a, mb.n_brand AS n_b,
                    round(n_ab / n_orders, 6) AS support,
-                   round(n_ab / ma.n_brand, 6) AS confidence,
+                   round(n_ab / ma.n_brand, 6) AS confidence_ab,
+                   round(n_ab / mb.n_brand, 6) AS confidence_ba,
                    round((CAST(n_ab AS DOUBLE) * n_orders)
                          / (CAST(ma.n_brand AS DOUBLE) * mb.n_brand),
                          6) AS lift
@@ -4360,7 +4516,8 @@ ORACLE_SQL: dict[str, str] = {
             JOIN marg mb ON pairs.brand_b = mb.p_brand, n_o)
         SELECT CAST(ROW_NUMBER() OVER (
                    ORDER BY lift DESC, brand_a, brand_b) AS INTEGER) AS rnk,
-               brand_a, brand_b, n_ab, n_a, n_b, support, confidence, lift
+               brand_a, brand_b, n_ab, n_a, n_b, support,
+               confidence_ab, confidence_ba, lift
         FROM scored
         ORDER BY lift DESC, brand_a, brand_b
         LIMIT 50
@@ -4479,6 +4636,15 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN b < 100000 THEN 'test'
                     ELSE 'train' END AS split
         FROM (SELECT doc_id, {_split_bucket_sql("doc_id")} AS b FROM documents)
+    """,
+    "sample_mixture": f"""
+        SELECT doc_id, lang, round(keep_rate, 6) AS keep_rate
+        FROM (SELECT doc_id, lang,
+                     CAST(CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END
+                          AS DOUBLE) AS keep_rate,
+                     {_split_bucket_sql("doc_id", 13)} AS b
+              FROM documents)
+        WHERE b < CAST(keep_rate * 1000000 AS BIGINT)
     """,
     "curate_for_training": f"""
         WITH toks AS (
@@ -6229,16 +6395,12 @@ ORACLE_SQL: dict[str, str] = {
         ), owner AS (
             SELECT fp, MIN(doc_id) AS min_id FROM uni GROUP BY fp
         ), exact AS (
-            SELECT u.doc_id, 'drop_exact' AS decision,
-                   CAST(o.min_id AS BIGINT) AS match_id
+            SELECT u.doc_id, CAST(o.min_id AS BIGINT) AS exact_match
             FROM uni u JOIN owner o USING (fp)
             JOIN batch b ON b.doc_id = u.doc_id
             WHERE o.min_id < u.doc_id
-        ), surv AS (
-            SELECT * FROM batch
-            WHERE doc_id NOT IN (SELECT doc_id FROM exact)
         ), wb AS (
-            SELECT doc_id, string_split(text, ' ') AS w FROM surv
+            SELECT doc_id, string_split(text, ' ') AS w FROM batch
         ), wa AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM archive
         ), shb AS (
@@ -6268,21 +6430,21 @@ ORACLE_SQL: dict[str, str] = {
             JOIN sha a ON a.doc_id = c.a_id AND a.s = b.s
             GROUP BY 1, 2
         ), near AS (
-            SELECT b_id AS doc_id, 'drop_near' AS decision,
-                   CAST(MIN(a_id) AS BIGINT) AS match_id
+            SELECT b_id AS doc_id, CAST(MIN(a_id) AS BIGINT) AS near_match
             FROM inter
             JOIN szb ON szb.doc_id = inter.b_id
             JOIN sza ON sza.doc_id = inter.a_id
             WHERE round(ni / (nb + na - ni), 6) >= 0.5
             GROUP BY b_id
         )
-        SELECT doc_id, decision, match_id FROM exact
-        UNION ALL
-        SELECT doc_id, decision, match_id FROM near
-        UNION ALL
-        SELECT doc_id, 'keep', CAST(NULL AS BIGINT)
-        FROM surv
-        WHERE doc_id NOT IN (SELECT doc_id FROM near)
+        SELECT b.doc_id,
+               CASE WHEN e.exact_match IS NOT NULL THEN 'drop_exact'
+                    WHEN n.near_match IS NOT NULL THEN 'drop_near'
+                    ELSE 'keep' END AS decision,
+               COALESCE(e.exact_match, n.near_match) AS match_id
+        FROM batch b
+        LEFT JOIN exact e ON e.doc_id = b.doc_id
+        LEFT JOIN near n ON n.doc_id = b.doc_id
 """,
     # Replays containment_dedup end to end: seeding, Spark-exact
     # shingling (sequence(0, greatest(len-3,0)) + capped slices),
@@ -6778,6 +6940,65 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS all_found
         FROM documents
         WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 20
+    """,
+    "stream_restart_recovery_live": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value,
+               TRUE AS same_query_id,
+               TRUE AS new_run_id,
+               TRUE AS resumed_numbering
+        FROM events GROUP BY 1
+    """,
+    # Recomputes multimodal_pipeline_check's planted pipeline output
+    # from doc_id arithmetic alone: nf stride-16 frames (4-cap), each
+    # frame 16 bytes of 33+(d+i)%26, so every embedding position is
+    # (b_i-32)/32 exactly and the pooled norm is sqrt(16*mu^2).
+    "multimodal_pipeline_check": """
+        WITH p AS (
+            SELECT doc_id, least(1 + doc_id % 5, 4) AS nf
+            FROM documents WHERE doc_id < 64
+        ), m AS (
+            SELECT doc_id, nf,
+                   avg((33 + (doc_id + i) % 26 - 32) / 32.0) AS mu
+            FROM p, unnest(range(0, nf)) AS r(i)
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+               round(sqrt(16 * mu * mu), 6) AS vec_norm
+        FROM m
+    """,
+    # Replays ngram_jaccard's candidate rule end to end: drop-last-
+    # token twins, Spark-exact shingling, combined-corpus df, and the
+    # eligibility predicate (>= 2 seed-twin shared shingles with
+    # df <= 5). found == eligible because verification can never
+    # reject a planted candidate (true pair Jaccard ~0.94 >> 0.5).
+    "ngram_jaccard_check": """
+        WITH seeds AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 20
+        ), corpus AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            UNION ALL
+            SELECT -(doc_id + 1), w[1:len(w)-1] FROM seeds
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
+            FROM corpus, unnest(range(0, greatest(len(w) - 2, 1))) AS r(i)
+        ), dfreq AS (
+            SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+        ), shared AS (
+            SELECT o.doc_id AS seed_id, o.s
+            FROM sh o JOIN sh t ON t.doc_id = -(o.doc_id + 1) AND t.s = o.s
+            WHERE o.doc_id >= 0 AND o.doc_id < 20
+        ), elig AS (
+            SELECT sd.seed_id,
+                   COUNT(*) FILTER (WHERE d.df <= 5) >= 2 AS eligible
+            FROM shared sd JOIN dfreq d USING (s)
+            GROUP BY 1
+        )
+        SELECT s.doc_id AS seed_id, COALESCE(e.eligible, FALSE) AS found
+        FROM seeds s LEFT JOIN elig e ON e.seed_id = s.doc_id
     """,
     "dedup_simhash_check": """
         SELECT COUNT(*) AS n_planted,

@@ -71,6 +71,10 @@ class TxnLog:
     #: sidecars) must be ignored, not parsed.
     _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
+    #: ``committed_at`` stamps must be exactly this shape so they order
+    #: lexicographically == chronologically (version_at depends on it).
+    _STAMP_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$")
+
     def latest_version(self) -> int:
         """Highest committed version, or -1 for an empty log."""
         versions = self._versions()
@@ -88,13 +92,19 @@ class TxnLog:
 
         ``ts`` and the stamps are ISO-8601 ``YYYY-MM-DDTHH:MM:SS``
         strings, which order lexicographically — no parsing, no
-        timezone ambiguity. O(versions) manifest reads, the same
-        log-sized driver work every other log inspection does (the
-        log is version-count-sized by design, never data-sized).
+        timezone ambiguity (``commit`` validates the format and
+        monotonicity at write time, so max(eligible) is sound).
+        O(versions) manifest reads, the same log-sized driver work
+        every other log inspection does (the log is
+        version-count-sized by design, never data-sized).
 
         Raises ``ValueError`` if ``ts`` precedes the earliest
         RETAINED stamp (after a vacuum the answer would silently
-        change — the CDF retention contract) or if no retained
+        change — the CDF retention contract), if ``ts`` is AFTER the
+        latest commit stamp (Delta's 'timestamp after latest commit'
+        error — a future timestamp resolving to 'latest' would pin a
+        different snapshot on every replay; pass the exact last stamp
+        or read latest by version instead), or if no retained
         manifest carries a stamp at all.
         """
         stamped = [
@@ -113,6 +123,13 @@ class TxnLog:
                 f"timestamp {ts} precedes the earliest retained commit "
                 f"({stamped[0][1]}); that history was never written or "
                 f"was vacuumed"
+            )
+        if ts > stamped[-1][1]:
+            raise ValueError(
+                f"timestamp {ts} is after the latest commit "
+                f"({stamped[-1][1]}); time travel cannot pin a snapshot "
+                f"in the log's future — read the latest version by "
+                f"number instead"
             )
         return max(eligible)
 
@@ -229,6 +246,27 @@ class TxnLog:
         parent = (
             self.manifest(expected_version) if expected_version >= 0 else None
         )
+        # Stamp hygiene at WRITE time (ADVICE r9): a malformed or
+        # backwards stamp would make version_at's max(eligible) return
+        # a snapshot containing commits stamped after the asked-for ts.
+        # Delta solves this by adjusting commit timestamps to be
+        # monotonic; a caller-stamped log must refuse instead.
+        if committed_at is not None:
+            if not self._STAMP_RE.match(committed_at):
+                raise ValueError(
+                    f"committed_at {committed_at!r} is not ISO-8601 "
+                    f"YYYY-MM-DDTHH:MM:SS; mixed formats break the "
+                    f"lexicographic == chronological stamp order "
+                    f"time travel relies on"
+                )
+            parent_at = parent.get("committed_at") if parent else None
+            if parent_at is not None and committed_at < parent_at:
+                raise ValueError(
+                    f"committed_at {committed_at} precedes the parent "
+                    f"commit's stamp {parent_at}; non-monotonic stamps "
+                    f"make timestamp time travel ambiguous (Delta "
+                    f"adjusts, this log refuses)"
+                )
         prev = parent["files"] if parent else []
         removed = set(remove)
         missing = removed - set(prev)

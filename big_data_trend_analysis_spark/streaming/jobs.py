@@ -285,8 +285,39 @@ def trending_topk_counts(
     time on the state table (ranking is not expressible mid-stream
     over an updating aggregate — state holds counts, the dashboard
     ranks), which is exactly how a streaming leaderboard serves.
+
+    State-retention caveat (ADVICE r9): complete mode forbids
+    watermarks, so every (window, type) cell ever seen stays in the
+    state store — state grows with ELAPSED windows, unbounded over a
+    long-running job. Fine for a gate drain or a bounded backfill;
+    the production serve shape is ``trending_topk_counts_watermarked``
+    below, whose update-mode watermark expires closed windows.
     """
     return events.groupBy(
         F.window("ts", window_width).getField("start").alias("window_start"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def trending_topk_counts_watermarked(
+    events: DataFrame,
+    window_width: str = "1 day",
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """``trending_topk_counts`` with BOUNDED state — the long-running
+    production variant (ADVICE r9): a ``withWatermark`` on the event
+    time lets update-mode sinks receive per-batch cell deltas while
+    the state store EXPIRES windows older than
+    max(event time) − ``watermark_delay``, so state holds only the
+    open trailing windows instead of every window since job start.
+    The serve side upserts cells by (window_start, event_type) and
+    ranks at read time exactly as in the complete-mode shape.
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.window("ts", window_width).getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
