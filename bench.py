@@ -27,6 +27,66 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _parse_size(s: str) -> int:
+    """'32.2 MiB' / '1047.0 B' / 'total (min, med, max)' → bytes."""
+    s = s.strip()
+    if "(" in s:
+        s = s.split("(", 1)[0].strip()
+    parts = s.split()
+    try:
+        if len(parts) == 2:
+            mult = {
+                "B": 1, "KiB": 1024, "MiB": 1024**2, "GiB": 1024**3,
+                "TiB": 1024**4, "KB": 1000, "MB": 1000**2, "GB": 1000**3,
+            }.get(parts[1], 1)
+            return int(float(parts[0].replace(",", "")) * mult)
+        return int(float(s.replace(",", "")))
+    except ValueError:
+        return 0
+
+
+def _last_execution_id(spark) -> int:
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    return -1 if execs.isEmpty() else execs.apply(execs.size() - 1).executionId()
+
+
+def _metrics_since(spark, marker_id: int) -> dict[str, int]:
+    """Deterministic per-query resource metrics (VERDICT r9 #6: the
+    steal-proof regression signal beside the steal-noisy seconds).
+
+    Sums 'shuffle bytes written' and takes max 'peak memory' across
+    every SQL execution the query issued since ``marker_id`` (cache
+    materializations and streaming micro-batches each get their own
+    execution — all belong to the query's bill). Values come from the
+    SQLAppStatusStore's formatted metric strings; unit parsing keeps
+    them byte-exact enough for a ratio gate (trim at ~3 significant
+    digits, gating threshold is 1.5×)."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    shuffle = 0
+    peak = 0
+    i = execs.size() - 1
+    while i >= 0:
+        e = execs.apply(i)
+        if e.executionId() <= marker_id:
+            break
+        mets = e.metrics()
+        mvals = store.executionMetrics(e.executionId())
+        it = mets.iterator()
+        while it.hasNext():
+            m = it.next()
+            v = mvals.get(m.accumulatorId())
+            if not v.isDefined():
+                continue
+            if m.name() == "shuffle bytes written":
+                shuffle += _parse_size(str(v.get()))
+            elif m.name() == "peak memory":
+                peak = max(peak, _parse_size(str(v.get())))
+        i -= 1
+    return {"shuffle_write_bytes": shuffle, "peak_memory_bytes": peak}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -57,7 +117,7 @@ def main() -> None:
     # multiply-referenced intermediates (_materialize) would otherwise
     # hand run 2 a warm cache, and the min would measure a cached
     # pipeline instead of the full cold path a cluster would run.
-    def time_queries(names, data_dir, reps) -> dict[str, float]:
+    def time_queries(names, data_dir, reps, bytes_out=None) -> dict[str, float]:
         # One untimed throwaway at the TARGET tier: the first timed slot
         # otherwise absorbs the residual session warmup the sf0.001 loop
         # above doesn't cover (tier-sized scan/broadcast init — observed
@@ -68,11 +128,21 @@ def main() -> None:
         out: dict[str, float] = {}
         for name in names:
             best = float("inf")
-            for _ in range(reps):
+            for rep in range(reps):
                 spark.catalog.clearCache()
+                marker = (
+                    _last_execution_id(spark)
+                    if bytes_out is not None and rep == 0
+                    else None
+                )
                 t0 = time.perf_counter()
                 force(QUERIES[name](spark, data_dir))
                 best = min(best, time.perf_counter() - t0)
+                # Deterministic resource bill from rep 1 only (bytes do
+                # not vary with host steal; reading the status store is
+                # driver-side and happens outside the timed window).
+                if marker is not None:
+                    bytes_out[name] = _metrics_since(spark, marker)
             out[name] = round(best, 3)
         return out
 
@@ -80,7 +150,8 @@ def main() -> None:
     # writeback stalls have been observed to pollute BOTH runs of a
     # min-of-2 (r6 full run: rolling_median 4.8 s vs 0.4 s isolated);
     # a third rep makes the min robust to one bad window.
-    timings = time_queries(only, sf_dir, reps=3)
+    query_bytes: dict[str, dict[str, int]] = {}
+    timings = time_queries(only, sf_dir, reps=3, bytes_out=query_bytes)
     # Secondary tier: the same queries at sf0.01. Host steal moves the
     # sf0.1 totals by up to ~30%; the small tier is cheap enough for
     # min-of-3 (a single steal window can cover two consecutive runs —
@@ -105,6 +176,25 @@ def main() -> None:
         )
     with open(os.path.join(here, "bench_small_tier.json"), "w") as f:
         json.dump({"sf": 0.01, "queries": timings_small}, f, indent=1, sort_keys=True)
+    # Deterministic resource sidecar (VERDICT r9 #6): shuffle bytes +
+    # peak execution memory per query at the headline tier. Unlike the
+    # seconds, these do not move with host steal — regressions gate on
+    # tools/bytes_regression.py comparing against the committed copy.
+    # Targeted runs (bench.py <names>) merge into the existing file so
+    # a partial pass never drops the rest of the inventory's bill.
+    bytes_path = os.path.join(here, "bench_bytes.json")
+    merged_bytes: dict = {}
+    if os.path.exists(bytes_path):
+        try:
+            with open(bytes_path) as f:
+                merged_bytes = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            merged_bytes = {}
+    merged_bytes.update(query_bytes)
+    with open(bytes_path, "w") as f:
+        json.dump(
+            {"sf": float(sf), "queries": merged_bytes}, f, indent=1, sort_keys=True
+        )
 
     print(build_headline(timings, sf, total))
     spark.stop()

@@ -3802,18 +3802,22 @@ QUERIES: dict[str, QueryFn] = {
     # collects are now bounds-asserted (_BOUNDED_SAMPLE_MAX), and the
     # ANN/LSH knobs are derived by tune_ivf_nprobe/tune_lsh_knobs with
     # tightened recall floors — whole family re-enters the window.
+    # CHANGED in round 10 (closure): stratified_sample_exact shares the
+    # textstats md5-bucket helpers sample_mixture's rework touched —
+    # rotated in for a fresh row with the rest of the textstats set.
+    "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
+    # ---- end of the 50-entry driver window ----
+    # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
+    # green_ledger.WINDOW. Everything below is unchanged since its
+    # last green driver row, which the fingerprint ledger certifies;
+    # the r9 similarity-family greens directly below rotated out to
+    # make room for the round-10 stale-or-new set.)
     "ann_recall_check": _q(similarity.ann_recall_check, "embeddings"),
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
     "ann_ivfpq_check": _q(similarity.ann_ivfpq_check, "embeddings"),
     "embed_pq_check": _q(similarity.embed_pq_check, "embeddings"),
     "embed_pca_check": _q(similarity.embed_pca_check, "embeddings"),
     "ann_ivf": _q(similarity.ann_ivf, "embeddings"),
-    # ---- end of the 50-entry driver window ----
-    # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
-    # green_ledger.WINDOW. Everything below is unchanged since its
-    # last green driver row, which the fingerprint ledger certifies;
-    # the r7/r8 greens directly below rotated out to make room for the
-    # round-9 stale-or-new set.)
     "bpe_merge_rounds": _q(textstats.bpe_merge_rounds, "documents"),
     "zorder_skipping_check": _zorder_skipping_check,
     "scd2_history": _q(merge.scd2_history, "events"),
@@ -3826,7 +3830,6 @@ QUERIES: dict[str, QueryFn] = {
     "psi_drift": _q(drift.psi_drift, "events"),
     "url_normalize": _url_normalize,
     "boilerplate_lines": _boilerplate_lines,
-    "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
     "cbo_reorder_check": _cbo_reorder_check,
     "aqe_skew_join_check": _aqe_skew_join_check,
     "theta_overlap_check": _q(aggregates.theta_overlap_check, "events"),

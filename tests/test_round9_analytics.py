@@ -94,7 +94,8 @@ def test_copurchase_contingency_arithmetic(spark):
     r = rows[0]
     assert (r.brand_a, r.brand_b, r.n_ab, r.n_a, r.n_b) == ("A", "B", 3, 4, 4)
     assert r.support == round(3 / 5, 6)
-    assert r.confidence == 0.75
+    assert r.confidence_ab == 0.75  # P(B|A) = 3/4
+    assert r.confidence_ba == 0.75  # P(A|B) = 3/4 (directional pair, ADVICE r9)
     assert r.lift == round(3 * 5 / (4 * 4), 6)
     assert r.rnk == 1
 

@@ -643,9 +643,20 @@ def test_txnlog_version_at_timestamp_resolution(spark, tmp_path):
     )
     assert log.version_at("2024-01-01T00:00:00") == 0  # inclusive boundary
     assert log.version_at("2024-01-02T12:00:00") == 1  # not the future v2
-    assert log.version_at("2099-01-01T00:00:00") == 2
+    assert log.version_at("2024-01-03T00:00:00") == 2  # exact last stamp
+    # ADVICE r9: a FUTURE timestamp raises like Delta ('timestamp after
+    # latest commit') instead of silently resolving to latest
+    with pytest.raises(ValueError, match="after the latest commit"):
+        log.version_at("2099-01-01T00:00:00")
     with pytest.raises(ValueError, match="precedes the earliest"):
         log.version_at("1999-01-01T00:00:00")
+
+    # stamp hygiene at write time (ADVICE r9): non-monotonic and
+    # malformed stamps are refused before they can corrupt version_at
+    with pytest.raises(ValueError, match="precedes the parent"):
+        log.commit(add=[], remove=[], committed_at="2023-12-31T00:00:00")
+    with pytest.raises(ValueError, match="not ISO-8601"):
+        log.commit(add=[], remove=[], committed_at="Jan 4 2024 00:00")
 
     # unstamped log: version-number reads fine, timestamp travel refused
     bare = TxnLog(str(tmp_path / "bare"))
@@ -667,6 +678,6 @@ def test_txnlog_version_at_respects_vacuum(spark, tmp_path):
             committed_at=f"2024-01-{day}T00:00:00",
         )
     log.vacuum(retain_versions=1)
-    assert log.version_at("2099-01-01T00:00:00") == 2
+    assert log.version_at("2024-01-03T00:00:00") == 2
     with pytest.raises(ValueError, match="precedes the earliest"):
         log.version_at("2024-01-02T00:00:00")
