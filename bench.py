@@ -169,13 +169,35 @@ def main() -> None:
     # (bench_full_tier.json / bench_small_tier.json) for per-query
     # round-over-round triage.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_full_tier.json"), "w") as f:
-        json.dump(
-            {"sf": float(sf), "value": total, "queries": timings},
-            f, indent=1, sort_keys=True,
-        )
-    with open(os.path.join(here, "bench_small_tier.json"), "w") as f:
-        json.dump({"sf": 0.01, "queries": timings_small}, f, indent=1, sort_keys=True)
+
+    def _merge_tier(path: str, fresh: dict[str, float], sf_val: float) -> dict:
+        """Targeted runs (bench.py <names>) MERGE into the committed
+        sidecar instead of replacing it — a 3-query rerun must never
+        drop the other 200+ queries' round-over-round baseline (the
+        round-10 clobber this guards against: cccd86a overwrote the
+        217-query minima with a 3-query targeted run). Fresh timings
+        REPLACE their own entries (a regression must surface, so no
+        min-merge here — tools/ min-merging across full runs is a
+        separate, deliberate step); queries no longer in the registry
+        are dropped."""
+        merged: dict[str, float] = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    merged = json.load(f).get("queries", {})
+            except (OSError, ValueError):
+                merged = {}
+        merged = {k: v for k, v in merged.items() if k in QUERIES}
+        merged.update(fresh)
+        body = {"sf": sf_val, "queries": merged}
+        if path.endswith("bench_full_tier.json"):
+            body["value"] = round(sum(merged.values()), 3)
+        with open(path, "w") as f:
+            json.dump(body, f, indent=1, sort_keys=True)
+        return merged
+
+    _merge_tier(os.path.join(here, "bench_full_tier.json"), timings, float(sf))
+    _merge_tier(os.path.join(here, "bench_small_tier.json"), timings_small, 0.01)
     # Deterministic resource sidecar (VERDICT r9 #6): shuffle bytes +
     # peak execution memory per query at the headline tier. Unlike the
     # seconds, these do not move with host steal — regressions gate on

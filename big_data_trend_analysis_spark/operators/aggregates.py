@@ -1348,3 +1348,192 @@ def standardize_features(events: DataFrame) -> DataFrame:
             6,
         ).alias("minmax"),
     )
+
+
+def ols_regression_group(events: DataFrame) -> DataFrame:
+    """Per-type OLS linear trend over the daily-count series — the
+    parametric twin of ``theil_sen_slope`` (same series, closed-form
+    least squares instead of the median-of-pairwise-slopes).
+
+    Classic "is this topic growing, and how fast" analytics (the
+    reference's trend question, `README.md:4-7`, answered with a
+    confidence-bearing fit instead of a ranking): y = daily event
+    count, x = integer day index from a FIXED anchor (so the intercept
+    means "fitted count at the anchor", comparable across groups).
+
+    Scale shape: one corpus-sized aggregation to (type, day) counts,
+    then five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) per
+    type on the calendar-bounded relation — the textbook reduction
+    that makes OLS a two-level aggregate at 100 TB, never a
+    per-point regression. Every sufficient statistic is an exact
+    BIGINT (day indexes and counts are small integers); the final
+    slope/intercept/r² divisions run on exact-integer-valued doubles,
+    so both engines compute bit-identical results before the 6-dp
+    round. Degenerate groups (single day, or zero x/y variance)
+    surface NULL through CASE, not a division blowup.
+
+    Emits (event_type, n_days, slope_per_day, intercept_at_anchor,
+    r2).
+    """
+    daily = events.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    pt = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.col("y"),
+    )
+    s = pt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    return s.select(
+        "event_type",
+        "n_days",
+        F.when(den_x > 0, F.round(num / den_x, 6)).alias("slope_per_day"),
+        F.when(
+            den_x > 0, F.round((sy * sxx - sx * sxy) / den_x, 6)
+        ).alias("intercept_at_anchor"),
+        F.when(
+            (den_x > 0) & (den_y > 0),
+            F.round((num * num) / (den_x * den_y), 6),
+        ).alias("r2"),
+    )
+
+
+def chi_square_independence(events: DataFrame) -> DataFrame:
+    """Pearson chi-square test of independence: event_type × day-of-week.
+
+    The categorical-drift complement to ``ks_test_check`` (numeric) and
+    ``mutual_information`` (information-theoretic): does the traffic
+    mix depend on the weekday? One corpus-sized aggregation to the
+    R×C contingency relation (R, C bounded by the domains, never by
+    data); expected counts e_ij = r_i·c_j/N and per-cell terms
+    (o−e)²/e run in doubles over exact integers (bit-identical on
+    both engines — every operand is an exact small integer), each
+    cell term is rounded to 6 dp and the statistic folds in exact
+    decimal so the cross-cell accumulation order cannot flip a bit.
+
+    Emits ONE row: (n, n_rows_levels, n_cols_levels, dof, chi2,
+    cramers_v) — Cramér's V normalizes the statistic to [0,1] so
+    monitoring can threshold it independent of traffic volume.
+    """
+    cells = events.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    # row/column marginals broadcast back onto the tiny cell relation
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("c_tot"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("n_r"),
+        F.countDistinct("dow").alias("n_c"),
+    )
+    e = (F.col("r_tot") * F.col("c_tot")).cast("double") / F.col("n")
+    term = F.round(
+        (F.col("o") - e) * (F.col("o") - e) / e, 6
+    ).cast("decimal(28,6)")
+    scored = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar totals
+        .select("n", "n_r", "n_c", term.alias("term"))
+    )
+    return scored.groupBy("n", "n_r", "n_c").agg(
+        F.sum("term").cast("double").alias("chi2")
+    ).select(
+        F.col("n"),
+        F.col("n_r").alias("n_row_levels"),
+        F.col("n_c").alias("n_col_levels"),
+        ((F.col("n_r") - 1) * (F.col("n_c") - 1)).cast("bigint").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(F.col("n_r") - 1, F.col("n_c") - 1)
+                ).cast("double")
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def winsorize_features(events: DataFrame) -> DataFrame:
+    """Per-group winsorization: clip ``value`` at the exact p05/p95
+    order statistics — the outlier-taming step beside
+    ``standardize_features`` (which z-scores but keeps tails).
+
+    The percentile is the DISCRETE (type-1) order statistic — the
+    k-th smallest under the total order (value_q, event_id) with
+    k = ceil(p·n) — not the interpolated ``percentile_cont``:
+    interpolation arithmetic is engine-specific in the last bit,
+    order statistics are exact and replay identically in any engine
+    (the oracle picks the same row). One window shuffle on the group
+    key computes both bounds; at 100 TB the same bounds come from a
+    tiny per-group aggregate (``approx_percentile`` or a KLL rollup,
+    see ``kll_quantile_rollup``) broadcast back — the exact window
+    variant is the correctness anchor.
+
+    Emits (event_id, event_type, value_q, p05, p95, clipped,
+    was_clipped).
+    """
+    v = F.round("value", 6)
+    q = events.select("event_id", "event_type", v.alias("value_q"))
+    w = Window.partitionBy("event_type").orderBy("value_q", "event_id")
+    ranked = q.select(
+        "event_id",
+        "event_type",
+        "value_q",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    # ceil(p·n) via exact integer arithmetic — ceil(n·0.05) in doubles
+    # rides on the inexact binary 0.05 (2000·0.05 > 100 by one ulp,
+    # flipping the ceiling); ⌈n/20⌉ = (n+19) div 20 is engine-proof.
+    k05 = ((F.col("n") + 19) - ((F.col("n") + 19) % 20)) / 20
+    k95 = ((F.col("n") * 19 + 19) - ((F.col("n") * 19 + 19) % 20)) / 20
+    k05 = k05.cast("int")
+    k95 = k95.cast("int")
+    bounds = (
+        ranked.select(
+            "event_type",
+            F.when(F.col("rk") == k05, F.col("value_q")).alias("p05_v"),
+            F.when(F.col("rk") == k95, F.col("value_q")).alias("p95_v"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("p05_v").alias("p05"),
+            F.max("p95_v").alias("p95"),
+        )
+    )
+    return q.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value_q",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value_q"), F.col("p05")), F.col("p95")).alias(
+            "clipped"
+        ),
+        (
+            (F.col("value_q") < F.col("p05"))
+            | (F.col("value_q") > F.col("p95"))
+        ).alias("was_clipped"),
+    )

@@ -1179,3 +1179,46 @@ def ngram_jaccard_check(
         .join(hits, "seed_id", "left")
         .select("seed_id", F.coalesce("hit", F.lit(False)).alias("found"))
     )
+
+
+#: Normalization regex for ``dedup_exact_normalized`` — plain character
+#: classes only, so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+_NORM_PATTERN = "[^a-z0-9]+"
+
+
+def dedup_exact_normalized(documents: DataFrame) -> DataFrame:
+    """Normalization-aware exact dedup — the CCNet/RefinedWeb first
+    pass: lowercase, strip punctuation/digits-adjacent separators,
+    collapse whitespace, THEN fingerprint. Catches the
+    trivially-reformatted copies (case, punctuation, spacing) that
+    byte-exact ``dedup_exact`` misses but near-dup LSH is overkill
+    for.
+
+    Same scale shape as ``dedup_exact``: the shuffle key is the
+    16-byte md5 of the normalized form (never the body), map-side
+    combine collapses each partition before the exchange, survivor =
+    min doc_id (first-wins, deterministic). The normalization is a
+    scan-speed JVM regexp chain (the ``mask_pii`` tier), and the
+    regex uses plain character classes only so Java regex and RE2
+    replay it identically.
+
+    Emits one row per surviving document: (doc_id, n_copies,
+    n_distinct_raw) — n_copies counts all members, n_distinct_raw
+    the distinct RAW texts collapsed (>1 means normalization did
+    real work beyond byte-exact dedup).
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), _NORM_PATTERN, " ")
+    )
+    return (
+        documents.select(
+            "doc_id", F.md5(norm).alias("_fp"), F.md5("text").alias("_raw_fp")
+        )
+        .groupBy("_fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("_raw_fp").alias("n_distinct_raw"),
+        )
+        .select("doc_id", "n_copies", "n_distinct_raw")
+    )

@@ -402,3 +402,94 @@ def k_anonymity_check(events: DataFrame, k: int = 5) -> DataFrame:
         ).alias("n_risky_rows"),
     )
     return flagged.crossJoin(F.broadcast(audit))
+
+
+def referential_integrity_check(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Foreign-key audit over the star schema — the data-quality gate
+    a warehouse runs on every load (dbt's ``relationships`` test):
+    for each FK edge, how many child rows point at a missing parent
+    (orphans), and how many parent rows no child references
+    (unreferenced — not an error, but the skew/retention signal).
+
+    Plan shape: ONE declarative plan for all six edges — the child
+    and parent key sets stack into two tall (edge, key) relations
+    (each union branch scans its table projecting only the key
+    column), so ONE anti-join computes every edge's orphans and one
+    more the unreferenced parents; no per-edge driver actions, no
+    crossJoin. At 100 TB the tall child relation partitions on
+    (edge, key) and each branch's distinct collapses map-side; the
+    result is edge-count-sized regardless of scale.
+
+    Emits (relation, child_rows, child_keys, orphan_keys,
+    parent_keys, unreferenced_parent_keys).
+    """
+    edges = [
+        ("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        ("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+        ("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+    ]
+
+    def stack(frames: list[DataFrame]) -> DataFrame:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    child_raw = stack(
+        [
+            c.select(F.lit(name).alias("edge"), F.col(k).cast("long").alias("k"))
+            for name, c, k, _, _ in edges
+        ]
+    )
+    parent_keys = stack(
+        [
+            p.select(F.lit(name).alias("edge"), F.col(pk).cast("long").alias("k"))
+            for name, _, _, p, pk in edges
+        ]
+    ).distinct()
+    child_rows = child_raw.groupBy("edge").agg(
+        F.count(F.lit(1)).alias("child_rows")
+    )
+    child_keys_rel = child_raw.distinct()
+    child_keys = child_keys_rel.groupBy("edge").agg(
+        F.count(F.lit(1)).alias("child_keys")
+    )
+    orphans = (
+        child_keys_rel.join(parent_keys, ["edge", "k"], "left_anti")
+        .groupBy("edge")
+        .agg(F.count(F.lit(1)).alias("orphan_keys"))
+    )
+    parents = parent_keys.groupBy("edge").agg(
+        F.count(F.lit(1)).alias("parent_keys")
+    )
+    unref = (
+        parent_keys.join(child_keys_rel, ["edge", "k"], "left_anti")
+        .groupBy("edge")
+        .agg(F.count(F.lit(1)).alias("unreferenced_parent_keys"))
+    )
+    return (
+        child_rows.join(child_keys, "edge")
+        .join(F.broadcast(orphans), "edge", "left")
+        .join(F.broadcast(parents), "edge")
+        .join(F.broadcast(unref), "edge", "left")
+        .select(
+            F.col("edge").alias("relation"),
+            "child_rows",
+            "child_keys",
+            F.coalesce("orphan_keys", F.lit(0).cast("long")).alias("orphan_keys"),
+            "parent_keys",
+            F.coalesce("unreferenced_parent_keys", F.lit(0).cast("long")).alias(
+                "unreferenced_parent_keys"
+            ),
+        )
+    )

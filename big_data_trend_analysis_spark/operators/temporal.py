@@ -520,3 +520,188 @@ def event_paths_topk(events: DataFrame, k: int = 20) -> DataFrame:
     return top.select(
         F.row_number().over(w_rnk).alias("rnk"), "path", "n_paths"
     )
+
+
+def attribution_position_based(events: DataFrame) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: 40/20/40.
+
+    The multi-touch upgrade of ``attribution_last_touch``: every
+    conversion (a ``purchase`` event) distributes credit over ALL the
+    user's touches since their previous conversion — 40% to the first
+    touch, 40% to the last, the middle 20% split evenly across the
+    interior (n = 1 touch takes 1.0; n = 2 take 0.5 each; the
+    standard U-shape). Touches after a user's final conversion are
+    unattributed and dropped.
+
+    Plan: one user-key shuffle serves both window passes — the
+    running conversion counter that assigns each touch to its NEXT
+    purchase, then rank/count within each (user, conversion) journey.
+    The per-touch credit ``0.2/(n−2)`` is one double division on
+    small exact integers (bit-identical on both engines), rounded to
+    6 dp; the final per-channel fold sums exact decimals so shuffle
+    order cannot flip a bit. Scale shape: windows over user keys
+    partition cleanly; the final rollup is channel-bounded.
+
+    Emits (event_type, n_touches, n_conversions_touched,
+    total_credit) per touch channel.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_conv = (F.col("event_type") == "purchase").cast("int")
+    tagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_conv).over(w).alias("cp"),  # running conv count incl. self
+    )
+    # a touch belongs to journey cp+1 (its NEXT purchase); a purchase
+    # closes journey cp. Journeys beyond the user's last purchase have
+    # no conversion -> inner join on the journeys relation drops them.
+    touches = tagged.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        (F.col("cp") + 1).alias("journey"),
+    )
+    journeys = (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("cp").alias("journey"))
+        .distinct()
+    )
+    jw = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    ranked = (
+        touches.join(journeys, ["user_id", "journey"])
+        .select(
+            "user_id",
+            "journey",
+            "event_type",
+            F.row_number().over(jw).alias("pos"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id", "journey"))
+            .alias("n"),
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n"), F.lit(0.4))
+        .otherwise(F.round(F.lit(0.2) / (F.col("n") - 2), 6))
+    )
+    return (
+        ranked.select(
+            "event_type",
+            "user_id",
+            "journey",
+            F.round(credit, 6).cast("decimal(18,6)").alias("credit"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("user_id", "journey").alias(
+                "n_conversions_touched"
+            ),
+            F.sum("credit").cast("double").alias("total_credit"),
+        )
+    )
+
+
+#: Holt smoothing knobs — decimal strings so the recursion stays in
+#: EXACT decimal arithmetic on every engine (0.5/0.3 as binary doubles
+#: would accumulate engine-ordered error through 30 steps).
+HOLT_ALPHA = "0.5"
+HOLT_BETA = "0.3"
+
+
+def holt_linear_forecast(events: DataFrame) -> DataFrame:
+    """Holt double-exponential smoothing of each type's daily counts.
+
+    The forecasting member of the trend family: ``theil_sen_slope`` /
+    ``ols_regression_group`` fit one global line; Holt tracks a
+    time-varying level ``l_t`` and trend ``b_t``:
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    with l_1 = y_1, b_1 = y_2 − y_1 (textbook init), α = 0.5,
+    β = 0.3. The recurrence is inherently sequential per series — the
+    one shape Catalyst cannot express — so it runs as
+    ``applyInPandas`` over (type)-grouped daily rows: series count
+    bounds parallelism (the classic forecasting-at-scale layout — at
+    100 TB you have millions of SERIES, each tiny after the daily
+    rollup, so groups pack executors evenly), and each group's state
+    is two Decimals. Every step quantizes to 6 dp in EXACT decimal
+    arithmetic (α/β are decimal literals, inputs are integer counts),
+    ROUND_HALF_UP — bit-reproducible against any engine that can run
+    the same decimal recursion (the oracle is a DuckDB RECURSIVE CTE
+    over DECIMAL(18,6)).
+
+    Emits per (event_type, day): (y, level, trend, one_step_ahead =
+    l + b, the t+1 forecast made at t). Single-day series emit their
+    anchor row with NULL trend.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("day", DateType()),
+            StructField("y", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("one_step_ahead", DoubleType()),
+        ]
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        alpha = Decimal(HOLT_ALPHA)
+        beta = Decimal(HOLT_BETA)
+        one = Decimal("1")
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = [Decimal(int(v)) for v in pdf["y"]]
+        levels: list[Decimal] = []
+        trends: list[Decimal | None] = []
+        for t, y in enumerate(ys):
+            if t == 0:
+                level = y
+                trend = (ys[1] - ys[0]) if len(ys) > 1 else None
+            else:
+                prev_l, prev_b = levels[-1], trends[-1]
+                level = (alpha * y + (one - alpha) * (prev_l + prev_b)).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+                trend = (
+                    beta * (level - prev_l) + (one - beta) * prev_b
+                ).quantize(q6, rounding=ROUND_HALF_UP)
+            levels.append(level)
+            trends.append(trend)
+        out = pdf[["event_type", "day"]].copy()
+        out["y"] = [float(y) for y in ys]
+        out["level"] = [float(v) for v in levels]
+        out["trend"] = [None if v is None else float(v) for v in trends]
+        out["one_step_ahead"] = [
+            None if b is None else float(l + b) for l, b in zip(levels, trends)
+        ]
+        return out
+
+    return daily.groupBy("event_type").applyInPandas(_holt, schema)

@@ -1444,3 +1444,48 @@ def cap_per_key(
             F.lit(0),
         ).alias("sum_kept_ids"),
     )
+
+
+def ngram_novelty_score(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word trigrams that appear NOWHERE else in the corpus
+    (document frequency 1). High novelty = fresh text worth training
+    on; low novelty = templated/duplicated content — the
+    diversity-side complement of the dedup family (which REMOVES
+    repeats; this SCORES how much of each survivor is corpus-unique).
+
+    Plan: reuse the dedup family's distinct (doc_id, shingle)
+    relation (split once, row-local ``transform`` fan-out), aggregate
+    shingle→df, broadcast nothing — the df relation joins back to
+    the postings on the shingle key, one shuffle each side, then a
+    doc-keyed rollup. At 100 TB this is exactly the inverted-index
+    economics of ``dedup_minhash``: postings partition by shingle,
+    the rollup by doc, both keys uniform. The ratio is one double
+    division of exact counts (bit-identical on both engines),
+    rounded to 6 dp.
+
+    Emits (doc_id, n_grams, n_unique, novelty). Documents shorter
+    than ``n`` words contribute their whole word list as one short
+    gram (the ``_doc_shingles`` convention the whole dedup family
+    shares), so every document scores.
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _doc_shingles
+
+    grams = _doc_shingles(documents, n=n)
+    df = grams.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.round(
+                F.col("n_unique").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )

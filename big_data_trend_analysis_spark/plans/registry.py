@@ -3638,66 +3638,496 @@ def _kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Derived part-supplier relation shared by the five TPC-H queries the
+#: fixture's missing ``partsupp`` table would otherwise block (Q2 / Q9 /
+#: Q11 / Q16 / Q20 — reference archetypes per SURVEY §2.3): supply cost
+#: is the MIN line price observed for the (part, supplier) pair — an
+#: exact DECIMAL, never a double division whose last bit could flip a
+#: boundary row — and availqty is the pair's exact quantity sum.
+_SQL_PS = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                   AS ps_availqty
+        FROM {lineitem}
+        GROUP BY l_partkey, l_suppkey
+"""
+
+#: TPC-H Q2 (minimum-cost supplier), adapted: the p_type LIKE '%BRASS'
+#: cut has no fixture analogue (types are single words), so the part
+#: cut is p_size = 15 alone; the region scope and the correlated
+#: min-cost subquery — the archetype — are intact.
+_SQL_Q2 = (
+    "WITH ps AS (" + _SQL_PS + ")"
+    + """
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, p_brand, CAST(ps_supplycost AS DOUBLE) AS supplycost
+    FROM {part}
+    JOIN ps ON p_partkey = ps_partkey
+    JOIN {supplier} ON s_suppkey = ps_suppkey
+    JOIN {nation} ON s_nationkey = n_nationkey
+    JOIN {region} ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost)
+          FROM ps ps2
+          JOIN {supplier} s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN {nation} n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN {region} r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+)
+
+
+def _sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #13: TPC-H Q2 — correlated MIN subquery over a
+    derived relation.
+
+    Catalyst decorrelates the per-part regional minimum into an
+    aggregate-then-join on ps_partkey (one pass over the ps relation,
+    never a re-scan per outer row); the ps CTE itself is one
+    map-side-combining aggregation of lineitem. Region/nation dims
+    broadcast into both the outer and the subquery join trees. The
+    cost compare is DECIMAL = DECIMAL — exact on both engines.
+    """
+    tune_session(spark)
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q2.format(
+            lineitem="lineitem_v",
+            part="part_v",
+            supplier="supplier_v",
+            nation="nation_v",
+            region="region_v",
+        )
+    )
+
+
+#: TPC-H Q9 (product-type profit), adapted: p_name LIKE '%green%'
+#: becomes '%red%' (fixture names are "<adj> <noun>"), and profit is
+#: revenue minus the pair's supply cost per line (the fixture's
+#: extendedprice is a line total, so the real Q9's cost·quantity term
+#: would double-scale) — the join tree and year rollup are intact.
+_SQL_Q9 = (
+    "WITH ps AS (" + _SQL_PS + ")"
+    + """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST('1.00' AS DECIMAL(3,2))
+                       - CAST(l_discount AS DECIMAL(4,2)))
+                    - ps_supplycost) AS DOUBLE) AS sum_profit
+    FROM {lineitem}
+    JOIN {orders} ON o_orderkey = l_orderkey
+    JOIN {part} ON p_partkey = l_partkey
+    JOIN {supplier} ON s_suppkey = l_suppkey
+    JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN {nation} ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+    ORDER BY nation, o_year DESC
+"""
+)
+
+
+def _sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #14: TPC-H Q9 — the six-way join tree.
+
+    The widest join in the suite: fact × orders × part × supplier ×
+    derived-ps × nation. Part/supplier/nation broadcast; the ps
+    relation joins on the same (partkey, suppkey) the fact already
+    carries, so AQE plans it map-side after the first exchange. The
+    profit expression folds in exact DECIMAL before one cast to
+    double per (nation, year) group.
+    """
+    tune_session(spark)
+    for t in ("lineitem", "orders", "part", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q9.format(
+            lineitem="lineitem_v",
+            orders="orders_v",
+            part="part_v",
+            supplier="supplier_v",
+            nation="nation_v",
+        )
+    )
+
+
+#: TPC-H Q11 (important stock), adapted: the nation scope is NATION_8
+#: and the "fraction" threshold is share > 1/400 of the scoped total,
+#: expressed multiplicatively (SUM·400 > total) so both engines compare
+#: exact decimals.
+_SQL_Q11 = (
+    "WITH ps AS (" + _SQL_PS + "),"
+    + """
+    scoped AS (
+        SELECT ps_partkey,
+               CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4)) AS val
+        FROM ps
+        JOIN {supplier} ON s_suppkey = ps_suppkey
+        JOIN {nation} ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_8')
+    SELECT ps_partkey, CAST(SUM(val) AS DOUBLE) AS value
+    FROM scoped
+    GROUP BY ps_partkey
+    HAVING SUM(val) * 400 > (SELECT SUM(val) FROM scoped)
+    ORDER BY value DESC
+"""
+)
+
+
+def _sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #15: TPC-H Q11 — HAVING against a global scalar.
+
+    The group filter references an uncorrelated aggregate of the SAME
+    relation: Catalyst evaluates the scoped CTE once for the scalar
+    (a one-row broadcast into the HAVING predicate) and once for the
+    per-part rollup. The threshold compare is decimal·int vs decimal
+    — exact, no double boundary.
+    """
+    tune_session(spark)
+    for t in ("lineitem", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q11.format(
+            lineitem="lineitem_v", supplier="supplier_v", nation="nation_v"
+        )
+    )
+
+
+#: TPC-H Q16 (parts/supplier relationship), adapted: the excluded
+#: "complaint" suppliers are those with negative account balance (the
+#: fixture has no s_comment), the brand/type exclusions map to fixture
+#: domains, and the size IN-list is Q16's own.
+_SQL_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM {lineitem}) ps
+    JOIN {part} ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM {supplier} WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def _sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #16: TPC-H Q16 — NOT IN anti-join + COUNT DISTINCT.
+
+    The NOT IN over a non-nullable key plans as a left-anti join
+    (never the null-aware nested loop — s_suppkey is non-null);
+    the distinct-supplier count per (brand, type, size) expands
+    partially map-side. The size IN-list and brand/type exclusions
+    push to the part scan.
+    """
+    tune_session(spark)
+    for t in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q16.format(
+            lineitem="lineitem_v", part="part_v", supplier="supplier_v"
+        )
+    )
+
+
+#: TPC-H Q20 (potential part promotion), adapted: "availqty" is the
+#: pair's pre-1997 shipped quantity (the stock-on-hand proxy the
+#: fixture supports) and the promotion year is 1997; the nested
+#: semi-join chain with a doubly-correlated scalar subquery — the
+#: archetype — is intact. p_name LIKE 'forest%' becomes 'small%'.
+_SQL_Q20 = """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS ps_availqty
+        FROM {lineitem}
+        WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey)
+    SELECT s_name, s_suppkey
+    FROM {supplier}
+    JOIN {nation} ON s_nationkey = n_nationkey
+    WHERE n_regionkey = (SELECT r_regionkey FROM {region}
+                         WHERE r_name = 'ASIA')
+      AND s_suppkey IN (
+          SELECT ps_suppkey FROM ps
+          WHERE ps_partkey IN (SELECT p_partkey FROM {part}
+                               WHERE p_name LIKE 'small%')
+            AND ps_availqty * 2 > (
+                SELECT COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2))),
+                                CAST('0.00' AS DECIMAL(12,2)))
+                FROM {lineitem}
+                WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+    ORDER BY s_name
+"""
+
+
+def _sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface #17: TPC-H Q20 — nested semi-joins with a
+    doubly-correlated scalar subquery.
+
+    Three nesting levels: region scalar → supplier IN (pair
+    relation) → pair-correlated quantity sum. Catalyst decorrelates
+    the innermost SUM into a (partkey, suppkey)-keyed aggregate
+    joined to ps (never a per-pair rescan), the part name filter
+    semi-joins ps, and the supplier IN becomes a left-semi. The
+    stock-vs-shipments compare is decimal·2 vs decimal — exact.
+    Completes the 22/22 TPC-H archetype sweep.
+    """
+    tune_session(spark)
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        _SQL_Q20.format(
+            lineitem="lineitem_v",
+            part="part_v",
+            supplier="supplier_v",
+            nation="nation_v",
+            region="region_v",
+        )
+    )
+
+
+def _aqe_coalesce_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE post-shuffle partition coalescing proven in-gate — the
+    fifth optimizer proof (runtime bloom filter / AQE skew split /
+    CBO reorder / DPP / coalesce).
+
+    The inverse failure mode of skew: a 100 TB pipeline sized at
+    ``spark.sql.shuffle.partitions`` for its biggest stage drags
+    thousands of near-empty reducers through every SMALL stage —
+    unless AQE merges contiguous post-shuffle partitions up to the
+    advisory size at runtime. The gate aggregates the fixture under
+    a 64 MB advisory with ``parallelismFirst`` off (the setting that
+    otherwise keeps partitions at default parallelism — the knob's
+    own scale lesson: leave it on and tiny stages still fan out),
+    then pins BOTH the executed-plan artifact (``coalesced`` in the
+    AQEShuffleRead) and the post-merge partition count (1 — fixture
+    aggregate state is KBs) alongside oracle-recomputed values.
+    """
+    from pyspark.sql import functions as F
+
+    tune_session(spark)
+    confs = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    }
+    prior = {}
+    for k in confs:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("sum_id"),
+            )
+        )
+        rows = [(r.event_type, r.n_rows, r.sum_id) for r in agg.collect()]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        plan_marker = "coalesced" in plan
+        n_parts = agg.rdd.getNumPartitions()
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(*r, plan_marker, n_parts) for r in rows],
+        "event_type string, n_rows long, sum_id long, "
+        "coalesce_planned boolean, final_partitions int",
+    )
+
+
+def _txnlog_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE semantics on the log-backed table: roll back to a
+    prior version as a NEW commit (history stays immutable — audits
+    and time travel keep the bad interval readable).
+
+    Three data commits land (v0 = pre-cut slice, v1 = += even
+    post-cut, v2 = += odd post-cut), then ``restore(1)`` publishes
+    v3. Pinned: v3's content == v1's exactly (the rows v2 added are
+    gone); the superseded v2 is STILL readable pinned by number (the
+    audit contract); the restore is metadata-only add/remove deltas
+    (no data files moved — asserted as restored-version readback, not
+    file forensics, which the change feed covers: v3's CDF is exactly
+    DELETEs of v2's rows); and a no-op restore (to the current
+    version) raises. Oracle recomputes every slice from events
+    arithmetic.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txnrestore_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    pre = events.filter(F.col("ts") < cut)
+    post = events.filter(F.col("ts") >= cut)
+    log.write_commit(pre, n_files=2)
+    log.write_commit(post.filter(F.col("event_id") % 2 == 0))
+    log.write_commit(post.filter(F.col("event_id") % 2 == 1))
+    restored_v = log.restore(1)
+
+    def _snap(label: str, version: int) -> DataFrame:
+        return (
+            log.read_snapshot(spark, version)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("sum_id"),
+            )
+            .select(
+                F.lit(label).alias("label"),
+                F.lit(version).alias("version"),
+                "n_rows",
+                "sum_id",
+            )
+        )
+
+    cdc_deletes = (
+        log.read_changes(spark, key_cols=["event_id"], from_version=restored_v, to_version=restored_v)
+        .filter(F.col("_change_type") == "delete")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+        )
+        .select(
+            F.lit("restore_cdf_deletes").alias("label"),
+            F.lit(restored_v).alias("version"),
+            "n_rows",
+            "sum_id",
+        )
+    )
+    try:
+        log.restore(log.latest_version())
+        noop_raises = False
+    except ValueError:
+        noop_raises = True
+    out = (
+        _snap("latest_after_restore", restored_v)
+        .unionByName(_snap("superseded_v2_still_reads", 2))
+        .unionByName(cdc_deletes)
+    )
+    return out.withColumn("noop_restore_raises", F.lit(noop_raises))
+
+
+def _txnlog_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE (bin-packing compaction) on the log-backed,
+    hive-partitioned table — the maintenance op that keeps a 100 TB
+    table's file count sane after streaming appends.
+
+    Two partitioned commits land (pre-cut and post-cut slices, each
+    one file per event_type = 10 small files), then ``compact(1)``
+    rewrites every 2-file partition group into one file WITHIN its
+    partition value (never across — manifest-side pruning must keep
+    working). Pinned: data identical after compaction (total and a
+    partition-pruned read), file counts 10 → 5, the pre-compaction
+    version still reads its own 10-file list, and a second compact
+    is a no-op (version -1, nothing rewritten). Oracle recomputes
+    all slices from events arithmetic.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txncompact_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    log.write_commit(
+        events.filter(F.col("ts") < cut), partition_by=["event_type"]
+    )
+    log.write_commit(
+        events.filter(F.col("ts") >= cut), partition_by=["event_type"]
+    )
+    stats = log.compact(spark, target_files=1)
+    again = log.compact(spark, target_files=1)
+
+    def _agg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+        ).select(F.lit(label).alias("label"), "n_rows", "sum_id")
+
+    out = (
+        _agg("compacted_total", log.read_snapshot(spark))
+        .unionByName(
+            _agg(
+                "compacted_purchase_pruned",
+                log.read_snapshot(
+                    spark, partition_filter={"event_type": "purchase"}
+                ).filter(F.col("event_type") == "purchase"),
+            )
+        )
+        .unionByName(
+            _agg("pre_compaction_v1_total", log.read_snapshot(spark, 1))
+        )
+    )
+    return (
+        out.withColumn("files_before", F.lit(stats["files_before"]))
+        .withColumn("files_after", F.lit(stats["files_after"]))
+        .withColumn("files_rewritten", F.lit(stats["files_rewritten"]))
+        .withColumn("recompact_noop", F.lit(again["version"] == -1))
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # ---- window (first 50): the driver's correctness gate reads these ----
     # Ordering is enforced by tests/test_rotation_policy.py against
     # tools/green_ledger.json: every entry that is new or changed since
     # its last green driver row MUST sit inside the window.
-    # NEW in round 8 (first batch): the eight library operators
-    # promoted to gate rows (VERDICT r7 top-next) — sketch set
-    # operations, mergeable-quantile rollup, PII masking, multi-class
-    # language ID, portable train/val/test split, the curation
-    # capstone, audio metadata decode, and the image-resize kernel
-    # (rows-only; its planted-pixel twin is the hash gate).
-    "theta_segment_overlap": _q(aggregates.theta_segment_overlap, "events"),
-    "mask_pii": _mask_pii,
-    "lang_id_multi": _lang_id_multi,
-    "split_train_val_test": _split_train_val_test,
-    "curate_for_training": _q(textstats.curate_for_training, "documents"),
-    "resize_images": _q(multimodal.multimodal_resize, "documents"),
-    "resize_images_check": _q(multimodal.resize_images_check, "documents"),
-    # CHANGED in round 8: sources/txnlog.py gained the pinned-CAS
-    # write_commit + strict manifest-name parsing (ADVICE r7) — both
-    # txnlog-closure queries re-enter the window for fresh rows.
+    # CHANGED in round 10: sources/txnlog.py gained restore() +
+    # compact() (Delta RESTORE / OPTIMIZE) — the whole txnlog family
+    # shares that source closure and re-enters the window.
     "txn_log_snapshot_read": _txn_log_snapshot_read,
     "stream_cdc_apply_live": _stream_cdc_apply_live,
-    # CHANGED in round 8: their gated operators gained the exactness
-    # docs / k parameter (shared source closure) — fresh rows needed.
-    "kll_rollup_check": _q(aggregates.kll_rollup_check, "lineitem"),
-    # NEW in round 8 (second batch): txnlog lifecycle completion —
-    # VACUUM + version-chain compaction, the change-data-feed read
-    # path, and transactional (manifest-pinned) schema evolution.
     "txn_log_vacuum_check": _txn_log_vacuum_check,
     "txnlog_cdf_read": _txnlog_cdf_read,
     "txnlog_schema_evolve": _txnlog_schema_evolve,
-    # NEW in round 9: multi-writer OCC under a real 2-thread race
-    # (exactly one CAS loser, rebase converges, vacuum reaps the
-    # orphaned attempt) and Iceberg-style partition-spec evolution
-    # (metadata commit; manifest file skipping on both specs).
     "txnlog_concurrent_commit": _txnlog_concurrent_commit,
     "txnlog_partition_evolve": _txnlog_partition_evolve,
-    # NEW in round 9 (third batch): timestamp time travel — Delta's
-    # timestampAsOf resolved against caller-stamped manifests
-    # (version_at: latest committed_at ≤ ts; pre-epoch raises).
     "txnlog_time_travel": _txnlog_time_travel,
-    # NEW in round 9: the n=2 LM quality filter (Jelinek-Mercer
-    # interpolated bigram perplexity) and sequence packing budgeted
-    # by REAL post-BPE token counts (vocab-encode join, then the
-    # bucketed concat-and-chunk arithmetic).
-    "bigram_perplexity": _q(textstats.bigram_perplexity, "documents"),
-    "pack_sequences_bpe": _q(textstats.pack_sequences_bpe, "documents"),
-    # NEW in round 9: watermark late-data accounting — per-batch
-    # numRowsDroppedByWatermark counters + the finalized append
-    # results, both pinned against the event-time-split oracle.
-    "stream_late_audit": _stream_late_audit,
-    # NEW in round 9: asymmetric shingle-containment dedup — the
-    # quotation/subset mode Jaccard scores near zero (Lee et al. 2022);
-    # planted quote docs, fully general replayed-algorithm oracle.
-    "containment_check": _containment_check,
-    # NEW in round 9: incremental new-batch-vs-archive dedup — the
-    # production shape (O(batch x index), never a corpus re-dedup);
-    # planted exact + near collisions, replayed-algorithm oracle.
-    "incremental_dedup_check": _incremental_dedup_check,
+    # NEW in round 10 (second batch): the txnlog closure's last two
+    # lifecycle ops — RESTORE-as-new-commit (history immutable, CDF
+    # shows the inverse deltas) and bin-packing OPTIMIZE within
+    # partition-value groups (data identical, old versions intact,
+    # idempotent re-run).
+    "txnlog_restore_version": _txnlog_restore_version,
+    "txnlog_compact_files": _txnlog_compact_files,
     # NEW in round 10: checkpoint kill-and-resume recovery — a REAL
     # stop + new-query-instance restart on the same checkpointLocation
     # (state store + file-source commit log both recovered; VERDICT
@@ -3722,96 +4152,114 @@ QUERIES: dict[str, QueryFn] = {
     # exactly in DuckDB, retiring the rows-only carve-out (VERDICT
     # r9 #4).
     "sample_mixture": _q(textstats.sample_mixture, "documents"),
-    # NEW in round 9 (second batch): the advanced-analytics four —
-    # offline CUSUM changepoints + daily-series autocorrelation
-    # (completing the drift/monitoring family), the Theil-Sen robust
-    # trend slope beside trend_rising's OLS-ish lift, and Apriori
-    # 2-itemset association rules with NO corpus self-join (baskets
-    # via one collect_set, pairs JVM-side from the basket array).
+    # NEW in round 10: incremental dedup stage-fusion re-row (VERDICT
+    # r9 #5) and the split/curation closure re-rows sharing textstats
+    # helpers touched by the md5-bucket rework.
+    "incremental_dedup_check": _incremental_dedup_check,
+    "split_train_val_test": _split_train_val_test,
+    "curate_for_training": _q(textstats.curate_for_training, "documents"),
+    "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
+    "cap_per_key": _q(textstats.cap_per_key, "documents"),
+    # CHANGED in round 10: copurchase_lift now emits BOTH directional
+    # confidences (ADVICE r9); triangle_count and stream_topk_live are
+    # r9-window rows carried for their round-10 ledger ingest.
+    "copurchase_lift": _q(aggregates.copurchase_lift, "lineitem", "part"),
+    "triangle_count": _q(graph.triangle_count, "lineitem", "part"),
+    "stream_topk_live": _stream_topk_live,
+    # NEW in round 10 (second batch): TPC-H COMPLETION — Q2/Q9/Q11/
+    # Q16/Q20 were the five queries blocked on the fixture's missing
+    # partsupp table; a derived part-supplier relation (exact-decimal
+    # min line price + quantity sum) restores each query's join/
+    # subquery archetype: correlated MIN (Q2), the six-way join tree
+    # (Q9), HAVING vs a global scalar (Q11), NOT-IN + COUNT DISTINCT
+    # (Q16), nested semi-joins with a doubly-correlated scalar (Q20).
+    # All 22 TPC-H queries now run in-gate.
+    "sql_tpch_q2": _sql_tpch_q2,
+    "sql_tpch_q9": _sql_tpch_q9,
+    "sql_tpch_q11": _sql_tpch_q11,
+    "sql_tpch_q16": _sql_tpch_q16,
+    "sql_tpch_q20": _sql_tpch_q20,
+    # NEW in round 10 (second batch): the statistics tier's parametric
+    # completions — closed-form OLS over the daily series (the
+    # sufficient-statistics reduction beside theil_sen_slope's robust
+    # median), the chi-square independence test with Cramér's V
+    # (categorical drift beside KS/MI), and exact-order-statistic
+    # winsorization (tail clipping beside standardize_features).
+    "ols_regression_group": _q(aggregates.ols_regression_group, "events"),
+    "chi_square_independence": _q(
+        aggregates.chi_square_independence, "events"
+    ),
+    "winsorize_features": _q(aggregates.winsorize_features, "events"),
+    # NEW in round 10 (second batch): U-shaped multi-touch attribution
+    # (40/20/40 credit over full journeys — the multi-touch upgrade of
+    # attribution_last_touch) and Holt double-exponential smoothing
+    # (the sequential recurrence Catalyst can't express, applyInPandas
+    # per series, EXACT decimal steps; oracle = DuckDB RECURSIVE CTE).
+    "attribution_position_based": _q(
+        temporal.attribution_position_based, "events"
+    ),
+    "holt_linear_forecast": _q(temporal.holt_linear_forecast, "events"),
+    # NEW in round 10 (second batch): the star-schema FK audit (one
+    # declarative plan for all six edges — tall key relations, one
+    # anti-join per direction), CCNet-style normalization-aware exact
+    # dedup, and per-doc n-gram novelty (the diversity score over the
+    # dedup family's shared shingle relation).
+    "referential_integrity_check": _q(
+        relational.referential_integrity_check,
+        "lineitem",
+        "orders",
+        "customer",
+        "part",
+        "supplier",
+        "nation",
+    ),
+    "dedup_exact_normalized": _q(dedup.dedup_exact_normalized, "documents"),
+    "ngram_novelty_score": _q(textstats.ngram_novelty_score, "documents"),
+    # NEW in round 10 (second batch): AQE post-shuffle partition
+    # coalescing proven in-gate — the FIFTH optimizer proof (runtime
+    # filter / AQE skew / CBO reorder / DPP / coalesce): plan artifact
+    # + post-merge partition count pinned.
+    "aqe_coalesce_check": _aqe_coalesce_check,
+    # Unchanged r9 greens filling the window to exactly 50 (their
+    # round-10 rows refresh the ledger alongside the new batch).
     "changepoint_cusum": _q(drift.changepoint_cusum, "events"),
     "autocorr_daily": _q(drift.autocorr_daily, "events"),
     "theil_sen_slope": _q(trend.theil_sen_slope, "events"),
-    "copurchase_lift": _q(aggregates.copurchase_lift, "lineitem", "part"),
-    # NEW in round 9 (second batch, cont.): Dunning G² collocations —
-    # the statistically-sound twin of cooccurrence_pmi (PMI
-    # over-rewards rare pairs; G² does not).
     "collocation_llr": _q(textstats.collocation_llr, "documents"),
-    # NEW in round 9 (third batch): pretraining dataset-mixing weights
-    # (capped-epoch uniform-target mixture arithmetic), the
-    # fasttext-shaped logistic quality classifier (linear-model batch
-    # inference as pure JVM expressions), dow seasonal adjustment +
-    # strength (deseasonalize BEFORE trusting the drift stats),
-    # k-anonymity release audit, and triangle counting on the
-    # dim²-bounded co-purchase graph (oriented two-join enumeration).
     "dataset_mixing_weights": _q(textstats.dataset_mixing_weights, "documents"),
     "quality_classifier_score": _q(textstats.quality_classifier_score, "documents"),
     "seasonal_adjust_dow": _q(drift.seasonal_adjust_dow, "events"),
     "k_anonymity_check": _q(relational.k_anonymity_check, "events"),
-    "triangle_count": _q(graph.triangle_count, "lineitem", "part"),
-    # NEW in round 9 (fourth batch): the experimentation primitive
-    # (Welch's t from six exact-decimal moment numbers), per-domain
-    # contribution capping under the portable md5 order, and per-group
-    # feature scaling from exact Σx/Σx² folds (z + min-max).
     "ab_test_welch": _q(drift.ab_test_welch, "lineitem"),
-    "cap_per_key": _q(textstats.cap_per_key, "documents"),
     "standardize_features": _q(aggregates.standardize_features, "events"),
-    # NEW in round 9 (fifth batch): Kaplan-Meier churn survival (the
-    # statistical upgrade of retention_cohort — censoring handled,
-    # product as exp of decimal-folded rounded logs) and RFM customer
-    # segmentation (total-ordered ntile quartiles, replayable).
     "survival_km": _q(temporal.survival_km, "events"),
     "rfm_segmentation": _q(temporal.rfm_segmentation, "orders"),
-    # NEW in round 9 (fifth batch, cont.): clickstream path mining —
-    # top-k consecutive event-type triples via two lead windows on
-    # one user-key shuffle (|types|³-bounded count relation).
     "event_paths_topk": _q(temporal.event_paths_topk, "events"),
-    # NEW in round 9 (fifth batch, cont.): the streaming trending
-    # leaderboard — complete-mode windowed counts across ≥2 real
-    # micro-batches, top-3 ranked at read time on the state table.
-    "stream_topk_live": _stream_topk_live,
-    # NEW in round 9 (fifth batch, cont.): dynamic partition pruning
-    # proven in-gate — the fourth optimizer proof (runtime filter /
-    # AQE skew / CBO reorder / DPP).
-    "dpp_check": _dpp_check,
-    # NEW in round 8 (third batch): the two optimizer-machinery
-    # proofs — AQE runtime skew-split and CBO statistics-driven join
-    # reorder — plan-introspected in-gate like runtime_filter_join.
-    # NEW in round 8 (fourth batch): corpus-level boilerplate-line
-    # removal (CCNet step) and exact-k stratified sampling under the
-    # portable-hash ordering.
-    # NEW in round 8 (fourth batch, cont.): the Spark-4 SQL surface —
-    # recursive CTE iteration and SQL-defined scalar/table functions
-    # (Catalyst-inlined, JVM-side — the tier below Python UDFs).
-    "semdedup_check": _q(similarity.semdedup_check, "embeddings"),
-    # NEW in round 8 (fifth batch): navigation windows, MapType HOF
-    # surface, linear-interpolation gapfill (TimescaleDB's second
-    # gapfill mode beside gapfill_locf).
-    "window_navigation_suite": _q(windows.window_navigation_suite, "events"),
-    # NEW in round 8 (sixth batch): the drift/monitoring family — the
-    # statistics a production pipeline runs on every ingest beside
-    # last week's (PSI, two-sample KS, mutual information).
-    "ks_test_check": _q(drift.ks_test_check, "events"),
-    "mutual_information": _q(drift.mutual_information, "events"),
-    # NEW in round 8 (seventh batch): crawl-pipeline URL
-    # canonicalization and the Benford first-digit audit.
-    # NEW in round 8 (eighth batch): tokenizer APPLICATION (encode
-    # the vocab once, join back to doc words — the production BPE
-    # shape).
-    "bpe_encode_check": _q(textstats.bpe_encode, "documents"),
-    # CHANGED in round 8: the similarity family's driver-side sample
-    # collects are now bounds-asserted (_BOUNDED_SAMPLE_MAX), and the
-    # ANN/LSH knobs are derived by tune_ivf_nprobe/tune_lsh_knobs with
-    # tightened recall floors — whole family re-enters the window.
-    # CHANGED in round 10 (closure): stratified_sample_exact shares the
-    # textstats md5-bucket helpers sample_mixture's rework touched —
-    # rotated in for a fresh row with the rest of the textstats set.
-    "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
     # ---- end of the 50-entry driver window ----
     # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
     # green_ledger.WINDOW. Everything below is unchanged since its
     # last green driver row, which the fingerprint ledger certifies;
-    # the r9 similarity-family greens directly below rotated out to
-    # make room for the round-10 stale-or-new set.)
+    # the round-8/9 rows directly below rotated out this round to
+    # make room for the round-10 second batch.)
+    # Rotated out in round 10 (unchanged since their r9 green rows;
+    # fingerprint ledger certifies): the round-8/9 promotions and the
+    # r9 gate rows whose sources this round did not touch.
+    "theta_segment_overlap": _q(aggregates.theta_segment_overlap, "events"),
+    "mask_pii": _mask_pii,
+    "lang_id_multi": _lang_id_multi,
+    "resize_images": _q(multimodal.multimodal_resize, "documents"),
+    "resize_images_check": _q(multimodal.resize_images_check, "documents"),
+    "kll_rollup_check": _q(aggregates.kll_rollup_check, "lineitem"),
+    "bigram_perplexity": _q(textstats.bigram_perplexity, "documents"),
+    "pack_sequences_bpe": _q(textstats.pack_sequences_bpe, "documents"),
+    "stream_late_audit": _stream_late_audit,
+    "containment_check": _containment_check,
+    "dpp_check": _dpp_check,
+    "semdedup_check": _q(similarity.semdedup_check, "embeddings"),
+    "window_navigation_suite": _q(windows.window_navigation_suite, "events"),
+    "ks_test_check": _q(drift.ks_test_check, "events"),
+    "mutual_information": _q(drift.mutual_information, "events"),
+    "bpe_encode_check": _q(textstats.bpe_encode, "documents"),
     "ann_recall_check": _q(similarity.ann_recall_check, "embeddings"),
     "embed_neardup_check": _q(similarity.embed_neardup_check, "embeddings"),
     "ann_ivfpq_check": _q(similarity.ann_ivfpq_check, "embeddings"),
@@ -4089,6 +4537,41 @@ def _xlx_sql(k: str) -> str:
         f"round(CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE)"
         f" * ln(CAST({k} AS DOUBLE)) ELSE 0.0 END, 6)"
     )
+
+
+def _ri_edge_sql(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+    """One FK edge of the referential_integrity_check oracle."""
+    return f"""
+        SELECT '{name}' AS relation,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child})
+                   AS child_rows,
+               (SELECT CAST(COUNT(DISTINCT {ck}) AS BIGINT) FROM {child})
+                   AS child_keys,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT DISTINCT {ck} AS k FROM {child}) c
+                LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p
+                  ON p.k = c.k
+                WHERE p.k IS NULL) AS orphan_keys,
+               (SELECT CAST(COUNT(DISTINCT {pk}) AS BIGINT) FROM {parent})
+                   AS parent_keys,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT DISTINCT {pk} AS k FROM {parent}) p
+                LEFT JOIN (SELECT DISTINCT {ck} AS k FROM {child}) c
+                  ON c.k = p.k
+                WHERE c.k IS NULL) AS unreferenced_parent_keys
+    """
+
+
+_RI_ORACLE = " UNION ALL ".join(
+    [
+        _ri_edge_sql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        _ri_edge_sql("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        _ri_edge_sql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        _ri_edge_sql("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        _ri_edge_sql("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        _ri_edge_sql("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+)
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -7726,6 +8209,263 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS skip_value_ok,
                TRUE AS skip_user_ok,
                TRUE AS layout_ok
+        FROM events
+    """,
+    "sql_tpch_q2": _SQL_Q2.format(
+        lineitem="lineitem", part="part", supplier="supplier",
+        nation="nation", region="region",
+    ),
+    "sql_tpch_q9": _SQL_Q9.format(
+        lineitem="lineitem", orders="orders", part="part",
+        supplier="supplier", nation="nation",
+    ),
+    "sql_tpch_q11": _SQL_Q11.format(
+        lineitem="lineitem", supplier="supplier", nation="nation",
+    ),
+    "sql_tpch_q16": _SQL_Q16.format(
+        lineitem="lineitem", part="part", supplier="supplier",
+    ),
+    "sql_tpch_q20": _SQL_Q20.format(
+        lineitem="lineitem", part="part", supplier="supplier",
+        nation="nation", region="region",
+    ),
+    "ols_regression_group": """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        pt AS (
+            SELECT event_type,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                                  day) AS BIGINT) AS x,
+                   y
+            FROM daily),
+        s AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM pt GROUP BY 1)
+        SELECT event_type, n_days,
+               CASE WHEN n * sxx - sx * sx > 0
+                    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               END AS slope_per_day,
+               CASE WHEN n * sxx - sx * sx > 0
+                    THEN round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6)
+               END AS intercept_at_anchor,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                               / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                               6)
+               END AS r2
+        FROM s
+    """,
+    "chi_square_independence": """
+        WITH cells AS (
+            SELECT event_type, dayofweek(ts) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2),
+        rm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r_tot
+               FROM cells GROUP BY 1),
+        cm AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c_tot
+               FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_r,
+                       CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_c
+                FROM cells),
+        terms AS (
+            SELECT n, n_r, n_c,
+                   CAST(round((o - e) * (o - e) / e, 6)
+                        AS DECIMAL(28,6)) AS term
+            FROM (SELECT c.o,
+                         CAST(r_tot * c_tot AS DOUBLE) / n AS e,
+                         n, n_r, n_c
+                  FROM cells c
+                  JOIN rm USING (event_type)
+                  JOIN cm USING (dow), tot))
+        SELECT n, n_r AS n_row_levels, n_c AS n_col_levels,
+               CAST((n_r - 1) * (n_c - 1) AS BIGINT) AS dof,
+               round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+               round(sqrt(CAST(SUM(term) AS DOUBLE)
+                          / CAST(n * LEAST(n_r - 1, n_c - 1) AS DOUBLE)),
+                     6) AS cramers_v
+        FROM terms GROUP BY n, n_r, n_c
+    """,
+    "winsorize_features": """
+        WITH q AS (
+            SELECT event_id, event_type, round(value, 6) AS value_q
+            FROM events),
+        ranked AS (
+            SELECT event_id, event_type, value_q,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value_q, event_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM q),
+        bounds AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rk = (n + 19) // 20 THEN value_q END)
+                       AS p05,
+                   MAX(CASE WHEN rk = (n * 19 + 19) // 20 THEN value_q END)
+                       AS p95
+            FROM ranked GROUP BY 1)
+        SELECT q.event_id, q.event_type, q.value_q, b.p05, b.p95,
+               LEAST(GREATEST(q.value_q, b.p05), b.p95) AS clipped,
+               (q.value_q < b.p05 OR q.value_q > b.p95) AS was_clipped
+        FROM q JOIN bounds b USING (event_type)
+    """,
+    "attribution_position_based": """
+        WITH tagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS cp
+            FROM events),
+        touches AS (
+            SELECT user_id, event_id, ts, event_type, cp + 1 AS journey
+            FROM tagged WHERE event_type <> 'purchase'),
+        journeys AS (
+            SELECT DISTINCT user_id, cp AS journey
+            FROM tagged WHERE event_type = 'purchase'),
+        ranked AS (
+            SELECT t.event_type, t.user_id, t.journey,
+                   ROW_NUMBER() OVER (PARTITION BY t.user_id, t.journey
+                                      ORDER BY t.ts, t.event_id) AS pos,
+                   COUNT(*) OVER (PARTITION BY t.user_id, t.journey) AS n
+            FROM touches t
+            JOIN journeys j
+              ON t.user_id = j.user_id AND t.journey = j.journey),
+        credits AS (
+            SELECT event_type, user_id, journey,
+                   CAST(round(CASE WHEN n = 1 THEN 1.0
+                                   WHEN n = 2 THEN 0.5
+                                   WHEN pos = 1 THEN 0.4
+                                   WHEN pos = n THEN 0.4
+                                   ELSE round(0.2 / (n - 2), 6)
+                              END, 6) AS DECIMAL(18,6)) AS credit
+            FROM ranked)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(COUNT(DISTINCT (user_id, journey)) AS BIGINT)
+                   AS n_conversions_touched,
+               CAST(SUM(credit) AS DOUBLE) AS total_credit
+        FROM credits GROUP BY event_type
+    """,
+    "holt_linear_forecast": """
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS DECIMAL(18,6)) AS y,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(date_trunc('day', ts)
+                                                    AS DATE)) AS t
+            FROM events GROUP BY 1, 2),
+        rec AS (
+            SELECT d.event_type, d.t, d.day, d.y,
+                   d.y AS level,
+                   CAST(d2.y - d.y AS DECIMAL(18,6)) AS trend
+            FROM daily d
+            LEFT JOIN daily d2
+              ON d.event_type = d2.event_type AND d2.t = 2
+            WHERE d.t = 1
+            UNION ALL
+            SELECT d.event_type, d.t, d.day, d.y,
+                   CAST(round(0.5 * d.y + 0.5 * (r.level + r.trend), 6)
+                        AS DECIMAL(18,6)) AS level,
+                   CAST(round(0.3 * (CAST(round(0.5 * d.y
+                                                + 0.5 * (r.level + r.trend),
+                                                6) AS DECIMAL(18,6))
+                                     - r.level)
+                              + 0.7 * r.trend, 6)
+                        AS DECIMAL(18,6)) AS trend
+            FROM rec r
+            JOIN daily d
+              ON d.event_type = r.event_type AND d.t = r.t + 1)
+        SELECT event_type, day, CAST(y AS DOUBLE) AS y,
+               CAST(level AS DOUBLE) AS level,
+               CAST(trend AS DOUBLE) AS trend,
+               CAST(level + trend AS DOUBLE) AS one_step_ahead
+        FROM rec
+    """,
+    "referential_integrity_check": _RI_ORACLE,
+    "dedup_exact_normalized": """
+        WITH norm AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                           ' ', 'g'))) AS fp,
+                   md5(text) AS raw_fp
+            FROM documents)
+        SELECT MIN(doc_id) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_distinct_raw
+        FROM norm GROUP BY fp
+    """,
+    "ngram_novelty_score": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            -- mirrors _doc_shingles: sequence(0, greatest(len-3, 0))
+            -- inclusive + capped 3-slices, so sub-3-word docs yield
+            -- one short shingle on BOTH engines
+            SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
+            FROM words, unnest(range(0, greatest(len(w) - 2, 1))) AS r(i)),
+        dfreq AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS novelty
+        FROM sh JOIN dfreq USING (s)
+        GROUP BY doc_id
+    """,
+    "aqe_coalesce_check": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               TRUE AS coalesce_planned, 1 AS final_partitions
+        FROM events GROUP BY event_type
+    """,
+    "txnlog_restore_version": """
+        WITH pre AS (
+            SELECT event_id FROM events
+            WHERE ts < TIMESTAMP '2024-01-11 00:00:00'),
+        post AS (
+            SELECT event_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-11 00:00:00')
+        SELECT 'latest_after_restore' AS label, 3 AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               TRUE AS noop_restore_raises
+        FROM (SELECT event_id FROM pre
+              UNION ALL
+              SELECT event_id FROM post WHERE event_id % 2 = 0)
+        UNION ALL
+        SELECT 'superseded_v2_still_reads', 2, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(event_id) AS BIGINT), TRUE
+        FROM (SELECT event_id FROM pre
+              UNION ALL
+              SELECT event_id FROM post)
+        UNION ALL
+        SELECT 'restore_cdf_deletes', 3, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(event_id) AS BIGINT), TRUE
+        FROM (SELECT event_id FROM post WHERE event_id % 2 = 1)
+    """,
+    "txnlog_compact_files": """
+        SELECT 'compacted_total' AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               10 AS files_before, 5 AS files_after,
+               10 AS files_rewritten, TRUE AS recompact_noop
+        FROM events
+        UNION ALL
+        SELECT 'compacted_purchase_pruned', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(event_id) AS BIGINT), 10, 5, 10, TRUE
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'pre_compaction_v1_total', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(event_id) AS BIGINT), 10, 5, 10, TRUE
         FROM events
     """,
 }

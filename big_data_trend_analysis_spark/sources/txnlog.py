@@ -542,6 +542,142 @@ class TxnLog:
             "earliest_retained": horizon,
         }
 
+    def restore(self, version: int, committed_at: str | None = None) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF`` — roll the
+        table state back to ``version`` as a NEW commit on top of the
+        chain (never by rewinding the log: history is immutable, so
+        audits and time travel keep seeing the bad interval and the
+        restore itself).
+
+        The new manifest's file list, schema, partition spec and
+        per-file partition values are the target version's, expressed
+        as add/remove deltas against the current snapshot (files
+        present in both move with zero data I/O — restore is a
+        METADATA operation; Delta behaves the same way). Change-feed
+        consumers see the restore as remove(current-only files) +
+        add(target-only files), which is exactly the row-level
+        inverse of the undone commits.
+
+        Raises ``ValueError`` if ``version`` was vacuumed away or is
+        the current version (a no-op restore is a caller bug).
+        Returns the new version number.
+        """
+        latest = self.latest_version()
+        if version == latest:
+            raise ValueError(
+                f"restore target {version} IS the current version; "
+                f"a no-op restore hides a caller bug"
+            )
+        target = self.manifest(version)  # raises if vacuumed/unknown
+        current = self.manifest(latest)
+        cur_files = set(current["files"])
+        tgt_files = list(target["files"])
+        add = [f for f in tgt_files if f not in cur_files]
+        remove = [f for f in current["files"] if f not in set(tgt_files)]
+        tgt_parts = target.get("file_partitions") or {}
+        return self.commit(
+            add=add,
+            remove=remove,
+            expected_version=latest,
+            schema_json=target.get("schema"),
+            partition_spec=target.get("partition_spec"),
+            file_partitions={f: tgt_parts[f] for f in add if f in tgt_parts}
+            or None,
+            committed_at=committed_at,
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        committed_at: str | None = None,
+    ) -> dict:
+        """Delta ``OPTIMIZE`` (bin-packing compaction): rewrite the
+        current snapshot's small files into ``target_files`` per
+        partition-value group, committed as one atomic
+        add+remove — readers of the old version keep their file
+        list (the rewritten bytes land in a fresh commit directory,
+        never overwriting), time travel still resolves every prior
+        version, and the data is bit-identical because compaction
+        only re-buckets rows.
+
+        Partitioned tables compact WITHIN each recorded partition
+        value group (never across — that would break manifest-side
+        pruning); unpartitioned tables compact the whole snapshot.
+        Files already meeting the target count are left in place —
+        groups with ≤ ``target_files`` files are skipped, so a
+        second compact is a cheap no-op (Delta's idempotence
+        contract).
+
+        Returns ``{"version", "files_before", "files_after",
+        "files_rewritten"}``; ``version`` is -1 when nothing needed
+        rewriting (no commit is made).
+        """
+        latest = self.latest_version()
+        man = self.manifest(latest)
+        files = list(man["files"])
+        fparts = man.get("file_partitions") or {}
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            key = tuple(sorted((fparts.get(f) or {}).items()))
+            groups.setdefault(key, []).append(f)
+        add: list[str] = []
+        remove: list[str] = []
+        new_parts: dict[str, dict[str, str]] = {}
+        commit_id = uuid.uuid4().hex[:12]
+        schema_json = man.get("schema")
+        n_group = 0
+        for key, members in sorted(groups.items()):
+            if len(members) <= target_files:
+                continue
+            reader = spark.read
+            if schema_json:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                )
+            df = reader.parquet(
+                *[os.path.join(self.root, f) for f in members]
+            )
+            rel_dir = os.path.join(DATA_DIR, f"c{commit_id}", f"g{n_group}")
+            n_group += 1
+            out = os.path.join(self.root, rel_dir)
+            df.repartition(target_files).write.mode("error").parquet(out)
+            for dirpath, _, names in os.walk(out):
+                for name in names:
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(
+                        os.path.join(dirpath, name), self.root
+                    )
+                    add.append(rel)
+                    if key:
+                        new_parts[rel] = dict(key)
+            remove.extend(members)
+        if not add:
+            return {
+                "version": -1,
+                "files_before": len(files),
+                "files_after": len(files),
+                "files_rewritten": 0,
+            }
+        add.sort()
+        version = self.commit(
+            add=add,
+            remove=remove,
+            expected_version=latest,
+            file_partitions=new_parts or None,
+            committed_at=committed_at,
+        )
+        return {
+            "version": version,
+            "files_before": len(files),
+            "files_after": len(files) - len(remove) + len(add),
+            "files_rewritten": len(remove),
+        }
+
+
     # -- change data feed -------------------------------------------------
 
     def read_changes(

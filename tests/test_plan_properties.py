@@ -118,6 +118,12 @@ CROSS_JOIN_ALLOWED = {
     "ab_test_welch",
     # 3 as-of aggregate rows × broadcast 1-row raise-contract flag
     "txnlog_time_travel",
+    # --- round 10 ---
+    # per-type recovered-state agg × broadcast 1-row restart/batch
+    # scalars (the stream_cdc_apply_live shape)
+    "stream_restart_recovery_live",
+    # R×C contingency cells × broadcast 1-row (N, levels) totals
+    "chi_square_independence",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
