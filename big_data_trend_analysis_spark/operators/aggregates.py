@@ -1537,3 +1537,68 @@ def winsorize_features(events: DataFrame) -> DataFrame:
             | (F.col("value_q") > F.col("p95"))
         ).alias("was_clipped"),
     )
+
+
+def quantile_normalization(events: DataFrame) -> DataFrame:
+    """Per-group quantile normalization: replace each value with the
+    GLOBAL distribution's order statistic at the same within-group
+    relative rank — the batch-effect remover (genomics' classic, and
+    the feature-space aligner when per-source value scales drift):
+    after it, every group has exactly the global value distribution.
+
+    Exact-rank semantics under the total order (value_q, event_id):
+    within-group rank r of n maps to global rank k = ⌈r·N/n⌉ (integer
+    ceil-division — no float quantile arithmetic anywhere), and the
+    replacement is the k-th global order statistic, fetched by ONE
+    integer equi-join against the globally-ranked relation. All-
+    integer rank math and already-quantized values replay identically
+    in any engine.
+
+    The global row_number is a single-partition sort at gate scale
+    (the correctness anchor); at 100 TB the same ranks come from a
+    range-partitioned sort with per-partition offsets (rank = local
+    row_number + running count of earlier partitions) or an
+    approx-quantile lattice — both preserve this operator's join
+    shape, only the rank source changes.
+
+    Emits (event_id, event_type, value_q, group_rank, global_k,
+    qn_value).
+    """
+    v = F.round("value", 6)
+    q = events.select("event_id", "event_type", v.alias("value_q"))
+    wg = Window.partitionBy("event_type").orderBy("value_q", "event_id")
+    wall = Window.orderBy("value_q", "event_id")
+    ranked = q.select(
+        "event_id",
+        "event_type",
+        "value_q",
+        F.row_number().over(wg).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_g"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n_all"),
+    )
+    num = F.col("rk") * F.col("n_all") + F.col("n_g") - 1
+    k = ((num - num % F.col("n_g")) / F.col("n_g")).cast("bigint")
+    lookup = q.select(
+        F.row_number().over(wall).cast("bigint").alias("grk"),
+        F.col("value_q").alias("qn_value"),
+    )
+    return (
+        ranked.select(
+            "event_id",
+            "event_type",
+            "value_q",
+            F.col("rk").alias("group_rank"),
+            k.alias("global_k"),
+        )
+        .join(lookup, F.col("global_k") == F.col("grk"))
+        .select(
+            "event_id",
+            "event_type",
+            "value_q",
+            "group_rank",
+            "global_k",
+            "qn_value",
+        )
+    )

@@ -4105,6 +4105,178 @@ def _txnlog_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _aqe_join_switch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime join-strategy switch proven in-gate — the SIXTH
+    optimizer proof (runtime bloom / AQE skew / CBO reorder / DPP /
+    coalesce / join switch).
+
+    The planner cannot statically see that a filtered build side is
+    tiny (no CBO stats: a filter's size estimate is its child's), so
+    with static broadcast OFF it plans a sort-merge join; after the
+    build side's shuffle ACTUALLY materializes a few KB, AQE's
+    OptimizeJoinStrategy rule rewrites the remaining stages to a
+    broadcast join — the mechanism that saves every selective-dim
+    join a 100 TB plan mis-estimates. The gate runs signup-user
+    purchase attribution under that conf split and pins BOTH plan
+    artifacts (initial SortMergeJoin, executed BroadcastHashJoin)
+    beside oracle-recomputed values.
+    """
+    from pyspark.sql import functions as F
+
+    tune_session(spark)
+    confs = {
+        # static broadcast off; AQE's runtime threshold stays on
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    }
+    prior = {}
+    for k in confs:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        events = load_table(spark, sf_dir, "events")
+        signups = (
+            events.filter(F.col("event_type") == "signup")
+            .select("user_id")
+            .distinct()
+        )
+        purchases = events.filter(F.col("event_type") == "purchase")
+        agg = purchases.join(signups, "user_id").agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+        )
+        rows = [(r.n_users, r.n_rows, r.sum_id) for r in agg.collect()]
+        qe = agg._jdf.queryExecution()
+        initial_smj = "SortMergeJoin" in qe.sparkPlan().toString()
+        runtime_bhj = "BroadcastHashJoin" in qe.executedPlan().toString()
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(*r, initial_smj, runtime_bhj) for r in rows],
+        "n_users long, n_rows long, sum_id long, "
+        "initial_smj boolean, runtime_bhj boolean",
+    )
+
+
+def _txnlog_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-side zone-map pruning (Iceberg column-stats file
+    skipping) on the log-backed table.
+
+    Four quartile-sliced commits land (file i covers event_id ∈
+    [i·m/4, (i+1)·m/4), one file each), each recording its footer
+    MIN/MAX for event_id in the manifest
+    (``write_commit(collect_stats=...)`` — the stats are read from
+    the parquet footers the write already paid for, never a second
+    data scan). A ``range_filter`` read for event_id < m/2 must then
+    plan exactly the 2 covering files — decided from the MANIFEST,
+    before Spark ever lists or opens a file — and a range filter on
+    a column WITHOUT recorded stats must conservatively keep all 4
+    (the superset guarantee: pruning may only shrink the scan).
+    Values are pinned by the oracle's own m = MAX(event_id)
+    arithmetic over raw events.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txnstats_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    m = events.agg(F.max("event_id")).collect()[0][0] + 1
+    for i in range(4):
+        log.write_commit(
+            events.filter(
+                (F.col("event_id") >= i * m // 4)
+                & (F.col("event_id") < (i + 1) * m // 4)
+            ),
+            collect_stats=["event_id"],
+        )
+    cutoff = m // 2 - 1  # inclusive hi bound: event_id <= cutoff
+    pruned_files = log.snapshot_files(range_filter={"event_id": (None, cutoff)})
+    no_stats_files = log.snapshot_files(range_filter={"value": (0.0, 1.0)})
+    agg = (
+        log.read_snapshot(spark, range_filter={"event_id": (None, cutoff)})
+        .filter(F.col("event_id") <= cutoff)  # row-level predicate stays
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+        )
+    )
+    return agg.select(
+        "n_rows",
+        "sum_id",
+        F.lit(len(pruned_files)).alias("files_scanned"),
+        F.lit(len(log.snapshot_files())).alias("files_total"),
+        F.lit(len(no_stats_files)).alias("files_kept_without_stats"),
+    )
+
+
+def _txnlog_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``DESCRIBE HISTORY`` analog: the log introspected as a
+    DataFrame — version, stamp, file counts, add/remove deltas,
+    partition spec, and whether the commit evolved the schema.
+
+    Three deterministic commits land: v0 = pre-cut slice in 2 files
+    @ Jan 1, v1 = post-cut slice carrying a new ``day`` column
+    (schema evolution) @ Jan 2, v2 = a pure-metadata partition-spec
+    change @ Jan 3. The history rows are pinned literally — the
+    table-owner audit (what changed, when, by how many files) must
+    read straight off the manifests with zero data I/O.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txnhist_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    log.write_commit(
+        events.filter(F.col("ts") < cut),
+        n_files=2,
+        committed_at="2024-01-01T00:00:00",
+    )
+    log.write_commit(
+        events.filter(F.col("ts") >= cut).withColumn(
+            "day", F.to_date(F.date_trunc("DAY", "ts"))
+        ),
+        committed_at="2024-01-02T00:00:00",
+    )
+    log.commit(
+        add=[],
+        remove=[],
+        partition_spec=["event_type"],
+        committed_at="2024-01-03T00:00:00",
+    )
+    return log.history(spark)
+
+
 QUERIES: dict[str, QueryFn] = {
     # ---- window (first 50): the driver's correctness gate reads these ----
     # Ordering is enforced by tests/test_rotation_policy.py against
@@ -4230,11 +4402,16 @@ QUERIES: dict[str, QueryFn] = {
     "quality_classifier_score": _q(textstats.quality_classifier_score, "documents"),
     "seasonal_adjust_dow": _q(drift.seasonal_adjust_dow, "events"),
     "k_anonymity_check": _q(relational.k_anonymity_check, "events"),
-    "ab_test_welch": _q(drift.ab_test_welch, "lineitem"),
-    "standardize_features": _q(aggregates.standardize_features, "events"),
-    "survival_km": _q(temporal.survival_km, "events"),
-    "rfm_segmentation": _q(temporal.rfm_segmentation, "orders"),
     "event_paths_topk": _q(temporal.event_paths_topk, "events"),
+    # NEW in round 10 (third batch): the SIXTH optimizer proof (AQE
+    # runtime SMJ→broadcast join switch), Iceberg-style manifest
+    # zone-map file skipping + the DESCRIBE HISTORY introspection on
+    # the txnlog, and exact-rank quantile normalization (the
+    # batch-effect remover beside winsorize/standardize).
+    "aqe_join_switch_check": _aqe_join_switch_check,
+    "txnlog_stats_skipping": _txnlog_stats_skipping,
+    "txnlog_history_table": _txnlog_history_table,
+    "quantile_normalization": _q(aggregates.quantile_normalization, "events"),
     # ---- end of the 50-entry driver window ----
     # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
     # green_ledger.WINDOW. Everything below is unchanged since its
@@ -4244,6 +4421,10 @@ QUERIES: dict[str, QueryFn] = {
     # Rotated out in round 10 (unchanged since their r9 green rows;
     # fingerprint ledger certifies): the round-8/9 promotions and the
     # r9 gate rows whose sources this round did not touch.
+    "ab_test_welch": _q(drift.ab_test_welch, "lineitem"),
+    "standardize_features": _q(aggregates.standardize_features, "events"),
+    "survival_km": _q(temporal.survival_km, "events"),
+    "rfm_segmentation": _q(temporal.rfm_segmentation, "orders"),
     "theta_segment_overlap": _q(aggregates.theta_segment_overlap, "events"),
     "mask_pii": _mask_pii,
     "lang_id_multi": _lang_id_multi,
@@ -8467,5 +8648,60 @@ ORACLE_SQL: dict[str, str] = {
         SELECT 'pre_compaction_v1_total', CAST(COUNT(*) AS BIGINT),
                CAST(SUM(event_id) AS BIGINT), 10, 5, 10, TRUE
         FROM events
+    """,
+    "aqe_join_switch_check": """
+        WITH signups AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'signup')
+        SELECT CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(p.event_id) AS BIGINT) AS sum_id,
+               TRUE AS initial_smj, TRUE AS runtime_bhj
+        FROM events p JOIN signups s ON p.user_id = s.user_id
+        WHERE p.event_type = 'purchase'
+    """,
+    "txnlog_stats_skipping": """
+        WITH m AS (SELECT MAX(event_id) + 1 AS m FROM events)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               2 AS files_scanned, 4 AS files_total,
+               4 AS files_kept_without_stats
+        FROM events, m
+        WHERE event_id <= m // 2 - 1
+    """,
+    "txnlog_history_table": """
+        SELECT 0 AS version, '2024-01-01T00:00:00' AS committed_at,
+               2 AS n_files, 2 AS n_added, 0 AS n_removed,
+               CAST(NULL AS VARCHAR) AS partition_spec,
+               FALSE AS schema_evolved
+        UNION ALL
+        SELECT 1, '2024-01-02T00:00:00', 3, 1, 0,
+               CAST(NULL AS VARCHAR), TRUE
+        UNION ALL
+        SELECT 2, '2024-01-03T00:00:00', 3, 0, 0, 'event_type', FALSE
+    """,
+    "quantile_normalization": """
+        WITH q AS (
+            SELECT event_id, event_type, round(value, 6) AS value_q
+            FROM events),
+        ranked AS (
+            SELECT event_id, event_type, value_q,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value_q, event_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_g,
+                   COUNT(*) OVER () AS n_all
+            FROM q),
+        lookup AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY value_q, event_id) AS grk,
+                   value_q AS qn_value
+            FROM q)
+        SELECT r.event_id, r.event_type, r.value_q,
+               CAST(r.rk AS BIGINT) AS group_rank,
+               CAST((r.rk * r.n_all + r.n_g - 1) // r.n_g AS BIGINT)
+                   AS global_k,
+               l.qn_value
+        FROM ranked r
+        JOIN lookup l
+          ON (r.rk * r.n_all + r.n_g - 1) // r.n_g = l.grk
     """,
 }

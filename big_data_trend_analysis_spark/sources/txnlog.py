@@ -156,6 +156,7 @@ class TxnLog:
         self,
         version: int | None = None,
         partition_filter: dict[str, str] | None = None,
+        range_filter: dict[str, tuple] | None = None,
     ) -> list[str]:
         """Absolute paths of the files constituting a snapshot
         (``None`` = latest).
@@ -168,7 +169,16 @@ class TxnLog:
         (Iceberg's spec-evolution rule: old-spec files cannot be
         pruned on a new spec's column — pruning is a superset
         guarantee, row-level filtering still applies). Driver-side
-        O(manifest), the same cost class as reading the manifest."""
+        O(manifest), the same cost class as reading the manifest.
+
+        ``range_filter`` ({col: (lo, hi)}, either bound ``None`` for
+        open) prunes by the manifest's per-file column MIN/MAX stats
+        (``write_commit(collect_stats=...)`` records them from the
+        parquet footers) — the Iceberg zone-map mechanic: a file is
+        skipped only when its recorded [min, max] interval provably
+        misses the queried range; files without stats for the column
+        are conservatively kept. Same superset guarantee: the caller
+        still applies the row-level predicate."""
         if version is None:
             version = self.latest_version()
         if version < 0:
@@ -186,6 +196,22 @@ class TxnLog:
                     for col, val in partition_filter.items()
                 )
             ]
+        if range_filter:
+            fs = m.get("file_stats") or {}
+
+            def _keep(rel: str) -> bool:
+                for col, (lo, hi) in range_filter.items():
+                    rec = fs.get(rel, {}).get(col)
+                    if rec is None:
+                        continue  # no stats -> conservative keep
+                    fmin, fmax = rec
+                    if lo is not None and fmax < lo:
+                        return False
+                    if hi is not None and fmin > hi:
+                        return False
+                return True
+
+            rels = [rel for rel in rels if _keep(rel)]
         return [os.path.join(self.root, rel) for rel in rels]
 
     def partition_spec(self, version: int | None = None) -> list[str] | None:
@@ -205,6 +231,7 @@ class TxnLog:
         schema_json: str | None = None,
         partition_spec: list[str] | None = None,
         file_partitions: dict[str, dict[str, str]] | None = None,
+        file_stats: dict[str, dict[str, list]] | None = None,
         committed_at: str | None = None,
     ) -> int:
         """Publish snapshot ``expected_version + 1`` atomically.
@@ -277,6 +304,12 @@ class TxnLog:
         carried = dict(parent.get("file_partitions") or {}) if parent else {}
         carried = {f: v for f, v in carried.items() if f not in removed}
         carried.update(file_partitions or {})
+        # per-file column stats (Iceberg zone-map analog): carried
+        # forward exactly like partition values — a file keeps the
+        # stats it was written with for its whole manifest life
+        stats = dict(parent.get("file_stats") or {}) if parent else {}
+        stats = {f: v for f, v in stats.items() if f not in removed}
+        stats.update(file_stats or {})
         body = {
             "version": version,
             "files": files,
@@ -289,6 +322,7 @@ class TxnLog:
             if partition_spec is not None
             else (parent.get("partition_spec") if parent else None),
             "file_partitions": carried,
+            "file_stats": stats or None,
             "committed_at": committed_at,
         }
         staged = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
@@ -348,6 +382,7 @@ class TxnLog:
         n_files: int = 1,
         expected_version: int | None = None,
         partition_by: list[str] | None = None,
+        collect_stats: list[str] | None = None,
         committed_at: str | None = None,
     ) -> int:
         """Land ``df`` as a new file set and commit it in one step.
@@ -372,6 +407,14 @@ class TxnLog:
         live partition value (``n_files`` is ignored); the recorded
         values drive ``snapshot_files(partition_filter=...)``
         manifest-side pruning.
+
+        ``collect_stats`` (column names) records each written file's
+        MIN/MAX for those columns in the manifest — read straight
+        from the parquet footers' row-group statistics (already paid
+        for by the write), so the commit gains Iceberg-style
+        zone-map pruning (``snapshot_files(range_filter=...)``)
+        with zero extra data scans. Driver-side O(files) footer
+        reads, never row reads.
         """
         if expected_version is None:
             expected_version = self.latest_version()
@@ -409,6 +452,15 @@ class TxnLog:
                             vals[m.group(1)] = unquote(m.group(2))
                     file_partitions[rel] = vals
         add.sort()
+        file_stats = (
+            {
+                rel: st
+                for rel in add
+                if (st := self._footer_stats(rel, collect_stats))
+            }
+            if collect_stats
+            else None
+        )
         return self.commit(
             add=add,
             remove=remove,
@@ -416,8 +468,41 @@ class TxnLog:
             schema_json=df.schema.json(),
             partition_spec=list(partition_by) if partition_by else None,
             file_partitions=file_partitions or None,
+            file_stats=file_stats,
             committed_at=committed_at,
         )
+
+    def _footer_stats(
+        self, rel: str, cols: list[str]
+    ) -> dict[str, list] | None:
+        """Per-file [min, max] for ``cols`` from the parquet footer's
+        row-group statistics — no row reads. Columns whose stats the
+        footer does not carry (or whose values do not round-trip
+        through JSON: only int/float/str/bool are recorded) are
+        omitted, which ``range_filter`` treats as conservative-keep."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out: dict[str, list] = {}
+        for col in cols:
+            if col not in idx:
+                continue
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if (
+                mn is not None
+                and isinstance(mn, (int, float, str, bool))
+                and isinstance(mx, (int, float, str, bool))
+            ):
+                out[col] = [mn, mx]
+        return out or None
 
     def evolve_partition_spec(
         self, partition_by: list[str], expected_version: int | None = None
@@ -442,6 +527,7 @@ class TxnLog:
         spark: SparkSession,
         version: int | None = None,
         partition_filter: dict[str, str] | None = None,
+        range_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read a pinned snapshot: exactly the manifest's file list —
         stale/superseded files on disk are never touched.
@@ -460,7 +546,7 @@ class TxnLog:
         """
         if version is None:
             version = self.latest_version()
-        files = self.snapshot_files(version, partition_filter)
+        files = self.snapshot_files(version, partition_filter, range_filter)
         if not files:
             raise ValueError("empty transaction log")
         schema_json = self.manifest(version).get("schema")
@@ -676,6 +762,48 @@ class TxnLog:
             "files_after": len(files) - len(remove) + len(add),
             "files_rewritten": len(remove),
         }
+
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Delta ``DESCRIBE HISTORY`` analog: one row per RETAINED
+        version — (version, committed_at, n_files, n_added,
+        n_removed, partition_spec, schema_evolved). Driver-side
+        O(manifests) like every other log inspection; the result is
+        version-count-sized, never data-sized.
+
+        ``schema_evolved`` marks commits whose pinned schema differs
+        from their parent's (a vacuumed-away parent reads as False —
+        the retained chain cannot know). The operations audit a
+        table owner runs before trusting time travel or CDF ranges.
+        """
+        rows = []
+        versions = sorted(self._versions())
+        prev_schema = None
+        for i, v in enumerate(versions):
+            m = self.manifest(v)
+            evolved = (
+                i > 0
+                and m.get("schema") is not None
+                and m.get("schema") != prev_schema
+            )
+            rows.append(
+                (
+                    v,
+                    m.get("committed_at"),
+                    len(m["files"]),
+                    len(m.get("added") or []),
+                    len(m.get("removed") or []),
+                    ",".join(m.get("partition_spec") or []) or None,
+                    bool(evolved),
+                )
+            )
+            prev_schema = m.get("schema")
+        return spark.createDataFrame(
+            rows,
+            "version int, committed_at string, n_files int, "
+            "n_added int, n_removed int, partition_spec string, "
+            "schema_evolved boolean",
+        )
 
 
     # -- change data feed -------------------------------------------------

@@ -362,3 +362,84 @@ def test_tpch_q20_decorrelates_the_quantity_subquery(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- batch 3: txnlog+QN
+
+
+def test_txnlog_range_filter_prunes_by_footer_stats(spark, tmp_path):
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    log = TxnLog(str(tmp_path / "t"))
+    for lo in (0, 100, 200, 300):
+        log.write_commit(
+            spark.range(lo, lo + 100).selectExpr("id", "id * 2 AS v"),
+            collect_stats=["id"],
+        )
+    assert len(log.snapshot_files()) == 4
+    # [min,max] intervals are disjoint per file: id <= 150 needs 2
+    assert len(log.snapshot_files(range_filter={"id": (None, 150)})) == 2
+    assert len(log.snapshot_files(range_filter={"id": (250, None)})) == 2
+    assert len(log.snapshot_files(range_filter={"id": (150, 250)})) == 2
+    # a column without recorded stats is conservatively kept
+    assert len(log.snapshot_files(range_filter={"v": (0, 1)})) == 4
+    # read honors the pruned list and row-level filtering still applies
+    got = (
+        log.read_snapshot(spark, range_filter={"id": (None, 150)})
+        .filter("id <= 150")
+        .count()
+    )
+    assert got == 151
+
+
+def test_txnlog_stats_carry_forward_and_drop_on_remove(spark, tmp_path):
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    log = TxnLog(str(tmp_path / "t"))
+    log.write_commit(spark.range(0, 50).selectExpr("id"), collect_stats=["id"])
+    first_files = log.manifest(0)["files"]
+    log.write_commit(spark.range(50, 100).selectExpr("id"), collect_stats=["id"])
+    # v1 carries v0's stats forward
+    assert set(log.manifest(1)["file_stats"]) >= set(first_files)
+    # removing a file drops its stats from the next manifest
+    log.commit(add=[], remove=[first_files[0]])
+    assert first_files[0] not in (log.manifest(2).get("file_stats") or {})
+
+
+def test_txnlog_history_reports_the_commit_audit(spark, tmp_path):
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    log = TxnLog(str(tmp_path / "t"))
+    log.write_commit(spark.range(5).selectExpr("id"), n_files=2,
+                     committed_at="2024-06-01T00:00:00")
+    log.write_commit(spark.range(5, 8).selectExpr("id", "id AS extra"),
+                     committed_at="2024-06-02T00:00:00")
+    log.evolve_partition_spec(["extra"])
+    rows = {r.version: r for r in log.history(spark).collect()}
+    assert rows[0].n_files == 2 and rows[0].n_added == 2
+    assert rows[0].schema_evolved is False
+    assert rows[1].n_files == 3 and rows[1].schema_evolved is True
+    assert rows[2].n_added == 0 and rows[2].partition_spec == "extra"
+    assert rows[2].schema_evolved is False
+
+
+def test_quantile_normalization_makes_groups_globally_distributed(spark):
+    """Two groups with shifted scales both map onto the global order
+    statistics; a group identical to the global shape keeps its rank
+    order, and min/max map to global min/max."""
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        quantile_normalization,
+    )
+
+    rows = [(i, "lo", float(i)) for i in range(10)] + [
+        (100 + i, "hi", float(1000 + i)) for i in range(10)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = {r.event_id: r for r in quantile_normalization(events).collect()}
+    # group rank r of n=10 -> global k = ceil(r*20/10) = 2r
+    assert out[0].global_k == 2 and out[0].qn_value == 1.0
+    assert out[9].global_k == 20 and out[9].qn_value == 1009.0
+    # the 'hi' group gets the SAME normalized values rank for rank
+    assert out[100].qn_value == 1.0 and out[109].qn_value == 1009.0

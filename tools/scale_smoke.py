@@ -137,6 +137,24 @@ HEAVY_QUERIES = [
     "txnlog_time_travel",
     "survival_km",
     "stream_topk_live",
+    # round-10 core batch: kill-and-resume recovery (two real query
+    # instances over one checkpoint on synthesized events), the
+    # planted-twin dedup/multimodal gates, md5-portable sampling
+    "stream_restart_recovery_live",
+    "ngram_jaccard_check",
+    "multimodal_pipeline_check",
+    "sample_mixture",
+    # round-10 second batch on the synthesized tiers: corpus window
+    # winsorization, normalize-then-fingerprint dedup, shingle-df
+    # novelty, double-window attribution, per-series Holt recurrence,
+    # txnlog RESTORE/OPTIMIZE (synthesized-events writes)
+    "winsorize_features",
+    "dedup_exact_normalized",
+    "ngram_novelty_score",
+    "attribution_position_based",
+    "holt_linear_forecast",
+    "txnlog_restore_version",
+    "txnlog_compact_files",
     # (copurchase_lift / triangle_count / ab_test_welch read the TPC-H
     # lineitem tier, which this tool does not synthesize — bench covers
     # them; the remaining round-9 rows are scan-speed or days-relation
