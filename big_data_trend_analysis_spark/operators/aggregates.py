@@ -1602,3 +1602,107 @@ def quantile_normalization(events: DataFrame) -> DataFrame:
             "qn_value",
         )
     )
+
+
+#: Poisson(1) inverse-CDF thresholds scaled to the md5 bucket's 1e6
+#: grain (floor(cum_pmf·1e6)) — FIXED integer literals, so the weight
+#: lookup replays bit-identically on every engine (no exp() at
+#: runtime): weight w is the count of thresholds below the bucket.
+_POISSON1_CUM_1E6 = (
+    367879,  # P(X=0)
+    735758,  # P(X≤1)
+    919698,  # P(X≤2)
+    981011,  # P(X≤3)
+    996340,  # P(X≤4)
+    999405,  # P(X≤5)
+    999916,  # P(X≤6)
+    999989,  # P(X≤7)
+    999998,  # P(X≤8), else 9
+)
+
+
+def bootstrap_ci_mean(
+    events: DataFrame, n_boot: int = 100, seed: int = 17
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for the mean of ``value``.
+
+    The uncertainty readout the experimentation tier needs beside its
+    point estimates. Classic bootstrap resampling is a driver-side
+    loop; the distributed form is the POISSON BOOTSTRAP (each row
+    enters replicate b with weight ~ Poisson(1) — the Google/streaming
+    formulation): one ``explode(sequence(0, B−1))`` fans the corpus
+    ×B, the weight is a pure row-local lookup of the portable md5
+    bucket (``split_train_val_test``'s hash — no RNG state, identical
+    membership on every engine/partitioning), and ONE hash aggregation
+    keyed by replicate collapses everything map-side to B rows. The
+    2-dp measure folds as exact decimal, so each replicate mean is
+    order-independent; CI bounds are exact order statistics of the B
+    replicate means (indices ceil(0.025·B), ceil(0.975·B) — the
+    ``winsorize_features`` discrete-quantile convention).
+
+    Emits 1 row: (n_rows, n_boot, mean_obs, ci_lo, ci_hi).
+    """
+    fanned = events.select(
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_boot - 1))
+        ).alias("b"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    weight = sum(
+        (bucket >= F.lit(t)).cast("int") for t in _POISSON1_CUM_1E6
+    )
+    reps = (
+        fanned.select("b", "v", weight.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("v") * F.col("w")).alias("sv"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            F.round(
+                F.col("sv").cast("double")
+                / F.nullif(F.col("sw").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("rep_mean")
+        )
+    )
+    w_ord = Window.orderBy(F.col("rep_mean").asc())
+    lo_idx = -(-25 * n_boot // 1000)  # ceil(0.025·B)
+    hi_idx = -(-975 * n_boot // 1000)  # ceil(0.975·B)
+    bounds = (
+        reps.select("rep_mean", F.row_number().over(w_ord).alias("i"))
+        .filter(F.col("i").isin(lo_idx, hi_idx))
+        .groupBy()
+        .agg(
+            F.min("rep_mean").alias("ci_lo"),
+            F.max("rep_mean").alias("ci_hi"),
+        )
+    )
+    obs = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_obs"),
+    )
+    return obs.crossJoin(F.broadcast(bounds)).select(
+        "n_rows",
+        F.lit(n_boot).alias("n_boot"),
+        "mean_obs",
+        "ci_lo",
+        "ci_hi",
+    )

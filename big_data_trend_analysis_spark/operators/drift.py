@@ -419,6 +419,298 @@ def seasonal_adjust_dow(events: DataFrame) -> DataFrame:
     ).crossJoin(F.broadcast(strength))
 
 
+def mann_whitney_u(events: DataFrame, z_crit: float = 1.96) -> DataFrame:
+    """Mann–Whitney U rank-sum test of ``value``, baseline vs current.
+
+    The nonparametric location test beside ``ks_test_check`` (KS asks
+    "same distribution?", U asks "does one slice tend larger?") — the
+    robust A/B readout when means are skew-fragile. Rank sums come from
+    the per-VALUE relation, never per-row ranks: avgrank(v) =
+    cum_before(v) + (n_v + 1)/2, so the window state is |distinct
+    values| (the KS merged-support argument), and the corpus collapses
+    in ONE (value, slice) hash aggregation. Determinism: doubled
+    average ranks (2·cum + n_v + 1) are exact BIGINTs; the rank-sum
+    folds their products in DECIMAL(38,0) (a BIGINT product overflows
+    silently past ~3e9 rows — the ADVICE-r8 ks_test lesson, solved
+    here with decimal instead of double because rank sums are O(N²));
+    the tie correction Σ(t³−t) folds the same way via DECIMAL(12,0)³.
+    The z-score (large-sample normal approximation with tie
+    correction, no continuity correction — documented convention) is
+    assembled from those exact totals in double, rounded 6 dp.
+
+    Emits 1 row: (n_base, n_cur, u_stat, mu_u, sigma_u, z_score,
+    significant).
+    """
+    sliced = _slices(events)
+    per_value = sliced.groupBy("value").agg(
+        F.count_if(F.col("is_base")).alias("c_base"),
+        F.count_if(~F.col("is_base")).alias("c_cur"),
+    )
+    n_v = F.col("c_base") + F.col("c_cur")
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_value.select(
+        "c_base",
+        "c_cur",
+        n_v.alias("n_v"),
+        # doubled avgrank keeps the ½ steps in exact integers
+        (
+            2 * F.coalesce(F.sum(n_v).over(w), F.lit(0)) + n_v + 1
+        ).alias("avgrank2"),
+    )
+    totals = ranked.agg(
+        F.sum("c_base").alias("n_base"),
+        F.sum("c_cur").alias("n_cur"),
+        F.sum(
+            (
+                F.col("c_base").cast("decimal(19,0)")
+                * F.col("avgrank2").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("r2_base"),
+        F.sum(
+            F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            - F.col("n_v").cast("decimal(38,0)")
+        ).alias("tie_sum"),
+    )
+    n1 = F.col("n_base").cast("double")
+    n2 = F.col("n_cur").cast("double")
+    n_tot = n1 + n2
+    # U = R_base − n1(n1+1)/2, assembled from the exact doubled sum
+    u = F.col("r2_base").cast("double") / 2.0 - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    # tie-corrected variance; NULL σ (one slice empty / all values
+    # tied) ⇒ NULL z, not significant — the ab_test_welch discipline.
+    sigma = F.sqrt(
+        F.nullif(
+            (n1 * n2 / 12.0)
+            * (
+                (n_tot + 1)
+                - F.col("tie_sum").cast("double")
+                / (n_tot * (n_tot - 1))
+            ),
+            F.lit(0.0),
+        )
+    )
+    z = F.round((u - mu) / sigma, 6)
+    return totals.select(
+        "n_base",
+        "n_cur",
+        F.round(u, 6).alias("u_stat"),
+        F.round(mu, 6).alias("mu_u"),
+        F.round(sigma, 6).alias("sigma_u"),
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"),
+    )
+
+
+#: χ²(0.95, df) critical values for df = 1..7 — the Ljung–Box reject
+#: thresholds when some calendar lags have no aligned pair.
+_CHI2_95 = [3.841459, 5.991465, 7.814728, 9.487729, 11.070498, 12.591587, 14.067140]
+
+
+def ljung_box_check(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Ljung–Box portmanteau test for autocorrelation in daily counts.
+
+    The "is this series white noise?" gate that decides whether the
+    trend/forecast operators have signal to model: Q = n(n+2)·Σ_{k≤h}
+    ρ_k²/(n−k) against χ²(0.95, h). Built directly on
+    ``autocorr_daily``'s calendar-aware ACF relation — no new corpus
+    scan; lags with no aligned calendar pair contribute nothing and
+    the χ² df shrinks to the number of contributing lags (lookup
+    literals, identical on both engines). Per-lag terms are rounded to
+    6 dp and fold in exact decimal, so Q is order-independent.
+
+    Emits one row per lag with the verdict columns repeated:
+    (lag, n_days, acf, q_term, q_stat, df_used, chi2_crit, reject).
+    """
+    acf = autocorr_daily(events, max_lag=max_lag)
+    q_term = F.round(
+        F.col("acf")
+        * F.col("acf")
+        / F.nullif((F.col("n_days") - F.col("lag")).cast("double"), F.lit(0.0)),
+        6,
+    )
+    per_lag = acf.select(
+        "lag", "n_days", "acf", q_term.alias("q_term")
+    )
+    crit = F.lit(None).cast("double")
+    for df_used, c in enumerate(_CHI2_95, start=1):
+        crit = F.when(F.col("df_used") == df_used, F.lit(c)).otherwise(crit)
+    verdict = per_lag.agg(
+        F.sum(F.col("q_term").cast(_TERM_DEC)).alias("q_dec"),
+        F.count("q_term").alias("df_used"),
+        F.max("n_days").alias("n_days_v"),
+    ).select(
+        F.round(
+            F.col("n_days_v")
+            * (F.col("n_days_v") + 2).cast("double")
+            * F.col("q_dec").cast("double"),
+            6,
+        ).alias("q_stat"),
+        "df_used",
+    ).select(
+        "q_stat",
+        "df_used",
+        crit.alias("chi2_crit"),
+        F.coalesce(
+            F.col("q_stat") > crit, F.lit(False)
+        ).alias("reject"),
+    )
+    return per_lag.crossJoin(F.broadcast(verdict))
+
+
+def _phi_upper_tail(z):
+    """Two-sided normal p-value 2·(1−Φ(|z|)), Abramowitz–Stegun 26.2.17.
+
+    The rational-polynomial approximation (|error| < 7.5e-8) uses only
+    exp/sqrt/arithmetic — primitives both engines evaluate to the same
+    double within an ulp, and every consumer rounds to 6 dp (the
+    decay_weight/psi_drift exp/ln discipline).
+    """
+    x = F.abs(z)
+    k = 1.0 / (1.0 + 0.2316419 * x)
+    poly = k * (
+        0.319381530
+        + k
+        * (
+            -0.356563782
+            + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
+        )
+    )
+    pdf = F.exp(-x * x / 2.0) * 0.3989422804014327
+    return 2.0 * pdf * poly
+
+
+def benjamini_hochberg(
+    events: DataFrame, q_fdr: float = 0.10
+) -> DataFrame:
+    """Per-type Welch tests with Benjamini–Hochberg FDR correction.
+
+    The multiple-testing layer over the experimentation tier: ONE
+    (event_type, slice) moment aggregation yields a Welch z per
+    event_type (baseline vs current mean ``value`` — the
+    ``ab_test_welch`` algebra at monitoring scale), p-values come from
+    the normal tail (A&S 26.2.17 — rounded 6 dp on both engines), and
+    BH adjusts them: rank p ascending, p_adj(i) = min_{j≥i} p(j)·m/j
+    capped at 1 — the step-up running minimum is a window from the
+    large-rank side. Types with a degenerate cohort (NULL z) are
+    excluded from m and reported with NULL p/rank/reject — testing
+    noise must not count against the FDR budget. Scale shape:
+    everything after the first aggregation runs on the |types|-sized
+    relation. Ties in p rank deterministically by event_type.
+
+    Emits one row per event_type:
+    (event_type, n_base, n_cur, z_score, p_value, p_rank, m_tests,
+    p_adj, reject).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    sliced = _slices(events)
+    moments = sliced.groupBy("event_type", "is_base").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(
+            (
+                F.col("value").cast("decimal(18,2)")
+                * F.col("value").cast("decimal(18,2)")
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.round(F.col("sx") / F.col("n"), 6)
+    var = F.round(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0)),
+        6,
+    )
+    sides = moments.select(
+        "event_type", "is_base", "n", mean.alias("mean"), var.alias("var")
+    )
+    a = sides.filter(F.col("is_base")).select(
+        "event_type",
+        F.col("n").alias("n_base"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = sides.filter(~F.col("is_base")).select(
+        "event_type",
+        F.col("n").alias("n_cur"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    va_n = F.col("var_a") / F.col("n_base")
+    vb_n = F.col("var_b") / F.col("n_cur")
+    z = F.round(
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.nullif(F.sqrt(va_n + vb_n), F.lit(0.0)),
+        6,
+    )
+    # tested feeds the m-count AND the ranked window — materialized so
+    # the corpus-sized moment aggregation runs once.
+    tested = _materialize(
+        a.join(b, "event_type", "full").select(
+            "event_type",
+            "n_base",
+            "n_cur",
+            z.alias("z_score"),
+            F.round(_phi_upper_tail(z), 6).alias("p_value"),
+        )
+    )
+    m = tested.agg(
+        F.count("p_value").alias("m_tests")
+    )
+    w_rank = Window.orderBy(F.col("p_value").asc(), F.col("event_type").asc())
+    w_min = Window.orderBy(
+        F.col("p_rank").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        tested.filter(F.col("p_value").isNotNull())
+        .crossJoin(F.broadcast(m))
+        .select(
+            "event_type",
+            "n_base",
+            "n_cur",
+            "z_score",
+            "p_value",
+            F.row_number().over(w_rank).alias("p_rank"),
+            "m_tests",
+        )
+        .select(
+            "*",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.min(
+                        F.col("p_value") * F.col("m_tests") / F.col("p_rank")
+                    ).over(w_min),
+                ),
+                6,
+            ).alias("p_adj"),
+        )
+        .withColumn("reject", F.col("p_adj") <= q_fdr)
+    )
+    degenerate = (
+        tested.filter(F.col("p_value").isNull())
+        .crossJoin(F.broadcast(m))
+        .select(
+            "event_type",
+            "n_base",
+            "n_cur",
+            "z_score",
+            "p_value",
+            F.lit(None).cast("int").alias("p_rank"),
+            "m_tests",
+            F.lit(None).cast("double").alias("p_adj"),
+            F.lit(False).alias("reject"),
+        )
+    )
+    return ranked.unionByName(degenerate)
+
+
 def ab_test_welch(
     lineitem: DataFrame,
     t_crit: float = 1.96,

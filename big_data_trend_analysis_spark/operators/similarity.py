@@ -1191,3 +1191,90 @@ def semdedup_check(
         "n_recovered",
         (F.col("n_recovered") == F.col("n_planted")).alias("all_found"),
     )
+
+
+def embed_random_projection(
+    embeddings: DataFrame, k_dims: int = 8, seed: int = 23
+) -> DataFrame:
+    """Sign-matrix random projection (Achlioptas/JL) of the embeddings.
+
+    The cheapest dimensionality reducer in the serving stack: project
+    d-dim vectors onto k pseudo-random ±1 hyperplanes, y_j =
+    Σ_i x_i·s(i,j)/√d — distances are preserved in expectation
+    (Johnson–Lindenstrauss with the database-friendly ±1 matrix),
+    and unlike PCA no training pass exists, so the operator is a pure
+    scan. The sign matrix is NEVER materialized on the driver: s(i,j)
+    is the parity of the portable md5 bucket of (i:j:seed) — each of
+    the d×k entries is a row-local expression, so the identical matrix
+    regenerates on every engine, executor, and rerun (the
+    split_train_val_test hash discipline applied to linear algebra).
+    Scale shape: posexplode to the (vec, dim) relation, broadcast-join
+    the k-row projection spine, ONE hash aggregation keyed (vec_id, j)
+    — shuffle rows = corpus×k, never corpus×d×k. Components are
+    rounded to 6 dp into decimal before the fold, so sums are
+    order-independent.
+
+    Emits one row per (vec_id, j): (vec_id, j, proj).
+    """
+    comps = embeddings.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "x"),
+    )
+    dims = embeddings.limit(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(k_dims - 1))).alias("j")
+    )
+    d_size = embeddings.select(F.size("embedding").alias("d")).limit(1)
+    sign = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("i"), F.col("j"), F.lit(seed)
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        # k-row projection spine fans each component to its k lanes —
+        # a bounded broadcast nested loop (allowlisted beside the
+        # scalar broadcasts in the plan audit).
+        comps.crossJoin(F.broadcast(dims))
+        .select(
+            "vec_id",
+            "j",
+            F.round(F.col("x").cast("double") * sign, 6)
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.sum("term").alias("s_dec"))
+        .crossJoin(F.broadcast(d_size))
+        .select(
+            "vec_id",
+            "j",
+            # 6-dp quantization via floor(x·1e6 + 0.5): the decimal sum
+            # divided by √d lands on .5×1e-6 ties where engine round()
+            # rules diverge — floor of the identical double is
+            # deterministic cross-engine (the gapfill_linear /
+            # unigram_perplexity discipline).
+            (
+                F.floor(
+                    F.col("s_dec").cast("double")
+                    / F.sqrt(F.col("d").cast("double"))
+                    * 1_000_000.0
+                    + 0.5
+                )
+                / 1_000_000.0
+            ).alias("proj"),
+        )
+    )

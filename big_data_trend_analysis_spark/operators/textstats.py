@@ -1489,3 +1489,184 @@ def ngram_novelty_score(documents: DataFrame, n: int = 3) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def doc_chunking(
+    documents: DataFrame, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping fixed-budget token chunking (context-window packing's
+    sibling: RAG / embedding ingestion splits documents BEFORE encoding).
+
+    Each document yields ceil-coverage chunks of ``chunk_tokens`` words
+    at ``stride`` spacing — the final chunk always reaches the document
+    tail, so every token lands in ≥1 chunk and interior tokens overlap
+    by ``chunk_tokens − stride``. Pure row-local JVM expressions
+    (sequence → posexplode → slice → concat_ws): no shuffle at all,
+    the ideal 100-TB shape — chunking composes with the parquet scan
+    and pushes straight into whole-stage codegen. Emitted text is the
+    md5 fingerprint, not the body (the chunk store at scale writes
+    bodies to its own sink; the gate pins identity + shape).
+
+    Emits one row per chunk:
+    (doc_id, chunk_id, start_tok, n_tok, chunk_fp).
+    """
+    w = F.split("text", " ")
+    n = F.size(w)
+    # ceil((n - chunk)/stride) in integer math; 0 when the doc fits
+    n_extra = F.greatest(
+        F.lit(0),
+        F.floor(
+            (n - F.lit(chunk_tokens) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int"),
+    )
+    starts = F.sequence(F.lit(0), n_extra * stride, F.lit(stride))
+    chunks = documents.select(
+        "doc_id",
+        F.col("text"),
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.slice(
+            F.split("text", " "), F.col("start_tok") + 1, chunk_tokens
+        ).alias("toks"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.size("toks").alias("n_tok"),
+        F.md5(F.concat_ws(" ", "toks")).alias("chunk_fp"),
+    )
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    df_max: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """Exact TF-IDF cosine similarity for candidate document pairs.
+
+    The all-pairs similarity join (Elsayed/DISCO shape) that backs
+    "related documents" and duplicate triage when MinHash's set
+    semantics are too coarse: terms are word 3-gram SHINGLES (the
+    ``_doc_shingles`` vocabulary — unigrams are useless here both
+    statistically and economically: the fixture corpus has ~31
+    distinct words, every one common, so unigram df-pruning yields
+    zero candidates while unigram joins explode quadratically),
+    weights are (1+ln tf)·ln(N/df), candidate pairs must share at
+    least one RARE shingle (df ≤ ``df_max`` — the ``ngram_jaccard``
+    economics), and each candidate's cosine is then EXACT — the full
+    postings of both sides join through the candidate relation, so
+    pruning affects recall only, never a surviving pair's score.
+    Scale shape: one corpus shingle pass feeds tf/df/norms
+    (materialized), candidates come from the df-pruned postings
+    self-join (bucketed by shingle), and the final dot product
+    shuffles candidate×term rows only. Determinism: weights are
+    rounded to 6 dp into decimal, dot products and norms² fold
+    exactly, and the cosine divides doubles cast from those decimals,
+    rounded 6 dp; top-k ties break on the id pair.
+
+    Emits ≤ top_k rows: (doc_a, doc_b, n_shared, cosine).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _doc_shingles,
+        _materialize,
+    )
+
+    tf = _materialize(
+        _doc_shingles(documents, n=3, distinct=False)
+        .select("doc_id", F.col("token").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    posting = _materialize(
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            F.round(
+                (1.0 + F.log(F.col("tf").cast("double")))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = posting.groupBy("doc_id").agg(
+        F.sum(
+            (F.col("w") * F.col("w")).cast("decimal(38,12)")
+        ).alias("norm2")
+    )
+    rare = posting.filter(F.col("df") <= df_max)
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    dots = (
+        cand.join(
+            posting.select(
+                F.col("doc_id").alias("doc_a"),
+                "term",
+                F.col("w").alias("w_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            posting.select(
+                F.col("doc_id").alias("doc_b"),
+                "term",
+                F.col("w").alias("w_b"),
+            ),
+            ["doc_b", "term"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(
+                (F.col("w_a") * F.col("w_b")).cast("decimal(38,12)")
+            ).alias("dot"),
+        )
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("dot").cast("double")
+                / F.nullif(
+                    F.sqrt(
+                        F.col("na").cast("double") * F.col("nb").cast("double")
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("cosine").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(top_k)
+    return top

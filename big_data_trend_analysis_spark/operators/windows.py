@@ -445,3 +445,56 @@ def gapfill_linear(events: DataFrame, width: str = "10 minutes") -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         interp.alias("sum_value_interp"),
     )
+
+
+def rolling_active_users(events: DataFrame, span_days: int = 7) -> DataFrame:
+    """Trailing 7-day distinct active users per day (DAU / WAU).
+
+    The engagement KPI a COUNT(DISTINCT) window cannot express:
+    distinct is non-decomposable over sliding frames, so the engine
+    rewrites it as bounded replication — each distinct (user, day)
+    activity row votes into the ``span_days`` window-days it stays
+    visible in (``posexplode(sequence(day, day+6))``), then ONE hash
+    aggregation counts distinct users per window day. Cost is
+    corpus × span (linear, shuffle keyed on the date — never a
+    single-partition window or a per-day self-join), the standard
+    scale shape for rolling-distinct. DAU rides along as the
+    offset-0 vote; stickiness = DAU/WAU is the derived ratio product
+    teams read. Window days past the last observed activity day are
+    cut (they would report phantom decaying windows).
+
+    Emits one row per window day: (day, dau, wau, stickiness).
+    """
+    pairs = events.select(
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day"), "user_id"
+    ).distinct()
+    last_day = pairs.agg(F.max("day").alias("last_day"))
+    votes = pairs.select(
+        "user_id",
+        F.posexplode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), span_days - 1)
+            )
+        ).alias("offset", "wday"),
+    )
+    return (
+        votes.crossJoin(F.broadcast(last_day))
+        .filter(F.col("wday") <= F.col("last_day"))
+        .groupBy(F.col("wday").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("offset") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau")
+                / F.nullif(F.col("wau").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("stickiness"),
+        )
+    )

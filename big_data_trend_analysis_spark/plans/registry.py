@@ -4392,16 +4392,23 @@ QUERIES: dict[str, QueryFn] = {
     # filter / AQE skew / CBO reorder / DPP / coalesce): plan artifact
     # + post-merge partition count pinned.
     "aqe_coalesce_check": _aqe_coalesce_check,
-    # Unchanged r9 greens filling the window to exactly 50 (their
-    # round-10 rows refresh the ledger alongside the new batch).
-    "changepoint_cusum": _q(drift.changepoint_cusum, "events"),
-    "autocorr_daily": _q(drift.autocorr_daily, "events"),
-    "theil_sen_slope": _q(trend.theil_sen_slope, "events"),
-    "collocation_llr": _q(textstats.collocation_llr, "documents"),
-    "dataset_mixing_weights": _q(textstats.dataset_mixing_weights, "documents"),
-    "quality_classifier_score": _q(textstats.quality_classifier_score, "documents"),
-    "seasonal_adjust_dow": _q(drift.seasonal_adjust_dow, "events"),
-    "k_anonymity_check": _q(relational.k_anonymity_check, "events"),
+    # NEW in round 10 (fourth batch): the nonparametric/multiple-
+    # testing statistics (Mann–Whitney U, Ljung–Box, Benjamini–
+    # Hochberg FDR), the distributed Poisson bootstrap, rolling
+    # distinct actives, RAG-shape document chunking, exact TF-IDF
+    # cosine pair mining, and the JL sign-projection reducer.
+    "mann_whitney_u": _q(drift.mann_whitney_u, "events"),
+    "ljung_box_check": _q(drift.ljung_box_check, "events"),
+    "benjamini_hochberg": _q(drift.benjamini_hochberg, "events"),
+    "bootstrap_ci_mean": _q(aggregates.bootstrap_ci_mean, "events"),
+    "rolling_active_users": _q(windows.rolling_active_users, "events"),
+    "doc_chunking": _q(textstats.doc_chunking, "documents"),
+    "tfidf_cosine_pairs": _q(textstats.tfidf_cosine_pairs, "documents"),
+    "embed_random_projection": _q(
+        similarity.embed_random_projection, "embeddings"
+    ),
+    # Unchanged r9 green filling the window to exactly 50 (its
+    # round-10 row refreshes the ledger alongside the new batch).
     "event_paths_topk": _q(temporal.event_paths_topk, "events"),
     # NEW in round 10 (third batch): the SIXTH optimizer proof (AQE
     # runtime SMJ→broadcast join switch), Iceberg-style manifest
@@ -4420,7 +4427,16 @@ QUERIES: dict[str, QueryFn] = {
     # make room for the round-10 second batch.)
     # Rotated out in round 10 (unchanged since their r9 green rows;
     # fingerprint ledger certifies): the round-8/9 promotions and the
-    # r9 gate rows whose sources this round did not touch.
+    # r9 gate rows whose sources this round did not touch, plus the
+    # r9 fillers displaced by the fourth batch.
+    "changepoint_cusum": _q(drift.changepoint_cusum, "events"),
+    "autocorr_daily": _q(drift.autocorr_daily, "events"),
+    "theil_sen_slope": _q(trend.theil_sen_slope, "events"),
+    "collocation_llr": _q(textstats.collocation_llr, "documents"),
+    "dataset_mixing_weights": _q(textstats.dataset_mixing_weights, "documents"),
+    "quality_classifier_score": _q(textstats.quality_classifier_score, "documents"),
+    "seasonal_adjust_dow": _q(drift.seasonal_adjust_dow, "events"),
+    "k_anonymity_check": _q(relational.k_anonymity_check, "events"),
     "ab_test_welch": _q(drift.ab_test_welch, "lineitem"),
     "standardize_features": _q(aggregates.standardize_features, "events"),
     "survival_km": _q(temporal.survival_km, "events"),
@@ -8703,5 +8719,317 @@ ORACLE_SQL: dict[str, str] = {
         FROM ranked r
         JOIN lookup l
           ON (r.rk * r.n_all + r.n_g - 1) // r.n_g = l.grk
+    """,
+    "mann_whitney_u": """
+        WITH s AS (
+            SELECT value,
+                   ts < TIMESTAMP '2024-01-11 00:00:00' AS is_base
+            FROM events),
+        pv AS (
+            SELECT value,
+                   CAST(COUNT(*) FILTER (is_base) AS BIGINT) AS c_base,
+                   CAST(COUNT(*) FILTER (NOT is_base) AS BIGINT) AS c_cur
+            FROM s GROUP BY value),
+        rk AS (
+            SELECT c_base, c_cur, c_base + c_cur AS n_v,
+                   2 * COALESCE(SUM(c_base + c_cur) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + c_base + c_cur + 1 AS avgrank2
+            FROM pv),
+        t AS (
+            SELECT CAST(SUM(c_base) AS BIGINT) AS n_base,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+                   SUM(CAST(CAST(c_base AS DECIMAL(19,0))
+                            * CAST(avgrank2 AS DECIMAL(19,0))
+                            AS DECIMAL(38,0))) AS r2_base,
+                   SUM(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0))
+                       * CAST(n_v AS DECIMAL(12,0))
+                       - CAST(n_v AS DECIMAL(38,0))) AS tie_sum
+            FROM rk),
+        u AS (
+            SELECT n_base, n_cur,
+                   CAST(r2_base AS DOUBLE) / 2.0
+                     - CAST(n_base AS DOUBLE) * (n_base + 1) / 2.0 AS u_raw,
+                   CAST(n_base AS DOUBLE) * n_cur / 2.0 AS mu_raw,
+                   sqrt(nullif(
+                       (CAST(n_base AS DOUBLE) * n_cur / 12.0)
+                       * ((CAST(n_base AS DOUBLE) + n_cur + 1)
+                          - CAST(tie_sum AS DOUBLE)
+                            / ((CAST(n_base AS DOUBLE) + n_cur)
+                               * (CAST(n_base AS DOUBLE) + n_cur - 1))),
+                       0.0)) AS sigma_raw
+            FROM t)
+        SELECT n_base, n_cur,
+               round(u_raw, 6) AS u_stat,
+               round(mu_raw, 6) AS mu_u,
+               round(sigma_raw, 6) AS sigma_u,
+               round((u_raw - mu_raw) / sigma_raw, 6) AS z_score,
+               COALESCE(abs(round((u_raw - mu_raw) / sigma_raw, 6)) > 1.96,
+                        FALSE) AS significant
+        FROM u
+    """,
+    "ljung_box_check": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1),
+        st AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+                      CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        dev AS (
+            SELECT day, n_days,
+                   round(n - CAST(tot_n AS DOUBLE) / n_days, 6) AS d0
+            FROM daily, st),
+        nums AS (
+            SELECT CAST(date_diff('day', p.day, c.day) AS INTEGER) AS lag,
+                   SUM(CAST(round(c.d0 * p.d0, 6) AS DECIMAL(18,6)))
+                       AS num_dec
+            FROM dev c JOIN dev p
+              ON date_diff('day', p.day, c.day) BETWEEN 1 AND 7
+            GROUP BY 1),
+        spine AS (
+            SELECT CAST(gs.lag AS INTEGER) AS lag, st.n_days
+            FROM st, generate_series(1, 7) AS gs(lag)),
+        den AS (SELECT SUM(CAST(round(d0 * d0, 6) AS DECIMAL(18,6)))
+                    AS den_dec FROM dev),
+        acf AS (
+            SELECT s.lag, s.n_days,
+                   round(CAST(num_dec AS DOUBLE)
+                         / nullif(CAST(den_dec AS DOUBLE), 0.0), 6) AS acf
+            FROM spine s LEFT JOIN nums USING (lag), den),
+        terms AS (
+            SELECT lag, n_days, acf,
+                   round(acf * acf
+                         / nullif(CAST(n_days - lag AS DOUBLE), 0.0), 6)
+                       AS q_term
+            FROM acf),
+        verdict AS (
+            SELECT round(MAX(n_days) * CAST(MAX(n_days) + 2 AS DOUBLE)
+                         * CAST(SUM(CAST(q_term AS DECIMAL(18,6)))
+                                AS DOUBLE), 6) AS q_stat,
+                   CAST(COUNT(q_term) AS BIGINT) AS df_used
+            FROM terms)
+        SELECT t.lag, t.n_days, t.acf, t.q_term, v.q_stat, v.df_used,
+               CAST(CASE v.df_used WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+                    WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+                    WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+                    WHEN 7 THEN 14.067140 END AS DOUBLE) AS chi2_crit,
+               COALESCE(v.q_stat > CAST(CASE v.df_used
+                    WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+                    WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+                    WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+                    WHEN 7 THEN 14.067140 END AS DOUBLE), FALSE) AS reject
+        FROM terms t, verdict v
+    """,
+    "benjamini_hochberg": """
+        WITH s AS (
+            SELECT event_type, value,
+                   ts < TIMESTAMP '2024-01-11 00:00:00' AS is_base
+            FROM events),
+        mo AS (
+            SELECT event_type, is_base, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                                 * CAST(value AS DECIMAL(18,2))
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+            FROM s GROUP BY 1, 2),
+        sides AS (
+            SELECT event_type, is_base, n,
+                   round(sx / n, 6) AS mean,
+                   round((sxx - sx * sx / n)
+                         / nullif(CAST(n - 1 AS DOUBLE), 0.0), 6) AS var
+            FROM mo),
+        z AS (
+            SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+                   a.n AS n_base, b.n AS n_cur,
+                   round((a.mean - b.mean)
+                         / nullif(sqrt(a.var / a.n + b.var / b.n), 0.0), 6)
+                       AS z_score
+            FROM (SELECT * FROM sides WHERE is_base) a
+            FULL JOIN (SELECT * FROM sides WHERE NOT is_base) b
+              ON a.event_type = b.event_type),
+        p0 AS (
+            SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z_score)) AS k FROM z),
+        p AS (
+            SELECT event_type, n_base, n_cur, z_score,
+                   round(2.0 * exp(-z_score * z_score / 2.0)
+                         * 0.3989422804014327
+                         * (k * (0.319381530 + k * (-0.356563782
+                            + k * (1.781477937 + k * (-1.821255978
+                            + k * 1.330274429))))), 6) AS p_value
+            FROM p0),
+        m AS (SELECT CAST(COUNT(p_value) AS BIGINT) AS m_tests FROM p),
+        ranked AS (
+            SELECT event_type, n_base, n_cur, z_score, p_value,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_value ASC,
+                                           event_type ASC) AS INTEGER)
+                       AS p_rank,
+                   m_tests
+            FROM p, m WHERE p_value IS NOT NULL),
+        adj AS (
+            SELECT *,
+                   round(least(1.0, MIN(p_value * m_tests / p_rank)
+                       OVER (ORDER BY p_rank DESC
+                             ROWS UNBOUNDED PRECEDING)), 6) AS p_adj
+            FROM ranked)
+        SELECT event_type, n_base, n_cur, z_score, p_value, p_rank,
+               m_tests, p_adj, p_adj <= 0.10 AS reject
+        FROM adj
+        UNION ALL
+        SELECT event_type, n_base, n_cur, z_score, p_value,
+               CAST(NULL AS INTEGER) AS p_rank, m_tests,
+               CAST(NULL AS DOUBLE) AS p_adj, FALSE AS reject
+        FROM p, m WHERE p_value IS NULL
+    """,
+    "bootstrap_ci_mean": """
+        WITH fanned AS (
+            SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v,
+                   CAST(t.b AS INTEGER) AS b
+            FROM events, unnest(range(0, 100)) AS t(b)),
+        wtd AS (
+            SELECT b, v,
+                   (CASE WHEN bk >= 367879 THEN 1 ELSE 0 END
+                    + CASE WHEN bk >= 735758 THEN 1 ELSE 0 END
+                    + CASE WHEN bk >= 919698 THEN 1 ELSE 0 END
+                    + CASE WHEN bk >= 981011 THEN 1 ELSE 0 END
+                    + CASE WHEN bk >= 996340 THEN 1 ELSE 0 END
+                    + CASE WHEN bk >= 999405 THEN 1 ELSE 0 END
+                    + CASE WHEN bk >= 999916 THEN 1 ELSE 0 END
+                    + CASE WHEN bk >= 999989 THEN 1 ELSE 0 END
+                    + CASE WHEN bk >= 999998 THEN 1 ELSE 0 END) AS w
+            FROM (SELECT b, v,
+                         ('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                              || ':' || CAST(b AS VARCHAR) || ':17'),
+                              1, 15))::BIGINT % 1000000 AS bk
+                  FROM fanned)),
+        reps AS (
+            SELECT b, round(CAST(SUM(v * w) AS DOUBLE)
+                            / nullif(CAST(SUM(w) AS DOUBLE), 0.0), 6)
+                       AS rep_mean
+            FROM wtd GROUP BY b),
+        bounds AS (
+            SELECT MIN(rep_mean) AS ci_lo, MAX(rep_mean) AS ci_hi
+            FROM (SELECT rep_mean,
+                         ROW_NUMBER() OVER (ORDER BY rep_mean ASC) AS i
+                  FROM reps)
+            WHERE i IN (3, 98)),
+        obs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(*), 6) AS mean_obs
+            FROM events)
+        SELECT n_rows, CAST(100 AS INTEGER) AS n_boot, mean_obs,
+               ci_lo, ci_hi
+        FROM obs, bounds
+    """,
+    "rolling_active_users": """
+        WITH pairs AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   user_id
+            FROM events),
+        ld AS (SELECT MAX(day) AS last_day FROM pairs),
+        votes AS (
+            SELECT p.user_id, CAST(t.o AS INTEGER) AS o,
+                   p.day + CAST(t.o AS INTEGER) AS wday
+            FROM pairs p, unnest(range(0, 7)) AS t(o))
+        SELECT wday AS day,
+               CAST(COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END)
+                    AS BIGINT) AS dau,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+               round(CAST(COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END)
+                          AS DOUBLE)
+                     / nullif(CAST(COUNT(DISTINCT user_id) AS DOUBLE), 0.0),
+                     6) AS stickiness
+        FROM votes, ld WHERE wday <= last_day GROUP BY wday
+    """,
+    "doc_chunking": """
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sized AS (
+            SELECT doc_id, w,
+                   greatest(0, CAST(floor((len(w) - 17) / 48.0) AS INTEGER))
+                       AS n_extra
+            FROM base),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(t.st AS INTEGER) AS start_tok,
+                   CAST(t.st // 48 AS INTEGER) AS chunk_id,
+                   w[(CAST(t.st AS INTEGER) + 1):(CAST(t.st AS INTEGER) + 64)]
+                       AS toks
+            FROM sized, unnest(generate_series(0, n_extra * 48, 48)) AS t(st))
+        SELECT doc_id, chunk_id, start_tok,
+               CAST(len(toks) AS INTEGER) AS n_tok,
+               md5(array_to_string(toks, ' ')) AS chunk_fp
+        FROM chunks
+    """,
+    "tfidf_cosine_pairs": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        toks AS (
+            -- mirrors _doc_shingles(n=3, distinct=False): sequence(0,
+            -- greatest(len-3, 0)) inclusive + capped 3-slices
+            SELECT doc_id, array_to_string(w[i+1:i+3], ' ') AS term
+            FROM words, unnest(range(0, greatest(len(w) - 2, 1))) AS r(i)),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM tf GROUP BY term),
+        posting AS (
+            SELECT t.doc_id, t.term, d.df,
+                   CAST(round((1.0 + ln(CAST(t.tf AS DOUBLE)))
+                        * ln(CAST(n_docs AS DOUBLE) / d.df), 6)
+                        AS DECIMAL(18,6)) AS w
+            FROM tf t JOIN dfreq d USING (term), nd),
+        norms AS (
+            SELECT doc_id, SUM(CAST(w * w AS DECIMAL(38,12))) AS norm2
+            FROM posting GROUP BY doc_id),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM posting a JOIN posting b USING (term)
+            WHERE a.doc_id < b.doc_id AND a.df <= 10),
+        dots AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared,
+                   SUM(CAST(pa.w * pb.w AS DECIMAL(38,12))) AS dot
+            FROM cand c
+            JOIN posting pa ON pa.doc_id = c.doc_a
+            JOIN posting pb ON pb.doc_id = c.doc_b AND pb.term = pa.term
+            GROUP BY 1, 2),
+        scored AS (
+            SELECT doc_a, doc_b, n_shared,
+                   round(CAST(dot AS DOUBLE)
+                         / nullif(sqrt(CAST(na.norm2 AS DOUBLE)
+                                       * CAST(nb.norm2 AS DOUBLE)), 0.0), 6)
+                       AS cosine
+            FROM dots
+            JOIN norms na ON na.doc_id = doc_a
+            JOIN norms nb ON nb.doc_id = doc_b)
+        SELECT doc_a, doc_b, n_shared, cosine
+        FROM scored ORDER BY cosine DESC, doc_a ASC, doc_b ASC LIMIT 20
+    """,
+    "embed_random_projection": """
+        WITH comps AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS i,
+                   UNNEST(embedding) AS x
+            FROM embeddings),
+        dd AS (SELECT CAST(len(embedding) AS INTEGER) AS d
+               FROM embeddings LIMIT 1),
+        lanes AS (SELECT CAST(t.j AS INTEGER) AS j
+                  FROM unnest(range(0, 8)) AS t(j)),
+        terms AS (
+            SELECT vec_id, j,
+                   CAST(round(CAST(x AS DOUBLE)
+                        * (CASE WHEN ('0x' || substring(
+                               md5(CAST(i AS VARCHAR) || ':'
+                                   || CAST(j AS VARCHAR) || ':23'),
+                               1, 15))::BIGINT % 2 = 0
+                           THEN 1 ELSE -1 END), 6)
+                        AS DECIMAL(18,6)) AS term
+            FROM comps, lanes)
+        SELECT vec_id, j,
+               floor(CAST(SUM(term) AS DOUBLE) / sqrt(CAST(d AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS proj
+        FROM terms, dd GROUP BY vec_id, j, d
     """,
 }

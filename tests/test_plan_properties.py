@@ -124,6 +124,22 @@ CROSS_JOIN_ALLOWED = {
     "stream_restart_recovery_live",
     # R×C contingency cells × broadcast 1-row (N, levels) totals
     "chi_square_independence",
+    # --- round 10 (fourth batch) ---
+    # autocorr_daily's day-relation scalars + 7-row terms × broadcast
+    # 1-row verdict
+    "ljung_box_check",
+    # |types| tested relation × broadcast 1-row m-count scalar (twice:
+    # the ranked and degenerate branches)
+    "benjamini_hochberg",
+    # 1-row observed moments × broadcast 1-row CI bounds
+    "bootstrap_ci_mean",
+    # (user, day)×7 votes relation × broadcast 1-row last-day bound
+    # (the histogram_numeric bounds-onto-scan shape)
+    "rolling_active_users",
+    # corpus shingle relation × broadcast 1-row N scalar
+    "tfidf_cosine_pairs",
+    # (vec, dim) components × broadcast 8-row lane spine + 1-row √d
+    "embed_random_projection",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
@@ -148,6 +164,9 @@ NARROW = {
     # winnowing: the whole rolling-hash selection is higher-order
     # functions inside one projection — any Exchange is a regression
     "winnow_fingerprints",
+    # chunking is sequence→posexplode→slice inside one projection —
+    # any Exchange is a regression
+    "doc_chunking",
 }
 
 
