@@ -1604,20 +1604,23 @@ def quantile_normalization(events: DataFrame) -> DataFrame:
     )
 
 
-#: Poisson(1) inverse-CDF thresholds scaled to the md5 bucket's 1e6
-#: grain (floor(cum_pmf·1e6)) — FIXED integer literals, so the weight
+#: Poisson(1) inverse-CDF thresholds at the 16-bit slice grain
+#: (floor(cum_pmf·65536)) — FIXED integer literals, so the weight
 #: lookup replays bit-identically on every engine (no exp() at
-#: runtime): weight w is the count of thresholds below the bucket.
-_POISSON1_CUM_1E6 = (
-    367879,  # P(X=0)
-    735758,  # P(X≤1)
-    919698,  # P(X≤2)
-    981011,  # P(X≤3)
-    996340,  # P(X≤4)
-    999405,  # P(X≤5)
-    999916,  # P(X≤6)
-    999989,  # P(X≤7)
-    999998,  # P(X≤8), else 9
+#: runtime): weight w is the count of thresholds ≤ the slice value.
+#: The 2^-16 grain biases each pmf cell by < 1.6e-5 — noise beside
+#: the bootstrap's own O(1/√B) percentile error — and collapses the
+#: w = 7/8 cells (p ≈ 1e-5 each) into w = 9 at the top value.
+_POISSON1_CUM_64K = (
+    24109,  # P(X=0)
+    48218,  # P(X≤1)
+    60273,  # P(X≤2)
+    64291,  # P(X≤3)
+    65296,  # P(X≤4)
+    65497,  # P(X≤5)
+    65530,  # P(X≤6)
+    65535,  # P(X≤7)
+    65535,  # P(X≤8), else 9
 )
 
 
@@ -1630,47 +1633,64 @@ def bootstrap_ci_mean(
     point estimates. Classic bootstrap resampling is a driver-side
     loop; the distributed form is the POISSON BOOTSTRAP (each row
     enters replicate b with weight ~ Poisson(1) — the Google/streaming
-    formulation): one ``explode(sequence(0, B−1))`` fans the corpus
-    ×B, the weight is a pure row-local lookup of the portable md5
-    bucket (``split_train_val_test``'s hash — no RNG state, identical
-    membership on every engine/partitioning), and ONE hash aggregation
-    keyed by replicate collapses everything map-side to B rows. The
-    2-dp measure folds as exact decimal, so each replicate mean is
-    order-independent; CI bounds are exact order statistics of the B
-    replicate means (indices ceil(0.025·B), ceil(0.975·B) — the
-    ``winsorize_features`` discrete-quantile convention).
+    formulation): fan the corpus ×B, look the weight up from a
+    portable hash (no RNG state, identical membership on every
+    engine/partitioning), and collapse everything map-side in ONE
+    aggregation keyed by replicate. Hashing is the hot path at this
+    fan-out, so the hash is paid ONCE PER 8 REPLICATES: one explode
+    fans ×⌈B/8⌉ groups and computes md5(event_id:group:seed); the
+    eight replicates of a group then slice independent 16-bit lanes
+    out of the one 32-hex digest as conditional aggregates — the
+    hash-once/slice-many layout (an md5 per (row, replicate) measured
+    8× the hashing; a row-explode of the lanes another ~1.7× on top
+    of the aggregate-grid form). Each lane maps to a Poisson(1)
+    weight through fixed integer thresholds (``_POISSON1_CUM_64K``).
+    The 2-dp measure folds as exact decimal,
+    so each replicate mean is order-independent; CI bounds are exact
+    order statistics of the B replicate means (indices ceil(0.025·B),
+    ceil(0.975·B) — the ``winsorize_features`` discrete-quantile
+    convention).
 
     Emits 1 row: (n_rows, n_boot, mean_obs, ci_lo, ci_hi).
     """
-    fanned = events.select(
-        "event_id",
+    n_groups = -(-n_boot // 8)
+    grouped = events.select(
         F.col("value").cast("decimal(18,2)").alias("v"),
-        F.explode(
-            F.sequence(F.lit(0), F.lit(n_boot - 1))
-        ).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))).alias("bhi"),
+        F.col("event_id"),
+    ).select(
+        "v",
+        "bhi",
+        F.md5(
+            F.concat_ws(":", F.col("event_id"), F.col("bhi"), F.lit(seed))
+        ).alias("h"),
     )
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"), F.lit(seed))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(1_000_000),
-    )
-    weight = sum(
-        (bucket >= F.lit(t)).cast("int") for t in _POISSON1_CUM_1E6
-    )
-    reps = (
-        fanned.select("b", "v", weight.alias("w"))
-        .groupBy("b")
-        .agg(
-            F.sum(F.col("v") * F.col("w")).alias("sv"),
-            F.sum("w").alias("sw"),
+    # the eight lanes never materialize as rows: each becomes a PAIR of
+    # conditional aggregates over the ×⌈B/8⌉ relation (map-side combine
+    # collapses every partition to ⌈B/8⌉×16 cells), and the B replicate
+    # rows are stacked out of the aggregate grid afterwards — an
+    # explode to corpus×B rows measured ~1.7× slower for identical
+    # output.
+    agg_cols = []
+    for i in range(8):
+        # fixed-width lowercase hex compares lexicographically ==
+        # numerically, so the threshold test runs on the digest slice
+        # directly — no per-lane conv() radix parse in the hot loop
+        s16 = F.substring(F.col("h"), i * 4 + 1, 4)
+        w = sum(
+            (s16 >= F.lit(format(t, "04x"))).cast("int")
+            for t in _POISSON1_CUM_64K
         )
+        agg_cols.append(F.sum(F.col("v") * w).alias(f"sv{i}"))
+        agg_cols.append(F.sum(w.cast("long")).alias(f"sw{i}"))
+    per_group = grouped.groupBy("bhi").agg(*agg_cols)
+    stack = ", ".join(f"{i}, sv{i}, sw{i}" for i in range(8))
+    reps = (
+        per_group.select(
+            "bhi",
+            F.expr(f"stack(8, {stack}) AS (blo, sv, sw)"),
+        )
+        .filter(F.col("bhi") * 8 + F.col("blo") < n_boot)
         .select(
             F.round(
                 F.col("sv").cast("double")

@@ -1576,8 +1576,13 @@ def tfidf_cosine_pairs(
         _materialize,
     )
 
+    # hashed=True: every downstream shuffle (tf/df aggregation, the
+    # rare-postings self-join, both candidate-routed dot joins) moves
+    # 8-byte longs instead of 3-word strings; term identity is never
+    # emitted, so the oracle twin replays the un-hashed relation and
+    # compares only ids/counts/cosines (the dedup-family layout).
     tf = _materialize(
-        _doc_shingles(documents, n=3, distinct=False)
+        _doc_shingles(documents, n=3, distinct=False, hashed=True)
         .select("doc_id", F.col("token").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

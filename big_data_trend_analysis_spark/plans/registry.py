@@ -8880,26 +8880,30 @@ ORACLE_SQL: dict[str, str] = {
         FROM p, m WHERE p_value IS NULL
     """,
     "bootstrap_ci_mean": """
-        WITH fanned AS (
-            SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v,
-                   CAST(t.b AS INTEGER) AS b
-            FROM events, unnest(range(0, 100)) AS t(b)),
+        WITH grouped AS (
+            SELECT CAST(value AS DECIMAL(18,2)) AS v,
+                   CAST(t.bhi AS INTEGER) AS bhi,
+                   md5(CAST(event_id AS VARCHAR) || ':'
+                       || CAST(t.bhi AS VARCHAR) || ':17') AS h
+            FROM events, unnest(range(0, 13)) AS t(bhi)),
+        lanes AS (
+            SELECT v, bhi, CAST(t2.blo AS INTEGER) AS blo,
+                   ('0x' || substring(h, CAST(t2.blo AS INTEGER) * 4 + 1,
+                                      4))::BIGINT AS s16
+            FROM grouped, unnest(range(0, 8)) AS t2(blo)
+            WHERE bhi * 8 + CAST(t2.blo AS INTEGER) < 100),
         wtd AS (
-            SELECT b, v,
-                   (CASE WHEN bk >= 367879 THEN 1 ELSE 0 END
-                    + CASE WHEN bk >= 735758 THEN 1 ELSE 0 END
-                    + CASE WHEN bk >= 919698 THEN 1 ELSE 0 END
-                    + CASE WHEN bk >= 981011 THEN 1 ELSE 0 END
-                    + CASE WHEN bk >= 996340 THEN 1 ELSE 0 END
-                    + CASE WHEN bk >= 999405 THEN 1 ELSE 0 END
-                    + CASE WHEN bk >= 999916 THEN 1 ELSE 0 END
-                    + CASE WHEN bk >= 999989 THEN 1 ELSE 0 END
-                    + CASE WHEN bk >= 999998 THEN 1 ELSE 0 END) AS w
-            FROM (SELECT b, v,
-                         ('0x' || substring(md5(CAST(event_id AS VARCHAR)
-                              || ':' || CAST(b AS VARCHAR) || ':17'),
-                              1, 15))::BIGINT % 1000000 AS bk
-                  FROM fanned)),
+            SELECT bhi * 8 + blo AS b, v,
+                   (CASE WHEN s16 >= 24109 THEN 1 ELSE 0 END
+                    + CASE WHEN s16 >= 48218 THEN 1 ELSE 0 END
+                    + CASE WHEN s16 >= 60273 THEN 1 ELSE 0 END
+                    + CASE WHEN s16 >= 64291 THEN 1 ELSE 0 END
+                    + CASE WHEN s16 >= 65296 THEN 1 ELSE 0 END
+                    + CASE WHEN s16 >= 65497 THEN 1 ELSE 0 END
+                    + CASE WHEN s16 >= 65530 THEN 1 ELSE 0 END
+                    + CASE WHEN s16 >= 65535 THEN 1 ELSE 0 END
+                    + CASE WHEN s16 >= 65535 THEN 1 ELSE 0 END) AS w
+            FROM lanes),
         reps AS (
             SELECT b, round(CAST(SUM(v * w) AS DOUBLE)
                             / nullif(CAST(SUM(w) AS DOUBLE), 0.0), 6)

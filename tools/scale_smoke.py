@@ -155,6 +155,15 @@ HEAVY_QUERIES = [
     "holt_linear_forecast",
     "txnlog_restore_version",
     "txnlog_compact_files",
+    # round-10 fourth batch: ×⌈B/8⌉ hash fan bootstrap, shingle-postings
+    # cosine pairs, ×8-lane JL projection, date-replicated rolling
+    # distinct, per-value rank-sum, zero-shuffle chunking
+    "bootstrap_ci_mean",
+    "tfidf_cosine_pairs",
+    "embed_random_projection",
+    "rolling_active_users",
+    "mann_whitney_u",
+    "doc_chunking",
     # (copurchase_lift / triangle_count / ab_test_welch read the TPC-H
     # lineitem tier, which this tool does not synthesize — bench covers
     # them; the remaining round-9 rows are scan-speed or days-relation
@@ -316,14 +325,23 @@ def main() -> None:
               f"ratio={row['ratio']:5.2f}  {'OK' if row['ok'] else 'EXCEEDED'}",
               flush=True)
 
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sidecar = os.path.join(here, "SCALE_SMOKE_sf1.json")
+    # Targeted runs MERGE into the committed sidecar (the bench-tier
+    # discipline: a 6-query rerun must not clobber the 67-query
+    # record). Fresh rows replace their own keys only.
+    merged: dict[str, dict] = {}
+    if sys.argv[1:] and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            merged = json.load(f).get("queries", {})
+    merged.update(results)
     out = {
         "copies": COPIES,
         "ratio_limit": RATIO_LIMIT,
-        "queries": results,
-        "all_ok": all(r["ok"] for r in results.values()),
+        "queries": merged,
+        "all_ok": all(r["ok"] for r in merged.values()),
     }
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "SCALE_SMOKE_sf1.json"), "w") as f:
+    with open(sidecar, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps({"all_ok": out["all_ok"]}))
