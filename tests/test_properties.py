@@ -868,3 +868,59 @@ def test_theil_sen_breaks_down_gracefully(spark, slope, outlier, pos):
     )
     r = theil_sen_slope(ev).collect()[0]
     assert r.sen_slope == float(slope)
+
+
+@SETTINGS
+@given(
+    base=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=3, max_size=25
+    ),
+    cur=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=3, max_size=25
+    ),
+)
+def test_mann_whitney_invariant_under_monotone_transform(spark, base, cur):
+    """U is a rank statistic: any strictly increasing value transform
+    must leave (u_stat, z_score) exactly unchanged."""
+    from big_data_trend_analysis_spark.operators.drift import mann_whitney_u
+
+    def frame(xform):
+        rows = [
+            (i, datetime.datetime(2024, 1, 5), "t", float(xform(v)))
+            for i, v in enumerate(base)
+        ] + [
+            (1000 + i, datetime.datetime(2024, 1, 20), "t", float(xform(v)))
+            for i, v in enumerate(cur)
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+
+    r1 = mann_whitney_u(frame(lambda v: v)).collect()[0]
+    r2 = mann_whitney_u(frame(lambda v: 3 * v + 7)).collect()[0]
+    assert (r1.u_stat, r1.z_score) == (r2.u_stat, r2.z_score)
+    assert (r1.n_base, r1.n_cur) == (len(base), len(cur))
+    # U is bounded by n1·n2 and symmetric around its mean
+    assert 0.0 <= r1.u_stat <= len(base) * len(cur)
+
+
+@SETTINGS
+@given(n_tokens=st.integers(min_value=1, max_value=300))
+def test_doc_chunking_tiles_every_length(spark, n_tokens):
+    """Chunks start at 0, step by the stride, end exactly at the last
+    token, and only the final chunk may be short."""
+    from big_data_trend_analysis_spark.operators.textstats import doc_chunking
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(doc_chunking(docs).collect(), key=lambda r: r.chunk_id)
+    assert chunks[0].start_tok == 0
+    assert [c.start_tok for c in chunks] == [i * 48 for i in range(len(chunks))]
+    assert chunks[-1].start_tok + chunks[-1].n_tok == n_tokens
+    for c in chunks[:-1]:
+        assert c.n_tok == 64
+    # full coverage: the union of [start, start+n_tok) tiles [0, n)
+    covered = set()
+    for c in chunks:
+        covered.update(range(c.start_tok, c.start_tok + c.n_tok))
+    assert covered == set(range(n_tokens))

@@ -535,6 +535,37 @@ HEADLINERS: dict[str, str] = {
         "The deviation is cum_n − i·x̄ over exact integers, so no "
         "float accumulation order exists anywhere in the plan."
     ),
+    "bootstrap_ci_mean": (
+        "The ×⌈B/8⌉ hash fan feeds ONE codegen'd HashAggregate whose "
+        "partial phase collapses every partition to ⌈B/8⌉ keys × 16 "
+        "cells — the only shuffle moves those cells, never the fanned "
+        "rows. The eight replicate lanes per digest are fixed-width "
+        "hex comparisons inside the aggregate expressions: no conv, "
+        "no lane explode, no per-replicate md5."
+    ),
+    "tfidf_cosine_pairs": (
+        "The shingle relation is hashed to 8-byte longs before its "
+        "first shuffle and materialized once for tf/df/norms; "
+        "candidates come only from postings with df ≤ 10 (rare-"
+        "shingle self-join), and the exact dot product joins full "
+        "postings through that candidate relation — pruning bounds "
+        "the pair count, never a surviving score. Top-k compiles to "
+        "TakeOrderedAndProject."
+    ),
+    "rolling_active_users": (
+        "Rolling COUNT(DISTINCT) decomposed as bounded replication: "
+        "each distinct (user, day) votes into 7 window days via "
+        "posexplode, then ONE hash aggregate keyed on the date — "
+        "linear in corpus×span with map-side partials, instead of a "
+        "per-day self-join or a single-partition window."
+    ),
+    "embed_random_projection": (
+        "posexplode to (vec, dim) components, an 8-row broadcast lane "
+        "spine, and ONE (vec, lane) hash aggregate of decimal terms — "
+        "shuffle rows = corpus×k after map-side combine. The ±1 "
+        "matrix is md5 parity evaluated inline: nothing is "
+        "materialized or driver-resident at any d."
+    ),
 }
 
 
