@@ -734,3 +734,30 @@ def test_cdc_compact_is_joinless_single_shuffle(spark, sf_dir):
     # partial max_by before the exchange: map-side combine absorbs
     # hot-key skew (one compacted row per key per map task).
     assert "partial_max_by" in plan
+
+
+def test_round10_batch4_plan_shapes(plans):
+    """Node-count pins for the fourth-batch heavies (formatted explain
+    lists each node twice: tree + detail section).
+
+    - bootstrap_ci_mean: exactly TWO generators (the ×⌈B/8⌉ fan and the
+      post-aggregate stack) — a third means the per-lane explode crept
+      back into the hot path; ONE corpus-sized aggregation pair plus
+      the scalar obs/bounds aggregates.
+    - rolling_active_users: exactly ONE generator (the 7-day vote
+      posexplode) — rolling distinct must stay bounded replication.
+    - mann_whitney_u: NO generator and at most two real shuffles (the
+      per-value aggregation and the distinct-value window) — the rank
+      sums must come from the value relation, never a row fan-out.
+    - embed_random_projection: exactly ONE aggregation (the (vec, lane)
+      fold) — a second means the lane spine stopped broadcasting.
+    """
+    assert plans["bootstrap_ci_mean"].count("Generate") == 4
+    assert plans["rolling_active_users"].count("Generate") == 2
+    mw = plans["mann_whitney_u"]
+    assert mw.count("Generate") == 0
+    assert mw.count("Exchange") <= 4
+    assert plans["embed_random_projection"].count("HashAggregate") == 4
+    # chunking stays fully narrow (also in NARROW) and fingerprints
+    # inside the projection: no aggregate at all
+    assert plans["doc_chunking"].count("HashAggregate") == 0
