@@ -705,3 +705,130 @@ def holt_linear_forecast(events: DataFrame) -> DataFrame:
         return out
 
     return daily.groupBy("event_type").applyInPandas(_holt, schema)
+
+
+#: Holt–Winters seasonal smoothing knob — decimal string (the
+#: HOLT_ALPHA/HOLT_BETA discipline) so the seasonal update stays in
+#: exact decimal arithmetic.
+HW_GAMMA = "0.2"
+
+
+def holt_winters_dow(events: DataFrame, period: int = 7) -> DataFrame:
+    """Additive Holt–Winters smoothing of daily counts, dow seasonality.
+
+    ROUND-11 STAGING (docs/ROADMAP.md frontier #2): implemented and
+    planted-tested ahead of the next rotation window; registration +
+    the DuckDB list-recursive oracle twin land with the round-10
+    ingest. The triple-exponential extension of
+    ``holt_linear_forecast``:
+
+        l_t = α·(y_t − s_{t−p}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − l_t) + (1−γ)·s_{t−p}
+
+    with textbook first-season init (l_p = mean of season 1, b_p =
+    (mean₂ − mean₁)/p, s_i = y_i − l_p) and α = 0.5, β = 0.3,
+    γ = 0.2. Same scale layout as Holt linear: the corpus collapses
+    to (type, day) counts in one aggregation, the per-series
+    recurrence runs in ``applyInPandas`` (millions of small series
+    pack executors; state = two Decimals + a p-slot seasonal ring),
+    and every step quantizes to 6 dp in EXACT decimal (ROUND_HALF_UP)
+    — bit-reproducible against a DuckDB RECURSIVE CTE that carries
+    the ring as a DECIMAL(18,6) LIST (prototype validated: DuckDB
+    decimal literals keep α/β/γ products exact). Series shorter than
+    two full seasons emit nothing (no second season to difference —
+    the Holt-linear NULL-trend convention, stricter here).
+
+    Emits per (event_type, day) from day p onward: (y, level, trend,
+    seasonal, one_step_ahead = l + b + s_{t+1−p}).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("day", DateType()),
+            StructField("y", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+            StructField("one_step_ahead", DoubleType()),
+        ]
+    )
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        alpha = Decimal(HOLT_ALPHA)
+        beta = Decimal(HOLT_BETA)
+        gamma = Decimal(HW_GAMMA)
+        one = Decimal("1")
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = [Decimal(int(v)) for v in pdf["y"]]
+        n = len(ys)
+        if n < 2 * period:
+            return pdf.head(0).reindex(columns=[f.name for f in schema])
+        mean1 = (sum(ys[:period]) / period).quantize(q6, rounding=ROUND_HALF_UP)
+        mean2 = (sum(ys[period : 2 * period]) / period).quantize(
+            q6, rounding=ROUND_HALF_UP
+        )
+        level = mean1
+        trend = ((mean2 - mean1) / period).quantize(q6, rounding=ROUND_HALF_UP)
+        ring = [
+            (ys[i] - mean1).quantize(q6, rounding=ROUND_HALF_UP)
+            for i in range(period)
+        ]
+        rows = [
+            (
+                pdf["day"][period - 1],
+                ys[period - 1],
+                level,
+                trend,
+                ring[-1],
+                level + trend + ring[0],
+            )
+        ]
+        for t in range(period, n):
+            s_lag = ring[0]
+            prev_l = level
+            level = (
+                alpha * (ys[t] - s_lag) + (one - alpha) * (prev_l + trend)
+            ).quantize(q6, rounding=ROUND_HALF_UP)
+            trend = (
+                beta * (level - prev_l) + (one - beta) * trend
+            ).quantize(q6, rounding=ROUND_HALF_UP)
+            s_new = (
+                gamma * (ys[t] - level) + (one - gamma) * s_lag
+            ).quantize(q6, rounding=ROUND_HALF_UP)
+            ring = ring[1:] + [s_new]
+            rows.append(
+                (pdf["day"][t], ys[t], level, trend, s_new,
+                 level + trend + ring[0])
+            )
+        out = pd.DataFrame(
+            rows, columns=["day", "y", "level", "trend", "seasonal",
+                           "one_step_ahead"]
+        )
+        out.insert(0, "event_type", pdf["event_type"][0])
+        for c in ("y", "level", "trend", "seasonal", "one_step_ahead"):
+            out[c] = out[c].astype(float)
+        return out
+
+    return daily.groupBy("event_type").applyInPandas(_hw, schema)

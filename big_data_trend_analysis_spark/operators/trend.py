@@ -275,3 +275,91 @@ def theil_sen_slope(events: DataFrame) -> DataFrame:
         .join(F.broadcast(n_days), "event_type")
         .select("event_type", "n_days", "n_pairs", "sen_slope")
     )
+
+
+def isotonic_daily_fit(events: DataFrame) -> DataFrame:
+    """Isotonic (non-decreasing) regression of each type's daily counts.
+
+    ROUND-11 STAGING (docs/ROADMAP.md frontier #3): implemented and
+    planted-tested ahead of the next rotation window; registration +
+    the planted ``*_check`` twin land with the round-10 ingest (PAVA
+    is inherently sequential — no SQL oracle exists, so the gate will
+    be the rows-only + hash-gated-check pattern of the dedup family).
+
+    The monotone-trend fitter beside ``theil_sen_slope`` (Theil–Sen
+    summarizes ONE slope; isotonic fits the whole monotone curve —
+    growth dashboards, calibration curves, dose–response): classical
+    pool-adjacent-violators over the day-ordered series. Scale layout
+    identical to the Holt family: one corpus-sized aggregation to
+    (type, day) counts, then ``applyInPandas`` per series — PAVA is
+    O(n) per series with block-merge state, and series are small
+    after the daily rollup. Determinism: block means are ratios of
+    exact integer (Σy, n) pairs; the emitted fit quantizes via
+    floor(x·1e6 + 0.5) (the gapfill_linear tie discipline), so any
+    engine replaying the same pools lands on identical doubles.
+
+    Emits per (event_type, day): (y, fit, block_id, n_blocks) —
+    block_id is the 0-based pooled-block index, n_blocks the series'
+    final block count (n_blocks == n_days ⟺ already increasing).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("day", DateType()),
+            StructField("y", LongType()),
+            StructField("fit", DoubleType()),
+            StructField("block_id", IntegerType()),
+            StructField("n_blocks", IntegerType()),
+        ]
+    )
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        # blocks of (sum, count): merge while the mean order violates
+        blocks: list[list[int]] = []
+        for y in ys:
+            blocks.append([y, 1])
+            while (
+                len(blocks) > 1
+                and blocks[-2][0] * blocks[-1][1]
+                > blocks[-1][0] * blocks[-2][1]
+            ):
+                s, c = blocks.pop()
+                blocks[-1][0] += s
+                blocks[-1][1] += c
+        fits, bids = [], []
+        for bid, (s, c) in enumerate(blocks):
+            fit = math.floor(s / c * 1_000_000 + 0.5) / 1_000_000
+            fits.extend([fit] * c)
+            bids.extend([bid] * c)
+        out = pdf[["event_type", "day"]].copy()
+        out["y"] = ys
+        out["fit"] = fits
+        out["block_id"] = bids
+        out["n_blocks"] = len(blocks)
+        return out
+
+    return daily.groupBy("event_type").applyInPandas(_pava, schema)

@@ -1,0 +1,186 @@
+"""Round-11 staging tests (docs/ROADMAP.md "Round-11 frontier").
+
+These pin pieces built ahead of the next rotation window: they are
+library code with tests, NOT yet wired into any gate query (the
+round-10 driver window closed full, so wiring waits for the round-10
+ledger ingest).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_trend_analysis_spark.functions.stats import (
+    t_crit_975,
+    t_crit_975_sql,
+)
+
+#: Two-sided 5% t-table values (Abramowitz & Stegun table 26.10).
+T_TABLE = {
+    2: 4.3027,
+    3: 3.1824,
+    4: 2.7764,
+    5: 2.5706,
+    8: 2.3060,
+    10: 2.2281,
+    15: 2.1314,
+    30: 2.0423,
+    60: 2.0003,
+    120: 1.9799,
+}
+
+
+def test_t_crit_matches_table_and_duckdb(spark):
+    df = spark.createDataFrame([(float(d),) for d in T_TABLE], "df double")
+    got = {
+        r.df: r.t
+        for r in df.select("df", t_crit_975(F.col("df")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for d, expected in T_TABLE.items():
+        rel = abs(got[d] - expected) / expected
+        assert rel < 8e-3, (d, got[d], expected)
+        if d >= 4:
+            assert rel < 3e-4, (d, got[d], expected)
+        # the oracle twin is the bit-identical polynomial
+        dd = con.sql(f"SELECT {t_crit_975_sql(str(d))} AS t").fetchone()[0]
+        assert dd == pytest.approx(got[d], abs=0.0, rel=1e-15)
+
+
+def test_t_crit_clamps_and_propagates_null(spark):
+    df = spark.createDataFrame(
+        [(0.5,), (1.0,), (None,)], "df double"
+    ).select(t_crit_975(F.col("df")).alias("t"))
+    rows = [r.t for r in df.collect()]
+    # df below 2 clamps to the df = 2 value (more conservative than
+    # any larger df; never silently reverts toward 1.96)
+    assert rows[0] == rows[1]
+    assert rows[0] > 4.2
+    assert rows[2] is None
+
+
+def test_t_crit_monotone_decreasing_toward_normal(spark):
+    dfs = [float(d) for d in range(2, 200, 3)]
+    df = spark.createDataFrame([(d,) for d in dfs], "df double")
+    ts = [
+        r.t
+        for r in df.select(t_crit_975(F.col("df")).alias("t"))
+        .orderBy("df")
+        .collect()
+    ]
+    assert all(a > b for a, b in zip(ts, ts[1:]))
+    assert ts[-1] > 1.9599  # approaches but never crosses the normal z
+
+
+def _daily_events(spark, counts):
+    """counts[d] events on 2024-01-(d+1), all type 't'."""
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{d + 1:02d} 06:00:00", "t"))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+
+
+def test_holt_winters_exact_on_pure_weekly_pattern(spark):
+    """On y = m + s(dow) with zero trend, additive HW is EXACT: level
+    pins to m, trend to 0, seasonals reproduce, and every one-step
+    forecast equals the next observation."""
+    from big_data_trend_analysis_spark.operators.temporal import (
+        holt_winters_dow,
+    )
+
+    season = [3, 7, 11, 15, 19, 23, 27]  # mean 15, seasonals sum to 0
+    counts = season * 4  # 28 days
+    out = sorted(
+        holt_winters_dow(_daily_events(spark, counts)).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(out) == 28 - 6  # rows from day p onward
+    for r in out:
+        assert r.level == 15.0
+        assert r.trend == 0.0
+    # one_step_ahead predicts the NEXT day's y exactly
+    for cur, nxt in zip(out, out[1:]):
+        assert cur.one_step_ahead == nxt.y
+
+
+def test_holt_winters_needs_two_full_seasons(spark):
+    from big_data_trend_analysis_spark.operators.temporal import (
+        holt_winters_dow,
+    )
+
+    out = holt_winters_dow(_daily_events(spark, [5] * 13)).collect()
+    assert out == []
+
+
+def test_holt_winters_deterministic_across_partitionings(spark):
+    from big_data_trend_analysis_spark.operators.temporal import (
+        holt_winters_dow,
+    )
+
+    counts = [4, 9, 2, 8, 5, 11, 7, 6, 10, 3, 9, 4, 12, 8, 5, 7]
+    ev = _daily_events(spark, counts)
+    a = sorted(map(tuple, holt_winters_dow(ev.coalesce(1)).collect()))
+    b = sorted(map(tuple, holt_winters_dow(ev.repartition(16)).collect()))
+    assert a == b
+
+
+def test_isotonic_identity_on_increasing_series(spark):
+    from big_data_trend_analysis_spark.operators.trend import (
+        isotonic_daily_fit,
+    )
+
+    counts = [2, 5, 7, 11, 13]
+    out = sorted(
+        isotonic_daily_fit(_daily_events(spark, counts)).collect(),
+        key=lambda r: r.day,
+    )
+    assert [r.fit for r in out] == [float(c) for c in counts]
+    assert out[0].n_blocks == len(counts)
+    assert [r.block_id for r in out] == list(range(len(counts)))
+
+
+def test_isotonic_pools_textbook_violation(spark):
+    """[4, 6, 5] pools the (6, 5) violation to 5.5; [9, 3, 3] pools
+    everything to the global mean 5."""
+    from big_data_trend_analysis_spark.operators.trend import (
+        isotonic_daily_fit,
+    )
+
+    out = sorted(
+        isotonic_daily_fit(_daily_events(spark, [4, 6, 5])).collect(),
+        key=lambda r: r.day,
+    )
+    assert [r.fit for r in out] == [4.0, 5.5, 5.5]
+    assert [r.block_id for r in out] == [0, 1, 1]
+    assert out[0].n_blocks == 2
+
+    flat = sorted(
+        isotonic_daily_fit(_daily_events(spark, [9, 3, 3])).collect(),
+        key=lambda r: r.day,
+    )
+    assert [r.fit for r in flat] == [5.0, 5.0, 5.0]
+    assert flat[0].n_blocks == 1
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark):
+    from big_data_trend_analysis_spark.operators.trend import (
+        isotonic_daily_fit,
+    )
+
+    counts = [7, 2, 9, 1, 1, 8, 3, 12, 4, 4, 10]
+    out = sorted(
+        isotonic_daily_fit(_daily_events(spark, counts)).collect(),
+        key=lambda r: r.day,
+    )
+    fits = [r.fit for r in out]
+    assert all(a <= b for a, b in zip(fits, fits[1:]))
+    assert sum(fits) == pytest.approx(sum(counts), abs=1e-4)
