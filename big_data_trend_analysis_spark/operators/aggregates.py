@@ -1647,9 +1647,10 @@ def bootstrap_ci_mean(
     weight through fixed integer thresholds (``_POISSON1_CUM_64K``).
     The 2-dp measure folds as exact decimal,
     so each replicate mean is order-independent; CI bounds are exact
-    order statistics of the B replicate means (indices ceil(0.025·B),
+    order statistics of the replicate means (indices ceil(0.025·B),
     ceil(0.975·B) — the ``winsorize_features`` discrete-quantile
-    convention).
+    convention; a replicate whose Poisson weights are all zero drew
+    no rows and is excluded from the ranking on both engines).
 
     Emits 1 row: (n_rows, n_boot, mean_obs, ci_lo, ci_hi).
     """
@@ -1691,10 +1692,14 @@ def bootstrap_ci_mean(
             F.expr(f"stack(8, {stack}) AS (blo, sv, sw)"),
         )
         .filter(F.col("bhi") * 8 + F.col("blo") < n_boot)
+        # a zero-weight replicate drew no rows — it has no mean and is
+        # EXCLUDED (not NULL-ranked: Spark windows sort NULLs first,
+        # DuckDB last, so a NULL row would silently desynchronize the
+        # order-statistic indices between engine and oracle)
+        .filter(F.col("sw") > 0)
         .select(
             F.round(
-                F.col("sv").cast("double")
-                / F.nullif(F.col("sw").cast("double"), F.lit(0.0)),
+                F.col("sv").cast("double") / F.col("sw").cast("double"),
                 6,
             ).alias("rep_mean")
         )

@@ -314,13 +314,11 @@ def isotonic_daily_fit(events: DataFrame) -> DataFrame:
         StructType,
     )
 
-    daily = (
-        events.groupBy(
-            "event_type",
-            F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
-        )
-        .agg(F.count(F.lit(1)).alias("y"))
+    from big_data_trend_analysis_spark.operators.temporal import (
+        _daily_counts,
     )
+
+    daily = _daily_counts(events)
 
     schema = StructType(
         [

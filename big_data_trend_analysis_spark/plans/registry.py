@@ -8905,10 +8905,11 @@ ORACLE_SQL: dict[str, str] = {
                     + CASE WHEN s16 >= 65535 THEN 1 ELSE 0 END) AS w
             FROM lanes),
         reps AS (
+            -- zero-weight replicates are EXCLUDED, not NULL-ranked
+            -- (engine NULL-ordering defaults diverge)
             SELECT b, round(CAST(SUM(v * w) AS DOUBLE)
-                            / nullif(CAST(SUM(w) AS DOUBLE), 0.0), 6)
-                       AS rep_mean
-            FROM wtd GROUP BY b),
+                            / CAST(SUM(w) AS DOUBLE), 6) AS rep_mean
+            FROM wtd GROUP BY b HAVING SUM(w) > 0),
         bounds AS (
             SELECT MIN(rep_mean) AS ci_lo, MAX(rep_mean) AS ci_hi
             FROM (SELECT rep_mean,

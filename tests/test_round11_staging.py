@@ -184,3 +184,45 @@ def test_isotonic_fit_is_monotone_and_mean_preserving(spark):
     fits = [r.fit for r in out]
     assert all(a <= b for a, b in zip(fits, fits[1:]))
     assert sum(fits) == pytest.approx(sum(counts), abs=1e-4)
+
+
+def test_holt_winters_densifies_calendar_gaps(spark):
+    """A zero-event day is y = 0, not missing data: the seasonal ring
+    must stay phase-aligned to the calendar across the gap (review
+    finding: positional lags over a gapped series mixed weekdays)."""
+    from big_data_trend_analysis_spark.operators.temporal import (
+        holt_winters_dow,
+    )
+
+    season = [3, 7, 11, 15, 19, 23, 27]
+    counts = season * 4
+    gapped = list(counts)
+    gapped[9] = 0  # day 10 has NO events — absent from the rollup
+    rows = []
+    eid = 0
+    for d, c in enumerate(gapped):
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{d + 1:02d} 06:00:00", "t"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = sorted(
+        holt_winters_dow(ev).collect(), key=lambda r: r.day
+    )
+    # the gap day materializes with y = 0 and the series length is the
+    # FULL calendar span, not the observed-day count
+    assert len(out) == 28 - 6
+    days = [r.day.isoformat() for r in out]
+    assert "2024-01-10" in days
+    gap_row = next(r for r in out if r.day.isoformat() == "2024-01-10")
+    assert gap_row.y == 0.0
+    # phase check: the last week's seasonals still alternate with the
+    # planted weekly pattern's ordering (low on the dow planted low)
+    last7 = out[-7:]
+    planted = {r.day.isoformat(): v for r, v in zip(last7, season)}
+    fits = sorted(last7, key=lambda r: r.seasonal)
+    expect = sorted(last7, key=lambda r: planted[r.day.isoformat()])
+    assert [r.day for r in fits] == [r.day for r in expect]

@@ -334,6 +334,9 @@ def main() -> None:
     if sys.argv[1:] and os.path.exists(sidecar):
         with open(sidecar) as f:
             merged = json.load(f).get("queries", {})
+        # prune rows whose query left HEAVY_QUERIES — a renamed/retired
+        # heavy must not pin all_ok (or a stale ratio) forever
+        merged = {k: v for k, v in merged.items() if k in HEAVY_QUERIES}
     merged.update(results)
     out = {
         "copies": COPIES,
