@@ -62,6 +62,12 @@ def _metrics_since(spark, marker_id: int) -> dict[str, int]:
     SQLAppStatusStore's formatted metric strings; unit parsing keeps
     them byte-exact enough for a ratio gate (trim at ~3 significant
     digits, gating threshold is 1.5×)."""
+    # The status store is fed by the ASYNC listener bus — reading it
+    # the instant the action returns can miss the final metric updates
+    # of the last execution and record nondeterministically-low bytes
+    # (review finding: a lagged baseline then fails the 1.5× gate on
+    # identical code). Drain the bus first.
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
     store = spark._jsparkSession.sharedState().statusStore()
     execs = store.executionsList()
     shuffle = 0
@@ -212,6 +218,9 @@ def main() -> None:
                 merged_bytes = json.load(f).get("queries", {})
         except (OSError, ValueError):
             merged_bytes = {}
+    # prune retired queries, mirroring _merge_tier — the two sidecars
+    # must agree on what exists after every rotation
+    merged_bytes = {k: v for k, v in merged_bytes.items() if k in QUERIES}
     merged_bytes.update(query_bytes)
     with open(bytes_path, "w") as f:
         json.dump(

@@ -1578,8 +1578,14 @@ def quantile_normalization(events: DataFrame) -> DataFrame:
             Window.partitionBy()
         ).alias("n_all"),
     )
-    num = F.col("rk") * F.col("n_all") + F.col("n_g") - 1
-    k = ((num - num % F.col("n_g")) / F.col("n_g")).cast("bigint")
+    # `div`, not `/`: Spark's `/` is double division, which rounds the
+    # quotient once rk·n_all exceeds 2^53 (~1e8 rows) and would fetch
+    # the wrong global order statistic exactly at scale (review
+    # finding); `div` is the BIGINT integer division DuckDB's `//`
+    # mirrors bit-for-bit.
+    k = F.expr(
+        "(rk * n_all + n_g - 1) div n_g"
+    ).cast("bigint")
     lookup = q.select(
         F.row_number().over(wall).cast("bigint").alias("grk"),
         F.col("value_q").alias("qn_value"),

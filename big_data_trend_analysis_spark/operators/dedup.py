@@ -536,13 +536,13 @@ def incremental_dedup(
       the ordinary ``dedup_minhash`` job run on the batch alone;
     - ``keep`` otherwise.
 
-    The exact and near paths run INDEPENDENTLY over the full batch
-    (df counts cover archive ∪ whole batch) and the first-rule-wins
-    priority is applied in one final assembly join — round 10's
-    stage-fusion: the old shape serialized the shingle pipeline
-    behind an exact-survivors anti-join barrier for no semantic gain
-    (an exact dup that also near-matches still reports
-    ``drop_exact``).
+    The near path shingles only the batch's EXACT SURVIVORS (df
+    counts cover archive ∪ surviving batch — verbatim copies must not
+    inflate a shingle's df past the rare cut and mask a real near
+    match), and the first-rule-wins priority is applied in one final
+    assembly join. Round 10's stage-fusion removed the old
+    collect_set→re-explode shapes; the survivor restriction is one
+    fp-relation-sized anti-join, not a pipeline barrier.
 
     Emits one row per batch doc: ``(doc_id, decision, match_id)`` —
     ``match_id`` is the smallest matching doc (deterministic), null
@@ -569,9 +569,17 @@ def incremental_dedup(
     # item: the collect_set→re-explode shape cost ~20 scheduler stages);
     # df counts, the candidate join, and the verification sets ALL
     # derive from these two cached postings relations. The batch side
-    # shingles the WHOLE batch (no exact-survivors barrier — priority
-    # is applied in the final assembly).
-    post_b = _materialize(_doc_shingles(batch, n, distinct=True, hashed=False))
+    # keeps only EXACT-SURVIVOR docs (review finding: shingling the
+    # whole batch let max_df verbatim copies of one document inflate
+    # its shingles' df past the rare cut and silently suppress a real
+    # near-dup match — df-rarity is evidence over distinct documents,
+    # so exact copies must not vote). The anti-join is fp-relation
+    # sized; the fusion's stage win (no collect_set→re-explode) stays.
+    post_b = _materialize(
+        _doc_shingles(batch, n, distinct=True, hashed=False).join(
+            exact.select("doc_id"), "doc_id", "left_anti"
+        )
+    )
     post_a = _materialize(_doc_shingles(archive, n, distinct=True, hashed=False))
     doc_freq = (
         post_a.unionByName(post_b)

@@ -460,7 +460,12 @@ def referential_integrity_check(
     child_rows = child_raw.groupBy("edge").agg(
         F.count(F.lit(1)).alias("child_rows")
     )
-    child_keys_rel = child_raw.distinct()
+    # NULL FKs are ignored for key/orphan accounting (the dbt
+    # ``relationships`` convention, and what COUNT(DISTINCT k) does in
+    # every SQL engine — review finding: keeping the NULL row made
+    # child_keys diverge from the oracle's COUNT(DISTINCT) on any
+    # nullable-FK corpus and miscounted a NULL as an orphan).
+    child_keys_rel = child_raw.filter(F.col("k").isNotNull()).distinct()
     child_keys = child_keys_rel.groupBy("edge").agg(
         F.count(F.lit(1)).alias("child_keys")
     )

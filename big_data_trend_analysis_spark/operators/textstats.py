@@ -431,7 +431,12 @@ def sample_mixture(
     )
     return (
         documents.withColumn("keep_rate", rate_expr)
-        .filter(bucket < (F.col("keep_rate") * 1_000_000).cast("long"))
+        # FLOOR, not a bare integer cast: Spark's double→long cast
+        # truncates while DuckDB's CAST rounds (review finding — a
+        # rate like 0.7 is 699999.99…e-6 in binary, so the two engines
+        # disagree by one bucket). floor() is the registry-documented
+        # portable convention for double→int.
+        .filter(bucket < F.floor(F.col("keep_rate") * 1_000_000))
         .select("doc_id", "lang", F.round("keep_rate", 6).alias("keep_rate"))
     )
 

@@ -5327,7 +5327,7 @@ ORACLE_SQL: dict[str, str] = {
                           AS DOUBLE) AS keep_rate,
                      {_split_bucket_sql("doc_id", 13)} AS b
               FROM documents)
-        WHERE b < CAST(keep_rate * 1000000 AS BIGINT)
+        WHERE b < CAST(floor(keep_rate * 1000000) AS BIGINT)
     """,
     "curate_for_training": f"""
         WITH toks AS (
@@ -7083,7 +7083,10 @@ ORACLE_SQL: dict[str, str] = {
             JOIN batch b ON b.doc_id = u.doc_id
             WHERE o.min_id < u.doc_id
         ), wb AS (
+            -- exact-survivor batch docs only: verbatim copies must not
+            -- vote in the df rarity cut (mirrors the operator)
             SELECT doc_id, string_split(text, ' ') AS w FROM batch
+            WHERE doc_id NOT IN (SELECT doc_id FROM exact)
         ), wa AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM archive
         ), shb AS (

@@ -48,6 +48,15 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Explicit "store absent" marker for ``commit(schema_json=…/
+#: partition_spec=…)``. ``None`` means "inherit the parent's value"
+#: (what ordinary writers want), so a faithful ``restore()`` of an
+#: unpartitioned / schema-less target needs a distinct way to say
+#: "write None into the manifest" (review finding: restore of an
+#: unpartitioned target onto a partitioned current kept the CURRENT
+#: spec, misreporting the restored table as partitioned).
+CLEAR_METADATA = object()
+
 #: Subdirectories: versioned manifests, and per-commit data file sets.
 LOG_DIR = "_txnlog"
 DATA_DIR = "data"
@@ -228,8 +237,8 @@ class TxnLog:
         add: list[str],
         remove: list[str] = (),
         expected_version: int | None = None,
-        schema_json: str | None = None,
-        partition_spec: list[str] | None = None,
+        schema_json: str | None | object = None,
+        partition_spec: list[str] | None | object = None,
         file_partitions: dict[str, dict[str, str]] | None = None,
         file_stats: dict[str, dict[str, list]] | None = None,
         committed_at: str | None = None,
@@ -254,7 +263,9 @@ class TxnLog:
         column add lands with the first files that carry it, readers
         of version N use version N's schema (older files surface the
         new column as null), and pre-evolution versions keep reading
-        under THEIR pinned schema. ``None`` inherits the parent's.
+        under THEIR pinned schema. ``None`` inherits the parent's;
+        ``CLEAR_METADATA`` stores an explicit absence (restore's
+        faithful-revert path — same for ``partition_spec``).
 
         ``partition_spec`` (identity-transform column names) and
         ``file_partitions`` (per added file, the partition values it
@@ -286,13 +297,28 @@ class TxnLog:
                     f"lexicographic == chronological stamp order "
                     f"time travel relies on"
                 )
-            parent_at = parent.get("committed_at") if parent else None
+            # walk back to the nearest STAMPED ancestor, not just the
+            # direct parent (review finding: evolve_partition_spec /
+            # restore / compact commit unstamped by default, so one
+            # unstamped intermediate would let a backwards stamp
+            # through and break version_at's max(eligible) soundness)
+            parent_at = None
+            v = expected_version
+            while v >= 0:
+                try:
+                    anc = parent if v == expected_version else self.manifest(v)
+                except ValueError:
+                    break  # vacuumed past the retention horizon
+                parent_at = anc.get("committed_at")
+                if parent_at is not None:
+                    break
+                v -= 1
             if parent_at is not None and committed_at < parent_at:
                 raise ValueError(
-                    f"committed_at {committed_at} precedes the parent "
-                    f"commit's stamp {parent_at}; non-monotonic stamps "
-                    f"make timestamp time travel ambiguous (Delta "
-                    f"adjusts, this log refuses)"
+                    f"committed_at {committed_at} precedes the nearest "
+                    f"stamped ancestor's stamp {parent_at}; "
+                    f"non-monotonic stamps make timestamp time travel "
+                    f"ambiguous (Delta adjusts, this log refuses)"
                 )
         prev = parent["files"] if parent else []
         removed = set(remove)
@@ -315,12 +341,20 @@ class TxnLog:
             "files": files,
             "added": list(add),
             "removed": sorted(removed),
-            "schema": schema_json
-            if schema_json is not None
-            else (parent.get("schema") if parent else None),
-            "partition_spec": partition_spec
-            if partition_spec is not None
-            else (parent.get("partition_spec") if parent else None),
+            "schema": None
+            if schema_json is CLEAR_METADATA
+            else (
+                schema_json
+                if schema_json is not None
+                else (parent.get("schema") if parent else None)
+            ),
+            "partition_spec": None
+            if partition_spec is CLEAR_METADATA
+            else (
+                partition_spec
+                if partition_spec is not None
+                else (parent.get("partition_spec") if parent else None)
+            ),
             "file_partitions": carried,
             "file_stats": stats or None,
             "committed_at": committed_at,
@@ -661,12 +695,17 @@ class TxnLog:
         add = [f for f in tgt_files if f not in cur_files]
         remove = [f for f in current["files"] if f not in set(tgt_files)]
         tgt_parts = target.get("file_partitions") or {}
+        # the manifest stores RESOLVED metadata, so a None here means
+        # the target genuinely had none — restore must CLEAR, not
+        # inherit the current version's value
+        tgt_schema = target.get("schema")
+        tgt_spec = target.get("partition_spec")
         return self.commit(
             add=add,
             remove=remove,
             expected_version=latest,
-            schema_json=target.get("schema"),
-            partition_spec=target.get("partition_spec"),
+            schema_json=tgt_schema if tgt_schema is not None else CLEAR_METADATA,
+            partition_spec=tgt_spec if tgt_spec is not None else CLEAR_METADATA,
             file_partitions={f: tgt_parts[f] for f in add if f in tgt_parts}
             or None,
             committed_at=committed_at,

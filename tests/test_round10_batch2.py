@@ -443,3 +443,21 @@ def test_quantile_normalization_makes_groups_globally_distributed(spark):
     assert out[9].global_k == 20 and out[9].qn_value == 1009.0
     # the 'hi' group gets the SAME normalized values rank for rank
     assert out[100].qn_value == 1.0 and out[109].qn_value == 1009.0
+
+
+def test_txnlog_restore_clears_spec_of_unpartitioned_target(spark, tmp_path):
+    """Review finding: restoring an UNPARTITIONED target onto a
+    partitioned current must CLEAR the spec (commit's None means
+    'inherit', so restore passes the explicit CLEAR_METADATA marker)."""
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    log = TxnLog(str(tmp_path / "t"))
+    log.write_commit(spark.range(5).selectExpr("id", "id % 2 AS k"))
+    log.write_commit(
+        spark.range(5, 9).selectExpr("id", "id % 2 AS k"),
+        partition_by=["k"],
+    )
+    assert log.partition_spec() == ["k"]
+    log.restore(0)
+    assert log.partition_spec() is None  # faithful revert, not inherit
+    assert log.read_snapshot(spark).count() == 5

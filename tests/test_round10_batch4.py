@@ -293,3 +293,33 @@ def test_random_projection_is_linear_and_deterministic(spark):
         (r.vec_id, r.j): r.proj for r in embed_random_projection(emb).collect()
     }
     assert all(again[(r.vec_id, r.j)] == r.proj for r in out)
+
+
+# ------------------------------------------------ incremental dedup fix
+
+
+def test_incremental_dedup_exact_copies_do_not_mask_near_match(spark):
+    """Review regression: verbatim batch copies must not inflate
+    shingle df past the rare cut and suppress a genuine near-dup —
+    df-rarity is evidence over distinct documents."""
+    from big_data_trend_analysis_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    archive = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    near_text = base + " extraword"
+    batch_rows = [(100, near_text)]
+    # 11 verbatim copies of the near-copy (> max_df = 10)
+    batch_rows += [(101 + i, near_text) for i in range(11)]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in incremental_dedup(archive, batch).collect()}
+    # the first-id owner is the survivor and must still near-match
+    # the archive doc; every copy drops exact against the owner
+    assert out[100].decision == "drop_near"
+    assert out[100].match_id == 1
+    for i in range(11):
+        assert out[101 + i].decision == "drop_exact"
+        assert out[101 + i].match_id == 100

@@ -653,10 +653,16 @@ def test_txnlog_version_at_timestamp_resolution(spark, tmp_path):
 
     # stamp hygiene at write time (ADVICE r9): non-monotonic and
     # malformed stamps are refused before they can corrupt version_at
-    with pytest.raises(ValueError, match="precedes the parent"):
+    with pytest.raises(ValueError, match="precedes the nearest stamped"):
         log.commit(add=[], remove=[], committed_at="2023-12-31T00:00:00")
     with pytest.raises(ValueError, match="not ISO-8601"):
         log.commit(add=[], remove=[], committed_at="Jan 4 2024 00:00")
+    # review finding: an UNSTAMPED intermediate commit must not open a
+    # hole for a backwards stamp — the check walks to the nearest
+    # stamped ancestor
+    log.commit(add=[], remove=[])  # unstamped (evolve/restore default)
+    with pytest.raises(ValueError, match="precedes the nearest stamped"):
+        log.commit(add=[], remove=[], committed_at="2023-12-31T00:00:00")
 
     # unstamped log: version-number reads fine, timestamp travel refused
     bare = TxnLog(str(tmp_path / "bare"))
