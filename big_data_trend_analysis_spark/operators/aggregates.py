@@ -1653,10 +1653,12 @@ def bootstrap_ci_mean(
     weight through fixed integer thresholds (``_POISSON1_CUM_64K``).
     The 2-dp measure folds as exact decimal,
     so each replicate mean is order-independent; CI bounds are exact
-    order statistics of the replicate means (indices ceil(0.025·B),
-    ceil(0.975·B) — the ``winsorize_features`` discrete-quantile
-    convention; a replicate whose Poisson weights are all zero drew
-    no rows and is excluded from the ranking on both engines).
+    order statistics of the replicate means (indices ceil(0.025·m),
+    ceil(0.975·m) over the m SURVIVING replicates — the
+    ``winsorize_features`` discrete-quantile convention; a replicate
+    whose Poisson weights are all zero drew no rows and is excluded
+    from the ranking on both engines, and the indices follow m so the
+    top rank can never vanish).
 
     Emits 1 row: (n_rows, n_boot, mean_obs, ci_lo, ci_hi).
     """
@@ -1711,11 +1713,24 @@ def bootstrap_ci_mean(
         )
     )
     w_ord = Window.orderBy(F.col("rep_mean").asc())
-    lo_idx = -(-25 * n_boot // 1000)  # ceil(0.025·B)
-    hi_idx = -(-975 * n_boot // 1000)  # ceil(0.975·B)
+    # the CI order-statistic indices derive from the SURVIVING
+    # replicate count m, not from n_boot (ADVICE r10: with fixed
+    # indices a single excluded replicate makes rank ceil(0.975·B)
+    # vanish and ci_hi silently collapses onto ci_lo); integer
+    # ceil-division keeps the index arithmetic exact on both engines
+    m = F.count(F.lit(1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     bounds = (
-        reps.select("rep_mean", F.row_number().over(w_ord).alias("i"))
-        .filter(F.col("i").isin(lo_idx, hi_idx))
+        reps.select(
+            "rep_mean",
+            F.row_number().over(w_ord).alias("i"),
+            m.alias("m"),
+        )
+        .filter(
+            (F.col("i") == F.expr("(25 * m + 999) div 1000"))
+            | (F.col("i") == F.expr("(975 * m + 999) div 1000"))
+        )
         .groupBy()
         .agg(
             F.min("rep_mean").alias("ci_lo"),

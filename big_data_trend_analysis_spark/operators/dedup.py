@@ -580,7 +580,25 @@ def incremental_dedup(
             exact.select("doc_id"), "doc_id", "left_anti"
         )
     )
-    post_a = _materialize(_doc_shingles(archive, n, distinct=True, hashed=False))
+    # The archive side collapses each exact-duplicate (fp) group to
+    # its min-id representative BEFORE shingling (ADVICE r10: only
+    # batch-side copies were excluded from df voting, so archive-side
+    # verbatim copies could still inflate a shingle's df past the rare
+    # cut and mask a near match). Emitted decisions are unchanged by
+    # construction — duplicates share identical shingle sets, and the
+    # min match_id over a duplicate group IS the min-id representative
+    # — while df counts become evidence over distinct documents on
+    # both sides, and the archive explode shrinks.
+    reps_a = (
+        fps_a.withColumn("min_a", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_a"))
+        .select("doc_id")
+    )
+    post_a = _materialize(
+        _doc_shingles(archive, n, distinct=True, hashed=False).join(
+            reps_a, "doc_id", "left_semi"
+        )
+    )
     doc_freq = (
         post_a.unionByName(post_b)
         .groupBy("token")

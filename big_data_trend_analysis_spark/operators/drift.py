@@ -43,6 +43,60 @@ def _slices(events: DataFrame):
     return events.select("event_type", "ts", "value", is_base)
 
 
+def _range_cumsum(
+    df: DataFrame, order_col: str, sum_cols: list[str], n_parts: int = 8
+) -> DataFrame:
+    """Distributed inclusive cumulative sums over a global value order.
+
+    The ``feature_binning`` cumsum shape extracted for the rank
+    statistics (VERDICT r10: ``mann_whitney_u``/``ks_test_check`` ran
+    ONE unpartitioned window over the distinct-value relation — fine
+    for a bounded 2-dp support, O(|distinct|) on a single task for a
+    continuous high-cardinality metric): range-partition by the order
+    column, run per-partition local running sums, and broadcast the
+    tiny per-partition totals back as additive offsets. The result is
+    independent of where the sampled range boundaries fall; the
+    localCheckpoint materializes the partition-local pass once so the
+    totals and the join consumer share it.
+
+    Appends ``cum_<col>`` (inclusive) for each requested column.
+    """
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = df.repartitionByRange(n_parts, order_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    for c in sum_cols:
+        local = local.withColumn(f"_lc_{c}", F.sum(c).over(w_loc))
+    local = local.localCheckpoint()
+    ptot = local.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_pt_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = ptot.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_pt_{c}").over(w_off), F.lit(0)).alias(
+                f"_off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offs), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"_lc_{c}") + F.col(f"_off_{c}"))
+    return out.drop(
+        "_pid",
+        *[f"_lc_{c}" for c in sum_cols],
+        *[f"_off_{c}" for c in sum_cols],
+    )
+
+
 def psi_drift(events: DataFrame, n_bins: int = 10) -> DataFrame:
     """Population Stability Index of ``value``, baseline vs current.
 
@@ -105,27 +159,35 @@ def ks_test_check(
 
     D = max_v |F_base(v) − F_cur(v)| over the merged support, computed
     exactly from cumulative counts: one (value, slice) aggregation,
-    one window pass ordered by value (state = |distinct values|, never
-    |rows|), one max. ``drift`` flags D against the classical
-    large-sample critical value c(α)·√((n+m)/(n·m)) with c(0.05) =
-    1.36 — the boolean the oracle pins alongside the exact counts.
-    The n·m product is computed in double (ADVICE r8: a BIGINT
-    product overflows silently past ~3e9 rows per slice; doubles
-    lose only ulp-level precision under a √, identically on both
-    engines). Emits 1 row: (n_base, n_cur, d_stat, d_crit, drift).
+    then a RANGE-PARTITIONED distributed cumsum over the value order
+    (``_range_cumsum`` — no single task ever holds more than its
+    range of the distinct-value relation, so a continuous
+    high-cardinality metric scales the same as the 2-dp fixture),
+    one max. NULL values carry no order and are excluded up front
+    (identically in the oracle — Spark sorts NULLs first ascending,
+    DuckDB last, so a NULL row would desynchronize the CDFs).
+    ``drift`` flags D against the classical large-sample critical
+    value c(α)·√((n+m)/(n·m)) with c(0.05) = 1.36 — the boolean the
+    oracle pins alongside the exact counts. The n·m product is
+    computed in double (ADVICE r8: a BIGINT product overflows
+    silently past ~3e9 rows per slice; doubles lose only ulp-level
+    precision under a √, identically on both engines).
+    Emits 1 row: (n_base, n_cur, d_stat, d_crit, drift).
     """
-    sliced = _slices(events)
+    sliced = _slices(events).filter(F.col("value").isNotNull())
     per_value = sliced.groupBy("value").agg(
         F.count_if(F.col("is_base")).alias("c_base"),
         F.count_if(~F.col("is_base")).alias("c_cur"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    totals = per_value.agg(
+    cum = _range_cumsum(per_value, "value", ["c_base", "c_cur"])
+    # totals fold the CHECKPOINTED relation — the corpus-sized
+    # aggregation runs exactly once
+    totals = cum.agg(
         F.sum("c_base").alias("n_base"), F.sum("c_cur").alias("n_cur")
     )
-    cdf = per_value.crossJoin(F.broadcast(totals)).select(
-        (F.sum("c_base").over(w) / F.col("n_base")).alias("f_base"),
-        (F.sum("c_cur").over(w) / F.col("n_cur")).alias("f_cur"),
+    cdf = cum.crossJoin(F.broadcast(totals)).select(
+        (F.col("cum_c_base") / F.col("n_base")).alias("f_base"),
+        (F.col("cum_c_cur") / F.col("n_cur")).alias("f_cur"),
         "n_base",
         "n_cur",
     )
@@ -426,9 +488,14 @@ def mann_whitney_u(events: DataFrame, z_crit: float = 1.96) -> DataFrame:
     "same distribution?", U asks "does one slice tend larger?") — the
     robust A/B readout when means are skew-fragile. Rank sums come from
     the per-VALUE relation, never per-row ranks: avgrank(v) =
-    cum_before(v) + (n_v + 1)/2, so the window state is |distinct
-    values| (the KS merged-support argument), and the corpus collapses
-    in ONE (value, slice) hash aggregation. Determinism: doubled
+    cum_before(v) + (n_v + 1)/2, computed by the RANGE-PARTITIONED
+    distributed cumsum (``_range_cumsum`` — no unpartitioned window,
+    so a continuous high-cardinality metric scales the same as the
+    2-dp fixture), and the corpus collapses in ONE (value, slice)
+    hash aggregation. NULL values carry no rank and are excluded up
+    front, identically in the oracle (Spark sorts NULLs first
+    ascending, DuckDB last — the bootstrap_ci_mean NULL-ordering
+    hazard, ADVICE r10). Determinism: doubled
     average ranks (2·cum + n_v + 1) are exact BIGINTs; the rank-sum
     folds their products in DECIMAL(38,0) (a BIGINT product overflows
     silently past ~3e9 rows — the ADVICE-r8 ks_test lesson, solved
@@ -441,22 +508,25 @@ def mann_whitney_u(events: DataFrame, z_crit: float = 1.96) -> DataFrame:
     Emits 1 row: (n_base, n_cur, u_stat, mu_u, sigma_u, z_score,
     significant).
     """
-    sliced = _slices(events)
+    sliced = _slices(events).filter(F.col("value").isNotNull())
     per_value = sliced.groupBy("value").agg(
         F.count_if(F.col("is_base")).alias("c_base"),
         F.count_if(~F.col("is_base")).alias("c_cur"),
     )
     n_v = F.col("c_base") + F.col("c_cur")
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, -1
+    cum = _range_cumsum(
+        per_value.select("value", "c_base", "c_cur", n_v.alias("n_v")),
+        "value",
+        ["n_v"],
     )
-    ranked = per_value.select(
+    ranked = cum.select(
         "c_base",
         "c_cur",
-        n_v.alias("n_v"),
-        # doubled avgrank keeps the ½ steps in exact integers
+        "n_v",
+        # doubled avgrank keeps the ½ steps in exact integers;
+        # cum_before = inclusive cumsum − own tie count
         (
-            2 * F.coalesce(F.sum(n_v).over(w), F.lit(0)) + n_v + 1
+            2 * (F.col("cum_n_v") - F.col("n_v")) + F.col("n_v") + 1
         ).alias("avgrank2"),
     )
     totals = ranked.agg(
@@ -713,7 +783,6 @@ def benjamini_hochberg(
 
 def ab_test_welch(
     lineitem: DataFrame,
-    t_crit: float = 1.96,
 ) -> DataFrame:
     """Welch's two-sample t-test between return-flag cohorts.
 
@@ -729,9 +798,16 @@ def ab_test_welch(
     identity (Σx² − (Σx)²/n)/(n−1) on doubles cast from those exact
     decimals, rounded 6 dp before the t/df arithmetic.
 
+    The significance gate is the Student-t critical value at the
+    Welch df (``functions/stats.t_crit_975`` — the Cornish–Fisher
+    polynomial both engines evaluate bit-identically), not a fixed
+    normal 1.96: at small cohort sizes the normal gate is
+    anti-conservative, exactly where A/B readouts are most abused.
+
     Emits 1 row: (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
-    df_welch, significant).
+    df_welch, t_crit, significant).
     """
+    from big_data_trend_analysis_spark.functions.stats import t_crit_975
     from big_data_trend_analysis_spark.operators.dedup import _materialize
 
     # moments feeds BOTH cohort branches of the crossJoin — materialized
@@ -795,6 +871,7 @@ def ab_test_welch(
         ),
         6,
     )
+    tc = t_crit_975(df)
     return a.crossJoin(F.broadcast(b)).select(
         "n_a",
         "n_b",
@@ -804,7 +881,8 @@ def ab_test_welch(
         "var_b",
         t.alias("t_stat"),
         df.alias("df_welch"),
-        # degenerate cohorts (NULL t) are NOT significant — the
-        # changepoint_cusum / trend_anomaly flag discipline.
-        F.coalesce(F.abs(t) > t_crit, F.lit(False)).alias("significant"),
+        tc.alias("t_crit"),
+        # degenerate cohorts (NULL t or NULL df) are NOT significant —
+        # the changepoint_cusum / trend_anomaly flag discipline.
+        F.coalesce(F.abs(t) > tc, F.lit(False)).alias("significant"),
     )

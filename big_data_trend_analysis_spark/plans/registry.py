@@ -50,6 +50,7 @@ from big_data_trend_analysis_spark.functions.nlp import (
     sentiment_compound,
     sentiment_label,
 )
+from big_data_trend_analysis_spark.functions.stats import t_crit_975_sql
 from big_data_trend_analysis_spark.functions.text import EN_STOPWORDS
 from big_data_trend_analysis_spark.operators import (
     aggregates,
@@ -4737,7 +4738,13 @@ def _xlx_sql(k: str) -> str:
 
 
 def _ri_edge_sql(name: str, child: str, ck: str, parent: str, pk: str) -> str:
-    """One FK edge of the referential_integrity_check oracle."""
+    """One FK edge of the referential_integrity_check oracle.
+
+    NULL child keys are excluded from orphan/unreferenced accounting
+    (the dbt ``relationships`` convention the engine side applies via
+    ``isNotNull`` — ADVICE r10: the orphan subquery's DISTINCT used to
+    keep the NULL row, which survives the LEFT JOIN and miscounts as
+    an orphan on any nullable-FK corpus)."""
     return f"""
         SELECT '{name}' AS relation,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM {child})
@@ -4745,7 +4752,8 @@ def _ri_edge_sql(name: str, child: str, ck: str, parent: str, pk: str) -> str:
                (SELECT CAST(COUNT(DISTINCT {ck}) AS BIGINT) FROM {child})
                    AS child_keys,
                (SELECT CAST(COUNT(*) AS BIGINT)
-                FROM (SELECT DISTINCT {ck} AS k FROM {child}) c
+                FROM (SELECT DISTINCT {ck} AS k FROM {child}
+                      WHERE {ck} IS NOT NULL) c
                 LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p
                   ON p.k = c.k
                 WHERE p.k IS NULL) AS orphan_keys,
@@ -4753,7 +4761,8 @@ def _ri_edge_sql(name: str, child: str, ck: str, parent: str, pk: str) -> str:
                    AS parent_keys,
                (SELECT CAST(COUNT(*) AS BIGINT)
                 FROM (SELECT DISTINCT {pk} AS k FROM {parent}) p
-                LEFT JOIN (SELECT DISTINCT {ck} AS k FROM {child}) c
+                LEFT JOIN (SELECT DISTINCT {ck} AS k FROM {child}
+                           WHERE {ck} IS NOT NULL) c
                   ON c.k = p.k
                 WHERE c.k IS NULL) AS unreferenced_parent_keys
     """
@@ -4897,22 +4906,27 @@ ORACLE_SQL: dict[str, str] = {
         a AS (SELECT n AS n_a, mean AS mean_a, var AS var_a
               FROM s WHERE l_returnflag = 'R'),
         b AS (SELECT n AS n_b, mean AS mean_b, var AS var_b
-              FROM s WHERE l_returnflag = 'N')
-        SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
-               round((mean_a - mean_b)
-                     / nullif(sqrt(var_a / n_a + var_b / n_b), 0.0),
-                     6) AS t_stat,
-               round((var_a / n_a + var_b / n_b)
-                     * (var_a / n_a + var_b / n_b)
-                     / nullif((var_a / n_a) * (var_a / n_a) / (n_a - 1)
-                              + (var_b / n_b) * (var_b / n_b) / (n_b - 1),
-                              0.0),
-                     6) AS df_welch,
-               COALESCE(abs(round((mean_a - mean_b)
-                            / nullif(sqrt(var_a / n_a + var_b / n_b),
-                                     0.0),
-                            6)) > 1.96, FALSE) AS significant
-        FROM a, b
+              FROM s WHERE l_returnflag = 'N'),
+        w AS (
+            SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+                   round((mean_a - mean_b)
+                         / nullif(sqrt(var_a / n_a + var_b / n_b), 0.0),
+                         6) AS t_stat,
+                   round((var_a / n_a + var_b / n_b)
+                         * (var_a / n_a + var_b / n_b)
+                         / nullif((var_a / n_a) * (var_a / n_a)
+                                      / (n_a - 1)
+                                  + (var_b / n_b) * (var_b / n_b)
+                                      / (n_b - 1),
+                                  0.0),
+                         6) AS df_welch
+            FROM a, b)
+        SELECT n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, df_welch,
+               """ + t_crit_975_sql("df_welch") + """ AS t_crit,
+               COALESCE(abs(t_stat) > """
+        + t_crit_975_sql("df_welch")
+        + """, FALSE) AS significant
+        FROM w
     """,
     "cap_per_key": """
         WITH r AS (
@@ -6763,9 +6777,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ks_test_check": """
         WITH s AS (
+            -- NULL values excluded up front (engine NULL-ordering
+            -- defaults diverge; the engine filters isNotNull)
             SELECT value,
                    ts < TIMESTAMP '2024-01-11 00:00:00' AS is_base
-            FROM events),
+            FROM events WHERE value IS NOT NULL),
         pv AS (
             SELECT value,
                    COUNT(*) FILTER (is_base) AS c_base,
@@ -7088,7 +7104,15 @@ ORACLE_SQL: dict[str, str] = {
             SELECT doc_id, string_split(text, ' ') AS w FROM batch
             WHERE doc_id NOT IN (SELECT doc_id FROM exact)
         ), wa AS (
+            -- archive-side exact-duplicate groups collapse to their
+            -- min-id representative before shingling (mirrors the
+            -- operator: df-rarity is evidence over distinct documents
+            -- on BOTH sides; decisions unchanged since duplicates
+            -- share identical shingle sets and MIN match_id is the
+            -- representative)
             SELECT doc_id, string_split(text, ' ') AS w FROM archive
+            WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM archive GROUP BY md5(text))
         ), shb AS (
             SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
             FROM wb, unnest(range(0, greatest(len(w) - 2, 1))) AS r(i)
@@ -8725,9 +8749,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "mann_whitney_u": """
         WITH s AS (
+            -- NULL values excluded up front (engine NULL-ordering
+            -- defaults diverge; the engine filters isNotNull)
             SELECT value,
                    ts < TIMESTAMP '2024-01-11 00:00:00' AS is_base
-            FROM events),
+            FROM events WHERE value IS NOT NULL),
         pv AS (
             SELECT value,
                    CAST(COUNT(*) FILTER (is_base) AS BIGINT) AS c_base,
@@ -8914,11 +8940,17 @@ ORACLE_SQL: dict[str, str] = {
                             / CAST(SUM(w) AS DOUBLE), 6) AS rep_mean
             FROM wtd GROUP BY b HAVING SUM(w) > 0),
         bounds AS (
+            -- order-statistic indices from the SURVIVING replicate
+            -- count m, not n_boot (integer ceil-division on both
+            -- engines) — a dropped replicate must shrink the ranks,
+            -- never vanish rank ceil(0.975*B)
             SELECT MIN(rep_mean) AS ci_lo, MAX(rep_mean) AS ci_hi
             FROM (SELECT rep_mean,
-                         ROW_NUMBER() OVER (ORDER BY rep_mean ASC) AS i
+                         ROW_NUMBER() OVER (ORDER BY rep_mean ASC) AS i,
+                         COUNT(*) OVER () AS m
                   FROM reps)
-            WHERE i IN (3, 98)),
+            WHERE i = (25 * m + 999) // 1000
+               OR i = (975 * m + 999) // 1000),
         obs AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)

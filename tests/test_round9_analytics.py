@@ -278,7 +278,10 @@ def test_welch_t_matches_hand_moments(spark):
         / ((var_a / n_a) ** 2 / (n_a - 1) + (var_b / n_b) ** 2 / (n_b - 1)),
         6,
     )
-    assert r.significant == (abs(r.t_stat) > 1.96)
+    # the gate is the t quantile at the Welch df, not the normal 1.96
+    # — and at df ≈ 3.4 it is far stricter (t_crit > 2.9)
+    assert r.t_crit > 2.9
+    assert r.significant == (abs(r.t_stat) > r.t_crit)
 
 
 def test_cap_per_key_survivors_are_replayable(spark):
