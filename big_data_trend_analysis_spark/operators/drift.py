@@ -886,3 +886,546 @@ def ab_test_welch(
         # the changepoint_cusum / trend_anomaly flag discipline.
         F.coalesce(F.abs(t) > tc, F.lit(False)).alias("significant"),
     )
+
+
+def kruskal_wallis(events: DataFrame) -> DataFrame:
+    """Kruskal–Wallis H test: does ``value`` differ across event types?
+
+    The k-group extension of ``mann_whitney_u`` (the one-way ANOVA of
+    the rank world — robust to the skew that invalidates the F test):
+    all values rank GLOBALLY (average ranks for ties), then
+
+        H = 12/(N(N+1)) · Σ_g n_g·(R̄_g − (N+1)/2)² ,
+
+    tie-corrected by dividing through 1 − Σ(t³−t)/(N³−N), flagged
+    against χ²(0.95, k−1). Scale shape is the ``mann_whitney_u``
+    layout extended per group: ONE (value, type) hash aggregation,
+    the RANGE-PARTITIONED cumsum over the distinct-value relation
+    (never per-row ranks, no unpartitioned window), doubled average
+    ranks as exact BIGINTs, per-group rank sums folding in
+    DECIMAL(38,0). NULL values carry no rank and are excluded up
+    front on both engines.
+
+    Emits one row per group with the verdict repeated:
+    (event_type, n_g, rank_sum2, h_stat, df_used, chi2_crit, reject).
+    """
+    per_vt = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("value", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_value = per_vt.groupBy("value").agg(F.sum("c").alias("n_v"))
+    cum = _range_cumsum(per_value, "value", ["n_v"])
+    # doubled avgrank keeps the ½ steps exact (the mann_whitney trick)
+    ranked = cum.select(
+        "value",
+        "n_v",
+        (2 * (F.col("cum_n_v") - F.col("n_v")) + F.col("n_v") + 1).alias(
+            "avgrank2"
+        ),
+    )
+    groups = (
+        per_vt.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(
+                (
+                    F.col("c").cast("decimal(19,0)")
+                    * F.col("avgrank2").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("rank_sum2"),
+        )
+    )
+    totals = ranked.agg(
+        F.sum("n_v").alias("n_tot"),
+        F.sum(
+            F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            - F.col("n_v").cast("decimal(38,0)")
+        ).alias("tie_sum"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    n = F.col("n_tot").cast("double")
+    # R̄_g − (N+1)/2 from the doubled rank sum: rank_sum2/(2·n_g) − (N+1)/2
+    dev = F.col("rank_sum2").cast("double") / (
+        2.0 * F.col("n_g")
+    ) - (n + 1) / 2.0
+    # per-group terms round to 6 dp and fold in exact decimal so H is
+    # group-order-independent (the psi_drift/_TERM_DEC discipline);
+    # DECIMAL(38,6), not 18: n_g·dev² reaches ~1e16 at sf0.1 already
+    term = F.round(F.col("n_g") * dev * dev, 6).cast("decimal(38,6)")
+    h_raw = (
+        groups.crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            "n_g",
+            "rank_sum2",
+            "n_tot",
+            "tie_sum",
+            term.alias("term"),
+        )
+    )
+    agg = h_raw.groupBy("n_tot", "tie_sum").agg(
+        F.sum("term").cast("double").alias("sum_terms"),
+        F.count(F.lit(1)).alias("k_groups"),
+    )
+    tie_div = 1.0 - F.col("tie_sum").cast("double") / (
+        n * n * n - n
+    )
+    h = F.round(
+        (12.0 / (n * (n + 1)) * F.col("sum_terms"))
+        / F.nullif(tie_div, F.lit(0.0)),
+        6,
+    )
+    crit = F.lit(None).cast("double")
+    for df_used, c in enumerate(_CHI2_95, start=1):
+        crit = F.when(F.col("k_groups") - 1 == df_used, F.lit(c)).otherwise(
+            crit
+        )
+    verdict = agg.select(
+        h.alias("h_stat"),
+        (F.col("k_groups") - 1).cast("int").alias("df_used"),
+        crit.alias("chi2_crit"),
+        F.coalesce(h > crit, F.lit(False)).alias("reject"),
+    )
+    return (
+        h_raw.select("event_type", "n_g", F.col("rank_sum2").cast("double").alias("rank_sum"))
+        .crossJoin(F.broadcast(verdict))
+    )
+
+
+def proportions_ztest(
+    events: DataFrame, threshold: float = 5.0
+) -> DataFrame:
+    """Two-proportion z-test: did the rate of high-value events
+    (``value`` ≥ ``threshold``) shift between the baseline and current
+    slices?
+
+    The conversion-rate member of the experimentation family
+    (``ab_test_welch`` compares means; product metrics are usually
+    RATES): pooled-variance two-proportion z with the exact-count
+    proportions, two-sided p from the A&S 26.2.17 normal tail (the
+    ``benjamini_hochberg`` discipline — exp-only, identical on both
+    engines, rounded 6 dp). The z gate stays the NORMAL 1.96: unlike
+    Welch, the two-proportion test is exactly asymptotically normal
+    (no df correction exists to apply). One hash aggregation collapses
+    the corpus to two (n, conversions) rows; everything else is
+    scalar algebra.
+
+    Emits 1 row: (n_base, n_cur, conv_base, conv_cur, p_base, p_cur,
+    z_score, p_value, significant).
+    """
+    sliced = _slices(events)
+    agg = sliced.agg(
+        F.count_if(F.col("is_base")).alias("n_base"),
+        F.count_if(~F.col("is_base")).alias("n_cur"),
+        F.count_if(
+            F.col("is_base") & (F.col("value") >= threshold)
+        ).alias("conv_base"),
+        F.count_if(
+            ~F.col("is_base") & (F.col("value") >= threshold)
+        ).alias("conv_cur"),
+    )
+    n1 = F.col("n_base").cast("double")
+    n2 = F.col("n_cur").cast("double")
+    p1 = F.round(F.col("conv_base") / F.nullif(n1, F.lit(0.0)), 6)
+    p2 = F.round(F.col("conv_cur") / F.nullif(n2, F.lit(0.0)), 6)
+    pp = (F.col("conv_base") + F.col("conv_cur")) / F.nullif(
+        n1 + n2, F.lit(0.0)
+    )
+    se = F.sqrt(
+        F.nullif(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2), F.lit(0.0))
+    )
+    z = F.round((p1 - p2) / se, 6)
+    p_val = F.round(_phi_upper_tail(z), 6)
+    return agg.select(
+        "n_base",
+        "n_cur",
+        "conv_base",
+        "conv_cur",
+        p1.alias("p_base"),
+        p2.alias("p_cur"),
+        z.alias("z_score"),
+        p_val.alias("p_value"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    )
+
+
+def spearman_daily_corr(events: DataFrame) -> DataFrame:
+    """Spearman rank correlation between every pair of event types'
+    daily-count series.
+
+    The co-movement monitor (do two product surfaces trend together?)
+    robust to the heavy tails that distort Pearson: each type's daily
+    counts rank WITHIN the type (average ranks for ties, doubled to
+    exact integers — the ``mann_whitney_u`` device), series align on
+    the shared day, and ρ is Pearson on the doubled ranks via exact
+    sufficient statistics (Σa, Σb, Σab, Σa², Σb² as DECIMAL(38,0)
+    folds — scaling both ranks by 2 cancels in ρ). Per-type windows
+    are PARTITIONED by type (state = days-per-series, the bounded
+    calendar, never corpus rows); the pair join is day-aligned with
+    type_a < type_b, bounded by |types|²·days.
+
+    Emits per pair: (type_a, type_b, n_days, rho).
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    per_val = daily.groupBy("event_type", "y").agg(
+        F.count(F.lit(1)).alias("n_v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked_vals = per_val.select(
+        "event_type",
+        "y",
+        (
+            2 * F.coalesce(F.sum("n_v").over(w), F.lit(0))
+            + F.col("n_v")
+            + 1
+        ).alias("r2"),
+    )
+    ranked = daily.join(ranked_vals, ["event_type", "y"]).select(
+        "event_type", "day", F.col("r2").cast("decimal(19,0)").alias("r2")
+    )
+    a = ranked.select(
+        F.col("event_type").alias("type_a"),
+        "day",
+        F.col("r2").alias("ra"),
+    )
+    b = ranked.select(
+        F.col("event_type").alias("type_b"),
+        "day",
+        F.col("r2").alias("rb"),
+    )
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    stats = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("ra").cast("decimal(38,0)").alias("sa"),
+        F.sum("rb").cast("decimal(38,0)").alias("sb"),
+        F.sum(
+            (F.col("ra") * F.col("rb")).cast("decimal(38,0)")
+        ).alias("sab"),
+        F.sum(
+            (F.col("ra") * F.col("ra")).cast("decimal(38,0)")
+        ).alias("saa"),
+        F.sum(
+            (F.col("rb") * F.col("rb")).cast("decimal(38,0)")
+        ).alias("sbb"),
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("sab").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    den = F.sqrt(
+        F.nullif(
+            (
+                n * F.col("saa").cast("double")
+                - F.col("sa").cast("double") * F.col("sa").cast("double")
+            )
+            * (
+                n * F.col("sbb").cast("double")
+                - F.col("sb").cast("double") * F.col("sb").cast("double")
+            ),
+            F.lit(0.0),
+        )
+    )
+    return stats.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.round(num / den, 6).alias("rho"),
+    )
+
+
+def page_hinkley(
+    events: DataFrame, delta: float = 0.0, lam: float = 100.0
+) -> DataFrame:
+    """Page–Hinkley sequential mean-shift detector over daily counts.
+
+    The ONLINE cousin of ``changepoint_cusum`` (CUSUM scans the whole
+    series offline; Page–Hinkley maintains a running statistic a
+    monitor can evaluate at every step): per type, with the running
+    mean x̄_t over the first t days,
+
+        m_t = Σ_{i≤t} (x_i − x̄_i − δ),   PH_t = m_t − min_{i≤t} m_i,
+
+    alarm when PH_t > λ. Every piece is a cumulative window over the
+    per-type DAILY relation (state = days-per-series, bounded by the
+    calendar): running sum → running mean → per-step term (rounded
+    6 dp, folded in exact decimal so m_t is order-independent) →
+    running min. Emits per (event_type, day): (y, ph_stat, alarm).
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_mean = daily.select(
+        "event_type",
+        "day",
+        "y",
+        (
+            F.sum("y").over(w).cast("double")
+            / F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            )
+        ).alias("run_mean"),
+    )
+    term = F.round(
+        F.col("y").cast("double") - F.col("run_mean") - F.lit(delta), 6
+    ).cast("decimal(18,6)")
+    with_m = with_mean.select(
+        "event_type",
+        "day",
+        "y",
+        F.sum(term).over(w).alias("m_t"),
+    )
+    ph = F.round(
+        (
+            F.col("m_t") - F.min("m_t").over(w)
+        ).cast("double"),
+        6,
+    )
+    return with_m.select(
+        "event_type",
+        "day",
+        "y",
+        ph.alias("ph_stat"),
+        F.coalesce(ph > F.lit(lam), F.lit(False)).alias("alarm"),
+    )
+
+
+def permutation_test_mean(
+    events: DataFrame, n_perm: int = 100, seed: int = 23
+) -> DataFrame:
+    """Deterministic randomization test for the base-vs-current mean
+    difference of ``value``.
+
+    The distribution-free companion to ``ab_test_welch`` (no normality
+    assumption at all) and the resampling sibling of
+    ``bootstrap_ci_mean``: under H₀ the slice labels are exchangeable,
+    so re-label rows ``n_perm`` times and ask how often the permuted
+    |mean difference| reaches the observed one. Exact permutation
+    fixes the group sizes — a shuffle no distributed engine replays
+    deterministically — so this runs the standard large-N Monte Carlo
+    RANDOMIZATION form: each row joins pseudo-base in replicate b with
+    probability n_base/N, decided by the portable md5 bucket (the
+    ``bootstrap_ci_mean`` hash-once/slice-8 layout: one digest per
+    ⌈B/8⌉ group, eight 16-bit lanes as conditional aggregates, the
+    whole corpus collapsing map-side to O(B) cells). Replicates that
+    draw an empty side have no mean difference and are excluded; the
+    p-value is the add-one estimator (1 + #extreme)/(1 + m) over the
+    m surviving replicates (the bootstrap surviving-count discipline).
+
+    Emits 1 row: (n_base, n_cur, diff_obs, n_perms, n_extreme,
+    p_value).
+    """
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    sliced = events.select(
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (F.col("ts") < cut).alias("is_base"),
+    )
+    tot = sliced.agg(
+        F.count_if(F.col("is_base")).alias("n_base"),
+        F.count_if(~F.col("is_base")).alias("n_cur"),
+        F.sum("v").alias("s_tot"),
+        F.sum(
+            F.when(F.col("is_base"), F.col("v")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("s_base"),
+    ).withColumn(
+        # Bernoulli threshold at the 16-bit grain, exact integer math
+        "thr",
+        F.expr("(65536 * n_base) div (n_base + n_cur)"),
+    )
+    n_groups = -(-n_perm // 8)
+    grouped = (
+        sliced.select(
+            "v",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_groups - 1))
+            ).alias("bhi"),
+            "event_id",
+        )
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("event_id"), F.col("bhi"), F.lit(seed)
+                )
+            ),
+        )
+        .crossJoin(F.broadcast(tot.select("thr")))
+    )
+    agg_cols = []
+    for i in range(8):
+        s16 = F.conv(F.substring(F.col("h"), i * 4 + 1, 4), 16, 10).cast(
+            "long"
+        )
+        a = (s16 < F.col("thr")).cast("int")
+        agg_cols.append(F.sum(F.col("v") * a).alias(f"sv{i}"))
+        agg_cols.append(F.sum(a.cast("long")).alias(f"sn{i}"))
+    per_group = grouped.groupBy("bhi").agg(*agg_cols)
+    stack = ", ".join(f"{i}, sv{i}, sn{i}" for i in range(8))
+    reps = (
+        per_group.select(
+            "bhi", F.expr(f"stack(8, {stack}) AS (blo, sv, sn)")
+        )
+        .filter(F.col("bhi") * 8 + F.col("blo") < n_perm)
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("sn") > 0)
+            & (F.col("sn") < F.col("n_base") + F.col("n_cur"))
+        )
+        .select(
+            F.round(
+                F.coalesce(F.col("sv"), F.lit(0).cast("decimal(18,2)"))
+                .cast("double")
+                / F.col("sn")
+                - (
+                    F.col("s_tot")
+                    - F.coalesce(
+                        F.col("sv"), F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / (F.col("n_base") + F.col("n_cur") - F.col("sn")),
+                6,
+            ).alias("diff_p")
+        )
+    )
+    obs = tot.select(
+        "n_base",
+        "n_cur",
+        F.round(
+            F.col("s_base").cast("double") / F.nullif(
+                F.col("n_base").cast("double"), F.lit(0.0)
+            )
+            - (F.col("s_tot") - F.col("s_base")).cast("double")
+            / F.nullif(F.col("n_cur").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("diff_obs"),
+    )
+    verdict = reps.crossJoin(F.broadcast(obs)).agg(
+        F.count(F.lit(1)).alias("n_perms"),
+        F.count_if(
+            F.abs(F.col("diff_p")) >= F.abs(F.col("diff_obs"))
+        ).alias("n_extreme"),
+    )
+    return obs.crossJoin(F.broadcast(verdict)).select(
+        "n_base",
+        "n_cur",
+        "diff_obs",
+        "n_perms",
+        "n_extreme",
+        F.round(
+            (1 + F.col("n_extreme"))
+            / (1 + F.col("n_perms")).cast("double"),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def cuped_adjusted_ab(events: DataFrame) -> DataFrame:
+    """CUPED variance-reduced A/B readout over per-user value sums.
+
+    The modern experimentation staple (Deng et al., WSDM'13): each
+    user's PRE-period metric X (value sum before the snapshot cut)
+    predicts their post-period metric Y; regressing it out —
+    Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) pooled across arms —
+    shrinks the metric variance by corr² without biasing the treatment
+    contrast. Arms are the deterministic ``user_id % 2`` split. Scale
+    shape: ONE user-keyed aggregation builds (x, y) in exact decimal,
+    one arm-keyed aggregation folds the five sufficient statistics
+    (Σx, Σy, Σxy, Σx², Σy² — products exact in DECIMAL(38,4)), and θ
+    plus every arm readout is scalar algebra on doubles cast from
+    those exact decimals, rounded 6 dp. A constant-X corpus has no
+    covariate signal: θ is NULL and the CUPED columns stay NULL (the
+    ab_test_welch degenerate discipline).
+
+    Emits per arm: (arm, n_users, mean_y, var_y, theta, mean_y_cuped,
+    var_y_cuped, var_reduction_pct).
+    """
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    vd = F.col("value").cast("decimal(18,2)")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, vd).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, vd).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )).alias("y"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    )
+    arm_stats = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+    )
+    pooled = arm_stats.agg(
+        F.sum("n_users").alias("n"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
+    )
+    n = F.col("n").cast("double")
+    theta = F.round(
+        (F.col("psxy").cast("double")
+         - F.col("psx").cast("double") * F.col("psy").cast("double") / n)
+        / F.nullif(
+            F.col("psxx").cast("double")
+            - F.col("psx").cast("double") * F.col("psx").cast("double") / n,
+            F.lit(0.0),
+        ),
+        6,
+    )
+    xbar = F.round(F.col("psx").cast("double") / n, 6)
+    scal = pooled.select(theta.alias("theta"), xbar.alias("xbar"))
+    na = F.col("n_users").cast("double")
+    mean_y = F.round(F.col("sy").cast("double") / na, 6)
+    mean_x = F.col("sx").cast("double") / na
+    var_y = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / na
+    ) / F.nullif(na - 1, F.lit(0.0))
+    cov_a = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / na
+    ) / F.nullif(na - 1, F.lit(0.0))
+    var_x = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / na
+    ) / F.nullif(na - 1, F.lit(0.0))
+    var_y_c = var_y - 2 * F.col("theta") * cov_a + F.col(
+        "theta"
+    ) * F.col("theta") * var_x
+    return arm_stats.crossJoin(F.broadcast(scal)).select(
+        "arm",
+        "n_users",
+        mean_y.alias("mean_y"),
+        F.round(var_y, 6).alias("var_y"),
+        "theta",
+        F.round(
+            mean_y - F.col("theta") * (mean_x - F.col("xbar")), 6
+        ).alias("mean_y_cuped"),
+        F.round(var_y_c, 6).alias("var_y_cuped"),
+        F.round(
+            100.0 * (1.0 - var_y_c / F.nullif(var_y, F.lit(0.0))), 6
+        ).alias("var_reduction_pct"),
+    )

@@ -651,13 +651,7 @@ def holt_linear_forecast(events: DataFrame) -> DataFrame:
         StructType,
     )
 
-    daily = (
-        events.groupBy(
-            "event_type",
-            F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
-        )
-        .agg(F.count(F.lit(1)).alias("y"))
-    )
+    daily = _daily_counts(events)
 
     schema = StructType(
         [
@@ -715,10 +709,7 @@ HW_GAMMA = "0.2"
 
 def _daily_counts(events: DataFrame) -> DataFrame:
     """(event_type, day, y) daily-count rollup shared by the trend/
-    forecast family. Round-11 note: ``holt_linear_forecast`` carries a
-    byte-identical inline copy that folds into this helper at the
-    round-10 ledger ingest (editing it now would stale a below-window
-    green with the window already full)."""
+    forecast family (Holt linear, Holt–Winters, isotonic PAVA)."""
     return events.groupBy(
         "event_type",
         F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
@@ -728,11 +719,7 @@ def _daily_counts(events: DataFrame) -> DataFrame:
 def holt_winters_dow(events: DataFrame, period: int = 7) -> DataFrame:
     """Additive Holt–Winters smoothing of daily counts, dow seasonality.
 
-    ROUND-11 STAGING (docs/ROADMAP.md frontier #2): implemented and
-    planted-tested ahead of the next rotation window; registration +
-    the DuckDB list-recursive oracle twin land with the round-10
-    ingest. The triple-exponential extension of
-    ``holt_linear_forecast``:
+    The triple-exponential extension of ``holt_linear_forecast``:
 
         l_t = α·(y_t − s_{t−p}) + (1−α)·(l_{t−1} + b_{t−1})
         b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}

@@ -1680,3 +1680,276 @@ def tfidf_cosine_pairs(
         F.col("cosine").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
     ).limit(top_k)
     return top
+
+
+#: Gopher's repetition/quality stopword probe (Rae et al. 2021 §A1.1):
+#: a document must contain at least 2 of these 8 words to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(documents: DataFrame) -> DataFrame:
+    """Gopher rule-based quality gates (Rae et al. 2021, appendix A) —
+    the documented-rule companion to the engine's generic
+    ``quality_filter`` heuristics: per document, the word-count band
+    [50, 100k], mean word length band [3, 10], symbol-to-word ratio
+    (# or …) ≤ 0.1, ≥ 80% of words containing an alphabetic
+    character, and ≥ 2 of Gopher's 8 probe stopwords present. (The
+    bullet-line / ellipsis-line rules need line structure the
+    single-line fixture text cannot carry and are intentionally
+    omitted.) Everything is one projection of JVM higher-order
+    functions over the shared whitespace tokenization — scan speed,
+    zero shuffles, 100 TB-safe by construction.
+
+    Emits per doc: (doc_id, n_words, mean_word_len, symbol_ratio,
+    alpha_ratio, n_stop_hits, rule_word_count, rule_mean_word_len,
+    rule_symbol_ratio, rule_alpha_ratio, rule_stopwords, pass_gopher).
+    """
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_len = F.round(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    n_symbols = F.size(
+        F.filter(words, lambda w: w.rlike("[#…]"))
+    )
+    symbol_ratio = F.round(n_symbols.cast("double") / n_words, 6)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_ratio = F.round(n_alpha.cast("double") / n_words, 6)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    base = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stop_hits"),
+    )
+    r_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+    r_mwl = (F.col("mean_word_len") >= 3.0) & (
+        F.col("mean_word_len") <= 10.0
+    )
+    r_sym = F.col("symbol_ratio") <= 0.1
+    r_alpha = F.col("alpha_ratio") >= 0.8
+    r_stop = F.col("n_stop_hits") >= 2
+    return base.select(
+        "*",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_ratio"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("pass_gopher"),
+    )
+
+
+def paragraph_dedup(
+    documents: DataFrame, seg_words: int = 10, min_docs: int = 3
+) -> DataFrame:
+    """Sub-document exact dedup: drop text segments that repeat across
+    the corpus (the Falcon/RefinedWeb repeated-line removal, adapted
+    to the fixture's line-less text as fixed 10-word segments).
+
+    Document-level dedup keeps one copy of a page but leaves shared
+    boilerplate (headers, legal footers) inside every survivor; this
+    operator fingerprints each segment (md5) and removes segments
+    whose fingerprint occurs in ≥ ``min_docs`` DISTINCT documents.
+    Scale shape: one posexplode to the (doc, idx, fp) segment relation,
+    ONE fp-keyed distinct-doc aggregation for the document frequency
+    (postings-sized, never corpus²), one join back, and a doc-keyed
+    rollup that reassembles the kept text in segment order (the
+    surviving text is pinned as an md5, not shipped). Deterministic by
+    construction — no sampling, no hashing beyond md5.
+
+    Emits per doc: (doc_id, n_paras, n_dup_paras, clean_fp).
+    """
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = documents.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_seg - 1)).alias("idx", "_"),
+        words.alias("w"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.concat_ws(
+            " ", F.slice(F.col("w"), F.col("idx") * seg_words + 1, seg_words)
+        ).alias("seg"),
+    ).select("doc_id", "idx", "seg", F.md5("seg").alias("fp"))
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    segs = _materialize(segs)
+    docfreq = (
+        segs.select("doc_id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    flagged = segs.join(docfreq, "fp").select(
+        "doc_id",
+        "idx",
+        "seg",
+        (F.col("df") >= min_docs).alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.count_if(F.col("is_dup")).alias("n_dup_paras"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("is_dup"),
+                                    F.struct("idx", "seg"),
+                                )
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                )
+            ).alias("clean_fp"),
+        )
+    )
+
+
+def ccnet_perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets by LM perplexity.
+
+    CCNet (Wenzek et al. 2020) sorts a crawl by language-model
+    perplexity and splits it into equal THIRDS — head (lowest
+    perplexity, highest quality) feeds training first. Built directly
+    on ``unigram_perplexity``'s per-doc bits: the two tercile cutoffs
+    are exact order statistics (k = ⌈n/3⌉, ⌈2n/3⌉ — the winsorize
+    discrete-quantile convention) located on the DISTINCT-bits
+    relation via the range-partitioned cumsum (no global row_number
+    over the corpus — the ``_range_cumsum`` scale posture), broadcast
+    back as two scalars; every doc with bits ≤ cutoff joins the lower
+    bucket, so ties share a bucket deterministically.
+
+    Emits per doc: (doc_id, n_tokens, bits_per_token, bucket).
+    """
+    from big_data_trend_analysis_spark.operators.drift import _range_cumsum
+
+    ppl = unigram_perplexity(documents).localCheckpoint()
+    per_bits = ppl.groupBy("bits_per_token").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    cum = _range_cumsum(per_bits, "bits_per_token", ["n_b"])
+    n_rel = cum.agg(F.sum("n_b").alias("n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(n_rel))
+        .select(
+            "bits_per_token",
+            "cum_n_b",
+            F.expr("(n + 2) div 3").alias("k1"),
+            F.expr("(2 * n + 2) div 3").alias("k2"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_n_b") >= F.col("k1"),
+                    F.col("bits_per_token"),
+                )
+            ).alias("cut1"),
+            F.min(
+                F.when(
+                    F.col("cum_n_b") >= F.col("k2"),
+                    F.col("bits_per_token"),
+                )
+            ).alias("cut2"),
+        )
+    )
+    return ppl.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "bits_per_token",
+        F.when(F.col("bits_per_token") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("bits_per_token") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def dsir_importance_weights(
+    documents: DataFrame, target_source: str = "src0"
+) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023).
+
+    Data Selection with Importance Resampling scores every raw
+    document by how much more likely its features are under a TARGET
+    domain's bag-of-ngrams LM than under the raw-pool LM — then
+    resamples by that weight. Here the target is the ``target_source``
+    slice and features are the shared whitespace unigrams: two
+    add-1-smoothed LMs over the union vocabulary V (p(w) =
+    (c_w+1)/(N+V)), and each document's log importance weight is
+    Σ_tokens ln(p_target/p_pool), per-token terms rounded 6 dp and
+    folded in exact decimal. Scale shape: the corpus collapses ONCE to
+    the vocab-sized count relation (both LMs are columns of it), the
+    per-token log-ratio joins back against the token stream, one
+    doc-keyed rollup — at 100 TB the vocab relation is the only state
+    and the corpus is scanned twice (LM build + scoring), the DSIR
+    paper's own layout.
+
+    Emits per doc: (doc_id, n_tokens, log_weight, avg_log_ratio).
+    """
+    toks = documents.select(
+        "doc_id",
+        (F.col("source") == target_source).alias("is_target"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    cnts = (
+        toks.groupBy("token")
+        .agg(
+            F.count_if(F.col("is_target")).alias("c_t"),
+            F.count(F.lit(1)).alias("c_all"),
+        )
+        .localCheckpoint()
+    )
+    totals = cnts.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_all").alias("n_all"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio = (
+        cnts.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.round(
+                F.log(
+                    (F.col("c_t") + 1).cast("double")
+                    / (F.col("n_t") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_all") + 1).cast("double")
+                    / (F.col("n_all") + F.col("v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    return (
+        toks.join(ratio, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr").cast("double").alias("log_weight"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "log_weight",
+            F.round(
+                F.col("log_weight") / F.col("n_tokens"), 6
+            ).alias("avg_log_ratio"),
+        )
+    )

@@ -280,11 +280,15 @@ def theil_sen_slope(events: DataFrame) -> DataFrame:
 def isotonic_daily_fit(events: DataFrame) -> DataFrame:
     """Isotonic (non-decreasing) regression of each type's daily counts.
 
-    ROUND-11 STAGING (docs/ROADMAP.md frontier #3): implemented and
-    planted-tested ahead of the next rotation window; registration +
-    the planted ``*_check`` twin land with the round-10 ingest (PAVA
-    is inherently sequential — no SQL oracle exists, so the gate will
-    be the rows-only + hash-gated-check pattern of the dedup family).
+    Gate note: PAVA's sequential pooling has no direct SQL replay, but
+    its FIT VALUES do — the minimax identity fit_i = max_{j≤i}
+    min_{k≥i} avg(y[j..k]) (Robertson/Wright/Dykstra, *Order
+    Restricted Statistical Inference*) is pure prefix-sum arithmetic,
+    so the registered query projects (event_type, day, y, fit) and is
+    HASH-verified against a DuckDB minimax oracle (O(n³) pairs per
+    series is trivial at the fixture's bounded 30-day calendar; block
+    bookkeeping stays a library/pytest concern because equal-mean
+    adjacent blocks are a PAVA-order artifact no formula recovers).
 
     The monotone-trend fitter beside ``theil_sen_slope`` (Theil–Sen
     summarizes ONE slope; isotonic fits the whole monotone curve —

@@ -498,3 +498,42 @@ def rolling_active_users(events: DataFrame, span_days: int = 7) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+def user_activity_islands(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks.
+
+    The engagement archetype the rolling/retention family doesn't
+    cover (``rolling_active_users`` counts who is active; streaks ask
+    HOW CONTIGUOUSLY): the classic row_number trick — for a user's
+    distinct active days in order, ``day − row_number`` is constant
+    exactly within a run of consecutive days, so it is the island key.
+    ONE user-keyed shuffle serves the distinct, the window and the
+    island rollup (all three partition on user_id); per-user output,
+    never corpus-sized. Longest-streak ties break on the EARLIEST
+    start (deterministic on both engines).
+
+    Emits per user: (user_id, n_active_days, n_streaks,
+    longest_streak, longest_streak_start).
+    """
+    days = events.select(
+        "user_id", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    keyed = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island"),
+    )
+    islands = keyed.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.min_by(
+            "start", F.struct(-F.col("len"), F.col("start"))
+        ).alias("longest_streak_start"),
+    )

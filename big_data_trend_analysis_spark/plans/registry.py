@@ -3301,6 +3301,123 @@ def _stream_restart_recovery_live(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _isotonic_daily_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic PAVA fit, hash-verified via the minimax identity.
+
+    Projects (event_type, day, y, fit) from the PAVA operator — the
+    fit values admit an exact SQL replay through fit_i = max_{j≤i}
+    min_{k≥i} avg(y[j..k]) (prefix-sum arithmetic, O(n³) pairs per
+    series over the fixture's bounded 30-day calendar), so the
+    sequential pooling is gated by a full hash oracle rather than the
+    rows-only + planted-twin fallback. Block bookkeeping (block_id,
+    n_blocks) stays in the library function under pytest: equal-mean
+    adjacent blocks are a pooling-order artifact no closed formula
+    recovers.
+    """
+    from big_data_trend_analysis_spark.operators.trend import (
+        isotonic_daily_fit,
+    )
+
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    return isotonic_daily_fit(events).select(
+        "event_type", "day", "y", "fit"
+    )
+
+
+def _stream_rate_limited_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxFilesPerTrigger backpressure accounting pinned through a real
+    multi-batch drain (ROADMAP frontier #4 — the last unpinned
+    streaming-ops property: every other ``*_live`` gate ASSUMES the
+    one-file-per-trigger admission it was built on; this one proves it).
+
+    All three event_id % 3 split files sit in the source directory
+    BEFORE the query starts; ``maxFilesPerTrigger=1`` under an
+    availableNow trigger must then admit exactly one file per
+    micro-batch. The per-batch admission ledger comes from the query's
+    own progress telemetry (numInputRows per batchId) and is pinned
+    against the oracle's per-residue counts: (a) the number of
+    data-carrying micro-batches equals the file count — two files
+    admitted in one trigger collapses a batch; (b) the multiset of
+    per-batch input-row counts equals the multiset of per-file row
+    counts — any coalesced admission would emit a summed count no
+    residue slice has; (c) the complete-mode keyed state after the
+    drain equals the plain batch aggregate — rate limiting must not
+    lose or double rows. Emits one row per micro-batch, rows-ranked,
+    with the batch-count flag and final-state scalars repeated.
+
+    At 100 TB this is the knob that keeps a backlogged file source
+    from admitting the whole backlog into one monster micro-batch;
+    the gate pins the admission contract the capacity planning
+    relies on.
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.streaming.sources import (
+        EVENT_STREAM_BATCHES,
+        _split_events_dir,
+    )
+
+    tune_session(spark)
+    split_dir = _split_events_dir(sf_dir, EVENT_STREAM_BATCHES)
+    ddl = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    name = f"rate_limited_{uuid.uuid4().hex[:12]}"
+    with _stream_partitions(spark):
+        ev = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "batch*.parquet")
+            .parquet(split_dir)
+        )
+        q = (
+            ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        progress = [
+            (
+                int(p["batchId"] if isinstance(p, dict) else p.batchId),
+                int(
+                    p["numInputRows"]
+                    if isinstance(p, dict)
+                    else p.numInputRows
+                ),
+            )
+            for p in q.recentProgress
+        ]
+        q.stop()
+    data_batches = sorted(n for _, n in progress if n > 0)
+    ledger = spark.createDataFrame(
+        [
+            (i + 1, n, len(data_batches))
+            for i, n in enumerate(data_batches)
+        ],
+        "batch_rank int, batch_rows long, n_batches int",
+    )
+    state = spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_state_types"),
+        F.sum("n_events").cast("long").alias("state_total_rows"),
+    )
+    return ledger.select(
+        "batch_rank",
+        "batch_rows",
+        "n_batches",
+        (F.col("n_batches") == EVENT_STREAM_BATCHES).alias(
+            "one_file_per_trigger"
+        ),
+    ).crossJoin(F.broadcast(state))
+
+
 def _dpp_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning proven in-gate — the fourth optimizer
     proof beside ``runtime_filter_join`` (bloom), ``aqe_skew_join_check``
@@ -4283,6 +4400,21 @@ QUERIES: dict[str, QueryFn] = {
     # Ordering is enforced by tests/test_rotation_policy.py against
     # tools/green_ledger.json: every entry that is new or changed since
     # its last green driver row MUST sit inside the window.
+    # NEW in round 11: the staged statistics tier registers (ROADMAP
+    # frontier #1-#4) — additive day-of-week Holt-Winters against the
+    # DuckDB list-recursive decimal-ring CTE, isotonic PAVA hash-gated
+    # through the minimax identity, and the maxFilesPerTrigger
+    # admission-ledger streaming gate.
+    "holt_winters_dow": _q(temporal.holt_winters_dow, "events"),
+    "isotonic_daily_fit": _isotonic_daily_fit,
+    "stream_rate_limited_live": _stream_rate_limited_live,
+    # CHANGED in round 11 (ADVICE r10 / VERDICT directives):
+    # ab_test_welch gates on the Welch-df t quantile (t_crit_975) and
+    # emits t_crit; ks_test_check shares the new range-partitioned
+    # cumsum + NULL guard with mann_whitney_u (both re-enter);
+    # holt_linear_forecast folded onto temporal._daily_counts.
+    "ab_test_welch": _q(drift.ab_test_welch, "lineitem"),
+    "ks_test_check": _q(drift.ks_test_check, "events"),
     # CHANGED in round 10: sources/txnlog.py gained restore() +
     # compact() (Delta RESTORE / OPTIMIZE) — the whole txnlog family
     # shares that source closure and re-enters the window.
@@ -4405,32 +4537,28 @@ QUERIES: dict[str, QueryFn] = {
     "rolling_active_users": _q(windows.rolling_active_users, "events"),
     "doc_chunking": _q(textstats.doc_chunking, "documents"),
     "tfidf_cosine_pairs": _q(textstats.tfidf_cosine_pairs, "documents"),
+    # changepoint_cusum re-enters: its fingerprint closure cites
+    # ks_test_check (changed this round) via its docstring reference.
+    "changepoint_cusum": _q(drift.changepoint_cusum, "events"),
+    # ---- end of the 50-entry driver window ----
+    # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
+    # green_ledger.WINDOW. Everything below is unchanged since its
+    # last green driver row, which the fingerprint ledger certifies.)
+    # Rotated out in round 11 (unchanged since their r10 green rows;
+    # fingerprint ledger certifies): the r10 third-batch rows and the
+    # r9 filler displaced by the round-11 statistics tier.
     "embed_random_projection": _q(
         similarity.embed_random_projection, "embeddings"
     ),
-    # Unchanged r9 green filling the window to exactly 50 (its
-    # round-10 row refreshes the ledger alongside the new batch).
     "event_paths_topk": _q(temporal.event_paths_topk, "events"),
-    # NEW in round 10 (third batch): the SIXTH optimizer proof (AQE
-    # runtime SMJ→broadcast join switch), Iceberg-style manifest
-    # zone-map file skipping + the DESCRIBE HISTORY introspection on
-    # the txnlog, and exact-rank quantile normalization (the
-    # batch-effect remover beside winsorize/standardize).
     "aqe_join_switch_check": _aqe_join_switch_check,
     "txnlog_stats_skipping": _txnlog_stats_skipping,
     "txnlog_history_table": _txnlog_history_table,
     "quantile_normalization": _q(aggregates.quantile_normalization, "events"),
-    # ---- end of the 50-entry driver window ----
-    # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
-    # green_ledger.WINDOW. Everything below is unchanged since its
-    # last green driver row, which the fingerprint ledger certifies;
-    # the round-8/9 rows directly below rotated out this round to
-    # make room for the round-10 second batch.)
     # Rotated out in round 10 (unchanged since their r9 green rows;
     # fingerprint ledger certifies): the round-8/9 promotions and the
-    # r9 gate rows whose sources this round did not touch, plus the
+    # r9 gate rows whose sources round 10 did not touch, plus the
     # r9 fillers displaced by the fourth batch.
-    "changepoint_cusum": _q(drift.changepoint_cusum, "events"),
     "autocorr_daily": _q(drift.autocorr_daily, "events"),
     "theil_sen_slope": _q(trend.theil_sen_slope, "events"),
     "collocation_llr": _q(textstats.collocation_llr, "documents"),
@@ -4438,7 +4566,6 @@ QUERIES: dict[str, QueryFn] = {
     "quality_classifier_score": _q(textstats.quality_classifier_score, "documents"),
     "seasonal_adjust_dow": _q(drift.seasonal_adjust_dow, "events"),
     "k_anonymity_check": _q(relational.k_anonymity_check, "events"),
-    "ab_test_welch": _q(drift.ab_test_welch, "lineitem"),
     "standardize_features": _q(aggregates.standardize_features, "events"),
     "survival_km": _q(temporal.survival_km, "events"),
     "rfm_segmentation": _q(temporal.rfm_segmentation, "orders"),
@@ -4455,7 +4582,6 @@ QUERIES: dict[str, QueryFn] = {
     "dpp_check": _dpp_check,
     "semdedup_check": _q(similarity.semdedup_check, "embeddings"),
     "window_navigation_suite": _q(windows.window_navigation_suite, "events"),
-    "ks_test_check": _q(drift.ks_test_check, "events"),
     "mutual_information": _q(drift.mutual_information, "events"),
     "bpe_encode_check": _q(textstats.bpe_encode, "documents"),
     "ann_recall_check": _q(similarity.ann_recall_check, "embeddings"),
@@ -8611,6 +8737,152 @@ ORACLE_SQL: dict[str, str] = {
                CAST(trend AS DOUBLE) AS trend,
                CAST(level + trend AS DOUBLE) AS one_step_ahead
         FROM rec
+    """,
+    # Replays holt_winters_dow exactly: per-type calendar densification
+    # (y = 0 observations keep the positional ring in phase), textbook
+    # first-season init, then the list-recursive decimal ring — the
+    # DECIMAL(2,1) literals 0.5/0.3/0.2 keep every product exact, and
+    # DuckDB round() on DECIMAL is half-up, matching the engine's
+    # Decimal quantize(ROUND_HALF_UP). one_step_ahead reads the NEW
+    # ring's head (= the seasonal slot for day t+1).
+    "holt_winters_dow": """
+        WITH RECURSIVE counts AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+        span AS (
+            SELECT event_type, MIN(day) AS d0, MAX(day) AS d1,
+                   date_diff('day', MIN(day), MAX(day)) + 1 AS n
+            FROM counts GROUP BY 1),
+        cal AS (
+            SELECT s.event_type, CAST(t.d AS DATE) AS day,
+                   ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                      ORDER BY CAST(t.d AS DATE)) AS t
+            FROM span s,
+                 unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                                        CAST(s.d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) AS t(d)
+            WHERE s.n >= 14),
+        dense AS (
+            SELECT cal.event_type, cal.day, cal.t,
+                   CAST(COALESCE(c.c, 0) AS DECIMAL(18,6)) AS y
+            FROM cal LEFT JOIN counts c
+              ON c.event_type = cal.event_type AND c.day = cal.day),
+        init AS (
+            SELECT event_type,
+                   CAST(round(SUM(CASE WHEN t <= 7 THEN y END) / 7, 6)
+                        AS DECIMAL(18,6)) AS mean1,
+                   CAST(round(SUM(CASE WHEN t > 7 AND t <= 14 THEN y END)
+                              / 7, 6) AS DECIMAL(18,6)) AS mean2
+            FROM dense GROUP BY 1),
+        ring0 AS (
+            SELECT d.event_type,
+                   list(CAST(round(d.y - i.mean1, 6) AS DECIMAL(18,6))
+                        ORDER BY d.t) AS ring
+            FROM dense d JOIN init i USING (event_type)
+            WHERE d.t <= 7 GROUP BY 1),
+        rec AS (
+            SELECT d.event_type, d.t, d.day, d.y,
+                   i.mean1 AS level,
+                   CAST(round((i.mean2 - i.mean1) / 7, 6)
+                        AS DECIMAL(18,6)) AS trend,
+                   r0.ring AS ring,
+                   r0.ring[7] AS seasonal
+            FROM dense d
+            JOIN init i USING (event_type)
+            JOIN ring0 r0 USING (event_type)
+            WHERE d.t = 7
+            UNION ALL
+            SELECT q.event_type, q.t, q.day, q.y,
+                   q.level2 AS level,
+                   CAST(round(0.3 * (q.level2 - q.level) + 0.7 * q.trend, 6)
+                        AS DECIMAL(18,6)) AS trend,
+                   list_append(q.ring[2:7],
+                       CAST(round(0.2 * (q.y - q.level2) + 0.8 * q.ring[1],
+                                  6) AS DECIMAL(18,6))) AS ring,
+                   CAST(round(0.2 * (q.y - q.level2) + 0.8 * q.ring[1], 6)
+                        AS DECIMAL(18,6)) AS seasonal
+            FROM (
+                SELECT d.event_type, d.t, d.day, d.y, r.level, r.trend,
+                       r.ring,
+                       CAST(round(0.5 * (d.y - r.ring[1])
+                                  + 0.5 * (r.level + r.trend), 6)
+                            AS DECIMAL(18,6)) AS level2
+                FROM rec r
+                JOIN dense d
+                  ON d.event_type = r.event_type AND d.t = r.t + 1
+            ) q)
+        SELECT event_type, day, CAST(y AS DOUBLE) AS y,
+               CAST(level AS DOUBLE) AS level,
+               CAST(trend AS DOUBLE) AS trend,
+               CAST(seasonal AS DOUBLE) AS seasonal,
+               CAST(level + trend + ring[1] AS DOUBLE) AS one_step_ahead
+        FROM rec
+    """,
+    # Replays the PAVA fit through the minimax identity fit_i =
+    # max_{j<=i} min_{k>=i} avg(y[j..k]) on prefix sums — O(n^3) pairs
+    # per series, trivial on the fixture's bounded 30-day calendar.
+    # The attained value IS the pooled block mean as a rational, so
+    # the double min/max lands on the identical IEEE value the engine
+    # computes, and the floor(x*1e6 + 0.5) quantization mirrors the
+    # operator's tie discipline op for op.
+    "isotonic_daily_fit": """
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(date_trunc('day', ts)
+                                                    AS DATE)) AS t
+            FROM events GROUP BY 1, 2),
+        ps AS (
+            SELECT event_type, day, y, t,
+                   SUM(y) OVER (PARTITION BY event_type ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS s
+            FROM daily),
+        pairs AS (
+            SELECT a.event_type, a.t AS j, b.t AS k,
+                   CAST(b.s - a.s + a.y AS DOUBLE) / (b.t - a.t + 1) AS m
+            FROM ps a JOIN ps b
+              ON b.event_type = a.event_type AND b.t >= a.t),
+        mins AS (
+            SELECT p.event_type, i.t AS ti, i.day, i.y, p.j,
+                   MIN(p.m) AS mn
+            FROM pairs p
+            JOIN daily i ON i.event_type = p.event_type
+                        AND p.j <= i.t AND i.t <= p.k
+            GROUP BY 1, 2, 3, 4, 5),
+        fit AS (
+            SELECT event_type, day, y, MAX(mn) AS fv
+            FROM mins GROUP BY 1, 2, 3)
+        SELECT event_type, day, y,
+               floor(fv * 1000000 + 0.5) / 1000000 AS fit
+        FROM fit
+    """,
+    # Replays the rate-limited drain's admission ledger: with all
+    # three event_id % 3 files present before the query starts,
+    # maxFilesPerTrigger=1 must admit exactly one file per micro-batch
+    # — so the data-carrying batch count equals the file count and the
+    # per-batch input-row multiset equals the per-residue counts.
+    "stream_rate_limited_live": """
+        WITH per AS (
+            SELECT CAST(event_id % 3 AS INTEGER) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1),
+        tot AS (
+            SELECT CAST(COUNT(*) AS INTEGER) AS n_batches FROM per),
+        st AS (
+            SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                       AS n_state_types,
+                   CAST(COUNT(*) AS BIGINT) AS state_total_rows
+            FROM events)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c) AS INTEGER)
+                   AS batch_rank,
+               c AS batch_rows,
+               n_batches,
+               n_batches = 3 AS one_file_per_trigger,
+               n_state_types,
+               state_total_rows
+        FROM per, tot, st
     """,
     "referential_integrity_check": _RI_ORACLE,
     "dedup_exact_normalized": """

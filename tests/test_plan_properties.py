@@ -140,6 +140,9 @@ CROSS_JOIN_ALLOWED = {
     "tfidf_cosine_pairs",
     # (vec, dim) components × broadcast 8-row lane spine + 1-row √d
     "embed_random_projection",
+    # --- round 11 ---
+    # 3-row admission ledger × broadcast 1-row final-state scalars
+    "stream_rate_limited_live",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any

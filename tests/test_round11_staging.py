@@ -1,9 +1,11 @@
-"""Round-11 staging tests (docs/ROADMAP.md "Round-11 frontier").
+"""Round-11 statistics-tier tests.
 
-These pin pieces built ahead of the next rotation window: they are
-library code with tests, NOT yet wired into any gate query (the
-round-10 driver window closed full, so wiring waits for the round-10
-ledger ingest).
+Staged in round 10 as library code (the driver window had closed
+full), REGISTERED in round 11: t_crit_975 now gates ab_test_welch,
+holt_winters_dow and isotonic_daily_fit are oracle-backed registry
+entries, and the ADVICE-r10 fixes (surviving-replicate bootstrap
+indices, nullable-FK referential integrity, range-partitioned rank
+statistics) are pinned here.
 """
 
 from __future__ import annotations
@@ -226,3 +228,123 @@ def test_holt_winters_densifies_calendar_gaps(spark):
     fits = sorted(last7, key=lambda r: r.seasonal)
     expect = sorted(last7, key=lambda r: planted[r.day.isoformat()])
     assert [r.day for r in fits] == [r.day for r in expect]
+
+
+def test_ri_check_excludes_null_fks_on_both_engines(spark):
+    """ADVICE r10 (medium): a NULL child key must not count as an
+    orphan — on the ENGINE (isNotNull accounting) and in the ORACLE
+    (the orphan subquery's DISTINCT now filters IS NOT NULL). TPC-H
+    FKs are non-null, so this pins the parity on a synthetic
+    nullable-FK corpus."""
+    import pandas as pd
+
+    from big_data_trend_analysis_spark.operators.relational import (
+        referential_integrity_check,
+    )
+    from big_data_trend_analysis_spark.plans.registry import _RI_ORACLE
+    from tests.oracle_utils import assert_results_match, run_spark
+
+    tables = {
+        # one NULL l_orderkey, one real orphan (99), one NULL partkey
+        "lineitem": pd.DataFrame(
+            {
+                "l_orderkey": [1, 2, None, 99],
+                "l_partkey": [10, None, 10, 11],
+                "l_suppkey": [100, 100, 101, 101],
+            }
+        ),
+        "orders": pd.DataFrame(
+            {"o_orderkey": [1, 2, 3], "o_custkey": [7, None, 8]}
+        ),
+        "customer": pd.DataFrame({"c_custkey": [7, 8], "c_nationkey": [1, None]}),
+        "part": pd.DataFrame({"p_partkey": [10, 11]}),
+        "supplier": pd.DataFrame({"s_suppkey": [100, 101], "s_nationkey": [1, 2]}),
+        "nation": pd.DataFrame({"n_nationkey": [1, 2, 3]}),
+    }
+    sdfs = {
+        n: spark.createDataFrame(df.astype("Int64").astype(object))
+        for n, df in tables.items()
+    }
+    out = referential_integrity_check(
+        sdfs["lineitem"], sdfs["orders"], sdfs["customer"],
+        sdfs["part"], sdfs["supplier"], sdfs["nation"],
+    )
+    rows = {r.relation: r for r in out.collect()}
+    lo = rows["lineitem.l_orderkey->orders"]
+    # NULL is not a key, not an orphan; 99 is a real orphan
+    assert (lo.child_keys, lo.orphan_keys) == (3, 1)
+    oc = rows["orders.o_custkey->customer"]
+    assert (oc.child_keys, oc.orphan_keys) == (2, 0)
+    # oracle replays identically on the same frames
+    import duckdb
+
+    con = duckdb.connect()
+    for n, df in tables.items():
+        con.register(n, df)
+    oracle_res = con.execute(_RI_ORACLE)
+    assert_results_match(
+        run_spark(out),
+        ([d[0] for d in oracle_res.description], oracle_res.fetchall()),
+        "referential_integrity_check/nullable",
+    )
+
+
+def test_bootstrap_ci_indices_follow_surviving_replicates(spark):
+    """ADVICE r10: with a tiny corpus some Poisson replicates draw no
+    rows and are excluded; the CI order-statistic indices must follow
+    the SURVIVING count m — under the old fixed ceil(.975*B) rank the
+    top index vanishes and ci_hi silently collapses onto ci_lo."""
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        bootstrap_ci_mean,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 10.0), (2, 50.0)], "event_id long, value double"
+    )
+    r = bootstrap_ci_mean(ev).collect()[0]
+    assert r.ci_lo is not None and r.ci_hi is not None
+    # both rows deterministically enter some replicates alone, so the
+    # extreme replicate means straddle the observed mean
+    assert r.ci_lo < r.ci_hi
+    assert 10.0 <= r.ci_lo <= r.mean_obs <= r.ci_hi <= 50.0
+
+
+def test_range_cumsum_matches_single_window_and_partitioning(spark):
+    """The rank statistics' distributed cumsum (feature_binning's
+    shape, extracted): inclusive cumulative sums over the global value
+    order must equal the single-window form and be invariant to input
+    partitioning and to where the range boundaries fall."""
+    import random
+
+    from pyspark.sql import Window
+
+    from big_data_trend_analysis_spark.operators.drift import _range_cumsum
+
+    rng = random.Random(11)
+    rows = [
+        (round(rng.uniform(0, 50), 2), rng.randint(0, 5), rng.randint(0, 3))
+        for _ in range(500)
+    ]
+    # duplicate values collapse first (the per-value relation contract)
+    df = (
+        spark.createDataFrame(rows, "value double, a long, b long")
+        .groupBy("value")
+        .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        r.value: (r.ca, r.cb)
+        for r in df.select(
+            "value",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        ).collect()
+    }
+    for n_parts in (1, 4, 32):
+        got = {
+            r.value: (r.cum_a, r.cum_b)
+            for r in _range_cumsum(
+                df.repartition(7), "value", ["a", "b"], n_parts=n_parts
+            ).collect()
+        }
+        assert got == expect, n_parts
