@@ -1250,6 +1250,15 @@ def permutation_test_mean(
         # Bernoulli threshold at the 16-bit grain, exact integer math
         "thr",
         F.expr("(65536 * n_base) div (n_base + n_cur)"),
+    ).withColumn(
+        # fixed-width lowercase hex compares lexicographically ==
+        # numerically (the bootstrap_ci_mean trick), so the per-lane
+        # assignment is ONE string compare instead of a radix parse —
+        # measured: conv() per lane cost the corpus×13 fan ~30%.
+        # least(…, 65535) only binds when one slice is empty, where
+        # every replicate is excluded anyway.
+        "thr_hex",
+        F.format_string("%04x", F.least(F.col("thr"), F.lit(65535))),
     )
     n_groups = -(-n_perm // 8)
     grouped = (
@@ -1268,14 +1277,13 @@ def permutation_test_mean(
                 )
             ),
         )
-        .crossJoin(F.broadcast(tot.select("thr")))
+        .crossJoin(F.broadcast(tot.select("thr_hex")))
     )
     agg_cols = []
     for i in range(8):
-        s16 = F.conv(F.substring(F.col("h"), i * 4 + 1, 4), 16, 10).cast(
-            "long"
-        )
-        a = (s16 < F.col("thr")).cast("int")
+        a = (
+            F.substring(F.col("h"), i * 4 + 1, 4) < F.col("thr_hex")
+        ).cast("int")
         agg_cols.append(F.sum(F.col("v") * a).alias(f"sv{i}"))
         agg_cols.append(F.sum(a.cast("long")).alias(f"sn{i}"))
     per_group = grouped.groupBy("bhi").agg(*agg_cols)
@@ -1428,4 +1436,108 @@ def cuped_adjusted_ab(events: DataFrame) -> DataFrame:
         F.round(
             100.0 * (1.0 - var_y_c / F.nullif(var_y, F.lit(0.0))), 6
         ).alias("var_reduction_pct"),
+    )
+
+
+def mcnemar_test(
+    events: DataFrame, threshold: float = 7.0
+) -> DataFrame:
+    """McNemar's test for PAIRED proportion change: per user, did the
+    high-value behavior (any event with ``value`` ≥ ``threshold``)
+    flip between the baseline and current periods?
+
+    The paired companion to ``proportions_ztest`` (unpaired z treats
+    the slices as independent samples; when the SAME users appear in
+    both periods the discordant-pair test is the correct — and far
+    more powerful — readout): with b = users converted pre-only and
+    c = post-only, χ² = (|b − c| − 1)²/(b + c) (the classic continuity
+    correction), gated at χ²(0.95, 1). ONE user-keyed aggregation
+    collapses the corpus to four exact cells; b + c = 0 (no discordant
+    pairs) yields NULL χ² and no rejection.
+
+    Emits 1 row: (n_users, n_both, n_pre_only, n_post_only, n_neither,
+    chi2, reject).
+    """
+    cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
+    hi = F.col("value") >= threshold
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.when((F.col("ts") < cut) & hi, 1).otherwise(0)).alias(
+            "pre"
+        ),
+        F.max(
+            F.when((F.col("ts") >= cut) & hi, 1).otherwise(0)
+        ).alias("post"),
+    )
+    cells = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if((F.col("pre") == 1) & (F.col("post") == 1)).alias(
+            "n_both"
+        ),
+        F.count_if((F.col("pre") == 1) & (F.col("post") == 0)).alias(
+            "n_pre_only"
+        ),
+        F.count_if((F.col("pre") == 0) & (F.col("post") == 1)).alias(
+            "n_post_only"
+        ),
+        F.count_if((F.col("pre") == 0) & (F.col("post") == 0)).alias(
+            "n_neither"
+        ),
+    )
+    b, c = F.col("n_pre_only"), F.col("n_post_only")
+    # clamped continuity correction: at |b−c| ≤ 1 the statistic is 0,
+    # not the spurious 1/(b+c) the raw Edwards form would emit
+    num = F.greatest(F.abs(b - c) - 1, F.lit(0))
+    chi2 = F.round(
+        (num * num).cast("double")
+        / F.nullif((b + c).cast("double"), F.lit(0.0)),
+        6,
+    )
+    return cells.select(
+        "n_users",
+        "n_both",
+        "n_pre_only",
+        "n_post_only",
+        "n_neither",
+        chi2.alias("chi2"),
+        F.coalesce(chi2 > _CHI2_95[0], F.lit(False)).alias("reject"),
+    )
+
+
+def srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch health gate for the user_id % 2 split.
+
+    The first thing a trustworthy experimentation platform checks
+    BEFORE reading any metric (Fabijan et al. 2019): if the observed
+    arm sizes are incompatible with the designed 50/50 split, the
+    assignment pipeline is broken and every downstream readout
+    (``ab_test_welch``, ``cuped_adjusted_ab``) is invalid. χ² =
+    Σ(o − e)²/e over the two arms with e = n/2, p via the A&S normal
+    tail of √χ² (exact for 1 df: χ²₁ = Z²); SRM convention flags at
+    p < 0.001, far stricter than 0.05 — a true 50/50 split trips it
+    once in a thousand experiments, an assignment bug immediately.
+
+    Emits 1 row: (n_users, n_arm0, n_arm1, chi2, p_value,
+    srm_detected).
+    """
+    arms = events.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_arm0"),
+        F.count_if(F.col("user_id") % 2 == 1).alias("n_arm1"),
+    )
+    e = F.col("n_users").cast("double") / 2.0
+    dev0 = F.col("n_arm0") - e
+    dev1 = F.col("n_arm1") - e
+    chi2 = F.round(
+        (dev0 * dev0 / F.nullif(e, F.lit(0.0)))
+        + (dev1 * dev1 / F.nullif(e, F.lit(0.0))),
+        6,
+    )
+    p = F.round(_phi_upper_tail(F.sqrt(chi2)), 6)
+    return arms.select(
+        "n_users",
+        "n_arm0",
+        "n_arm1",
+        chi2.alias("chi2"),
+        p.alias("p_value"),
+        F.coalesce(p < 0.001, F.lit(False)).alias("srm_detected"),
     )

@@ -844,3 +844,210 @@ def holt_winters_dow(events: DataFrame, period: int = 7) -> DataFrame:
         return out
 
     return daily.groupBy("event_type").applyInPandas(_hw, schema)
+
+
+#: Croston smoothing knob — decimal string (the HOLT_ALPHA discipline)
+#: so both demand-size and interval updates stay in exact decimal.
+CROSTON_ALPHA = "0.2"
+
+
+def croston_intermittent(
+    events: DataFrame, demand_threshold: float = 280.0
+) -> DataFrame:
+    """Croston's method for intermittent demand, per event type.
+
+    The forecasting member the Holt family can't cover: when a series
+    is MOSTLY ZERO (spare parts, rare high-value orders), exponential
+    smoothing of the raw series collapses toward zero and its
+    forecasts whipsaw. Croston (1972) smooths two separate series —
+    the nonzero demand SIZES z and the INTER-ARRIVAL intervals q —
+    and forecasts their ratio:
+
+        ẑ_t = α·z_t + (1−α)·ẑ_{t−1}
+        q̂_t = α·q_t + (1−α)·q̂_{t−1}      (updates only on demand days)
+        forecast = ẑ_t / q̂_t              (expected demand per period)
+
+    Demand here is the daily count of TOP-TAIL events (value ≥
+    ``demand_threshold`` ≈ the fixture's 99th percentile) — genuinely
+    intermittent: most (type, day) cells see none. Same
+    scale layout as the Holt family: one corpus aggregation to the
+    per-type nonzero-demand days, the recurrence in ``applyInPandas``
+    in EXACT decimal (α is a decimal literal; every step quantizes to
+    6 dp ROUND_HALF_UP), bit-reproducible against a DuckDB RECURSIVE
+    CTE. Init: ẑ_1 = z_1, q̂_1 = q_1 with q_1 = 1 by convention (no
+    prior arrival to measure from). The forecast divides two 6-dp
+    decimals in double and rounds 6 dp — identical on both engines.
+
+    Emits per demand day: (event_type, day, z, q, z_hat, q_hat,
+    forecast).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    demand = (
+        events.filter(F.col("value") >= demand_threshold)
+        .groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("z"))
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("day", DateType()),
+            StructField("z", LongType()),
+            StructField("q", LongType()),
+            StructField("z_hat", DoubleType()),
+            StructField("q_hat", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+
+    def _croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        alpha = Decimal(CROSTON_ALPHA)
+        one = Decimal("1")
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        rows = []
+        z_hat = q_hat = None
+        prev_day = None
+        for r in pdf.itertuples():
+            z = Decimal(int(r.z))
+            q = 1 if prev_day is None else (r.day - prev_day).days
+            qd = Decimal(q)
+            if z_hat is None:
+                z_hat, q_hat = z, qd
+            else:
+                z_hat = (alpha * z + (one - alpha) * z_hat).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+                q_hat = (alpha * qd + (one - alpha) * q_hat).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+            rows.append(
+                (
+                    r.event_type,
+                    r.day,
+                    int(r.z),
+                    q,
+                    float(z_hat),
+                    float(q_hat),
+                    __import__("math").floor(
+                        float(z_hat) / float(q_hat) * 1_000_000 + 0.5
+                    )
+                    / 1_000_000,
+                )
+            )
+            prev_day = r.day
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "day", "z", "q", "z_hat", "q_hat",
+                "forecast",
+            ],
+        )
+
+    return demand.groupBy("event_type").applyInPandas(_croston, schema)
+
+
+def funnel_time_to_convert(events: DataFrame) -> DataFrame:
+    """Conversion-latency distribution: first view → first later
+    purchase, per user.
+
+    The latency companion to ``funnel_conversion`` (that one counts
+    WHO converts; product teams also need HOW FAST): per user, the
+    delay in seconds between the first 'view' and the first 'purchase'
+    strictly after it. The p25/p50/p75 are exact DISCRETE order
+    statistics (k = ⌈p·n⌉, the winsorize convention) located on the
+    distinct-delay relation via the range-partitioned cumsum — no
+    corpus-sized unpartitioned window — and the mean folds the
+    whole-second delays exactly.
+
+    Emits 1 row: (n_viewers, n_converted, p25_s, median_s, p75_s,
+    mean_s).
+    """
+    from big_data_trend_analysis_spark.operators.drift import _range_cumsum
+
+    viewers = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+    ).filter(F.col("first_view").isNotNull())
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    # the strictly-after condition lives IN the left join, not a
+    # post-filter: a viewer whose purchases all PRECEDE the first view
+    # must survive as unconverted, not vanish (post-filtering removes
+    # every matched row and the user with it)
+    delays = (
+        viewers.join(
+            purchases,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("p_ts") > F.col("first_view")),
+            "left",
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("p_ts").alias("first_purchase"))
+        .select(
+            "user_id",
+            (
+                F.unix_seconds(F.col("first_purchase"))
+                - F.unix_seconds(F.col("first_view"))
+            ).alias("delay_s"),
+        )
+    ).localCheckpoint()
+    per_delay = delays.filter(F.col("delay_s").isNotNull()).groupBy(
+        "delay_s"
+    ).agg(F.count(F.lit(1)).alias("n_d"))
+    cum = _range_cumsum(per_delay, "delay_s", ["n_d"])
+    counts = delays.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("delay_s").alias("n_converted"),
+    )
+    stats = (
+        cum.crossJoin(F.broadcast(counts))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_n_d")
+                    >= F.expr("(25 * n_converted + 99) div 100"),
+                    F.col("delay_s"),
+                )
+            ).alias("p25_s"),
+            F.min(
+                F.when(
+                    F.col("cum_n_d")
+                    >= F.expr("(50 * n_converted + 99) div 100"),
+                    F.col("delay_s"),
+                )
+            ).alias("median_s"),
+            F.min(
+                F.when(
+                    F.col("cum_n_d")
+                    >= F.expr("(75 * n_converted + 99) div 100"),
+                    F.col("delay_s"),
+                )
+            ).alias("p75_s"),
+            F.round(
+                F.sum(
+                    (F.col("delay_s") * F.col("n_d")).cast("decimal(38,0)")
+                ).cast("double")
+                / F.sum("n_d"),
+                6,
+            ).alias("mean_s"),
+        )
+    )
+    return counts.crossJoin(F.broadcast(stats))

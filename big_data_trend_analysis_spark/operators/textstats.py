@@ -1953,3 +1953,42 @@ def dsir_importance_weights(
             ).alias("avg_log_ratio"),
         )
     )
+
+
+def tokenizer_fertility(documents: DataFrame, rounds: int = 2) -> DataFrame:
+    """Tokenizer fertility (BPE tokens per word) by language.
+
+    The multilingual-equity metric every tokenizer report leads with
+    (e.g. the XLM-R and BLOOM analyses): a vocabulary trained mostly
+    on one language FRAGMENTS the others — their fertility climbs,
+    every context window carries less text, and training/inference
+    cost per document rises proportionally. Built on the family's
+    shared ``_bpe_encoded_vocab`` stage (the merge chain re-derived
+    over the |vocab| relation with broadcast 1-row rules — the corpus
+    is never re-encoded per occurrence), then ONE (lang)-keyed rollup
+    of tokens-per-word over the word stream.
+
+    Emits per lang: (lang, n_docs, n_words, n_tokens, fertility).
+    """
+    doc_words = documents.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    encoded = _bpe_encoded_vocab(doc_words.select("doc_id", "w"), rounds)
+    return (
+        doc_words.join(encoded.select("w", "tpw"), "w")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("tpw").cast("long")).alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+    )

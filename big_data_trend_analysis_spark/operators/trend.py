@@ -365,3 +365,61 @@ def isotonic_daily_fit(events: DataFrame) -> DataFrame:
         return out
 
     return daily.groupBy("event_type").applyInPandas(_pava, schema)
+
+
+def kendall_tau_daily(events: DataFrame) -> DataFrame:
+    """Kendall τ-b between day order and daily count, per event type.
+
+    The concordance-based trend-direction measure beside
+    ``theil_sen_slope`` (same pairwise relation, different statistic:
+    Theil–Sen summarizes the slope median, τ the ORDER agreement —
+    robust and scale-free): over all day pairs i < j,
+
+        τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂))
+
+    with C/D concordant/discordant counts, n₀ = n(n−1)/2, n₁ the y-tie
+    correction Σt(t−1)/2, n₂ = 0 (days are distinct). The pair join is
+    bounded by the per-type daily relation (the theil_sen O(days²)
+    argument — days per series is calendar-bounded, never corpus-
+    sized); all counts are exact BIGINTs and the one division runs on
+    doubles cast from them, rounded 6 dp.
+
+    Emits per type: (event_type, n_days, n_concordant, n_discordant,
+    n_tied_y, tau_b).
+    """
+    from big_data_trend_analysis_spark.operators.temporal import (
+        _daily_counts,
+    )
+
+    daily = _daily_counts(events).localCheckpoint()
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db"))
+    counts = pairs.groupBy("event_type").agg(
+        F.count_if(F.col("yb") > F.col("ya")).alias("n_concordant"),
+        F.count_if(F.col("yb") < F.col("ya")).alias("n_discordant"),
+        F.count_if(F.col("yb") == F.col("ya")).alias("n_tied_y"),
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    n0 = F.col("n_days").cast("double") * (F.col("n_days") - 1) / 2.0
+    tau = F.round(
+        (F.col("n_concordant") - F.col("n_discordant"))
+        / F.nullif(
+            F.sqrt((n0 - F.col("n_tied_y")) * n0), F.lit(0.0)
+        ),
+        6,
+    )
+    return counts.join(n_days, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_concordant",
+        "n_discordant",
+        "n_tied_y",
+        tau.alias("tau_b"),
+    )

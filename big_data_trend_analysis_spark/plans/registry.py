@@ -4013,6 +4013,99 @@ def _sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_group_limit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-limit pushdown proven in-gate — the SEVENTH optimizer
+    proof (runtime bloom / AQE skew / CBO reorder / DPP / AQE coalesce
+    / AQE join switch / window-group-limit).
+
+    The top-k-per-group query every dashboard runs — ``row_number()
+    OVER (PARTITION BY g ORDER BY v) ≤ k`` — naively ranks the ENTIRE
+    corpus before the filter throws 99.99% of it away. Spark 3.5+'s
+    WindowGroupLimit rule pushes the limit INTO the window exec: each
+    map task keeps a per-group top-k heap BEFORE the shuffle, so the
+    exchange carries O(groups·k), not O(rows) — at 100 TB the
+    difference between a leaderboard and a full sort. The gate pins
+    the executed-plan artifact (``WindowGroupLimit``) alongside the
+    exact top-3 rows (total order: price desc, then the (orderkey,
+    linenumber) PK, so ties are deterministic on both engines).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as _W
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = _W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    ranked = (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    marker = "WindowGroupLimit" in plan
+    scal = spark.createDataFrame([(marker,)], "wgl_planned boolean")
+    return ranked.crossJoin(F.broadcast(scal))
+
+
+def _nested_prune_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema pruning proven in-gate — the EIGHTH optimizer
+    proof: a struct column's UNTOUCHED fields must never reach the
+    scan.
+
+    The multimodal/lakehouse layout this engine pushes (typed metadata
+    structs beside opaque blobs) only scales if selecting
+    ``meta.a`` reads bytes for ``meta.a`` alone —
+    ``spark.sql.optimizer.nestedSchemaPruning`` rewrites the scan
+    schema to the referenced leaves. The gate writes the events
+    fixture with a 3-field struct (one narrow field, one double, one
+    wide JSON payload), reads back ONLY ``meta.a``, and pins the
+    pruned ReadSchema artifact (exactly ``struct<meta:struct
+    <a:string>>`` — the wide payload column is proof-by-absence)
+    alongside the aggregate recomputed by the oracle from raw events.
+    """
+    import re as _re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tune_session(spark)
+    root = f"/tmp/bdta_nested_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events")
+    events.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("a"),
+            F.col("value").alias("b"),
+            F.col("props").alias("c"),
+        ).alias("meta"),
+    ).write.parquet(root)
+    agg = (
+        spark.read.parquet(root)
+        .select(F.col("meta.a").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    plan = agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = _re.search(r"ReadSchema: (struct<[^\n]*>)", plan)
+    pruned = bool(m) and m.group(1) == "struct<meta:struct<a:string>>"
+    scal = spark.createDataFrame([(pruned,)], "nested_pruned boolean")
+    return agg.crossJoin(F.broadcast(scal))
+
+
 def _aqe_coalesce_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AQE post-shuffle partition coalescing proven in-gate — the
     fifth optimizer proof (runtime bloom filter / AQE skew split /
@@ -4415,56 +4508,48 @@ QUERIES: dict[str, QueryFn] = {
     # holt_linear_forecast folded onto temporal._daily_counts.
     "ab_test_welch": _q(drift.ab_test_welch, "lineitem"),
     "ks_test_check": _q(drift.ks_test_check, "events"),
-    # CHANGED in round 10: sources/txnlog.py gained restore() +
-    # compact() (Delta RESTORE / OPTIMIZE) — the whole txnlog family
-    # shares that source closure and re-enters the window.
-    "txn_log_snapshot_read": _txn_log_snapshot_read,
-    "stream_cdc_apply_live": _stream_cdc_apply_live,
-    "txn_log_vacuum_check": _txn_log_vacuum_check,
-    "txnlog_cdf_read": _txnlog_cdf_read,
-    "txnlog_schema_evolve": _txnlog_schema_evolve,
-    "txnlog_concurrent_commit": _txnlog_concurrent_commit,
-    "txnlog_partition_evolve": _txnlog_partition_evolve,
-    "txnlog_time_travel": _txnlog_time_travel,
-    # NEW in round 10 (second batch): the txnlog closure's last two
-    # lifecycle ops — RESTORE-as-new-commit (history immutable, CDF
-    # shows the inverse deltas) and bin-packing OPTIMIZE within
-    # partition-value groups (data identical, old versions intact,
-    # idempotent re-run).
-    "txnlog_restore_version": _txnlog_restore_version,
-    "txnlog_compact_files": _txnlog_compact_files,
-    # NEW in round 10: checkpoint kill-and-resume recovery — a REAL
-    # stop + new-query-instance restart on the same checkpointLocation
-    # (state store + file-source commit log both recovered; VERDICT
-    # r9 #1, the top-next item).
-    "stream_restart_recovery_live": _stream_restart_recovery_live,
-    # NEW in round 10: the dedup family's last planted-recall gate —
-    # drop-last-token twins through the FULL rare-shingle inverted
-    # index + exact-Jaccard verify (VERDICT r9 #3).
-    "ngram_jaccard_check": _q(dedup.ngram_jaccard_check, "documents"),
-    # NEW in round 10: the end-to-end multimodal gate — planted
-    # constant-segment blobs through the REAL frame-sample → embed →
-    # mean-pool pipeline; the oracle recomputes frame counts and the
-    # pooled norm from doc_id arithmetic alone (VERDICT r9 #2).
-    # multimodal_pipeline itself re-enters the window: its body now
-    # routes through the shared pipeline_from_blobs.
-    "multimodal_pipeline_check": _q(
-        multimodal.multimodal_pipeline_check, "documents"
+    # NEW in round 11 (second batch): the experimentation/statistics
+    # completions (Kruskal-Wallis k-group ranks, two-proportion z,
+    # Spearman co-movement, Page-Hinkley online drift, deterministic
+    # randomization test, CUPED variance reduction), the
+    # gaps-and-islands engagement archetype, and four LLM-curation
+    # additions (Gopher rules, Falcon-style paragraph dedup, CCNet
+    # perplexity buckets, DSIR importance weights).
+    "kruskal_wallis": _q(drift.kruskal_wallis, "events"),
+    "proportions_ztest": _q(drift.proportions_ztest, "events"),
+    "spearman_daily_corr": _q(drift.spearman_daily_corr, "events"),
+    "page_hinkley": _q(drift.page_hinkley, "events"),
+    "permutation_test_mean": _q(drift.permutation_test_mean, "events"),
+    "cuped_adjusted_ab": _q(drift.cuped_adjusted_ab, "events"),
+    "user_activity_islands": _q(windows.user_activity_islands, "events"),
+    "gopher_quality_rules": _q(textstats.gopher_quality_rules, "documents"),
+    "paragraph_dedup": _q(textstats.paragraph_dedup, "documents"),
+    "ccnet_perplexity_buckets": _q(
+        textstats.ccnet_perplexity_buckets, "documents"
     ),
-    "multimodal_pipeline": _q(multimodal.multimodal_pipeline, "documents"),
-    # CHANGED in round 10: sample_mixture's bucket swapped from
-    # xxhash64 to the portable md5 form — membership now replays
-    # exactly in DuckDB, retiring the rows-only carve-out (VERDICT
-    # r9 #4).
-    "sample_mixture": _q(textstats.sample_mixture, "documents"),
+    "dsir_importance_weights": _q(
+        textstats.dsir_importance_weights, "documents"
+    ),
+    # NEW in round 11 (third batch): Croston intermittent-demand
+    # forecasting (the zero-heavy series the Holt family can't model),
+    # conversion-latency quantiles, Kendall tau-b trend concordance,
+    # and the paired-proportion + sample-ratio experiment health gates.
+    "croston_intermittent": _q(temporal.croston_intermittent, "events"),
+    "funnel_time_to_convert": _q(temporal.funnel_time_to_convert, "events"),
+    "kendall_tau_daily": _q(trend.kendall_tau_daily, "events"),
+    "mcnemar_test": _q(drift.mcnemar_test, "events"),
+    "srm_check": _q(drift.srm_check, "events"),
+    # NEW in round 11 (third batch, optimizer proofs #7/#8): rank-limit
+    # pushdown (WindowGroupLimit keeps per-group top-k heaps BEFORE the
+    # shuffle) and nested-schema pruning (untouched struct fields never
+    # reach the scan — proof-by-absence of the wide payload column).
+    "window_group_limit_check": _window_group_limit_check,
+    "nested_prune_check": _nested_prune_check,
+    "tokenizer_fertility": _q(textstats.tokenizer_fertility, "documents"),
     # NEW in round 10: incremental dedup stage-fusion re-row (VERDICT
     # r9 #5) and the split/curation closure re-rows sharing textstats
     # helpers touched by the md5-bucket rework.
     "incremental_dedup_check": _incremental_dedup_check,
-    "split_train_val_test": _split_train_val_test,
-    "curate_for_training": _q(textstats.curate_for_training, "documents"),
-    "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
-    "cap_per_key": _q(textstats.cap_per_key, "documents"),
     # CHANGED in round 10: copurchase_lift now emits BOTH directional
     # confidences (ADVICE r9); triangle_count and stream_topk_live are
     # r9-window rows carried for their round-10 ledger ingest.
@@ -4547,6 +4632,27 @@ QUERIES: dict[str, QueryFn] = {
     # Rotated out in round 11 (unchanged since their r10 green rows;
     # fingerprint ledger certifies): the r10 third-batch rows and the
     # r9 filler displaced by the round-11 statistics tier.
+    "txn_log_snapshot_read": _txn_log_snapshot_read,
+    "stream_cdc_apply_live": _stream_cdc_apply_live,
+    "txn_log_vacuum_check": _txn_log_vacuum_check,
+    "txnlog_cdf_read": _txnlog_cdf_read,
+    "txnlog_schema_evolve": _txnlog_schema_evolve,
+    "txnlog_concurrent_commit": _txnlog_concurrent_commit,
+    "txnlog_partition_evolve": _txnlog_partition_evolve,
+    "txnlog_time_travel": _txnlog_time_travel,
+    "txnlog_restore_version": _txnlog_restore_version,
+    "txnlog_compact_files": _txnlog_compact_files,
+    "stream_restart_recovery_live": _stream_restart_recovery_live,
+    "ngram_jaccard_check": _q(dedup.ngram_jaccard_check, "documents"),
+    "multimodal_pipeline_check": _q(
+        multimodal.multimodal_pipeline_check, "documents"
+    ),
+    "multimodal_pipeline": _q(multimodal.multimodal_pipeline, "documents"),
+    "sample_mixture": _q(textstats.sample_mixture, "documents"),
+    "split_train_val_test": _split_train_val_test,
+    "curate_for_training": _q(textstats.curate_for_training, "documents"),
+    "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
+    "cap_per_key": _q(textstats.cap_per_key, "documents"),
     "embed_random_projection": _q(
         similarity.embed_random_projection, "embeddings"
     ),
@@ -8883,6 +8989,764 @@ ORACLE_SQL: dict[str, str] = {
                n_state_types,
                state_total_rows
         FROM per, tot, st
+    """,
+    # Replays kruskal_wallis: global average ranks over the per-value
+    # relation (the mann_whitney doubled-rank device), per-group rank
+    # sums in DECIMAL(38,0), tie-corrected H, chi2(0.95, k-1) gate.
+    "kruskal_wallis": """
+        WITH pv AS (
+            SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        per_value AS (
+            SELECT value, CAST(SUM(c) AS BIGINT) AS n_v
+            FROM pv GROUP BY 1),
+        rk AS (
+            SELECT value, n_v,
+                   2 * COALESCE(SUM(n_v) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + n_v + 1 AS avgrank2
+            FROM per_value),
+        grp AS (
+            SELECT p.event_type, CAST(SUM(p.c) AS BIGINT) AS n_g,
+                   SUM(CAST(CAST(p.c AS DECIMAL(19,0))
+                            * CAST(r.avgrank2 AS DECIMAL(19,0))
+                            AS DECIMAL(38,0))) AS rank_sum2
+            FROM pv p JOIN rk r USING (value) GROUP BY 1),
+        tot AS (
+            SELECT CAST(SUM(n_v) AS BIGINT) AS n_tot,
+                   SUM(CAST(n_v AS DECIMAL(12,0))
+                       * CAST(n_v AS DECIMAL(12,0))
+                       * CAST(n_v AS DECIMAL(12,0))
+                       - CAST(n_v AS DECIMAL(38,0))) AS tie_sum
+            FROM rk),
+        terms AS (
+            SELECT g.event_type, g.n_g, g.rank_sum2, t.n_tot, t.tie_sum,
+                   CAST(round(g.n_g
+                        * (CAST(g.rank_sum2 AS DOUBLE) / (2.0 * g.n_g)
+                           - (CAST(t.n_tot AS DOUBLE) + 1) / 2.0)
+                        * (CAST(g.rank_sum2 AS DOUBLE) / (2.0 * g.n_g)
+                           - (CAST(t.n_tot AS DOUBLE) + 1) / 2.0), 6)
+                        AS DECIMAL(38,6)) AS term
+            FROM grp g, tot t),
+        agg AS (
+            SELECT n_tot, tie_sum,
+                   CAST(SUM(term) AS DOUBLE) AS sum_terms,
+                   CAST(COUNT(*) AS BIGINT) AS k_groups
+            FROM terms GROUP BY 1, 2),
+        verdict AS (
+            SELECT round((12.0 / (CAST(n_tot AS DOUBLE)
+                                  * (CAST(n_tot AS DOUBLE) + 1))
+                          * sum_terms)
+                         / nullif(1.0 - CAST(tie_sum AS DOUBLE)
+                                  / (CAST(n_tot AS DOUBLE)
+                                     * CAST(n_tot AS DOUBLE)
+                                     * CAST(n_tot AS DOUBLE)
+                                     - CAST(n_tot AS DOUBLE)), 0.0),
+                         6) AS h_stat,
+                   CAST(k_groups - 1 AS INTEGER) AS df_used,
+                   CASE k_groups - 1
+                        WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+                        WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+                        WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+                        WHEN 7 THEN 14.067140 END AS chi2_crit
+            FROM agg)
+        SELECT t.event_type, t.n_g,
+               CAST(t.rank_sum2 AS DOUBLE) AS rank_sum,
+               v.h_stat, v.df_used, v.chi2_crit,
+               COALESCE(v.h_stat > v.chi2_crit, FALSE) AS reject
+        FROM terms t, verdict v
+    """,
+    # Replays proportions_ztest: pooled-variance two-proportion z on
+    # exact counts, A&S 26.2.17 two-sided normal tail.
+    "proportions_ztest": """
+        WITH agg AS (
+            SELECT CAST(COUNT(*) FILTER (
+                       ts < TIMESTAMP '2024-01-11 00:00:00')
+                       AS BIGINT) AS n_base,
+                   CAST(COUNT(*) FILTER (
+                       ts >= TIMESTAMP '2024-01-11 00:00:00')
+                       AS BIGINT) AS n_cur,
+                   CAST(COUNT(*) FILTER (
+                       ts < TIMESTAMP '2024-01-11 00:00:00'
+                       AND value >= 5.0) AS BIGINT) AS conv_base,
+                   CAST(COUNT(*) FILTER (
+                       ts >= TIMESTAMP '2024-01-11 00:00:00'
+                       AND value >= 5.0) AS BIGINT) AS conv_cur
+            FROM events),
+        z0 AS (
+            SELECT *,
+                   round(conv_base / nullif(CAST(n_base AS DOUBLE), 0.0),
+                         6) AS p_base,
+                   round(conv_cur / nullif(CAST(n_cur AS DOUBLE), 0.0),
+                         6) AS p_cur,
+                   (conv_base + conv_cur)
+                       / nullif(CAST(n_base AS DOUBLE) + n_cur, 0.0)
+                       AS pp
+            FROM agg),
+        z1 AS (
+            SELECT *,
+                   round((p_base - p_cur)
+                         / sqrt(nullif(pp * (1.0 - pp)
+                                       * (1.0 / CAST(n_base AS DOUBLE)
+                                          + 1.0 / CAST(n_cur AS DOUBLE)),
+                                       0.0)), 6) AS z_score
+            FROM z0),
+        z2 AS (
+            SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z_score)) AS k
+            FROM z1)
+        SELECT n_base, n_cur, conv_base, conv_cur, p_base, p_cur,
+               z_score,
+               round(round(2.0 * exp(-z_score * z_score / 2.0)
+                     * 0.3989422804014327
+                     * (k * (0.319381530 + k * (-0.356563782
+                        + k * (1.781477937 + k * (-1.821255978
+                        + k * 1.330274429))))), 6), 6) AS p_value,
+               COALESCE(abs(z_score) > 1.96, FALSE) AS significant
+        FROM z2
+    """,
+    # Replays spearman_daily_corr: per-type doubled average ranks of
+    # the daily counts, day-aligned pair join, Pearson on exact
+    # integer rank statistics.
+    "spearman_daily_corr": """
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        pv AS (
+            SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS n_v
+            FROM daily GROUP BY 1, 2),
+        rv AS (
+            SELECT event_type, y,
+                   2 * COALESCE(SUM(n_v) OVER (PARTITION BY event_type
+                        ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + n_v + 1 AS r2
+            FROM pv),
+        rk AS (
+            SELECT d.event_type, d.day, CAST(r.r2 AS DECIMAL(19,0)) AS r2
+            FROM daily d
+            JOIN rv r ON r.event_type = d.event_type AND r.y = d.y),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.r2 AS ra, b.r2 AS rb
+            FROM rk a JOIN rk b
+              ON a.day = b.day AND a.event_type < b.event_type),
+        st AS (
+            SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ra) AS DECIMAL(38,0)) AS sa,
+                   CAST(SUM(rb) AS DECIMAL(38,0)) AS sb,
+                   SUM(CAST(ra * rb AS DECIMAL(38,0))) AS sab,
+                   SUM(CAST(ra * ra AS DECIMAL(38,0))) AS saa,
+                   SUM(CAST(rb * rb AS DECIMAL(38,0))) AS sbb
+            FROM pairs GROUP BY 1, 2)
+        SELECT type_a, type_b, n_days,
+               round((CAST(n_days AS DOUBLE) * CAST(sab AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                     / nullif(sqrt((CAST(n_days AS DOUBLE)
+                                    * CAST(saa AS DOUBLE)
+                                    - CAST(sa AS DOUBLE)
+                                      * CAST(sa AS DOUBLE))
+                                   * (CAST(n_days AS DOUBLE)
+                                      * CAST(sbb AS DOUBLE)
+                                      - CAST(sb AS DOUBLE)
+                                        * CAST(sb AS DOUBLE))), 0.0),
+                     6) AS rho
+        FROM st
+    """,
+    # Replays page_hinkley: per-type running mean, 6-dp decimal term
+    # fold, running min, alarm at lambda = 100.
+    "page_hinkley": """
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        wm AS (
+            SELECT event_type, day, y,
+                   CAST(SUM(y) OVER w AS DOUBLE)
+                       / ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY day) AS run_mean
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)),
+        mt AS (
+            SELECT event_type, day, y,
+                   SUM(CAST(round(CAST(y AS DOUBLE) - run_mean - 0.0, 6)
+                            AS DECIMAL(18,6))) OVER w AS m_t
+            FROM wm
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING))
+        SELECT event_type, day, y,
+               round(CAST(m_t - MIN(m_t) OVER w AS DOUBLE), 6) AS ph_stat,
+               COALESCE(round(CAST(m_t - MIN(m_t) OVER w AS DOUBLE), 6)
+                        > 100.0, FALSE) AS alarm
+        FROM mt
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+    # Replays permutation_test_mean: the bootstrap hash-once/slice-8
+    # layout with a Bernoulli(n_base/N) relabel threshold at the
+    # 16-bit grain; add-one p over surviving replicates.
+    "permutation_test_mean": """
+        WITH tot AS (
+            SELECT CAST(COUNT(*) FILTER (
+                       ts < TIMESTAMP '2024-01-11 00:00:00')
+                       AS BIGINT) AS n_base,
+                   CAST(COUNT(*) FILTER (
+                       ts >= TIMESTAMP '2024-01-11 00:00:00')
+                       AS BIGINT) AS n_cur,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS s_tot,
+                   SUM(CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00'
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS s_base
+            FROM events),
+        tot2 AS (
+            -- fixed-width lowercase hex compares lexicographically ==
+            -- numerically (the bootstrap trick): one string compare
+            -- per lane, no radix parse
+            SELECT *, printf('%04x', least(
+                       (65536 * n_base) // (n_base + n_cur), 65535))
+                   AS thr_hex
+            FROM tot),
+        grouped AS (
+            SELECT CAST(value AS DECIMAL(18,2)) AS v,
+                   CAST(t.bhi AS INTEGER) AS bhi,
+                   md5(CAST(event_id AS VARCHAR) || ':'
+                       || CAST(t.bhi AS VARCHAR) || ':23') AS h
+            FROM events, unnest(range(0, 13)) AS t(bhi)),
+        lanes AS (
+            SELECT v, bhi, CAST(t2.blo AS INTEGER) AS blo,
+                   substring(h, CAST(t2.blo AS INTEGER) * 4 + 1, 4)
+                       AS s16
+            FROM grouped, unnest(range(0, 8)) AS t2(blo)
+            WHERE bhi * 8 + CAST(t2.blo AS INTEGER) < 100),
+        reps0 AS (
+            SELECT bhi * 8 + blo AS b,
+                   SUM(CASE WHEN s16 < thr_hex THEN v
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS sv,
+                   CAST(SUM(CASE WHEN s16 < thr_hex THEN 1 ELSE 0 END)
+                        AS BIGINT) AS sn
+            FROM lanes, tot2 GROUP BY 1),
+        reps AS (
+            SELECT round(CAST(sv AS DOUBLE) / sn
+                         - CAST(s_tot - sv AS DOUBLE)
+                           / (n_base + n_cur - sn), 6) AS diff_p
+            FROM reps0, tot2
+            WHERE sn > 0 AND sn < n_base + n_cur),
+        obs AS (
+            SELECT n_base, n_cur,
+                   round(CAST(s_base AS DOUBLE)
+                         / nullif(CAST(n_base AS DOUBLE), 0.0)
+                         - CAST(s_tot - s_base AS DOUBLE)
+                           / nullif(CAST(n_cur AS DOUBLE), 0.0), 6)
+                       AS diff_obs
+            FROM tot2),
+        ver AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_perms,
+                   CAST(COUNT(*) FILTER (abs(diff_p) >= abs(diff_obs))
+                        AS BIGINT) AS n_extreme
+            FROM reps, obs)
+        SELECT n_base, n_cur, diff_obs, n_perms, n_extreme,
+               round((1 + n_extreme) / CAST(1 + n_perms AS DOUBLE), 6)
+                   AS p_value
+        FROM obs, ver
+    """,
+    # Replays window_group_limit_check's exact top-3 (total order:
+    # price desc, PK tie-break); the plan artifact is pinned TRUE.
+    "window_group_limit_check": """
+        WITH r AS (
+            SELECT l_returnflag, l_extendedprice, l_orderkey,
+                   l_linenumber,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                 l_linenumber ASC) AS INTEGER) AS rnk
+            FROM lineitem)
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+               rnk, TRUE AS wgl_planned
+        FROM r WHERE rnk <= 3
+    """,
+    # Replays nested_prune_check's aggregate from raw events; the
+    # pruned-ReadSchema artifact is pinned TRUE.
+    "nested_prune_check": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS nested_pruned
+        FROM events GROUP BY 1
+    """,
+    # Replays tokenizer_fertility: the bpe_encode_check merge chain
+    # verbatim (same corpus word frequencies, same two argmax rules),
+    # then a per-language rollup of tokens-per-word.
+    "tokenizer_fertility": """
+        WITH docw AS (
+            SELECT doc_id, lang, w FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+), words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM docw GROUP BY w
+        ), e0 AS (
+            SELECT w, freq,
+                   '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+            FROM words
+        ), p1 AS (
+            SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS pf
+            FROM (
+                SELECT freq,
+                       unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS p
+                FROM (SELECT freq, string_split(trim(s), '  ') AS arr FROM e0)
+            ) GROUP BY lhs, rhs
+        ), m1 AS (
+            SELECT lhs, rhs FROM p1 ORDER BY pf DESC, lhs, rhs LIMIT 1
+        ), e1 AS (
+            SELECT w, freq,
+                   replace(replace(s,
+                       ' '||m1.lhs||'  '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' '),
+                       ' '||m1.lhs||'  '||m1.rhs||' ', ' '||m1.lhs||m1.rhs||' ') AS s
+            FROM e0 CROSS JOIN m1
+        ), p2 AS (
+            SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS pf
+            FROM (
+                SELECT freq,
+                       unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS p
+                FROM (SELECT freq, string_split(trim(s), '  ') AS arr FROM e1)
+            ) GROUP BY lhs, rhs
+        ), m2 AS (
+            SELECT lhs, rhs FROM p2 ORDER BY pf DESC, lhs, rhs LIMIT 1
+        ), e2 AS (
+            SELECT w,
+                   replace(replace(s,
+                       ' '||m2.lhs||'  '||m2.rhs||' ', ' '||m2.lhs||m2.rhs||' '),
+                       ' '||m2.lhs||'  '||m2.rhs||' ', ' '||m2.lhs||m2.rhs||' ') AS s
+            FROM e1 CROSS JOIN m2
+        ), enc AS (
+            SELECT w,
+                   CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS tpw
+            FROM e2
+        ), per_lang AS (
+            SELECT lang,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(tpw) AS BIGINT) AS n_tokens
+            FROM docw JOIN enc USING (w)
+            GROUP BY lang)
+        SELECT lang, n_docs, n_words, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility
+        FROM per_lang
+    """,
+    # Replays croston_intermittent: nonzero-demand days of the
+    # top-tail slice, LAG intervals, the two-series decimal recurrence
+    # as a RECURSIVE CTE (0.2/0.8 literals are DECIMAL — products stay
+    # exact; DuckDB round on DECIMAL is half-up == the engine's
+    # quantize), forecast = floor-quantized ratio.
+    "croston_intermittent": """
+        WITH RECURSIVE demand AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS z
+            FROM events WHERE value >= 280.0 GROUP BY 1, 2),
+        d AS (
+            SELECT event_type, day, z,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS t,
+                   COALESCE(date_diff('day',
+                       LAG(day) OVER (PARTITION BY event_type
+                                      ORDER BY day), day), 1) AS q
+            FROM demand),
+        rec AS (
+            SELECT event_type, t, day, z, q,
+                   CAST(z AS DECIMAL(18,6)) AS z_hat,
+                   CAST(q AS DECIMAL(18,6)) AS q_hat
+            FROM d WHERE t = 1
+            UNION ALL
+            SELECT d.event_type, d.t, d.day, d.z, d.q,
+                   CAST(round(0.2 * d.z + 0.8 * r.z_hat, 6)
+                        AS DECIMAL(18,6)),
+                   CAST(round(0.2 * d.q + 0.8 * r.q_hat, 6)
+                        AS DECIMAL(18,6))
+            FROM rec r
+            JOIN d ON d.event_type = r.event_type AND d.t = r.t + 1)
+        SELECT event_type, day, z, CAST(q AS BIGINT) AS q,
+               CAST(z_hat AS DOUBLE) AS z_hat,
+               CAST(q_hat AS DOUBLE) AS q_hat,
+               floor(CAST(z_hat AS DOUBLE) / CAST(q_hat AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS forecast
+        FROM rec
+    """,
+    # Replays funnel_time_to_convert: first view, first later purchase,
+    # whole-second delays, exact discrete quantiles at k = ceil(p*n).
+    "funnel_time_to_convert": """
+        WITH fv AS (
+            SELECT user_id, MIN(ts) AS first_view
+            FROM events WHERE event_type = 'view' GROUP BY 1),
+        conv AS (
+            SELECT f.user_id, f.first_view, MIN(e.ts) AS first_purchase
+            FROM fv f
+            LEFT JOIN events e
+              ON e.user_id = f.user_id AND e.event_type = 'purchase'
+             AND e.ts > f.first_view
+            GROUP BY 1, 2),
+        delays AS (
+            SELECT user_id,
+                   date_diff('second', first_view, first_purchase)
+                       AS delay_s
+            FROM conv),
+        counts AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+                   CAST(COUNT(delay_s) AS BIGINT) AS n_converted
+            FROM delays),
+        per_delay AS (
+            SELECT delay_s, CAST(COUNT(*) AS BIGINT) AS n_d
+            FROM delays WHERE delay_s IS NOT NULL GROUP BY 1),
+        cum AS (
+            SELECT delay_s, n_d,
+                   SUM(n_d) OVER (ORDER BY delay_s
+                                  ROWS UNBOUNDED PRECEDING) AS cum_n
+            FROM per_delay),
+        stats AS (
+            SELECT MIN(CASE WHEN cum_n >= (25 * n_converted + 99) // 100
+                            THEN delay_s END) AS p25_s,
+                   MIN(CASE WHEN cum_n >= (50 * n_converted + 99) // 100
+                            THEN delay_s END) AS median_s,
+                   MIN(CASE WHEN cum_n >= (75 * n_converted + 99) // 100
+                            THEN delay_s END) AS p75_s,
+                   round(CAST(SUM(CAST(delay_s * n_d AS DECIMAL(38,0)))
+                              AS DOUBLE) / SUM(n_d), 6) AS mean_s
+            FROM cum, counts)
+        SELECT n_viewers, n_converted, p25_s, median_s, p75_s, mean_s
+        FROM counts, stats
+    """,
+    # Replays kendall_tau_daily: bounded day-pair self-join, exact
+    # concordance counts, tau-b with the y-tie correction.
+    "kendall_tau_daily": """
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(COUNT(*) FILTER (b.y > a.y) AS BIGINT)
+                       AS n_concordant,
+                   CAST(COUNT(*) FILTER (b.y < a.y) AS BIGINT)
+                       AS n_discordant,
+                   CAST(COUNT(*) FILTER (b.y = a.y) AS BIGINT)
+                       AS n_tied_y
+            FROM daily a
+            JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY 1),
+        nd AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1)
+        SELECT p.event_type, n.n_days, p.n_concordant, p.n_discordant,
+               p.n_tied_y,
+               round((p.n_concordant - p.n_discordant)
+                     / nullif(sqrt((CAST(n.n_days AS DOUBLE)
+                                    * (n.n_days - 1) / 2.0
+                                    - p.n_tied_y)
+                                   * (CAST(n.n_days AS DOUBLE)
+                                      * (n.n_days - 1) / 2.0)), 0.0),
+                     6) AS tau_b
+        FROM pairs p JOIN nd n USING (event_type)
+    """,
+    # Replays mcnemar_test: per-user pre/post high-value flags, the
+    # continuity-corrected discordant-pair chi-square.
+    "mcnemar_test": """
+        WITH pu AS (
+            SELECT user_id,
+                   MAX(CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00'
+                            AND value >= 7.0 THEN 1 ELSE 0 END) AS pre,
+                   MAX(CASE WHEN ts >= TIMESTAMP '2024-01-11 00:00:00'
+                            AND value >= 7.0 THEN 1 ELSE 0 END) AS post
+            FROM events GROUP BY user_id),
+        cells AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) FILTER (pre = 1 AND post = 1)
+                        AS BIGINT) AS n_both,
+                   CAST(COUNT(*) FILTER (pre = 1 AND post = 0)
+                        AS BIGINT) AS n_pre_only,
+                   CAST(COUNT(*) FILTER (pre = 0 AND post = 1)
+                        AS BIGINT) AS n_post_only,
+                   CAST(COUNT(*) FILTER (pre = 0 AND post = 0)
+                        AS BIGINT) AS n_neither
+            FROM pu),
+        chi AS (
+            SELECT *,
+                   round(CAST(greatest(abs(n_pre_only - n_post_only)
+                                       - 1, 0)
+                              * greatest(abs(n_pre_only - n_post_only)
+                                         - 1, 0)
+                              AS DOUBLE)
+                         / nullif(CAST(n_pre_only + n_post_only
+                                       AS DOUBLE), 0.0), 6) AS chi2
+            FROM cells)
+        SELECT n_users, n_both, n_pre_only, n_post_only, n_neither,
+               chi2, COALESCE(chi2 > 3.841459, FALSE) AS reject
+        FROM chi
+    """,
+    # Replays srm_check: distinct users per arm, 2-cell chi-square,
+    # p via the A&S tail of sqrt(chi2) (exact for 1 df).
+    "srm_check": """
+        WITH arms AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT)
+                       AS n_arm0,
+                   CAST(COUNT(*) FILTER (user_id % 2 = 1) AS BIGINT)
+                       AS n_arm1
+            FROM (SELECT DISTINCT user_id FROM events)),
+        chi AS (
+            SELECT *,
+                   round((n_arm0 - CAST(n_users AS DOUBLE) / 2.0)
+                         * (n_arm0 - CAST(n_users AS DOUBLE) / 2.0)
+                         / nullif(CAST(n_users AS DOUBLE) / 2.0, 0.0)
+                         + (n_arm1 - CAST(n_users AS DOUBLE) / 2.0)
+                           * (n_arm1 - CAST(n_users AS DOUBLE) / 2.0)
+                           / nullif(CAST(n_users AS DOUBLE) / 2.0, 0.0),
+                         6) AS chi2
+            FROM arms),
+        p0 AS (
+            SELECT *, 1.0 / (1.0 + 0.2316419 * abs(sqrt(chi2))) AS k
+            FROM chi),
+        p AS (
+            SELECT *,
+                   round(2.0 * exp(-sqrt(chi2) * sqrt(chi2) / 2.0)
+                         * 0.3989422804014327
+                         * (k * (0.319381530 + k * (-0.356563782
+                            + k * (1.781477937 + k * (-1.821255978
+                            + k * 1.330274429))))), 6) AS p_value
+            FROM p0)
+        SELECT n_users, n_arm0, n_arm1, chi2, p_value,
+               COALESCE(p_value < 0.001, FALSE) AS srm_detected
+        FROM p
+    """,
+    # Replays cuped_adjusted_ab: per-user (x, y) exact-decimal sums,
+    # per-arm sufficient statistics, pooled theta, CUPED algebra.
+    "cuped_adjusted_ab": """
+        WITH pu AS (
+            SELECT user_id,
+                   SUM(CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00'
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-11 00:00:00'
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS y,
+                   CAST(user_id % 2 AS INTEGER) AS arm
+            FROM events GROUP BY user_id),
+        arm_stats AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+                   SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+                   SUM(CAST(y * y AS DECIMAL(38,4))) AS syy
+            FROM pu GROUP BY 1),
+        pooled AS (
+            SELECT CAST(SUM(n_users) AS BIGINT) AS n,
+                   SUM(sx) AS psx, SUM(sy) AS psy,
+                   SUM(sxy) AS psxy, SUM(sxx) AS psxx
+            FROM arm_stats),
+        scal AS (
+            SELECT round((CAST(psxy AS DOUBLE)
+                          - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         / nullif(CAST(psxx AS DOUBLE)
+                                  - CAST(psx AS DOUBLE)
+                                    * CAST(psx AS DOUBLE)
+                                    / CAST(n AS DOUBLE), 0.0), 6)
+                       AS theta,
+                   round(CAST(psx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS xbar
+            FROM pooled),
+        armd AS (
+            SELECT a.*, s.theta, s.xbar,
+                   CAST(a.n_users AS DOUBLE) AS na,
+                   (CAST(a.syy AS DOUBLE)
+                    - CAST(a.sy AS DOUBLE) * CAST(a.sy AS DOUBLE)
+                      / CAST(a.n_users AS DOUBLE))
+                   / nullif(CAST(a.n_users AS DOUBLE) - 1, 0.0) AS var_y,
+                   (CAST(a.sxy AS DOUBLE)
+                    - CAST(a.sx AS DOUBLE) * CAST(a.sy AS DOUBLE)
+                      / CAST(a.n_users AS DOUBLE))
+                   / nullif(CAST(a.n_users AS DOUBLE) - 1, 0.0) AS cov_a,
+                   (CAST(a.sxx AS DOUBLE)
+                    - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)
+                      / CAST(a.n_users AS DOUBLE))
+                   / nullif(CAST(a.n_users AS DOUBLE) - 1, 0.0) AS var_x
+            FROM arm_stats a, scal s)
+        SELECT arm, n_users,
+               round(CAST(sy AS DOUBLE) / na, 6) AS mean_y,
+               round(var_y, 6) AS var_y,
+               theta,
+               round(round(CAST(sy AS DOUBLE) / na, 6)
+                     - theta * (CAST(sx AS DOUBLE) / na - xbar), 6)
+                   AS mean_y_cuped,
+               round(var_y - 2 * theta * cov_a + theta * theta * var_x,
+                     6) AS var_y_cuped,
+               round(100.0 * (1.0 - (var_y - 2 * theta * cov_a
+                                     + theta * theta * var_x)
+                                    / nullif(var_y, 0.0)), 6)
+                   AS var_reduction_pct
+        FROM armd
+    """,
+    # Replays user_activity_islands: the row_number gaps-and-islands
+    # key, island rollup, earliest-start tie-break.
+    "user_activity_islands": """
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events),
+        keyed AS (
+            SELECT user_id, day,
+                   day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY day) AS INTEGER) AS island
+            FROM days),
+        islands AS (
+            SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(day) AS start
+            FROM keyed GROUP BY 1, 2),
+        mx AS (SELECT user_id, MAX(len) AS longest
+               FROM islands GROUP BY 1)
+        SELECT i.user_id,
+               CAST(SUM(i.len) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               MAX(i.len) AS longest_streak,
+               MIN(i.start) FILTER (i.len = m.longest)
+                   AS longest_streak_start
+        FROM islands i JOIN mx m USING (user_id)
+        GROUP BY 1
+    """,
+    # Replays gopher_quality_rules with DuckDB list lambdas over the
+    # same whitespace tokenization.
+    "gopher_quality_rules": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        base AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS INTEGER) AS n_words,
+                   round(CAST(list_sum(list_transform(ws,
+                              x -> strlen(x))) AS DOUBLE) / len(ws), 6)
+                       AS mean_word_len,
+                   round(CAST(len(list_filter(ws,
+                              x -> regexp_matches(x, '[#…]')))
+                              AS DOUBLE) / len(ws), 6) AS symbol_ratio,
+                   round(CAST(len(list_filter(ws,
+                              x -> regexp_matches(x, '[a-zA-Z]')))
+                              AS DOUBLE) / len(ws), 6) AS alpha_ratio,
+                   CAST(len(list_intersect(list_distinct(ws),
+                        ['the','be','to','of','and','that','have',
+                         'with'])) AS INTEGER) AS n_stop_hits
+            FROM w)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               alpha_ratio, n_stop_hits,
+               n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+               mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                   AS rule_mean_word_len,
+               symbol_ratio <= 0.1 AS rule_symbol_ratio,
+               alpha_ratio >= 0.8 AS rule_alpha_ratio,
+               n_stop_hits >= 2 AS rule_stopwords,
+               (n_words >= 50 AND n_words <= 100000)
+                   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+                   AND n_stop_hits >= 2 AS pass_gopher
+        FROM base
+    """,
+    # Replays paragraph_dedup: fixed 10-word segments, md5 fingerprints,
+    # distinct-doc df, >= 3 cut, order-preserving clean-text md5.
+    "paragraph_dedup": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        segs AS (
+            SELECT doc_id, CAST(t.i AS INTEGER) AS idx,
+                   array_to_string(
+                       ws[CAST(t.i AS INTEGER) * 10 + 1
+                          : CAST(t.i AS INTEGER) * 10 + 10], ' ') AS seg
+            FROM w, unnest(range(0,
+                 CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)),
+        fps AS (
+            SELECT doc_id, idx, seg, md5(seg) AS fp FROM segs),
+        dfreq AS (
+            SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM fps GROUP BY 1),
+        flagged AS (
+            SELECT f.doc_id, f.idx, f.seg, d.df >= 3 AS is_dup
+            FROM fps f JOIN dfreq d USING (fp))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+               CAST(COUNT(*) FILTER (is_dup) AS BIGINT) AS n_dup_paras,
+               md5(array_to_string(
+                   list(seg ORDER BY idx) FILTER (NOT is_dup), ' '))
+                   AS clean_fp
+        FROM flagged GROUP BY doc_id
+    """,
+    # Replays ccnet_perplexity_buckets: the unigram_perplexity oracle
+    # CTEs verbatim, then exact tercile cutoffs located on the
+    # distinct-bits relation, ties joining the lower bucket.
+    "ccnet_perplexity_buckets": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), cnts AS (
+            SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+        ), total AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts
+        ), bits AS (
+            SELECT token,
+                   CAST(round(-log2(CAST(cnt AS DOUBLE) / total), 6)
+                        AS DECIMAL(18,6)) AS bits
+            FROM cnts CROSS JOIN total
+        ), ppl AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   FLOOR(CAST(SUM(bits) AS DOUBLE) / COUNT(*)
+                         * 1000000.0 + 0.5) / 1000000.0
+                       AS bits_per_token
+            FROM toks JOIN bits USING (token)
+            GROUP BY doc_id
+        ), per_bits AS (
+            SELECT bits_per_token, CAST(COUNT(*) AS BIGINT) AS n_b
+            FROM ppl GROUP BY 1
+        ), cum AS (
+            SELECT bits_per_token,
+                   SUM(n_b) OVER (ORDER BY bits_per_token
+                                  ROWS UNBOUNDED PRECEDING) AS cum_n,
+                   SUM(n_b) OVER () AS n
+            FROM per_bits
+        ), cuts AS (
+            SELECT MIN(CASE WHEN cum_n >= (n + 2) // 3
+                            THEN bits_per_token END) AS cut1,
+                   MIN(CASE WHEN cum_n >= (2 * n + 2) // 3
+                            THEN bits_per_token END) AS cut2
+            FROM cum)
+        SELECT doc_id, n_tokens, bits_per_token,
+               CASE WHEN bits_per_token <= cut1 THEN 'head'
+                    WHEN bits_per_token <= cut2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ppl, cuts
+    """,
+    # Replays dsir_importance_weights: one vocab relation carrying
+    # both add-1 LMs, 6-dp decimal log-ratio fold per document.
+    "dsir_importance_weights": """
+        WITH toks AS (
+            SELECT doc_id, source = 'src0' AS is_target,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents),
+        cnts AS (
+            SELECT token,
+                   CAST(COUNT(*) FILTER (is_target) AS BIGINT) AS c_t,
+                   CAST(COUNT(*) AS BIGINT) AS c_all
+            FROM toks GROUP BY 1),
+        tots AS (
+            SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+                   CAST(SUM(c_all) AS BIGINT) AS n_all,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM cnts),
+        ratio AS (
+            SELECT token,
+                   CAST(round(ln(CAST(c_t + 1 AS DOUBLE) / (n_t + v))
+                              - ln(CAST(c_all + 1 AS DOUBLE)
+                                   / (n_all + v)), 6)
+                        AS DECIMAL(18,6)) AS lr
+            FROM cnts, tots)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lr) AS DOUBLE) AS log_weight,
+               round(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_log_ratio
+        FROM toks JOIN ratio USING (token)
+        GROUP BY doc_id
     """,
     "referential_integrity_check": _RI_ORACLE,
     "dedup_exact_normalized": """

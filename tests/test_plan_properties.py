@@ -143,6 +143,27 @@ CROSS_JOIN_ALLOWED = {
     # --- round 11 ---
     # 3-row admission ledger × broadcast 1-row final-state scalars
     "stream_rate_limited_live",
+    # k-group terms × broadcast 1-row totals, then × 1-row verdict
+    "kruskal_wallis",
+    # O(B) replicate rows × broadcast 1-row totals/observed scalars
+    "permutation_test_mean",
+    # 2 arm-moment rows × broadcast 1-row (theta, xbar) scalars
+    "cuped_adjusted_ab",
+    # per-doc ppl relation × broadcast 1-row tercile cutoffs (plus
+    # unigram_perplexity's vocab × 1-row total inside)
+    "ccnet_perplexity_buckets",
+    # vocab LM relation × broadcast 1-row (N_t, N_all, V) totals
+    "dsir_importance_weights",
+    # 1-row viewer counts × broadcast 1-row quantile scalars (plus
+    # the delay cumsum × broadcast counts inside)
+    "funnel_time_to_convert",
+    # top-3-per-group rows × broadcast 1-row plan-artifact scalar
+    "window_group_limit_check",
+    # |vocab| relation × broadcast 1-row merge rule per round (the
+    # bpe_encode_check shape, reused via _bpe_encoded_vocab)
+    "tokenizer_fertility",
+    # per-type agg × broadcast 1-row pruned-ReadSchema scalar
+    "nested_prune_check",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
@@ -170,6 +191,9 @@ NARROW = {
     # chunking is sequence→posexplode→slice inside one projection —
     # any Exchange is a regression
     "doc_chunking",
+    # the Gopher rules are higher-order functions in one projection —
+    # any Exchange is a regression
+    "gopher_quality_rules",
 }
 
 

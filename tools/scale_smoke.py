@@ -164,6 +164,23 @@ HEAVY_QUERIES = [
     "rolling_active_users",
     "mann_whitney_u",
     "doc_chunking",
+    # round-11 additions: k-group ranks (range-partitioned cumsum),
+    # the ×⌈B/8⌉ hash-fan randomization test, user-keyed CUPED
+    # moments, the islands window, segment-explode paragraph dedup,
+    # LM + tercile cutoffs, vocab LM log-ratios, per-series HW/PAVA
+    # recurrences, and the rate-limited multi-batch drain
+    "kruskal_wallis",
+    "permutation_test_mean",
+    "cuped_adjusted_ab",
+    "user_activity_islands",
+    "paragraph_dedup",
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "holt_winters_dow",
+    "isotonic_daily_fit",
+    "stream_rate_limited_live",
+    "tokenizer_fertility",
+    "nested_prune_check",
     # (copurchase_lift / triangle_count / ab_test_welch read the TPC-H
     # lineitem tier, which this tool does not synthesize — bench covers
     # them; the remaining round-9 rows are scan-speed or days-relation
