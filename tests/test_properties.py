@@ -924,3 +924,126 @@ def test_doc_chunking_tiles_every_length(spark, n_tokens):
     for c in chunks:
         covered.update(range(c.start_tok, c.start_tok + c.n_tok))
     assert covered == set(range(n_tokens))
+
+
+@SETTINGS
+@given(
+    groups=st.lists(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=2, max_size=12),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_kruskal_invariant_under_monotone_transform(spark, groups):
+    """H is a rank statistic: a strictly increasing transform of the
+    values leaves it exactly unchanged, and H ≥ 0 always."""
+    from big_data_trend_analysis_spark.operators.drift import kruskal_wallis
+
+    def frame(xform):
+        rows = []
+        eid = 0
+        for g, vals in enumerate(groups):
+            for v in vals:
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, 5), f"g{g}",
+                     float(xform(v)))
+                )
+                eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+
+    r1 = kruskal_wallis(frame(lambda v: v)).collect()
+    r2 = kruskal_wallis(frame(lambda v: 5 * v + 11)).collect()
+    h1 = {r.event_type: (r.h_stat, r.rank_sum) for r in r1}
+    h2 = {r.event_type: (r.h_stat, r.rank_sum) for r in r2}
+    assert h1 == h2
+    for r in r1:
+        assert r.h_stat is None or r.h_stat >= 0.0
+
+
+@SETTINGS
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=3, max_size=14
+    )
+)
+def test_isotonic_fit_is_idempotent_monotone_mean_preserving(spark, counts):
+    """PAVA invariants on arbitrary series: the fit is non-decreasing,
+    preserves the sum (up to the 1e-6 quantization), and re-fitting a
+    fitted (already monotone) series is the identity."""
+    from big_data_trend_analysis_spark.operators.trend import (
+        isotonic_daily_fit,
+    )
+
+    def frame(vals):
+        rows = []
+        eid = 0
+        for d, c in enumerate(vals):
+            for _ in range(c):
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, 1 + d), "t")
+                )
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+
+    # days with zero events vanish from the rollup — mirror that in
+    # the expected series
+    present = [c for c in counts if c > 0]
+    if not present:
+        assert isotonic_daily_fit(frame(counts)).collect() == []
+        return
+    out = sorted(
+        isotonic_daily_fit(frame(counts)).collect(), key=lambda r: r.day
+    )
+    fits = [r.fit for r in out]
+    assert [r.y for r in out] == present
+    assert all(a <= b for a, b in zip(fits, fits[1:]))
+    assert sum(fits) == pytest.approx(sum(present), abs=1e-4 * len(present))
+    # idempotence: feed the (rounded-to-int-scale) fit back — a
+    # monotone series must come back unchanged
+    refit_in = [round(f * 4) for f in fits]  # keep integers, preserve order
+    assert all(a <= b for a, b in zip(refit_in, refit_in[1:]))
+    refit = sorted(
+        isotonic_daily_fit(frame(refit_in)).collect(), key=lambda r: r.day
+    )
+    kept = [c for c in refit_in if c > 0]
+    assert [r.fit for r in refit] == [float(c) for c in kept]
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=2, max_size=20
+    ),
+    split=st.integers(min_value=1, max_value=19),
+)
+def test_permutation_p_value_bounds(spark, vals, split):
+    """The add-one randomization p is always in (0, 1], and the
+    observed difference matches the exact slice means."""
+    from big_data_trend_analysis_spark.operators.drift import (
+        permutation_test_mean,
+    )
+
+    split = min(split, len(vals) - 1)
+    base, cur = vals[:split], vals[split:]
+    rows = [
+        (i, datetime.datetime(2024, 1, 5), "t", float(v))
+        for i, v in enumerate(base)
+    ] + [
+        (1000 + i, datetime.datetime(2024, 1, 20), "t", float(v))
+        for i, v in enumerate(cur)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = permutation_test_mean(df).collect()[0]
+    assert 0.0 < r.p_value <= 1.0
+    assert r.n_extreme <= r.n_perms <= 100
+    expect = round(
+        sum(base) / len(base) - sum(cur) / len(cur), 6
+    )
+    assert r.diff_obs == pytest.approx(expect, abs=2e-6)

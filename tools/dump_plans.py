@@ -566,6 +566,72 @@ HEADLINERS: dict[str, str] = {
         "matrix is md5 parity evaluated inline: nothing is "
         "materialized or driver-resident at any d."
     ),
+    # --- round 11 ---
+    "kruskal_wallis": (
+        "ONE (value, type) hash aggregate collapses the corpus; the "
+        "global rank cumsum is the range-partitioned `_range_cumsum` "
+        "(per-partition running sums + broadcast offsets — no "
+        "unpartitioned window anywhere), and the k-group H terms fold "
+        "as 6-dp decimals so H is group-order-independent."
+    ),
+    "permutation_test_mean": (
+        "The bootstrap layout reused: explode ×⌈B/8⌉, one md5 per "
+        "group, eight 16-bit lanes as conditional aggregates, map-side "
+        "combine to O(B) cells. The Bernoulli relabel is ONE "
+        "lexicographic string compare against the broadcast hex "
+        "threshold — a per-lane radix parse measured 35% slower."
+    ),
+    "cuped_adjusted_ab": (
+        "Two keyed aggregations: user-level (x, y) in exact decimal, "
+        "then arm-level sufficient statistics (five DECIMAL(38,4) "
+        "folds). θ and every readout are scalar algebra over a 1-row "
+        "broadcast — the corpus is scanned once, shuffled once on "
+        "user_id."
+    ),
+    "paragraph_dedup": (
+        "posexplode to the (doc, idx, segment-fp) relation "
+        "(materialized once), ONE fp-keyed distinct-doc aggregation "
+        "for the df (postings-sized), an equi-join back, and a "
+        "doc-keyed rollup that reassembles kept text in segment order "
+        "— never corpus², no driver data path."
+    ),
+    "ccnet_perplexity_buckets": (
+        "unigram_perplexity's vocab-sized LM relation feeds per-doc "
+        "bits (localCheckpointed once); the tercile cutoffs are exact "
+        "order statistics located on the DISTINCT-bits relation via "
+        "the range-partitioned cumsum and broadcast back as two "
+        "scalars — no global row_number over the corpus."
+    ),
+    "holt_winters_dow": (
+        "One corpus aggregation to (type, day) counts, then the "
+        "triple-exponential recurrence per series in applyInPandas — "
+        "state is two Decimals and a 7-slot ring; at 100 TB series "
+        "count bounds parallelism and each group is calendar-sized."
+    ),
+    "isotonic_daily_fit": (
+        "Same layout as the Holt family: daily rollup + per-series "
+        "PAVA in applyInPandas (O(n) block merges, integer "
+        "cross-multiplied violation tests). The registered projection "
+        "is hash-gated through the minimax identity — the oracle "
+        "replays fits without replaying the pooling order."
+    ),
+    "user_activity_islands": (
+        "distinct (user, day) → day − row_number island key → island "
+        "rollup → user rollup: all four steps partition on user_id, "
+        "so ONE exchange serves the whole operator."
+    ),
+    "window_group_limit_check": (
+        "The executed plan contains WindowGroupLimit below the "
+        "exchange: each map task keeps a per-group top-3 heap, so the "
+        "shuffle carries O(groups·k) rows instead of the full corpus "
+        "— the leaderboard-vs-full-sort difference at 100 TB."
+    ),
+    "nested_prune_check": (
+        "ReadSchema on the struct parquet is exactly "
+        "struct<meta:struct<a:string>> — the untouched double and the "
+        "wide JSON payload never leave the footer. The typed-metadata "
+        "multimodal layout scales BECAUSE of this rule."
+    ),
 }
 
 
