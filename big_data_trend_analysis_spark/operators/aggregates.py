@@ -1752,3 +1752,91 @@ def bootstrap_ci_mean(
         "ci_lo",
         "ci_hi",
     )
+
+
+def item_cf_neighbors(
+    lineitem: DataFrame, min_co: int = 2, k: int = 3
+) -> DataFrame:
+    """Item-item collaborative filtering: top-k cosine neighbors per
+    part over order co-occurrence.
+
+    The "people who bought this also bought" recommender primitive
+    (Sarwar et al. 2001 item-based CF; the Amazon item-to-item shape)
+    beside ``copurchase_lift``'s association rules — lift measures
+    surprise, cosine similarity n_ij/√(n_i·n_j) is the scoring model
+    a recommender serves. Scale shape: per-order PART baskets from
+    ONE collect_set aggregation (basket width bounded by lines per
+    order — single digits in order data), pairs generated JVM-side
+    from each basket array (NO corpus self-join), one pair-keyed
+    count, marginals re-aggregated from the same baskets relation,
+    and the per-item top-k is a rank window Spark executes as a
+    WindowGroupLimit (per-group heaps before the shuffle — the
+    ``window_group_limit_check`` proof is this operator's cost
+    model). Deterministic ties: (cosine desc, neighbor asc).
+
+    Emits per (item, rank ≤ k): (item, neighbor, n_co, n_item,
+    n_neighbor, cosine, rnk).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    baskets = _materialize(
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) ->"
+                    " transform(slice(items, i + 2, size(items)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= min_co)
+    )
+    marg = baskets.select(F.explode("items").alias("item")).groupBy(
+        "item"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sym = pairs.select(
+        F.col("a").alias("item"), F.col("b").alias("neighbor"), "n_co"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("item"), F.col("a").alias("neighbor"), "n_co"
+        )
+    )
+    scored = (
+        sym.join(marg.select(F.col("item"), F.col("n").alias("n_item")), "item")
+        .join(
+            marg.select(
+                F.col("item").alias("neighbor"),
+                F.col("n").alias("n_neighbor"),
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "n_co",
+            "n_item",
+            "n_neighbor",
+            F.round(
+                F.col("n_co")
+                / F.sqrt(
+                    F.col("n_item").cast("double") * F.col("n_neighbor")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

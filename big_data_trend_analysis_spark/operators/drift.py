@@ -1541,3 +1541,113 @@ def srm_check(events: DataFrame) -> DataFrame:
         p.alias("p_value"),
         F.coalesce(p < 0.001, F.lit(False)).alias("srm_detected"),
     )
+
+
+def brown_forsythe_test(events: DataFrame) -> DataFrame:
+    """Brown–Forsythe (median-based Levene) test: does the VARIANCE of
+    ``value`` differ across event types?
+
+    The dispersion companion to ``kruskal_wallis``'s location test —
+    and the assumption check for any pooled-variance readout: W is the
+    one-way ANOVA F statistic computed on z_ij = |x_ij − med_g|
+    (medians, not means — Brown–Forsythe's robustness fix). Group
+    medians are exact DISCRETE order statistics (k = ⌈n/2⌉, the
+    winsorize convention) from per-group value windows (group count is
+    fixture-bounded; the distinct-value relation keeps them small);
+    deviations round to 6 dp and every moment folds in exact decimal.
+    The gate compares W against χ²(0.95, k−1)/(k−1) — the exact
+    F(k−1, ∞) quantile, which at monitoring scale (df₂ = N − k in the
+    millions) matches the F table to the printed digits; the df₂ → ∞
+    convention is pinned here rather than shipping an F-table the
+    engines can't share.
+
+    Emits per group: (event_type, n_g, median_g, mean_z) with the
+    verdict repeated: (w_stat, df1, f_crit, reject).
+    """
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    per_value = vals.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_value.select(
+        "event_type", "value", "c", F.sum("c").over(w_ord).alias("cum")
+    )
+    n_g_rel = per_value.groupBy("event_type").agg(
+        F.sum("c").alias("n_g")
+    )
+    med = (
+        cum.join(n_g_rel, "event_type")
+        .filter(F.col("cum") >= F.expr("(n_g + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("median_g"))
+    )
+    z = vals.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(F.abs(F.col("value") - F.col("median_g")), 6)
+        .cast("decimal(18,6)")
+        .alias("z"),
+    )
+    groups = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("z").alias("sz"),
+        F.sum(
+            (F.col("z") * F.col("z")).cast("decimal(38,12)")
+        ).alias("szz"),
+    )
+    totals = groups.agg(
+        F.sum("n_g").alias("n_tot"),
+        F.sum("sz").alias("sz_tot"),
+        F.count(F.lit(1)).alias("k_groups"),
+    )
+    ng = F.col("n_g").cast("double")
+    mean_z = F.col("sz").cast("double") / ng
+    zbar = F.col("sz_tot").cast("double") / F.col("n_tot")
+    between = ng * (mean_z - zbar) * (mean_z - zbar)
+    within = F.col("szz").cast("double") - F.col("sz").cast(
+        "double"
+    ) * F.col("sz").cast("double") / ng
+    per_group = (
+        groups.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n_g",
+            "median_g",
+            F.round(mean_z, 6).alias("mean_z"),
+            F.round(between, 6).cast("decimal(38,6)").alias("bt"),
+            F.round(within, 6).cast("decimal(38,6)").alias("wt"),
+            "n_tot",
+            "k_groups",
+        )
+    )
+    n = F.col("n_tot").cast("double")
+    kg = F.col("k_groups").cast("double")
+    agg = per_group.groupBy("n_tot", "k_groups").agg(
+        F.sum("bt").cast("double").alias("sb"),
+        F.sum("wt").cast("double").alias("sw"),
+    )
+    w_stat = F.round(
+        ((n - kg) / (kg - 1))
+        * (F.col("sb") / F.nullif(F.col("sw"), F.lit(0.0))),
+        6,
+    )
+    crit = F.lit(None).cast("double")
+    for df1, c in enumerate(_CHI2_95, start=1):
+        crit = F.when(
+            F.col("k_groups") - 1 == df1, F.lit(round(c / df1, 6))
+        ).otherwise(crit)
+    verdict = agg.select(
+        w_stat.alias("w_stat"),
+        (F.col("k_groups") - 1).cast("int").alias("df1"),
+        crit.alias("f_crit"),
+        F.coalesce(w_stat > crit, F.lit(False)).alias("reject"),
+    )
+    return per_group.select(
+        "event_type", "n_g", "median_g", "mean_z"
+    ).crossJoin(F.broadcast(verdict))

@@ -4546,6 +4546,14 @@ QUERIES: dict[str, QueryFn] = {
     "window_group_limit_check": _window_group_limit_check,
     "nested_prune_check": _nested_prune_check,
     "tokenizer_fertility": _q(textstats.tokenizer_fertility, "documents"),
+    # NEW in round 11 (fourth batch): item-item cosine CF neighbors
+    # (the recommender scoring model beside copurchase_lift's
+    # association rules — its per-item top-k IS the WindowGroupLimit
+    # proof's cost model) and Brown-Forsythe variance homogeneity
+    # (the dispersion companion to kruskal_wallis; gate = the exact
+    # F(k-1, inf) quantile chi2/(k-1)).
+    "item_cf_neighbors": _q(aggregates.item_cf_neighbors, "lineitem"),
+    "brown_forsythe_test": _q(drift.brown_forsythe_test, "events"),
     # NEW in round 10: incremental dedup stage-fusion re-row (VERDICT
     # r9 #5) and the split/curation closure re-rows sharing textstats
     # helpers touched by the md5-bucket rework.
@@ -4554,8 +4562,6 @@ QUERIES: dict[str, QueryFn] = {
     # confidences (ADVICE r9); triangle_count and stream_topk_live are
     # r9-window rows carried for their round-10 ledger ingest.
     "copurchase_lift": _q(aggregates.copurchase_lift, "lineitem", "part"),
-    "triangle_count": _q(graph.triangle_count, "lineitem", "part"),
-    "stream_topk_live": _stream_topk_live,
     # NEW in round 10 (second batch): TPC-H COMPLETION — Q2/Q9/Q11/
     # Q16/Q20 were the five queries blocked on the fixture's missing
     # partsupp table; a derived part-supplier relation (exact-decimal
@@ -4653,6 +4659,8 @@ QUERIES: dict[str, QueryFn] = {
     "curate_for_training": _q(textstats.curate_for_training, "documents"),
     "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
     "cap_per_key": _q(textstats.cap_per_key, "documents"),
+    "triangle_count": _q(graph.triangle_count, "lineitem", "part"),
+    "stream_topk_live": _stream_topk_live,
     "embed_random_projection": _q(
         similarity.embed_random_projection, "embeddings"
     ),
@@ -9330,6 +9338,112 @@ ORACLE_SQL: dict[str, str] = {
         SELECT lang, n_docs, n_words, n_tokens,
                round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility
         FROM per_lang
+    """,
+    # Replays item_cf_neighbors: distinct (order, part) incidence,
+    # in-order pair counts, cosine n_co/sqrt(n_i*n_j), per-item top-3
+    # with (cosine desc, neighbor asc) ties.
+    "item_cf_neighbors": """
+        WITH bp AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+            SELECT x.l_partkey AS a, y.l_partkey AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n_co
+            FROM bp x
+            JOIN bp y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        marg AS (
+            SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bp GROUP BY 1),
+        sym AS (
+            SELECT a AS item, b AS neighbor, n_co FROM pairs
+            UNION ALL
+            SELECT b AS item, a AS neighbor, n_co FROM pairs),
+        scored AS (
+            SELECT s.item, s.neighbor, s.n_co,
+                   mi.n AS n_item, mn.n AS n_neighbor,
+                   round(s.n_co / sqrt(CAST(mi.n AS DOUBLE) * mn.n), 6)
+                       AS cosine
+            FROM sym s
+            JOIN marg mi ON mi.item = s.item
+            JOIN marg mn ON mn.item = s.neighbor)
+        SELECT item, neighbor, n_co, n_item, n_neighbor, cosine,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                     ORDER BY cosine DESC, neighbor ASC) AS rnk
+              FROM scored)
+        WHERE rnk <= 3
+    """,
+    # Replays brown_forsythe_test: discrete group medians, 6-dp
+    # decimal |x - med| folds, the F statistic on z, and the exact
+    # F(k-1, inf) = chi2/(k-1) gate (literals from the SAME Python
+    # round as the engine).
+    "brown_forsythe_test": """
+        WITH vals AS (
+            SELECT event_type, value FROM events
+            WHERE value IS NOT NULL),
+        pv AS (
+            SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+            FROM vals GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, value, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM pv),
+        ng AS (
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_g
+            FROM pv GROUP BY 1),
+        med AS (
+            SELECT c.event_type, MIN(c.value) AS median_g
+            FROM cum c JOIN ng USING (event_type)
+            WHERE c.cum >= (n_g + 1) // 2 GROUP BY 1),
+        z AS (
+            SELECT v.event_type,
+                   CAST(round(abs(v.value - m.median_g), 6)
+                        AS DECIMAL(18,6)) AS z
+            FROM vals v JOIN med m USING (event_type)),
+        groups AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+                   SUM(z) AS sz,
+                   SUM(CAST(z * z AS DECIMAL(38,12))) AS szz
+            FROM z GROUP BY 1),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot, SUM(sz) AS sz_tot,
+                   CAST(COUNT(*) AS BIGINT) AS k_groups
+            FROM groups),
+        pg AS (
+            SELECT g.event_type, g.n_g, m.median_g,
+                   round(CAST(g.sz AS DOUBLE) / CAST(g.n_g AS DOUBLE),
+                         6) AS mean_z,
+                   CAST(round(CAST(g.n_g AS DOUBLE)
+                        * (CAST(g.sz AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+                           - CAST(t.sz_tot AS DOUBLE) / t.n_tot)
+                        * (CAST(g.sz AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+                           - CAST(t.sz_tot AS DOUBLE) / t.n_tot), 6)
+                        AS DECIMAL(38,6)) AS bt,
+                   CAST(round(CAST(g.szz AS DOUBLE)
+                        - CAST(g.sz AS DOUBLE) * CAST(g.sz AS DOUBLE)
+                          / CAST(g.n_g AS DOUBLE), 6)
+                        AS DECIMAL(38,6)) AS wt,
+                   t.n_tot, t.k_groups
+            FROM groups g
+            JOIN med m USING (event_type), tot t),
+        agg AS (
+            SELECT n_tot, k_groups,
+                   CAST(SUM(bt) AS DOUBLE) AS sb,
+                   CAST(SUM(wt) AS DOUBLE) AS sw
+            FROM pg GROUP BY 1, 2),
+        ver AS (
+            SELECT round(((CAST(n_tot AS DOUBLE) - k_groups)
+                          / (CAST(k_groups AS DOUBLE) - 1))
+                         * (sb / nullif(sw, 0.0)), 6) AS w_stat,
+                   CAST(k_groups - 1 AS INTEGER) AS df1,
+                   CASE k_groups - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 2.995732 WHEN 3 THEN 2.604909 WHEN 4 THEN 2.371932 WHEN 5 THEN 2.2141 WHEN 6 THEN 2.098598 WHEN 7 THEN 2.009591 END AS f_crit
+            FROM agg)
+        SELECT p.event_type, p.n_g, p.median_g, p.mean_z,
+               v.w_stat, v.df1, v.f_crit,
+               COALESCE(v.w_stat > v.f_crit, FALSE) AS reject
+        FROM pg p, ver v
     """,
     # Replays croston_intermittent: nonzero-demand days of the
     # top-tail slice, LAG intervals, the two-series decimal recurrence

@@ -164,6 +164,8 @@ CROSS_JOIN_ALLOWED = {
     "tokenizer_fertility",
     # per-type agg × broadcast 1-row pruned-ReadSchema scalar
     "nested_prune_check",
+    # per-group moments × broadcast 1-row totals, then × 1-row verdict
+    "brown_forsythe_test",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any

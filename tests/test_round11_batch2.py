@@ -410,3 +410,54 @@ def test_tokenizer_fertility_reflects_vocab_bias(spark):
     assert out["b"].fertility == 1.75
     assert out["b"].fertility > out["a"].fertility
     assert (out["a"].n_docs, out["b"].n_docs) == (5, 2)
+
+
+def test_item_cf_cosine_hand_values(spark):
+    """Orders {1,2} both contain parts (10, 20); order 3 has (10, 30):
+    cosine(10,20) = 2/√(3·2), cosine(10,30) = 1/√(3·1) — ranks follow."""
+    import math
+
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        item_cf_neighbors,
+    )
+
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {
+        (r.item, r.neighbor): r
+        for r in item_cf_neighbors(li, min_co=1).collect()
+    }
+    r = out[(10, 20)]
+    assert (r.n_co, r.n_item, r.n_neighbor) == (2, 3, 2)
+    assert r.cosine == round(2 / math.sqrt(6), 6)
+    assert r.rnk == 1
+    assert out[(10, 30)].cosine == round(1 / math.sqrt(3), 6)
+    assert out[(10, 30)].rnk == 2
+    assert out[(20, 10)].rnk == 1 and out[(30, 10)].rnk == 1
+
+
+def test_brown_forsythe_flags_planted_variance_shift(spark):
+    """wide = {41×15, 59×15} (median 41 ⇒ z ∈ {0, 18}), tight =
+    {49×15, 51×15} (z ∈ {0, 2}): between = 960, within = 2460,
+    W = 58·960/2460 = 22.634146 → reject; identical groups don't."""
+    from big_data_trend_analysis_spark.operators.drift import (
+        brown_forsythe_test,
+    )
+
+    rows, eid = [], 0
+    for i in range(30):
+        rows.append((eid, 5, i, "wide", 50.0 + (9 if i % 2 else -9))); eid += 1
+        rows.append((eid, 5, i, "tight", 50.0 + (1 if i % 2 else -1))); eid += 1
+    out = {r.event_type: r for r in brown_forsythe_test(_events(spark, rows)).collect()}
+    r = out["wide"]
+    assert r.df1 == 1 and r.f_crit == 3.841459
+    assert r.w_stat == 22.634146
+    assert r.mean_z == 9.0 and r.median_g == 41.0
+    assert r.reject
+
+    same = _events(
+        spark,
+        [(i, 5, i, "a" if i % 2 else "b", float(i % 7)) for i in range(40)],
+    )
+    r2 = brown_forsythe_test(same).collect()[0]
+    assert not r2.reject

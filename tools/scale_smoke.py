@@ -181,6 +181,10 @@ HEAVY_QUERIES = [
     "stream_rate_limited_live",
     "tokenizer_fertility",
     "nested_prune_check",
+    # round-11 fourth batch: Brown-Forsythe over synthesized events
+    # (item_cf_neighbors reads the TPC-H lineitem tier - bench covers
+    # it, the copurchase_lift precedent)
+    "brown_forsythe_test",
     # (copurchase_lift / triangle_count / ab_test_welch read the TPC-H
     # lineitem tier, which this tool does not synthesize — bench covers
     # them; the remaining round-9 rows are scan-speed or days-relation
