@@ -632,6 +632,20 @@ HEADLINERS: dict[str, str] = {
         "wide JSON payload never leave the footer. The typed-metadata "
         "multimodal layout scales BECAUSE of this rule."
     ),
+    "item_cf_neighbors": (
+        "baskets form in ONE collect_set keyed on the order; pairs "
+        "are generated JVM-side from each bounded basket array — no "
+        "corpus self-join anywhere — and the per-item top-3 rank "
+        "window executes as a WindowGroupLimit (per-group heaps "
+        "before the shuffle)."
+    ),
+    "brown_forsythe_test": (
+        "group medians come from per-group windows over the "
+        "distinct-value relation, |x − med| deviations fold as 6-dp "
+        "decimals into five per-group cells, and W is scalar algebra "
+        "over a broadcast 1-row total — two corpus scans, both "
+        "hash-aggregated."
+    ),
 }
 
 
