@@ -1651,3 +1651,106 @@ def brown_forsythe_test(events: DataFrame) -> DataFrame:
     return per_group.select(
         "event_type", "n_g", "median_g", "mean_z"
     ).crossJoin(F.broadcast(verdict))
+
+
+def pacf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Partial autocorrelation of the daily-count series via
+    Durbin–Levinson.
+
+    The AR-order diagnostic that completes the correlogram pair
+    (``autocorr_daily`` answers "is lag k correlated?", PACF answers
+    "does lag k add anything BEYOND lags 1..k−1?" — the Box–Jenkins
+    AR(p) cut-off readout): the Durbin–Levinson recursion
+
+        φ_{k,k} = (r_k − Σ_{j<k} φ_{k−1,j}·r_{k−j})
+                  / (1 − Σ_{j<k} φ_{k−1,j}·r_j)
+        φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
+
+    over the calendar-aware ACF relation. The recursion is sequential
+    in LAG order only — state is the O(max_lag) φ vector, so it runs
+    in one applyInPandas over the max_lag-row ACF relation (bounded by
+    the lag budget, never by data). Determinism: the φ state carries
+    6-dp Decimals (products exact, updates quantized HALF_UP == DuckDB
+    decimal round); each division runs in IEEE double and
+    floor-quantizes via x·1e6 + 0.5 (the gapfill/isotonic tie
+    discipline), so every step replays bit-identically in the DuckDB
+    list-recursive CTE. Lags whose ACF is NULL (no aligned calendar
+    pair) stop the recursion and emit NULL pacf from there on.
+
+    Emits per lag: (lag, n_days, acf, pacf) — pacf(1) == acf(1) by
+    construction.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    acf_rel = autocorr_daily(events, max_lag=max_lag)
+    schema = StructType(
+        [
+            StructField("lag", IntegerType()),
+            StructField("n_days", LongType()),
+            StructField("acf", DoubleType()),
+            StructField("pacf", DoubleType()),
+        ]
+    )
+
+    def _dl(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        pdf = pdf.sort_values("lag").reset_index(drop=True)
+        r: dict[int, Decimal] = {}
+        for t in pdf.itertuples():
+            if t.acf is None or (
+                isinstance(t.acf, float) and math.isnan(t.acf)
+            ):
+                break
+            r[int(t.lag)] = Decimal(repr(float(t.acf))).quantize(
+                q6, rounding=ROUND_HALF_UP
+            )
+        phi: dict[int, Decimal] = {}
+        pacf_out: dict[int, float] = {}
+        for k in sorted(r):
+            if k == 1:
+                phi = {1: r[1]}
+                pacf_out[1] = float(r[1])
+                continue
+            num = r[k] - sum(phi[j] * r[k - j] for j in range(1, k))
+            den = Decimal(1) - sum(phi[j] * r[j] for j in range(1, k))
+            if float(den) == 0.0:
+                break
+            pacf = Decimal(
+                math.floor(float(num) / float(den) * 1_000_000 + 0.5)
+            ) / Decimal(1_000_000)
+            phi = {
+                j: (phi[j] - pacf * phi[k - j]).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+                for j in range(1, k)
+            }
+            phi[k] = pacf
+            pacf_out[k] = float(pacf)
+        rows = [
+            (
+                int(t.lag),
+                int(t.n_days),
+                None if (isinstance(t.acf, float) and math.isnan(t.acf))
+                else t.acf,
+                pacf_out.get(int(t.lag)),
+            )
+            for t in pdf.itertuples()
+        ]
+        return pd.DataFrame(rows, columns=["lag", "n_days", "acf", "pacf"])
+
+    return (
+        acf_rel.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(_dl, schema)
+    )

@@ -4554,6 +4554,11 @@ QUERIES: dict[str, QueryFn] = {
     # F(k-1, inf) quantile chi2/(k-1)).
     "item_cf_neighbors": _q(aggregates.item_cf_neighbors, "lineitem"),
     "brown_forsythe_test": _q(drift.brown_forsythe_test, "events"),
+    # NEW in round 11 (fourth batch): Durbin-Levinson PACF — the
+    # Box-Jenkins AR-order diagnostic completing the correlogram pair;
+    # the phi recursion rides a DECIMAL list through a recursive CTE
+    # on the oracle side (the holt_winters ring device).
+    "pacf_daily": _q(drift.pacf_daily, "events"),
     # NEW in round 10: incremental dedup stage-fusion re-row (VERDICT
     # r9 #5) and the split/curation closure re-rows sharing textstats
     # helpers touched by the md5-bucket rework.
@@ -4561,7 +4566,6 @@ QUERIES: dict[str, QueryFn] = {
     # CHANGED in round 10: copurchase_lift now emits BOTH directional
     # confidences (ADVICE r9); triangle_count and stream_topk_live are
     # r9-window rows carried for their round-10 ledger ingest.
-    "copurchase_lift": _q(aggregates.copurchase_lift, "lineitem", "part"),
     # NEW in round 10 (second batch): TPC-H COMPLETION — Q2/Q9/Q11/
     # Q16/Q20 were the five queries blocked on the fixture's missing
     # partsupp table; a derived part-supplier relation (exact-decimal
@@ -4659,6 +4663,7 @@ QUERIES: dict[str, QueryFn] = {
     "curate_for_training": _q(textstats.curate_for_training, "documents"),
     "stratified_sample_exact": _q(textstats.stratified_sample_exact, "documents"),
     "cap_per_key": _q(textstats.cap_per_key, "documents"),
+    "copurchase_lift": _q(aggregates.copurchase_lift, "lineitem", "part"),
     "triangle_count": _q(graph.triangle_count, "lineitem", "part"),
     "stream_topk_live": _stream_topk_live,
     "embed_random_projection": _q(
@@ -9444,6 +9449,74 @@ ORACLE_SQL: dict[str, str] = {
                v.w_stat, v.df1, v.f_crit,
                COALESCE(v.w_stat > v.f_crit, FALSE) AS reject
         FROM pg p, ver v
+    """,
+    # Replays pacf_daily: the ljung_box 7-lag calendar-aware ACF CTEs
+    # verbatim, then the Durbin-Levinson recursion as a list-recursive
+    # CTE — the phi state rides as a DECIMAL(18,6) LIST (products stay
+    # exact; DuckDB decimal round is half-up == the engine quantize),
+    # each division floor-quantized in double (the gapfill tie
+    # discipline).
+    "pacf_daily": """
+        WITH RECURSIVE daily AS (
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1),
+        st AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+                      CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        dev AS (
+            SELECT day, n_days,
+                   round(n - CAST(tot_n AS DOUBLE) / n_days, 6) AS d0
+            FROM daily, st),
+        nums AS (
+            SELECT CAST(date_diff('day', p.day, c.day) AS INTEGER) AS lag,
+                   SUM(CAST(round(c.d0 * p.d0, 6) AS DECIMAL(18,6)))
+                       AS num_dec
+            FROM dev c JOIN dev p
+              ON date_diff('day', p.day, c.day) BETWEEN 1 AND 7
+            GROUP BY 1),
+        spine AS (
+            SELECT CAST(gs.lag AS INTEGER) AS lag, st.n_days
+            FROM st, generate_series(1, 7) AS gs(lag)),
+        den AS (SELECT SUM(CAST(round(d0 * d0, 6) AS DECIMAL(18,6)))
+                    AS den_dec FROM dev),
+        acf AS (
+            SELECT s.lag, s.n_days,
+                   round(CAST(num_dec AS DOUBLE)
+                         / nullif(CAST(den_dec AS DOUBLE), 0.0), 6) AS acf
+            FROM spine s LEFT JOIN nums USING (lag), den),
+        rl AS (
+            SELECT list(CAST(acf AS DECIMAL(18,6)) ORDER BY lag) AS r,
+                   CAST(COUNT(acf) AS INTEGER) AS n_ok
+            FROM acf),
+        rec AS (
+            SELECT 1 AS k, r, n_ok, [r[1]] AS phi,
+                   CAST(r[1] AS DOUBLE) AS pacf
+            FROM rl WHERE n_ok >= 1
+            UNION ALL
+            SELECT q.k, q.r, q.n_ok,
+                   list_append(
+                       list_transform(generate_series(1, q.k - 1),
+                           j -> CAST(round(q.phi[j]
+                                - CAST(q.pacf_d AS DECIMAL(18,6))
+                                  * q.phi[q.k - j], 6)
+                                AS DECIMAL(18,6))),
+                       CAST(q.pacf_d AS DECIMAL(18,6))) AS phi,
+                   CAST(q.pacf_d AS DOUBLE) AS pacf
+            FROM (
+                SELECT r.k + 1 AS k, r.r, r.n_ok, r.phi,
+                       floor(CAST(r.r[r.k + 1]
+                                  - list_sum(list_transform(
+                                      generate_series(1, r.k),
+                                      j -> r.phi[j] * r.r[r.k + 1 - j]))
+                                  AS DOUBLE)
+                             / CAST(1 - list_sum(list_transform(
+                                      generate_series(1, r.k),
+                                      j -> r.phi[j] * r.r[j]))
+                                  AS DOUBLE)
+                             * 1000000.0 + 0.5) / 1000000.0 AS pacf_d
+                FROM rec r WHERE r.k < r.n_ok
+            ) q)
+        SELECT a.lag, a.n_days, a.acf, rec.pacf
+        FROM acf a LEFT JOIN rec ON rec.k = a.lag
     """,
     # Replays croston_intermittent: nonzero-demand days of the
     # top-tail slice, LAG intervals, the two-series decimal recurrence

@@ -461,3 +461,43 @@ def test_brown_forsythe_flags_planted_variance_shift(spark):
     )
     r2 = brown_forsythe_test(same).collect()[0]
     assert not r2.reject
+
+
+def test_pacf_matches_reference_recursion(spark):
+    """pacf(1) == acf(1), and every deeper lag equals an independent
+    Decimal replay of the Durbin–Levinson recursion over the
+    operator's own ACF output."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from big_data_trend_analysis_spark.operators.drift import pacf_daily
+
+    rows, eid = [], 0
+    counts = [4, 9, 2, 8, 5, 11, 7, 6, 10, 3, 9, 4, 12, 8, 5, 7, 13, 6]
+    for d, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, d, eid % 3, "t", 1.0))
+            eid += 1
+    out = sorted(pacf_daily(_events(spark, rows)).collect(), key=lambda r: r.lag)
+    assert [r.lag for r in out] == list(range(1, 8))
+    assert out[0].pacf == out[0].acf
+
+    q6 = Decimal("0.000001")
+    r = {
+        k: Decimal(repr(row.acf)).quantize(q6, rounding=ROUND_HALF_UP)
+        for k, row in enumerate(out, start=1)
+    }
+    phi = {1: r[1]}
+    expect = {1: float(r[1])}
+    for k in range(2, 8):
+        num = r[k] - sum(phi[j] * r[k - j] for j in range(1, k))
+        den = Decimal(1) - sum(phi[j] * r[j] for j in range(1, k))
+        pacf = Decimal(
+            math.floor(float(num) / float(den) * 1_000_000 + 0.5)
+        ) / Decimal(1_000_000)
+        phi = {
+            j: (phi[j] - pacf * phi[k - j]).quantize(q6, rounding=ROUND_HALF_UP)
+            for j in range(1, k)
+        } | {k: pacf}
+        expect[k] = float(pacf)
+    assert {row.lag: row.pacf for row in out} == expect

@@ -185,6 +185,7 @@ HEAVY_QUERIES = [
     # (item_cf_neighbors reads the TPC-H lineitem tier - bench covers
     # it, the copurchase_lift precedent)
     "brown_forsythe_test",
+    "pacf_daily",
     # (copurchase_lift / triangle_count / ab_test_welch read the TPC-H
     # lineitem tier, which this tool does not synthesize — bench covers
     # them; the remaining round-9 rows are scan-speed or days-relation
