@@ -166,6 +166,9 @@ CROSS_JOIN_ALLOWED = {
     "nested_prune_check",
     # per-group moments × broadcast 1-row totals, then × 1-row verdict
     "brown_forsythe_test",
+    # inherits autocorr_daily's days-relation × broadcast 1-row
+    # moments/denominator scalars under its bounded ACF input
+    "pacf_daily",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any
