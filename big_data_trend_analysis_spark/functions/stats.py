@@ -81,3 +81,99 @@ def t_crit_975_sql(df_expr: str) -> str:
         f"({Z_975!r} + {inv} * ({_G1!r} + {inv} * ({_G2!r} + {inv} * "
         f"({_G3!r} + {inv} * {_G4!r}))))"
     )
+
+
+#: Φ⁻¹(0.95) — the one-sided normal quantile behind the F(ν₁, ν₂)
+#: upper-5% critical value (an F test rejects in one tail).
+Z_95 = 1.6448536269514722
+
+#: ln(0.05) — the exact-branch constant for F(2, ν₂): the F(2, ν)
+#: survival function is (1 + 2x/ν)^(−ν/2) in closed form, so the
+#: quantile is x = (ν/2)·(0.05^(−2/ν) − 1) = (ν/2)·(e^(−(2/ν)·ln .05) − 1).
+_LN_005 = -2.995732273553991
+
+#: Paulson-branch df₂ floor: the Wilson–Hilferty cube-root inversion
+#: degenerates as 2/(9ν₂) approaches b²/z² (ν₂ → 1); monitoring-scale
+#: df₂ = N − k is orders of magnitude above the floor, which exists
+#: only so toy fixtures stay finite (and conservative: the clamp can
+#: only RAISE the critical value).
+_F_DF2_FLOOR = 5.0
+
+
+def f_crit_95(df1: Column, df2: Column) -> Column:
+    """Upper 5% F(df1, df2) critical value at general (integer df1,
+    possibly huge df2) — the variance-ratio gate for Brown–Forsythe /
+    one-way ANOVA readouts, engine-portable like ``t_crit_975``.
+
+    Three branches, each the strongest closed form available:
+
+    - df1 = 1 — EXACT identity F(1, ν, 0.95) = t(ν, 0.975)²; reuses
+      the Cornish–Fisher ``t_crit_975`` (pure arithmetic).
+    - df1 = 2 — EXACT closed form: the F(2, ν) survival function is
+      (1 + 2x/ν)^(−ν/2), so x = (ν/2)·(0.05^(−2/ν) − 1). One ``exp``
+      over a literal-scaled ratio.
+    - df1 ≥ 3 — Paulson's inversion (Wilson–Hilferty cube-root
+      normalization applied to BOTH chi-squares): with c = 2/(9ν₁),
+      d = 2/(9ν₂), a = 1−c, b = 1−d, solve the quadratic
+      (b·y − a)² = z²·(d·y² + c) for y = F^(1/3) and take the + root.
+      Relative error vs the F table ≤ 0.5% at df1 = 3 shrinking with
+      df1 (0.1% at df1 = 7), and → the χ²/df1 limit as df₂ → ∞.
+
+    NULL df propagates NULL (the t_crit discipline). df2 is clamped
+    at ``_F_DF2_FLOOR`` in the Paulson branch only — the two exact
+    branches hold for all df2 ≥ 1.
+    """
+    v1 = df1.cast("double")
+    v2 = df2.cast("double")
+    # exact df1 = 2 branch
+    exact2 = (v2 / F.lit(2.0)) * (
+        F.exp(F.lit(_LN_005) * (F.lit(-2.0) / v2)) - F.lit(1.0)
+    )
+    # Paulson branch (df1 >= 3), df2 clamped from below
+    v2c = F.when(v2 < F.lit(_F_DF2_FLOOR), F.lit(_F_DF2_FLOOR)).otherwise(v2)
+    c = F.lit(2.0) / (F.lit(9.0) * v1)
+    d = F.lit(2.0) / (F.lit(9.0) * v2c)
+    a = F.lit(1.0) - c
+    b = F.lit(1.0) - d
+    z2 = F.lit(Z_95 * Z_95)
+    quad_a = b * b - z2 * d
+    quad_b = a * b
+    quad_c = a * a - z2 * c
+    y = (quad_b + F.sqrt(quad_b * quad_b - quad_a * quad_c)) / quad_a
+    paulson = y * y * y
+    t = t_crit_975(v2)
+    return (
+        F.when(v1 == F.lit(1.0), t * t)
+        .when(v1 == F.lit(2.0), exact2)
+        .otherwise(paulson)
+    )
+
+
+def f_crit_95_sql(df1_expr: str, df2_expr: str) -> str:
+    """DuckDB twin of ``f_crit_95``: the same three branches over the
+    same double literals, for splicing into an oracle SQL string. The
+    sub-expressions are spelled in the SAME operation order as the
+    Column form so both engines execute identical IEEE double chains.
+    """
+    v1 = f"CAST({df1_expr} AS DOUBLE)"
+    v2 = f"CAST({df2_expr} AS DOUBLE)"
+    exact2 = f"(({v2} / 2.0) * (exp({_LN_005!r} * (-2.0 / {v2})) - 1.0))"
+    v2c = (
+        f"(CASE WHEN {v2} < {_F_DF2_FLOOR!r} THEN {_F_DF2_FLOOR!r}"
+        f" ELSE {v2} END)"
+    )
+    c = f"(2.0 / (9.0 * {v1}))"
+    d = f"(2.0 / (9.0 * {v2c}))"
+    a = f"(1.0 - {c})"
+    b = f"(1.0 - {d})"
+    z2 = repr(Z_95 * Z_95)
+    qa = f"({b} * {b} - {z2} * {d})"
+    qb = f"({a} * {b})"
+    qc = f"({a} * {a} - {z2} * {c})"
+    y = f"(({qb} + sqrt({qb} * {qb} - {qa} * {qc})) / {qa})"
+    t = t_crit_975_sql(v2)
+    return (
+        f"(CASE WHEN {v1} = 1.0 THEN {t} * {t}"
+        f" WHEN {v1} = 2.0 THEN {exact2}"
+        f" ELSE {y} * {y} * {y} END)"
+    )

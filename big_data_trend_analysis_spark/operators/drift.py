@@ -27,10 +27,13 @@ the same deterministic split the CDC/MOR gates carve.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from big_data_trend_analysis_spark.functions.ranks import range_cumsum
 from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
 
 #: Rounded log-terms accumulate exactly in this type (6 dp, 18 digits).
@@ -41,60 +44,6 @@ def _slices(events: DataFrame):
     cut = F.lit(SNAPSHOT_CUT).cast("timestamp")
     is_base = (F.col("ts") < cut).alias("is_base")
     return events.select("event_type", "ts", "value", is_base)
-
-
-def _range_cumsum(
-    df: DataFrame, order_col: str, sum_cols: list[str], n_parts: int = 8
-) -> DataFrame:
-    """Distributed inclusive cumulative sums over a global value order.
-
-    The ``feature_binning`` cumsum shape extracted for the rank
-    statistics (VERDICT r10: ``mann_whitney_u``/``ks_test_check`` ran
-    ONE unpartitioned window over the distinct-value relation — fine
-    for a bounded 2-dp support, O(|distinct|) on a single task for a
-    continuous high-cardinality metric): range-partition by the order
-    column, run per-partition local running sums, and broadcast the
-    tiny per-partition totals back as additive offsets. The result is
-    independent of where the sampled range boundaries fall; the
-    localCheckpoint materializes the partition-local pass once so the
-    totals and the join consumer share it.
-
-    Appends ``cum_<col>`` (inclusive) for each requested column.
-    """
-    w_loc = (
-        Window.partitionBy("_pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = df.repartitionByRange(n_parts, order_col).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    for c in sum_cols:
-        local = local.withColumn(f"_lc_{c}", F.sum(c).over(w_loc))
-    local = local.localCheckpoint()
-    ptot = local.groupBy("_pid").agg(
-        *[F.sum(c).alias(f"_pt_{c}") for c in sum_cols]
-    )
-    w_off = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = ptot.select(
-        "_pid",
-        *[
-            F.coalesce(F.sum(f"_pt_{c}").over(w_off), F.lit(0)).alias(
-                f"_off_{c}"
-            )
-            for c in sum_cols
-        ],
-    )
-    out = local.join(F.broadcast(offs), "_pid")
-    for c in sum_cols:
-        out = out.withColumn(f"cum_{c}", F.col(f"_lc_{c}") + F.col(f"_off_{c}"))
-    return out.drop(
-        "_pid",
-        *[f"_lc_{c}" for c in sum_cols],
-        *[f"_off_{c}" for c in sum_cols],
-    )
 
 
 def psi_drift(events: DataFrame, n_bins: int = 10) -> DataFrame:
@@ -160,7 +109,7 @@ def ks_test_check(
     D = max_v |F_base(v) − F_cur(v)| over the merged support, computed
     exactly from cumulative counts: one (value, slice) aggregation,
     then a RANGE-PARTITIONED distributed cumsum over the value order
-    (``_range_cumsum`` — no single task ever holds more than its
+    (``functions.ranks.range_cumsum`` — no single task ever holds more than its
     range of the distinct-value relation, so a continuous
     high-cardinality metric scales the same as the 2-dp fixture),
     one max. NULL values carry no order and are excluded up front
@@ -179,7 +128,7 @@ def ks_test_check(
         F.count_if(F.col("is_base")).alias("c_base"),
         F.count_if(~F.col("is_base")).alias("c_cur"),
     )
-    cum = _range_cumsum(per_value, "value", ["c_base", "c_cur"])
+    cum = range_cumsum(per_value, "value", ["c_base", "c_cur"])
     # totals fold the CHECKPOINTED relation — the corpus-sized
     # aggregation runs exactly once
     totals = cum.agg(
@@ -489,7 +438,7 @@ def mann_whitney_u(events: DataFrame, z_crit: float = 1.96) -> DataFrame:
     robust A/B readout when means are skew-fragile. Rank sums come from
     the per-VALUE relation, never per-row ranks: avgrank(v) =
     cum_before(v) + (n_v + 1)/2, computed by the RANGE-PARTITIONED
-    distributed cumsum (``_range_cumsum`` — no unpartitioned window,
+    distributed cumsum (``functions.ranks.range_cumsum`` — no unpartitioned window,
     so a continuous high-cardinality metric scales the same as the
     2-dp fixture), and the corpus collapses in ONE (value, slice)
     hash aggregation. NULL values carry no rank and are excluded up
@@ -514,7 +463,7 @@ def mann_whitney_u(events: DataFrame, z_crit: float = 1.96) -> DataFrame:
         F.count_if(~F.col("is_base")).alias("c_cur"),
     )
     n_v = F.col("c_base") + F.col("c_cur")
-    cum = _range_cumsum(
+    cum = range_cumsum(
         per_value.select("value", "c_base", "c_cur", n_v.alias("n_v")),
         "value",
         ["n_v"],
@@ -915,7 +864,7 @@ def kruskal_wallis(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     per_value = per_vt.groupBy("value").agg(F.sum("c").alias("n_v"))
-    cum = _range_cumsum(per_value, "value", ["n_v"])
+    cum = range_cumsum(per_value, "value", ["n_v"])
     # doubled avgrank keeps the ½ steps exact (the mann_whitney trick)
     ranked = cum.select(
         "value",
@@ -1555,15 +1504,18 @@ def brown_forsythe_test(events: DataFrame) -> DataFrame:
     winsorize convention) from per-group value windows (group count is
     fixture-bounded; the distinct-value relation keeps them small);
     deviations round to 6 dp and every moment folds in exact decimal.
-    The gate compares W against χ²(0.95, k−1)/(k−1) — the exact
-    F(k−1, ∞) quantile, which at monitoring scale (df₂ = N − k in the
-    millions) matches the F table to the printed digits; the df₂ → ∞
-    convention is pinned here rather than shipping an F-table the
-    engines can't share.
+    The gate compares W against F(k−1, N−k, 0.95) at the ACTUAL df₂ —
+    ``functions.stats.f_crit_95``, the round-12 upgrade of the
+    round-11 df₂ → ∞ convention (exact t² identity at df1 = 1, the
+    exact (ν/2)·(0.05^(−2/ν) − 1) form at df1 = 2, Paulson's
+    Wilson–Hilferty inversion at df1 ≥ 3) — the same closed form the
+    DuckDB oracle evaluates, so small-N fixtures gate against the
+    honest critical value instead of the anti-conservative limit.
 
     Emits per group: (event_type, n_g, median_g, mean_z) with the
-    verdict repeated: (w_stat, df1, f_crit, reject).
+    verdict repeated: (w_stat, df1, df2, f_crit, reject).
     """
+    from big_data_trend_analysis_spark.functions.stats import f_crit_95
     vals = events.filter(F.col("value").isNotNull()).select(
         "event_type", "value"
     )
@@ -1637,20 +1589,69 @@ def brown_forsythe_test(events: DataFrame) -> DataFrame:
         * (F.col("sb") / F.nullif(F.col("sw"), F.lit(0.0))),
         6,
     )
-    crit = F.lit(None).cast("double")
-    for df1, c in enumerate(_CHI2_95, start=1):
-        crit = F.when(
-            F.col("k_groups") - 1 == df1, F.lit(round(c / df1, 6))
-        ).otherwise(crit)
+    crit = F.round(
+        f_crit_95(F.col("k_groups") - 1, F.col("n_tot") - F.col("k_groups")),
+        6,
+    )
     verdict = agg.select(
         w_stat.alias("w_stat"),
         (F.col("k_groups") - 1).cast("int").alias("df1"),
+        (F.col("n_tot") - F.col("k_groups")).cast("bigint").alias("df2"),
         crit.alias("f_crit"),
         F.coalesce(w_stat > crit, F.lit(False)).alias("reject"),
     )
     return per_group.select(
         "event_type", "n_g", "median_g", "mean_z"
     ).crossJoin(F.broadcast(verdict))
+
+
+def _durbin_levinson_acf(lag_acf: list[tuple[int, float]]) -> dict[int, float]:
+    """Durbin–Levinson recursion core shared by ``pacf_daily`` and
+    ``pacf_by_type``: takes (lag, acf) pairs (lag-sorted), returns
+    {lag: pacf} for every lag the recursion reaches.
+
+    Determinism contract (replayed bit-identically by the DuckDB
+    list-recursive CTE): the φ state carries 6-dp Decimals (products
+    exact, updates quantized HALF_UP == DuckDB decimal round); each
+    division runs in IEEE double and floor-quantizes via
+    x·1e6 + 0.5 (the gapfill/isotonic tie discipline). A NULL/NaN ACF
+    (no aligned calendar pair) stops the recursion; so does a zero
+    denominator (degenerate/constant series).
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    r: dict[int, Decimal] = {}
+    for lag, acf in lag_acf:
+        if acf is None or (isinstance(acf, float) and math.isnan(acf)):
+            break
+        r[int(lag)] = Decimal(repr(float(acf))).quantize(
+            q6, rounding=ROUND_HALF_UP
+        )
+    phi: dict[int, Decimal] = {}
+    pacf_out: dict[int, float] = {}
+    for k in sorted(r):
+        if k == 1:
+            phi = {1: r[1]}
+            pacf_out[1] = float(r[1])
+            continue
+        num = r[k] - sum(phi[j] * r[k - j] for j in range(1, k))
+        den = Decimal(1) - sum(phi[j] * r[j] for j in range(1, k))
+        if float(den) == 0.0:
+            break
+        pacf = Decimal(
+            math.floor(float(num) / float(den) * 1_000_000 + 0.5)
+        ) / Decimal(1_000_000)
+        phi = {
+            j: (phi[j] - pacf * phi[k - j]).quantize(
+                q6, rounding=ROUND_HALF_UP
+            )
+            for j in range(1, k)
+        }
+        phi[k] = pacf
+        pacf_out[k] = float(pacf)
+    return pacf_out
 
 
 def pacf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
@@ -1678,7 +1679,8 @@ def pacf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
     pair) stop the recursion and emit NULL pacf from there on.
 
     Emits per lag: (lag, n_days, acf, pacf) — pacf(1) == acf(1) by
-    construction.
+    construction. The recursion core is shared with ``pacf_by_type``
+    (``_durbin_levinson_acf``).
     """
     import pandas as pd
 
@@ -1702,41 +1704,11 @@ def pacf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
 
     def _dl(pdf: pd.DataFrame) -> pd.DataFrame:
         import math
-        from decimal import ROUND_HALF_UP, Decimal
 
-        q6 = Decimal("0.000001")
         pdf = pdf.sort_values("lag").reset_index(drop=True)
-        r: dict[int, Decimal] = {}
-        for t in pdf.itertuples():
-            if t.acf is None or (
-                isinstance(t.acf, float) and math.isnan(t.acf)
-            ):
-                break
-            r[int(t.lag)] = Decimal(repr(float(t.acf))).quantize(
-                q6, rounding=ROUND_HALF_UP
-            )
-        phi: dict[int, Decimal] = {}
-        pacf_out: dict[int, float] = {}
-        for k in sorted(r):
-            if k == 1:
-                phi = {1: r[1]}
-                pacf_out[1] = float(r[1])
-                continue
-            num = r[k] - sum(phi[j] * r[k - j] for j in range(1, k))
-            den = Decimal(1) - sum(phi[j] * r[j] for j in range(1, k))
-            if float(den) == 0.0:
-                break
-            pacf = Decimal(
-                math.floor(float(num) / float(den) * 1_000_000 + 0.5)
-            ) / Decimal(1_000_000)
-            phi = {
-                j: (phi[j] - pacf * phi[k - j]).quantize(
-                    q6, rounding=ROUND_HALF_UP
-                )
-                for j in range(1, k)
-            }
-            phi[k] = pacf
-            pacf_out[k] = float(pacf)
+        pacf_out = _durbin_levinson_acf(
+            [(int(t.lag), t.acf) for t in pdf.itertuples()]
+        )
         rows = [
             (
                 int(t.lag),
@@ -1753,4 +1725,300 @@ def pacf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
         acf_rel.withColumn("_g", F.lit(1))
         .groupBy("_g")
         .applyInPandas(_dl, schema)
+    )
+
+
+def pacf_by_type(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Per-series partial autocorrelation: ``pacf_daily`` keyed by
+    ``event_type`` (docs/ROADMAP.md round-12 frontier #2 — "the
+    per-series variant is the same applyInPandas over a keyed ACF
+    relation").
+
+    An AR-order diagnostic per monitored series, not just the global
+    one: each event type's daily-count series gets its own
+    calendar-aware ACF (mean-centred within the type, pairs matched by
+    calendar distance WITHIN the type) and its own Durbin–Levinson
+    recursion. Scale shape: one corpus-sized hash aggregation to
+    (type, day) counts; the lag self-join runs per type on the tiny
+    per-type day relations (O(types · days²) worst case, calendar-
+    bounded — the autocorr_daily argument, keyed); the recursion state
+    is O(max_lag) per type, so applyInPandas groups carry max_lag rows
+    each regardless of data volume. Determinism: identical 6-dp
+    decimal fold + ``_durbin_levinson_acf`` replay contract as
+    ``pacf_daily``; the DuckDB twin runs the same recursion per type
+    through one recursive CTE keyed on event_type (the
+    croston_intermittent per-key recursion device).
+
+    Emits per (event_type, lag): (event_type, lag, n_days, acf, pacf).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    daily = _materialize(
+        events.groupBy(
+            "event_type", F.date_trunc("DAY", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("n_days")
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        F.round(
+            F.col("n") - F.col("tot_n").cast("double") / F.col("n_days"), 6
+        ).alias("d0"),
+    )
+    gap = F.datediff(F.col("c.day"), F.col("p.day"))
+    nums = (
+        dev.alias("c")
+        .join(
+            F.broadcast(dev.alias("p")),
+            (F.col("c.event_type") == F.col("p.event_type"))
+            & (gap >= 1)
+            & (gap <= max_lag),
+        )
+        .groupBy(F.col("c.event_type").alias("event_type"), gap.alias("lag"))
+        .agg(
+            F.sum(
+                F.round(F.col("c.d0") * F.col("p.d0"), 6).cast(_TERM_DEC)
+            ).alias("num_dec")
+        )
+    )
+    spine = stats.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+        "n_days",
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(
+            F.round(F.col("d0") * F.col("d0"), 6).cast(_TERM_DEC)
+        ).alias("den_dec")
+    )
+    acf_rel = (
+        spine.join(nums, ["event_type", "lag"], "left")
+        .join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_days",
+            F.round(
+                F.col("num_dec").cast("double")
+                / F.nullif(F.col("den_dec").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("acf"),
+        )
+    )
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("lag", IntegerType()),
+            StructField("n_days", LongType()),
+            StructField("acf", DoubleType()),
+            StructField("pacf", DoubleType()),
+        ]
+    )
+
+    def _dl(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("lag").reset_index(drop=True)
+        pacf_out = _durbin_levinson_acf(
+            [(int(t.lag), t.acf) for t in pdf.itertuples()]
+        )
+        rows = [
+            (
+                t.event_type,
+                int(t.lag),
+                int(t.n_days),
+                None if (isinstance(t.acf, float) and math.isnan(t.acf))
+                else t.acf,
+                pacf_out.get(int(t.lag)),
+            )
+            for t in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            rows, columns=["event_type", "lag", "n_days", "acf", "pacf"]
+        )
+
+    return acf_rel.groupBy("event_type").applyInPandas(_dl, schema)
+
+
+#: Φ⁻¹(0.80) — the 80%-power normal quantile in the sample-size
+#: formula (z_β at β = 0.20).
+Z_80 = 0.8416212335729143
+
+
+def ab_power_mde(events: DataFrame, rel_effect: float = 0.05) -> DataFrame:
+    """Experiment power planning per metric stream: minimum detectable
+    effect at the CURRENT traffic, and the sample size a target effect
+    needs.
+
+    The question teams ask BEFORE ``ab_test_welch`` answers anything:
+    if we split this event type's traffic into two equal arms today,
+    what absolute/relative lift in ``value`` could we detect at
+    α = 0.05 (two-sided) with 80% power — and how many users per arm
+    would a ``rel_effect`` (default 5%) lift need? Standard normal-
+    approximation power identities: mde = (z_{α/2}+z_β)·√(2σ²/n_arm),
+    n_arm = 2σ²(z_{α/2}+z_β)²/δ². Scale shape: ONE hash aggregation
+    collapses the corpus to per-type moment rows (n, Σx, Σx²) — the
+    ab_test_welch discipline — and every output derives from those
+    three numbers. Determinism: 6-dp decimal folds for both sums
+    (exact, order-independent), variance from the moment identity on
+    doubles rounded 6 dp, z quantiles as shared literals
+    (functions/stats), ceil taken after a 6-dp round so both engines
+    land the same integer.
+
+    Emits per event_type: (event_type, n, mean_value, sd_value,
+    mde_abs, mde_rel, n_per_arm).
+    """
+    from big_data_trend_analysis_spark.functions.stats import Z_975
+
+    x = F.round(F.col("value"), 6).cast(_TERM_DEC)
+    moments = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mean = F.round(F.col("sx") / n, 6)
+    var = F.round(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        / F.nullif(n - F.lit(1.0), F.lit(0.0)),
+        6,
+    )
+    zsum = F.lit(Z_975 + Z_80)
+    n_arm = n / F.lit(2.0)
+    mde_abs = F.round(zsum * F.sqrt(F.lit(2.0) * var / n_arm), 6)
+    mde_rel = F.round(
+        mde_abs / F.nullif(F.abs(mean), F.lit(0.0)), 6
+    )
+    delta = F.lit(rel_effect) * mean
+    n_req = F.ceil(
+        F.round(
+            F.lit(2.0) * var * zsum * zsum
+            / F.nullif(delta * delta, F.lit(0.0)),
+            6,
+        )
+    )
+    return moments.select(
+        "event_type",
+        "n",
+        mean.alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("sd_value"),
+        mde_abs.alias("mde_abs"),
+        mde_rel.alias("mde_rel"),
+        n_req.cast("bigint").alias("n_per_arm"),
+    )
+
+
+def wilson_ci_proportion(events: DataFrame) -> DataFrame:
+    """Wilson score interval for each event type's traffic share.
+
+    The proportion CI the experimentation tier quotes alongside the
+    point estimate (the Wald interval misbehaves exactly where shares
+    are small — Wilson is the production convention, e.g. for CTR
+    readouts): per type, p̂ = n_type / n_total and the 95% interval
+        (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).
+    ONE hash aggregation to per-type counts + a 1-row total broadcast;
+    all arithmetic is ratios of exact integer counts and the shared
+    Z_975 literal, rounded to 6 dp at the same points on both engines.
+
+    Emits per event_type: (event_type, n, n_total, p_hat, ci_lo,
+    ci_hi).
+    """
+    from big_data_trend_analysis_spark.functions.stats import Z_975
+
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    z = F.lit(Z_975)
+    n = F.col("n_total").cast("double")
+    p = F.col("n").cast("double") / n
+    center = p + z * z / (F.lit(2.0) * n)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / n
+        + z * z / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z * z / n
+    return counts.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "n",
+        "n_total",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+#: Wald SPRT design constants: test H0 p=0.18 vs H1 p=0.22 on the
+#: daily purchase share at alpha = beta = 0.05. The four log terms
+#: are Python-computed literals so both engines fold the same
+#: doubles.
+SPRT_P0 = 0.18
+SPRT_P1 = 0.22
+_SPRT_L1 = math.log(SPRT_P1 / SPRT_P0)
+_SPRT_L0 = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+SPRT_UPPER = math.log(0.95 / 0.05)
+SPRT_LOWER = -SPRT_UPPER
+
+
+def sprt_monitor(events: DataFrame) -> DataFrame:
+    """Wald sequential probability-ratio test over the daily purchase
+    share — the always-valid monitoring companion to the fixed-horizon
+    tests (``ab_test_welch`` family answers "significant at n?"; SPRT
+    answers "can we STOP yet?" with α/β guarantees at any peek).
+
+    Per day t: x_t purchases out of n_t events contribute
+    LLR_t = x·ln(p1/p0) + (n−x)·ln((1−p1)/(1−p0)); the running sum
+    crosses ln((1−β)/α) → accept H1, −ln((1−β)/α) → accept H0, else
+    continue. Scale shape: ONE corpus aggregation to daily count
+    pairs; the running sum is a window over the calendar-bounded day
+    relation (the autocorr_daily bounded-series argument). Per-day
+    LLR rounds to 6 dp and folds in exact decimal, so the cumulative
+    path — and therefore the decision sequence — replays bit-
+    identically on both engines.
+
+    Emits per day: (day, n_events, n_purchases, llr_day, llr_cum,
+    decision).
+    """
+    daily = events.groupBy(
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+    )
+    llr = F.round(
+        F.col("n_purchases") * F.lit(_SPRT_L1)
+        + (F.col("n_events") - F.col("n_purchases")) * F.lit(_SPRT_L0),
+        6,
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(llr.cast(_TERM_DEC)).over(w).cast("double")
+    return daily.select(
+        "day",
+        "n_events",
+        "n_purchases",
+        llr.alias("llr_day"),
+        cum.alias("llr_cum"),
+        F.when(cum >= F.lit(SPRT_UPPER), F.lit("accept_h1"))
+        .when(cum <= F.lit(SPRT_LOWER), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
     )

@@ -192,3 +192,89 @@ def triangle_count(
     )
     total = tris.agg(F.count(F.lit(1)).alias("total_triangles"))
     return per_node.crossJoin(F.broadcast(total))
+
+
+def adamic_adar_linkpred(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_support: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Adamic–Adar link prediction on the brand co-purchase graph:
+    for brand pairs NOT yet co-purchased, score their likelihood by
+    shared neighborhoods — AA(u,v) = Σ_{c ∈ N(u)∩N(v)} 1/ln(deg c)
+    (Adamic & Adar 2003), the standard common-neighbor predictor that
+    discounts promiscuous hubs.
+
+    Completes the graph tier's missing archetype (pagerank ranks
+    nodes, triangles measure closure, components cluster — link
+    prediction asks "which edge appears NEXT?"). Scale shape: the
+    edge relation is the dimension²-bounded ``_brand_basket_pairs``
+    output (ONE corpus aggregation, the copurchase_lift machinery);
+    wedges enumerate via the symmetric edge self-join through the
+    common neighbor (fan-out bounded by Σ deg(c)² over the dim-sized
+    graph, the triangle_count economics); existing edges drop via one
+    anti-join; the global top-k executes as TakeOrdered on
+    (score DESC, pair ASC). Determinism: common neighbors have
+    deg ≥ 2 by construction (ln > 0); each 1/ln(deg) term rounds to
+    6 dp and the pair score folds in exact decimal.
+
+    Emits top-k candidate edges: (brand_a, brand_b, n_common,
+    aa_score).
+    """
+    from big_data_trend_analysis_spark.operators.aggregates import (
+        _brand_basket_pairs,
+    )
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    _, pairs = _brand_basket_pairs(lineitem, part, min_support)
+    edges = _materialize(
+        pairs.select(F.col("brand_a").alias("a"), F.col("brand_b").alias("b"))
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = s1.join(
+        s2,
+        (F.col("s1.b") == F.col("s2.a"))
+        & (F.col("s1.a") < F.col("s2.b")),
+    ).select(
+        F.col("s1.a").alias("u"),
+        F.col("s2.b").alias("v"),
+        F.col("s1.b").alias("c"),
+    )
+    scored = (
+        wedges.join(deg, wedges["c"] == deg["node"])
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                F.round(
+                    F.lit(1.0) / F.log(F.col("deg").cast("double")), 6
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("aa_score"),
+        )
+    )
+    cand = scored.join(
+        edges,
+        (scored["u"] == edges["a"]) & (scored["v"] == edges["b"]),
+        "left_anti",
+    )
+    return (
+        cand.orderBy(
+            F.col("aa_score").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+        .limit(k)
+        .select(
+            F.col("u").alias("brand_a"),
+            F.col("v").alias("brand_b"),
+            "n_common",
+            "aa_score",
+        )
+    )

@@ -1278,3 +1278,104 @@ def embed_random_projection(
             ).alias("proj"),
         )
     )
+
+
+def ndcg_at_k(
+    embeddings: DataFrame,
+    probe_ids: tuple[int, ...] = DEFAULT_PROBES,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-quality evaluation of the exact cosine ranking:
+    NDCG@k per probe with binary label-match relevance — the eval
+    harness an embedding pipeline runs beside the index itself
+    (``ann_recall_check`` measures the ANN against brute force; NDCG
+    measures the EMBEDDING against ground truth).
+
+    DCG@k = Σ_{i≤k} rel_i/log2(i+1) over the ``sim_search`` ranking
+    (rounded-sim + vec_id tie-break — deterministic); IDCG@k uses the
+    corpus relevance budget R = |corpus vectors sharing the probe's
+    label| (probe excluded): the best achievable top-k places min(R,k)
+    relevant hits first. Scale shape: ``sim_search``'s one corpus scan
+    against the broadcast probe side; the label-count relation is one
+    label-keyed aggregation; the IDCG discount sum explodes a
+    ≤ k-element sequence per probe (bounded by the rank budget).
+    Determinism: each 1/log2(i+1) discount rounds to 6 dp and the
+    DCG/IDCG sums fold in exact decimal; ndcg divides the two rounded
+    doubles.
+
+    Emits per probe: (probe_id, probe_label, n_relevant, dcg, idcg,
+    ndcg).
+    """
+    ranked = sim_search(embeddings, probe_ids=probe_ids, k=k)
+    labels = embeddings.select("vec_id", "label")
+    probe_labels = labels.filter(F.col("vec_id").isin(*probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("probe_label")
+    )
+    label_counts = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    discount = F.round(
+        F.lit(1.0) / F.log2(F.col("rnk").cast("double") + F.lit(1.0)), 6
+    )
+    dcg = (
+        ranked.join(F.broadcast(probe_labels), "probe_id")
+        .join(labels, "vec_id")
+        .groupBy("probe_id", "probe_label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("label") == F.col("probe_label"), discount
+                )
+                .otherwise(F.lit(0.0))
+                .cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("dcg")
+        )
+    )
+    rel_budget = dcg.join(
+        F.broadcast(label_counts),
+        dcg["probe_label"] == label_counts["label"],
+    ).select(
+        "probe_id",
+        "probe_label",
+        "dcg",
+        # the probe itself is excluded from the corpus ranking
+        (F.col("n_label") - F.lit(1)).alias("n_relevant"),
+    )
+    # n_relevant = 0 guard: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    # while DuckDB's generate_series(1, 0) is empty — so the ideal sum
+    # explodes only the n_relevant > 0 probes and degenerate ones keep
+    # idcg = 0 (ndcg NULL) via the left join.
+    ideal = (
+        rel_budget.filter(F.col("n_relevant") > 0)
+        .select(
+            "probe_id",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k)))
+            ).alias("i"),
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1.0)
+                    / F.log2(F.col("i").cast("double") + F.lit(1.0)),
+                    6,
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return rel_budget.join(ideal, "probe_id", "left").select(
+        "probe_id",
+        "probe_label",
+        "n_relevant",
+        "dcg",
+        F.coalesce("idcg", F.lit(0.0)).alias("idcg"),
+        F.round(
+            F.col("dcg") / F.nullif(F.coalesce("idcg", F.lit(0.0)), F.lit(0.0)),
+            6,
+        ).alias("ndcg"),
+    )

@@ -978,7 +978,7 @@ def funnel_time_to_convert(events: DataFrame) -> DataFrame:
     Emits 1 row: (n_viewers, n_converted, p25_s, median_s, p75_s,
     mean_s).
     """
-    from big_data_trend_analysis_spark.operators.drift import _range_cumsum
+    from big_data_trend_analysis_spark.functions.ranks import range_cumsum
 
     viewers = events.groupBy("user_id").agg(
         F.min(
@@ -1012,7 +1012,7 @@ def funnel_time_to_convert(events: DataFrame) -> DataFrame:
     per_delay = delays.filter(F.col("delay_s").isNotNull()).groupBy(
         "delay_s"
     ).agg(F.count(F.lit(1)).alias("n_d"))
-    cum = _range_cumsum(per_delay, "delay_s", ["n_d"])
+    cum = range_cumsum(per_delay, "delay_s", ["n_d"])
     counts = delays.agg(
         F.count(F.lit(1)).alias("n_viewers"),
         F.count("delay_s").alias("n_converted"),
@@ -1051,3 +1051,355 @@ def funnel_time_to_convert(events: DataFrame) -> DataFrame:
         )
     )
     return counts.crossJoin(F.broadcast(stats))
+
+
+def cohort_ltv_curves(orders: DataFrame) -> DataFrame:
+    """Monthly-cohort cumulative lifetime-value curves.
+
+    The revenue companion to ``retention_cohort`` (that triangle counts
+    WHO comes back; finance needs WHAT they are worth): a customer's
+    cohort is the calendar month of their FIRST order; every later
+    order lands in the (cohort_month, month_offset) cell, and the
+    running per-cohort cumulative revenue divided by the FIXED cohort
+    size is the LTV curve product/finance teams read (ROADMAP round-12
+    frontier #2, "windowed cohort LTV curves").
+
+    Scale shape mirrors retention_cohort: one per-customer reduction
+    to (custkey, cohort_month) — map-side partial, shuffled on the
+    customer key only — then the orders join is a co-partitioned
+    equi-join of two customer-keyed relations, and the cell rollup
+    shuffles O(cohorts x offsets) rows. The cumulative sum runs over
+    the TINY cell relation (months^2 rows, window partitioned by
+    cohort). Determinism: revenue folds as DECIMAL(18,2) (o_totalprice
+    is 2-dp money; sums are exact and order-independent on both
+    engines), month arithmetic is integer (y*12+m), and the per-user
+    curve divides exact decimals, rounded to 6 dp.
+
+    Emits per (cohort_month, month_offset): cohort_size, n_active
+    (distinct customers ordering in the cell), revenue, cum_revenue,
+    ltv_per_user = cum_revenue / cohort_size.
+    """
+    mkey = F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(mkey).alias("cohort_key")
+    )
+    cohort_sizes = first.groupBy("cohort_key").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        orders.select(
+            "o_custkey",
+            mkey.alias("order_key"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .join(first, "o_custkey")
+        .groupBy(
+            "cohort_key",
+            (F.col("order_key") - F.col("cohort_key")).alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("price").cast("decimal(38,2)").alias("revenue_dec"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort_key")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_key")
+        .select(
+            # floor-division spelled explicitly: Spark's int cast
+            # truncates a double but DuckDB's ROUNDS, so both engines
+            # use floor()/%-on-ints (cohort_key = y*12+m is positive)
+            F.make_date(
+                F.floor((F.col("cohort_key") - 1) / 12).cast("int"),
+                ((F.col("cohort_key") - 1) % 12 + 1).cast("int"),
+                F.lit(1),
+            ).alias("cohort_month"),
+            F.col("month_offset").cast("int").alias("month_offset"),
+            "cohort_size",
+            "n_active",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            F.sum("revenue_dec").over(w_cum).cast("double").alias(
+                "cum_revenue"
+            ),
+            F.round(
+                F.sum("revenue_dec").over(w_cum).cast("double")
+                / F.col("cohort_size"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+def funnel_k_step(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    max_gap_hours: int = 48,
+) -> DataFrame:
+    """Time-bounded k-step sequential funnel (ROADMAP round-12
+    frontier — "sequence-aware funnel mining; time-bounded k-step
+    funnels don't [exist yet]").
+
+    ``funnel_conversion`` counts users who EVER did each stage in
+    order; real funnel products bound each transition: step i counts
+    only if it happens STRICTLY AFTER step i−1 and within
+    ``max_gap_hours`` of it, and the user's step-i timestamp is the
+    EARLIEST such event (the greedy earliest-transition convention —
+    deterministic and oracle-replayable, unlike backtracking
+    matchers). Scale shape: one user-keyed aggregation for step 1,
+    then one co-partitioned user-keyed join + min-aggregation per
+    remaining step — k−1 joins total, every shuffle on user_id,
+    events×events never joined (each join's right side is the
+    single-row-per-user step-(i−1) timestamp relation). The k per-step
+    counts are 1-row aggregates broadcast-crossed into the single
+    output row — one declarative plan, no driver-side actions.
+
+    Emits 1 row: (n_step1..n_stepK as n_<type>, conv ratios rounded
+    to 6 dp).
+    """
+    gap = F.expr(f"INTERVAL {int(max_gap_hours)} HOURS")
+    prev = events.filter(F.col("event_type") == steps[0]).groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("t_prev"))
+    step_rels = [prev]
+    for step_type in steps[1:]:
+        prev = (
+            events.filter(F.col("event_type") == step_type)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col("t_prev"))
+                & (F.col("ts") <= F.col("t_prev") + gap)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_prev"))
+        )
+        step_rels.append(prev)
+    out = step_rels[0].agg(F.count(F.lit(1)).alias(f"n_{steps[0]}"))
+    for step_type, rel in zip(steps[1:], step_rels[1:]):
+        out = out.crossJoin(
+            F.broadcast(rel.agg(F.count(F.lit(1)).alias(f"n_{step_type}")))
+        )
+    convs = [
+        F.round(
+            F.col(f"n_{b}")
+            / F.nullif(F.col(f"n_{a}").cast("double"), F.lit(0.0)),
+            6,
+        ).alias(f"conv_{a}_{b}")
+        for a, b in zip(steps, steps[1:])
+    ]
+    overall = F.round(
+        F.col(f"n_{steps[-1]}")
+        / F.nullif(F.col(f"n_{steps[0]}").cast("double"), F.lit(0.0)),
+        6,
+    ).alias("conv_overall")
+    return out.select(
+        *[F.col(f"n_{s}") for s in steps], *convs, overall
+    )
+
+
+def markov_steady_state(events: DataFrame, iters: int = 15) -> DataFrame:
+    """Steady-state distribution of the behavioral Markov chain: the
+    long-run share of user attention each event type commands,
+    obtained by ``iters`` power-iteration steps over
+    ``event_transitions``' first-order transition matrix (the
+    "where does behavior settle?" readout on top of the per-step
+    probabilities; the pagerank_fixed fixed-iteration convention).
+
+    Scale shape: the corpus collapses to the |types|² transition
+    relation via event_transitions' one lag-window pass; the
+    iteration state is the O(|types|) π vector, so the recursion runs
+    in one ``applyInPandas`` over the bounded matrix relation (the
+    pacf_daily device). Determinism: π starts uniform
+    (floor-quantized 1/n), every step computes Σ_i π_i·P_ij as a
+    SEQUENTIAL IEEE-double sum in state order and floor-quantizes via
+    x·1e6 + 0.5 — exactly the arithmetic the DuckDB recursive CTE's
+    ordered list_sum replays, bit-identically.
+
+    Emits per state: (event_type, pi, n_iters) — Σπ ≈ 1 up to the
+    per-step rounding.
+    """
+    import math as _m
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    trans = event_transitions(events)
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("pi", DoubleType()),
+            StructField("n_iters", IntegerType()),
+        ]
+    )
+
+    def _power(pdf: pd.DataFrame) -> pd.DataFrame:
+        states = sorted(
+            set(pdf["from_type"]) | set(pdf["to_type"])
+        )
+        n = len(states)
+        p = {
+            (t.from_type, t.to_type): float(t.p_transition)
+            for t in pdf.itertuples()
+        }
+        pi = [_m.floor(1.0 / n * 1_000_000 + 0.5) / 1_000_000] * n
+        for _ in range(iters):
+            nxt = []
+            for j, sj in enumerate(states):
+                acc = 0.0
+                for i, si in enumerate(states):
+                    acc += pi[i] * p.get((si, sj), 0.0)
+                nxt.append(_m.floor(acc * 1_000_000 + 0.5) / 1_000_000)
+            pi = nxt
+        return pd.DataFrame(
+            {"event_type": states, "pi": pi, "n_iters": [iters] * n}
+        )
+
+    return (
+        trans.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(_power, schema)
+    )
+
+
+#: Theta-method SES smoothing constant (decimal literal — exact on
+#: both engines, the croston alpha convention).
+THETA_ALPHA = "0.2"
+
+
+def theta_method_forecast(events: DataFrame) -> DataFrame:
+    """Theta-method forecasting (Assimakopoulos & Nikolopoulos 2000,
+    the M3-competition winner) of each type's daily-count series —
+    the trend+level member completing the forecast family (Holt
+    linear: smoothed trend; Holt–Winters: + seasonality; Croston:
+    intermittent; theta: the decomposition approach that beat them
+    all at M3).
+
+    Classic θ = 2 additive form: fit the OLS trend line a + b·t, form
+    the theta line y_θ = 2y − (a + b·t) (double-curvature series),
+    smooth it with SES (α = 0.2), and the rolling one-step-ahead
+    forecast is the equal-weight combination
+    fc = ½·(level + trend(t+1)). Scale shape: ONE corpus aggregation
+    to per-type daily counts (the shared ``_daily_counts``); the OLS
+    coefficients are a per-type moment rollup broadcast back; the SES
+    recursion is O(days) state in ``applyInPandas`` per type (the
+    croston device). Determinism: integer moment sums are exact, a/b
+    round to 6 dp, the trend evaluations round to 6 dp (identical
+    IEEE doubles both engines), and the recursion runs in exact
+    decimal with HALF_UP quantization — replayed by a per-type
+    RECURSIVE CTE.
+
+    Emits per (event_type, day): (event_type, day, t, y, trend_fit,
+    theta_y, level, fc_next).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    daily = _daily_counts(events)
+    w_t = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.withColumn("t", F.row_number().over(w_t))
+    m = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    nd = F.col("n").cast("double")
+    b = F.round(
+        (nd * F.col("sty") - F.col("st") * F.col("sy"))
+        / F.nullif(
+            nd * F.col("stt") - F.col("st") * F.col("st"), F.lit(0.0)
+        ),
+        6,
+    )
+    coef = m.select(
+        "event_type",
+        b.alias("b"),
+        F.round((F.col("sy") - b * F.col("st")) / nd, 6).alias("a"),
+    )
+    joined = seq.join(F.broadcast(coef), "event_type").select(
+        "event_type",
+        "day",
+        "t",
+        "y",
+        F.round(F.col("a") + F.col("b") * F.col("t"), 6).alias("trend_fit"),
+        F.round(
+            F.col("a") + F.col("b") * (F.col("t") + F.lit(1)), 6
+        ).alias("trend_next"),
+    )
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("day", DateType()),
+            StructField("t", IntegerType()),
+            StructField("y", LongType()),
+            StructField("trend_fit", DoubleType()),
+            StructField("theta_y", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("fc_next", DoubleType()),
+        ]
+    )
+
+    def _ses(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        alpha = Decimal(THETA_ALPHA)
+        one = Decimal("1")
+        half = Decimal("0.5")
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        rows = []
+        level = None
+        for r in pdf.itertuples():
+            trend = Decimal(repr(float(r.trend_fit)))
+            theta_y = Decimal(int(r.y)) * 2 - trend
+            if level is None:
+                level = theta_y
+            else:
+                level = (alpha * theta_y + (one - alpha) * level).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+            trend_next = Decimal(repr(float(r.trend_next)))
+            fc = (half * (level + trend_next)).quantize(
+                q6, rounding=ROUND_HALF_UP
+            )
+            rows.append(
+                (
+                    r.event_type,
+                    r.day,
+                    int(r.t),
+                    int(r.y),
+                    float(r.trend_fit),
+                    float(theta_y),
+                    float(level),
+                    float(fc),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "day", "t", "y", "trend_fit", "theta_y",
+                "level", "fc_next",
+            ],
+        )
+
+    return joined.groupBy("event_type").applyInPandas(_ses, schema)

@@ -1830,19 +1830,19 @@ def ccnet_perplexity_buckets(documents: DataFrame) -> DataFrame:
     are exact order statistics (k = ⌈n/3⌉, ⌈2n/3⌉ — the winsorize
     discrete-quantile convention) located on the DISTINCT-bits
     relation via the range-partitioned cumsum (no global row_number
-    over the corpus — the ``_range_cumsum`` scale posture), broadcast
+    over the corpus — the ``functions.ranks.range_cumsum`` scale posture), broadcast
     back as two scalars; every doc with bits ≤ cutoff joins the lower
     bucket, so ties share a bucket deterministically.
 
     Emits per doc: (doc_id, n_tokens, bits_per_token, bucket).
     """
-    from big_data_trend_analysis_spark.operators.drift import _range_cumsum
+    from big_data_trend_analysis_spark.functions.ranks import range_cumsum
 
     ppl = unigram_perplexity(documents).localCheckpoint()
     per_bits = ppl.groupBy("bits_per_token").agg(
         F.count(F.lit(1)).alias("n_b")
     )
-    cum = _range_cumsum(per_bits, "bits_per_token", ["n_b"])
+    cum = range_cumsum(per_bits, "bits_per_token", ["n_b"])
     n_rel = cum.agg(F.sum("n_b").alias("n"))
     cuts = (
         cum.crossJoin(F.broadcast(n_rel))
@@ -1992,3 +1992,131 @@ def tokenizer_fertility(documents: DataFrame, rounds: int = 2) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+def _ols_loglog(points: DataFrame, x: str, y: str) -> DataFrame:
+    """Closed-form OLS over a points relation, deterministic: the
+    caller supplies x/y already rounded to 6 dp; products fold as
+    exact DECIMAL(38,12) (6-dp operands multiply exactly at 12 dp),
+    sums are order-independent, and the slope/intercept/r² divisions
+    run on doubles rounded 6 dp — the ols_regression_group moment
+    discipline over an arbitrary (x, y) relation.
+
+    Returns 1 row: (n_points, slope, intercept, r2).
+    """
+    xd = F.col(x).cast("decimal(18,6)")
+    yd = F.col(y).cast("decimal(18,6)")
+    m = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,12)")).cast("double").alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,12)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.round(cov_n / F.nullif(var_x, F.lit(0.0)), 6)
+    return m.select(
+        F.col("n").alias("n_points"),
+        slope.alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / n, 6
+        ).alias("intercept"),
+        F.round(
+            (cov_n * cov_n)
+            / F.nullif(var_x * var_y, F.lit(0.0)),
+            6,
+        ).alias("r2"),
+    )
+
+
+def zipf_fit_slope(documents: DataFrame, min_count: int = 5) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency distribution:
+    OLS slope of ln(freq) on ln(rank) — the corpus-health readout
+    (natural language sits near slope −1; a pathological crawl slice
+    or dedup failure bends it).
+
+    Scale shape: ONE explode to token counts (vocab-sized), then the
+    fit runs on the ``cnt ≥ min_count`` head — the standard Zipf
+    practice (the freq-1 tail deviates from the power law by
+    construction) AND the df-pruning economics: the surviving head
+    relation is orders of magnitude below vocab size, so the
+    rank window (freq DESC, token ASC — deterministic ties) runs on a
+    bounded relation, never the corpus or the raw vocab. ln terms
+    round to 6 dp; the OLS moments fold via ``_ols_loglog``'s exact
+    decimal products.
+
+    Emits 1 row: (n_types, n_tokens, n_points, slope, intercept, r2).
+    """
+    toks = documents.select(F.explode(F.split("text", " ")).alias("token"))
+    cnts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    cnts = cnts.localCheckpoint()
+    totals = cnts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    head = cnts.filter(F.col("cnt") >= min_count)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    points = head.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias(
+            "ln_rank"
+        ),
+        F.round(F.log(F.col("cnt").cast("double")), 6).alias("ln_freq"),
+    )
+    fit = _ols_loglog(points, "ln_rank", "ln_freq")
+    return totals.crossJoin(F.broadcast(fit))
+
+
+def heaps_law_fit(documents: DataFrame) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS slope of ln(V) on
+    ln(N) over the doc_id-ordered corpus prefix curve (V = distinct
+    types seen, N = tokens seen) — β ≈ 0.4–0.6 for natural text; a
+    saturating curve (β → 0) is the fingerprint of a boilerplate- or
+    duplicate-heavy corpus, which makes this the corpus-level
+    companion to the dedup family's per-doc signals.
+
+    Scale shape: per-token FIRST occurrence is one vocab-sized
+    ``min(doc_id)`` aggregation; new-types-per-doc re-aggregates it
+    doc-keyed; each doc's token count is a scan-speed projection; and
+    the prefix curve comes from ``functions.ranks.range_cumsum`` over
+    doc_id — the distributed prefix-sum, never an unpartitioned
+    window over the corpus-sized doc relation. ln points round to
+    6 dp; moments fold exactly (``_ols_loglog``).
+
+    Emits 1 row: (n_docs, n_types, n_tokens, slope, intercept, r2) —
+    slope is Heaps' β, exp(intercept) its K.
+    """
+    from big_data_trend_analysis_spark.functions.ranks import range_cumsum
+
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    first_doc = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    new_types = first_doc.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    doc_tokens = documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    per_doc = doc_tokens.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    curve = range_cumsum(per_doc, "doc_id", ["n_tok", "new_types"])
+    points = curve.filter(F.col("cum_new_types") > 0).select(
+        F.round(F.log(F.col("cum_n_tok").cast("double")), 6).alias("ln_n"),
+        F.round(F.log(F.col("cum_new_types").cast("double")), 6).alias(
+            "ln_v"
+        ),
+    )
+    totals = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("new_types").alias("n_types"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    fit = _ols_loglog(points, "ln_n", "ln_v")
+    return totals.crossJoin(F.broadcast(fit))

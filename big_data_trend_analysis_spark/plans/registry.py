@@ -50,7 +50,23 @@ from big_data_trend_analysis_spark.functions.nlp import (
     sentiment_compound,
     sentiment_label,
 )
-from big_data_trend_analysis_spark.functions.stats import t_crit_975_sql
+from big_data_trend_analysis_spark.functions.stats import (
+    Z_975,
+    f_crit_95_sql,
+    t_crit_975_sql,
+)
+from big_data_trend_analysis_spark.operators.drift import (
+    SPRT_LOWER as _SPRT_LOWER_LIT,
+    SPRT_UPPER as _SPRT_UPPER_LIT,
+    Z_80,
+    _SPRT_L0 as _SPRT_L0_LIT,
+    _SPRT_L1 as _SPRT_L1_LIT,
+)
+
+#: z_{α/2} + z_β for α = .05 two-sided, power 80% — summed ONCE in
+#: Python and spliced as the same literal into the engine column
+#: expression and the DuckDB oracle.
+_AB_POWER_ZSUM = Z_975 + Z_80
 from big_data_trend_analysis_spark.functions.text import EN_STOPWORDS
 from big_data_trend_analysis_spark.operators import (
     aggregates,
@@ -4493,6 +4509,60 @@ QUERIES: dict[str, QueryFn] = {
     # Ordering is enforced by tests/test_rotation_policy.py against
     # tools/green_ledger.json: every entry that is new or changed since
     # its last green driver row MUST sit inside the window.
+    # NEW in round 12 (first batch): the per-series AR-order
+    # diagnostic (pacf_daily keyed by event_type — ROADMAP frontier
+    # #2) and the general-df2 F-quantile upgrade: brown_forsythe_test
+    # now gates on F(k-1, N-k) via functions.stats.f_crit_95 (exact
+    # t^2 identity at df1=1, exact closed form at df1=2, Paulson
+    # Wilson-Hilferty inversion at df1>=3) instead of the df2->inf
+    # convention; pacf_daily re-enters for the shared
+    # _durbin_levinson_acf extraction.
+    "pacf_by_type": _q(drift.pacf_by_type, "events"),
+    # NEW in round 12 (first batch): monthly-cohort cumulative LTV
+    # curves — the revenue companion to retention_cohort (ROADMAP
+    # frontier "windowed cohort LTV curves"); decimal-exact money
+    # folds, customer-keyed co-partitioned join, months^2 cell window.
+    "cohort_ltv_curves": _q(temporal.cohort_ltv_curves, "orders"),
+    # NEW in round 12 (first batch): time-bounded k-step funnel —
+    # each transition must land strictly after the previous step and
+    # within the gap budget (greedy earliest-transition convention);
+    # k-1 user-keyed co-partitioned joins, 1-row output.
+    "funnel_k_step": _q(temporal.funnel_k_step, "events"),
+    # NEW in round 12 (first batch): pre-test power planning — MDE at
+    # current traffic + required n per arm for a 5% lift (the question
+    # asked BEFORE ab_test_welch answers anything); one moment
+    # aggregation per type, shared z literals.
+    "ab_power_mde": _q(drift.ab_power_mde, "events"),
+    # NEW in round 12 (first batch): the corpus-law readouts — Zipf
+    # rank-frequency slope (df-pruned head fit) and Heaps vocabulary
+    # growth (the range_cumsum prefix curve) — the corpus-health
+    # companions to the dedup family's per-doc signals.
+    "zipf_fit_slope": _q(textstats.zipf_fit_slope, "documents"),
+    "heaps_law_fit": _q(textstats.heaps_law_fit, "documents"),
+    # NEW in round 12 (first batch): the Wilson score interval (the
+    # production proportion CI) and the Wald SPRT always-valid
+    # monitor over the daily purchase share (the "can we stop yet?"
+    # companion to the fixed-horizon tests).
+    "wilson_ci_proportion": _q(drift.wilson_ci_proportion, "events"),
+    "sprt_monitor": _q(drift.sprt_monitor, "events"),
+    # NEW in round 12 (second batch): Adamic-Adar link prediction on
+    # the brand co-purchase graph (the "which edge appears next?"
+    # archetype completing pagerank/triangles/components) and NDCG@10
+    # retrieval evaluation over the sim_search ranking (the embedding-
+    # vs-ground-truth eval beside ann_recall_check's ANN-vs-exact).
+    "adamic_adar_linkpred": _q(
+        graph.adamic_adar_linkpred, "lineitem", "part"
+    ),
+    "ndcg_at_k": _q(similarity.ndcg_at_k, "embeddings"),
+    # NEW in round 12 (second batch): the behavioral chain's
+    # steady-state (power iteration over event_transitions' matrix —
+    # the pagerank fixed-iteration convention, π state through the
+    # pacf applyInPandas device).
+    "markov_steady_state": _q(temporal.markov_steady_state, "events"),
+    # NEW in round 12 (second batch): theta-method forecasting (the
+    # M3-competition winner) — OLS trend + theta-line SES + the
+    # half-half combination, per type; the croston recursion device.
+    "theta_method_forecast": _q(temporal.theta_method_forecast, "events"),
     # NEW in round 11: the staged statistics tier registers (ROADMAP
     # frontier #1-#4) — additive day-of-week Holt-Winters against the
     # DuckDB list-recursive decimal-ring CTE, isotonic PAVA hash-gated
@@ -4559,6 +4629,13 @@ QUERIES: dict[str, QueryFn] = {
     # the phi recursion rides a DECIMAL list through a recursive CTE
     # on the oracle side (the holt_winters ring device).
     "pacf_daily": _q(drift.pacf_daily, "events"),
+    # Round-12 re-rows: mann_whitney_u / benjamini_hochberg /
+    # changepoint_cusum share drift-module helpers touched by the
+    # range_cumsum promotion and the f_crit/SPRT additions — the
+    # fingerprint ledger flags them stale, so they re-enter.
+    "mann_whitney_u": _q(drift.mann_whitney_u, "events"),
+    "benjamini_hochberg": _q(drift.benjamini_hochberg, "events"),
+    "changepoint_cusum": _q(drift.changepoint_cusum, "events"),
     # NEW in round 10: incremental dedup stage-fusion re-row (VERDICT
     # r9 #5) and the split/curation closure re-rows sharing textstats
     # helpers touched by the md5-bucket rework.
@@ -4577,8 +4654,6 @@ QUERIES: dict[str, QueryFn] = {
     "sql_tpch_q2": _sql_tpch_q2,
     "sql_tpch_q9": _sql_tpch_q9,
     "sql_tpch_q11": _sql_tpch_q11,
-    "sql_tpch_q16": _sql_tpch_q16,
-    "sql_tpch_q20": _sql_tpch_q20,
     # NEW in round 10 (second batch): the statistics tier's parametric
     # completions — closed-form OLS over the daily series (the
     # sufficient-statistics reduction beside theil_sen_slope's robust
@@ -4619,22 +4694,16 @@ QUERIES: dict[str, QueryFn] = {
     # coalescing proven in-gate — the FIFTH optimizer proof (runtime
     # filter / AQE skew / CBO reorder / DPP / coalesce): plan artifact
     # + post-merge partition count pinned.
-    "aqe_coalesce_check": _aqe_coalesce_check,
     # NEW in round 10 (fourth batch): the nonparametric/multiple-
     # testing statistics (Mann–Whitney U, Ljung–Box, Benjamini–
     # Hochberg FDR), the distributed Poisson bootstrap, rolling
     # distinct actives, RAG-shape document chunking, exact TF-IDF
     # cosine pair mining, and the JL sign-projection reducer.
-    "mann_whitney_u": _q(drift.mann_whitney_u, "events"),
     "ljung_box_check": _q(drift.ljung_box_check, "events"),
-    "benjamini_hochberg": _q(drift.benjamini_hochberg, "events"),
     "bootstrap_ci_mean": _q(aggregates.bootstrap_ci_mean, "events"),
     "rolling_active_users": _q(windows.rolling_active_users, "events"),
     "doc_chunking": _q(textstats.doc_chunking, "documents"),
     "tfidf_cosine_pairs": _q(textstats.tfidf_cosine_pairs, "documents"),
-    # changepoint_cusum re-enters: its fingerprint closure cites
-    # ks_test_check (changed this round) via its docstring reference.
-    "changepoint_cusum": _q(drift.changepoint_cusum, "events"),
     # ---- end of the 50-entry driver window ----
     # (Exactly 50 entries above — ADVICE r8 #3: the marker must match
     # green_ledger.WINDOW. Everything below is unchanged since its
@@ -4642,6 +4711,11 @@ QUERIES: dict[str, QueryFn] = {
     # Rotated out in round 11 (unchanged since their r10 green rows;
     # fingerprint ledger certifies): the r10 third-batch rows and the
     # r9 filler displaced by the round-11 statistics tier.
+    # Rotated out in round 12 (unchanged since their r10 green rows):
+    # displaced by the round-12 first batch.
+    "sql_tpch_q16": _sql_tpch_q16,
+    "sql_tpch_q20": _sql_tpch_q20,
+    "aqe_coalesce_check": _aqe_coalesce_check,
     "txn_log_snapshot_read": _txn_log_snapshot_read,
     "stream_cdc_apply_live": _stream_cdc_apply_live,
     "txn_log_vacuum_check": _txn_log_vacuum_check,
@@ -9380,10 +9454,10 @@ ORACLE_SQL: dict[str, str] = {
         WHERE rnk <= 3
     """,
     # Replays brown_forsythe_test: discrete group medians, 6-dp
-    # decimal |x - med| folds, the F statistic on z, and the exact
-    # F(k-1, inf) = chi2/(k-1) gate (literals from the SAME Python
-    # round as the engine).
-    "brown_forsythe_test": """
+    # decimal |x - med| folds, the F statistic on z, and the
+    # general-df2 F(k-1, N-k) gate via f_crit_95_sql (the same
+    # three-branch closed form the engine evaluates).
+    "brown_forsythe_test": f"""
         WITH vals AS (
             SELECT event_type, value FROM events
             WHERE value IS NOT NULL),
@@ -9443,10 +9517,12 @@ ORACLE_SQL: dict[str, str] = {
                           / (CAST(k_groups AS DOUBLE) - 1))
                          * (sb / nullif(sw, 0.0)), 6) AS w_stat,
                    CAST(k_groups - 1 AS INTEGER) AS df1,
-                   CASE k_groups - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 2.995732 WHEN 3 THEN 2.604909 WHEN 4 THEN 2.371932 WHEN 5 THEN 2.2141 WHEN 6 THEN 2.098598 WHEN 7 THEN 2.009591 END AS f_crit
+                   CAST(n_tot - k_groups AS BIGINT) AS df2,
+                   round({f_crit_95_sql("k_groups - 1", "n_tot - k_groups")},
+                         6) AS f_crit
             FROM agg)
         SELECT p.event_type, p.n_g, p.median_g, p.mean_z,
-               v.w_stat, v.df1, v.f_crit,
+               v.w_stat, v.df1, v.df2, v.f_crit,
                COALESCE(v.w_stat > v.f_crit, FALSE) AS reject
         FROM pg p, ver v
     """,
@@ -9517,6 +9593,623 @@ ORACLE_SQL: dict[str, str] = {
             ) q)
         SELECT a.lag, a.n_days, a.acf, rec.pacf
         FROM acf a LEFT JOIN rec ON rec.k = a.lag
+    """,
+    # Replays theta_method_forecast: per-type integer OLS moments
+    # (the ROUNDED slope feeds the intercept — engine order), 6-dp
+    # trend evaluations, theta line in exact decimal, and the SES
+    # recursion as a per-type RECURSIVE CTE with 0.2/0.8 DECIMAL
+    # literals (croston device); fc = half-half combination.
+    "theta_method_forecast": """
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        seq AS (
+            SELECT event_type, day, y,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY day) AS INTEGER) AS t
+            FROM daily),
+        m AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(t) AS BIGINT) AS st,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(t * y) AS BIGINT) AS sty,
+                   CAST(SUM(t * t) AS BIGINT) AS stt
+            FROM seq GROUP BY 1),
+        coef AS (
+            SELECT event_type,
+                   round((CAST(n AS DOUBLE) * sty - st * sy)
+                         / nullif(CAST(n AS DOUBLE) * stt - st * st,
+                                  0.0), 6) AS b,
+                   round((sy - round((CAST(n AS DOUBLE) * sty - st * sy)
+                                     / nullif(CAST(n AS DOUBLE) * stt
+                                              - st * st, 0.0), 6) * st)
+                         / CAST(n AS DOUBLE), 6) AS a
+            FROM m),
+        joined AS (
+            SELECT s.event_type, s.day, s.t, s.y,
+                   round(c.a + c.b * s.t, 6) AS trend_fit,
+                   round(c.a + c.b * (s.t + 1), 6) AS trend_next
+            FROM seq s JOIN coef c USING (event_type)),
+        base AS (
+            SELECT j.*,
+                   CAST(CAST(2 * y AS DECIMAL(18,6))
+                        - CAST(trend_fit AS DECIMAL(18,6))
+                        AS DECIMAL(18,6)) AS theta_dec
+            FROM joined j),
+        rec AS (
+            SELECT event_type, day, t, y, trend_fit, trend_next,
+                   theta_dec, theta_dec AS level
+            FROM base WHERE t = 1
+            UNION ALL
+            SELECT b.event_type, b.day, b.t, b.y, b.trend_fit,
+                   b.trend_next, b.theta_dec,
+                   CAST(round(0.2 * b.theta_dec + 0.8 * r.level, 6)
+                        AS DECIMAL(18,6))
+            FROM rec r JOIN base b
+              ON b.event_type = r.event_type AND b.t = r.t + 1)
+        SELECT event_type, day, t, y, trend_fit,
+               CAST(theta_dec AS DOUBLE) AS theta_y,
+               CAST(level AS DOUBLE) AS level,
+               CAST(round(0.5 * (level
+                                 + CAST(trend_next AS DECIMAL(18,6))),
+                          6) AS DOUBLE) AS fc_next
+        FROM rec
+    """,
+    # Replays markov_steady_state: the event_transitions CTE chain,
+    # the states list, the |types|^2 matrix as an ordered list of
+    # per-destination columns, then a recursive CTE carrying pi as a
+    # DOUBLE LIST — each step an ORDERED list_sum of double products
+    # floor-quantized at 6 dp, the engine's sequential-sum device.
+    "markov_steady_state": """
+        WITH RECURSIVE pairs AS (
+            SELECT from_type, event_type AS to_type,
+                   COUNT(*) AS n_transitions
+            FROM (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS from_type
+                FROM events
+            )
+            WHERE from_type IS NOT NULL
+            GROUP BY 1, 2),
+        trans AS (
+            SELECT from_type, to_type,
+                   ROUND(n_transitions / CAST(
+                       SUM(n_transitions) OVER (PARTITION BY from_type)
+                       AS DOUBLE), 6) AS p
+            FROM pairs),
+        states AS (
+            SELECT DISTINCT s FROM (
+                SELECT from_type AS s FROM trans
+                UNION ALL
+                SELECT to_type AS s FROM trans)),
+        sl AS (
+            SELECT list(s ORDER BY s) AS sts,
+                   CAST(COUNT(*) AS INTEGER) AS n
+            FROM states),
+        idx AS (
+            SELECT unnest(generate_series(1, sl.n)) AS i, sl.sts, sl.n
+            FROM sl),
+        spine AS (
+            SELECT a.i, b.i AS j, a.sts, a.n
+            FROM idx a JOIN idx b ON true),
+        cell AS (
+            SELECT s.i, s.j,
+                   COALESCE(t.p, 0.0) AS p
+            FROM spine s LEFT JOIN trans t
+              ON t.from_type = s.sts[s.i] AND t.to_type = s.sts[s.j]),
+        cols AS (
+            SELECT j, list(p ORDER BY i) AS col FROM cell GROUP BY j),
+        mat AS (SELECT list(col ORDER BY j) AS m FROM cols),
+        init AS (
+            SELECT 0 AS k,
+                   list_transform(generate_series(1, sl.n),
+                       x -> floor(1.0 / sl.n * 1000000 + 0.5)
+                            / 1000000.0) AS pi,
+                   sl.n, sl.sts, mat.m
+            FROM sl, mat),
+        rec AS (
+            SELECT * FROM init
+            UNION ALL
+            SELECT r.k + 1,
+                   list_transform(generate_series(1, r.n),
+                       j -> floor(list_sum(list_transform(
+                                generate_series(1, r.n),
+                                i -> r.pi[i] * r.m[j][i]))
+                            * 1000000 + 0.5) / 1000000.0) AS pi,
+                   r.n, r.sts, r.m
+            FROM rec r WHERE r.k < 15),
+        fin AS (
+            SELECT sts, pi,
+                   unnest(generate_series(1, n)) AS i
+            FROM rec WHERE k = 15)
+        SELECT sts[i] AS event_type,
+               CAST(pi[i] AS DOUBLE) AS pi,
+               15 AS n_iters
+        FROM fin
+    """,
+    # Replays adamic_adar_linkpred: the triangle_count items/edges
+    # CTEs (the _brand_basket_pairs replay), symmetric edges, degrees,
+    # wedges through the common neighbor with u < v, 6-dp 1/ln(deg)
+    # decimal folds, anti-join against existing edges, deterministic
+    # top-20.
+    "adamic_adar_linkpred": """
+        WITH items AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        edges AS (
+            SELECT a.p_brand AS a, b.p_brand AS b
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3),
+        sym AS (
+            SELECT a, b FROM edges
+            UNION ALL
+            SELECT b AS a, a AS b FROM edges),
+        deg AS (
+            SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1),
+        wedges AS (
+            SELECT s1.a AS u, s2.b AS v, s1.b AS c
+            FROM sym s1 JOIN sym s2
+              ON s1.b = s2.a AND s1.a < s2.b),
+        scored AS (
+            SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM(CAST(round(1.0 / ln(CAST(d.deg AS DOUBLE)),
+                                       6) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS aa_score
+            FROM wedges w JOIN deg d ON d.node = w.c
+            GROUP BY 1, 2),
+        cand AS (
+            SELECT s.* FROM scored s
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.a = s.u AND e.b = s.v))
+        SELECT u AS brand_a, v AS brand_b, n_common, aa_score
+        FROM cand
+        ORDER BY aa_score DESC, u ASC, v ASC
+        LIMIT 20
+    """,
+    # Replays ndcg_at_k: the sim_search scored/ranked CTEs at k=10,
+    # binary label-match relevance, 6-dp discount decimal folds, the
+    # corpus label budget, and the lateral ideal-series sum (LEFT
+    # JOIN keeps n_relevant=0 probes at idcg 0 / ndcg NULL — the
+    # engine's sequence guard).
+    "ndcg_at_k": f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv,
+                   label AS probe_label
+            FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+            SELECT p.probe_id, p.probe_label, e.vec_id, e.label,
+                   {_COSINE.format(a="p.pv", b="CAST(e.embedding AS DOUBLE[])")} AS sim
+            FROM embeddings e CROSS JOIN probes p
+            WHERE e.vec_id <> p.probe_id),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                          ORDER BY sim DESC, vec_id ASC) AS rnk
+            FROM scored),
+        dcg AS (
+            SELECT probe_id, probe_label,
+                   CAST(SUM(CAST(CASE WHEN label = probe_label
+                                 THEN round(1.0 / log2(CAST(rnk AS DOUBLE)
+                                                       + 1.0), 6)
+                                 ELSE 0.0 END AS DECIMAL(18,6)))
+                        AS DOUBLE) AS dcg
+            FROM ranked WHERE rnk <= 10
+            GROUP BY 1, 2),
+        lc AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+            FROM embeddings GROUP BY 1),
+        rb AS (
+            SELECT d.probe_id, d.probe_label, d.dcg,
+                   lc.n_label - 1 AS n_relevant
+            FROM dcg d JOIN lc ON lc.label = d.probe_label),
+        ideal AS (
+            SELECT rb.probe_id,
+                   CAST(SUM(CAST(round(1.0 / log2(CAST(g.i AS DOUBLE)
+                                                  + 1.0), 6)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+            FROM rb JOIN generate_series(1, 10) AS g(i)
+              ON g.i <= least(rb.n_relevant, 10)
+            WHERE rb.n_relevant > 0
+            GROUP BY 1)
+        SELECT rb.probe_id, rb.probe_label, rb.n_relevant, rb.dcg,
+               COALESCE(i.idcg, 0.0) AS idcg,
+               round(rb.dcg / nullif(COALESCE(i.idcg, 0.0), 0.0), 6)
+                   AS ndcg
+        FROM rb LEFT JOIN ideal i ON i.probe_id = rb.probe_id
+    """,
+    # Replays wilson_ci_proportion: per-type counts, 1-row total,
+    # the Wilson interval over the shared Z_975 literal in the same
+    # operation order.
+    "wilson_ci_proportion": f"""
+        WITH c AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+        SELECT event_type, n, n_total,
+               round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                   AS p_hat,
+               round(((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                       + {Z_975!r} * {Z_975!r}
+                         / (2.0 * CAST(n_total AS DOUBLE)))
+                      - {Z_975!r} * sqrt(
+                          CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                          * (1.0 - CAST(n AS DOUBLE)
+                                   / CAST(n_total AS DOUBLE))
+                          / CAST(n_total AS DOUBLE)
+                          + {Z_975!r} * {Z_975!r}
+                            / (4.0 * CAST(n_total AS DOUBLE)
+                               * CAST(n_total AS DOUBLE))))
+                     / (1.0 + {Z_975!r} * {Z_975!r}
+                              / CAST(n_total AS DOUBLE)), 6) AS ci_lo,
+               round(((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                       + {Z_975!r} * {Z_975!r}
+                         / (2.0 * CAST(n_total AS DOUBLE)))
+                      + {Z_975!r} * sqrt(
+                          CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                          * (1.0 - CAST(n AS DOUBLE)
+                                   / CAST(n_total AS DOUBLE))
+                          / CAST(n_total AS DOUBLE)
+                          + {Z_975!r} * {Z_975!r}
+                            / (4.0 * CAST(n_total AS DOUBLE)
+                               * CAST(n_total AS DOUBLE))))
+                     / (1.0 + {Z_975!r} * {Z_975!r}
+                              / CAST(n_total AS DOUBLE)), 6) AS ci_hi
+        FROM c, t
+    """,
+    # Replays sprt_monitor: daily (n, x) pairs, the two Python log
+    # literals, 6-dp decimal LLR folds, the day-ordered running sum
+    # and the threshold decision.
+    "sprt_monitor": f"""
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS n_purchases
+            FROM events GROUP BY 1),
+        l AS (
+            SELECT day, n_events, n_purchases,
+                   CAST(round(n_purchases * {_SPRT_L1_LIT!r}
+                              + (n_events - n_purchases)
+                                * {_SPRT_L0_LIT!r}, 6)
+                        AS DOUBLE) AS llr_day
+            FROM d),
+        c AS (
+            SELECT *,
+                   CAST(SUM(CAST(llr_day AS DECIMAL(18,6)))
+                        OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        AS DOUBLE) AS llr_cum
+            FROM l)
+        SELECT day, n_events, n_purchases, llr_day, llr_cum,
+               CASE WHEN llr_cum >= {_SPRT_UPPER_LIT!r}
+                    THEN 'accept_h1'
+                    WHEN llr_cum <= {_SPRT_LOWER_LIT!r}
+                    THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM c
+    """,
+    # Replays zipf_fit_slope: vocab counts, the cnt >= 5 head with
+    # (freq DESC, token ASC) ranks, 6-dp ln points, exact decimal OLS
+    # moments; the ROUNDED slope feeds the intercept (engine order).
+    "zipf_fit_slope": """
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents),
+        cnts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens
+            FROM cnts),
+        head AS (
+            SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC)
+                       AS rnk
+            FROM cnts WHERE cnt >= 5),
+        pts AS (
+            SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS x,
+                   CAST(round(ln(CAST(cnt AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS y
+            FROM head),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE)
+                       AS sxy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)
+                       AS sxx,
+                   CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE)
+                       AS syy
+            FROM pts),
+        fit AS (
+            SELECT n AS n_points,
+                   round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / nullif(CAST(n AS DOUBLE) * sxx - sx * sx,
+                                  0.0), 6) AS slope,
+                   CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+                   CAST(n AS DOUBLE) * sxx - sx * sx AS var_x,
+                   CAST(n AS DOUBLE) * syy - sy * sy AS var_y,
+                   sx, sy, CAST(n AS DOUBLE) AS nd
+            FROM m)
+        SELECT t.n_types, t.n_tokens, f.n_points, f.slope,
+               round((f.sy - f.slope * f.sx) / f.nd, 6) AS intercept,
+               round((f.cov_n * f.cov_n)
+                     / nullif(f.var_x * f.var_y, 0.0), 6) AS r2
+        FROM tot t, fit f
+    """,
+    # Replays heaps_law_fit: per-token first doc, new-types-per-doc,
+    # doc-ordered prefix sums (plain windows stand in for the
+    # engine's range_cumsum — same totals), 6-dp ln points, the same
+    # exact-decimal OLS with rounded-slope intercept.
+    "heaps_law_fit": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+        fd AS (
+            SELECT token, MIN(doc_id) AS first_doc FROM toks GROUP BY 1),
+        nt AS (
+            SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT)
+                       AS new_types
+            FROM fd GROUP BY 1),
+        dt AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents),
+        per_doc AS (
+            SELECT d.doc_id, d.n_tok,
+                   COALESCE(n.new_types, 0) AS new_types
+            FROM dt d LEFT JOIN nt n USING (doc_id)),
+        curve AS (
+            SELECT doc_id,
+                   SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_n_tok,
+                   SUM(new_types) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_new_types
+            FROM per_doc),
+        pts AS (
+            SELECT CAST(round(ln(CAST(cum_n_tok AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS x,
+                   CAST(round(ln(CAST(cum_new_types AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS y
+            FROM curve WHERE cum_new_types > 0),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(new_types) AS BIGINT) AS n_types,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM per_doc),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE)
+                       AS sxy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)
+                       AS sxx,
+                   CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE)
+                       AS syy
+            FROM pts),
+        fit AS (
+            SELECT n AS n_points,
+                   round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / nullif(CAST(n AS DOUBLE) * sxx - sx * sx,
+                                  0.0), 6) AS slope,
+                   CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+                   CAST(n AS DOUBLE) * sxx - sx * sx AS var_x,
+                   CAST(n AS DOUBLE) * syy - sy * sy AS var_y,
+                   sx, sy, CAST(n AS DOUBLE) AS nd
+            FROM m)
+        SELECT t.n_docs, t.n_types, t.n_tokens, f.n_points, f.slope,
+               round((f.sy - f.slope * f.sx) / f.nd, 6) AS intercept,
+               round((f.cov_n * f.cov_n)
+                     / nullif(f.var_x * f.var_y, 0.0), 6) AS r2
+        FROM tot t, fit f
+    """,
+    # Replays ab_power_mde: per-type 6-dp decimal moment folds, the
+    # normal-approximation power identities with the shared z-sum
+    # literal (Z_975 + Z_80 summed ONCE in Python, spliced into both
+    # engines), ceil after a 6-dp round.
+    "ab_power_mde": f"""
+        WITH m AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(CAST(round(value, 6) AS DECIMAL(18,6))
+                                 * CAST(round(value, 6)
+                                        AS DECIMAL(18,6))
+                                 AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sxx
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+        s AS (
+            SELECT event_type, n,
+                   round(sx / n, 6) AS mean_v,
+                   round((sxx - sx * sx / n)
+                         / nullif(CAST(n AS DOUBLE) - 1.0, 0.0), 6)
+                       AS var_v
+            FROM m)
+        SELECT event_type, n, mean_v AS mean_value,
+               round(sqrt(var_v), 6) AS sd_value,
+               round({_AB_POWER_ZSUM!r} * sqrt(2.0 * var_v
+                     / (CAST(n AS DOUBLE) / 2.0)), 6) AS mde_abs,
+               round(round({_AB_POWER_ZSUM!r} * sqrt(2.0 * var_v
+                           / (CAST(n AS DOUBLE) / 2.0)), 6)
+                     / nullif(abs(mean_v), 0.0), 6) AS mde_rel,
+               CAST(ceil(round(2.0 * var_v
+                               * {_AB_POWER_ZSUM!r} * {_AB_POWER_ZSUM!r}
+                               / nullif((0.05 * mean_v)
+                                        * (0.05 * mean_v), 0.0), 6))
+                    AS BIGINT) AS n_per_arm
+        FROM s
+    """,
+    # Replays funnel_k_step: greedy earliest transitions as chained
+    # per-user min-aggregations with the strictly-after + 48h-gap
+    # condition in each join.
+    "funnel_k_step": """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t_prev FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t_prev
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t_prev
+              AND e.ts <= s1.t_prev + INTERVAL 48 HOURS
+            GROUP BY 1),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t_prev
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t_prev
+              AND e.ts <= s2.t_prev + INTERVAL 48 HOURS
+            GROUP BY 1),
+        c AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+                       AS n_purchase)
+        SELECT n_view, n_click, n_purchase,
+               round(n_click / nullif(CAST(n_view AS DOUBLE), 0.0), 6)
+                   AS conv_view_click,
+               round(n_purchase
+                     / nullif(CAST(n_click AS DOUBLE), 0.0), 6)
+                   AS conv_click_purchase,
+               round(n_purchase
+                     / nullif(CAST(n_view AS DOUBLE), 0.0), 6)
+                   AS conv_overall
+        FROM c
+    """,
+    # Replays cohort_ltv_curves: integer month keys (y*12+m), first
+    # order per customer, decimal-exact cell revenue, per-cohort
+    # running sum, LTV = cum/cohort_size. Floor-division spelled //
+    # (DuckDB int cast ROUNDS doubles; the engine uses floor()).
+    "cohort_ltv_curves": """
+        WITH mk AS (
+            SELECT o_custkey,
+                   year(o_orderdate) * 12 + month(o_orderdate)
+                       AS order_key,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders),
+        fst AS (
+            SELECT o_custkey, MIN(order_key) AS cohort_key
+            FROM mk GROUP BY 1),
+        sizes AS (
+            SELECT cohort_key, CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM fst GROUP BY 1),
+        cells AS (
+            SELECT f.cohort_key,
+                   m.order_key - f.cohort_key AS month_offset,
+                   CAST(COUNT(DISTINCT m.o_custkey) AS BIGINT)
+                       AS n_active,
+                   CAST(SUM(m.price) AS DECIMAL(38,2)) AS revenue_dec
+            FROM mk m JOIN fst f USING (o_custkey)
+            GROUP BY 1, 2),
+        cum AS (
+            SELECT c.cohort_key, c.month_offset, c.n_active,
+                   c.revenue_dec,
+                   SUM(c.revenue_dec) OVER (
+                       PARTITION BY c.cohort_key ORDER BY c.month_offset
+                       ROWS UNBOUNDED PRECEDING) AS cum_dec,
+                   s.cohort_size
+            FROM cells c JOIN sizes s USING (cohort_key))
+        SELECT make_date(CAST((cohort_key - 1) // 12 AS INTEGER),
+                         CAST((cohort_key - 1) % 12 + 1 AS INTEGER), 1)
+                   AS cohort_month,
+               CAST(month_offset AS INTEGER) AS month_offset,
+               cohort_size, n_active,
+               CAST(revenue_dec AS DOUBLE) AS revenue,
+               CAST(cum_dec AS DOUBLE) AS cum_revenue,
+               round(CAST(cum_dec AS DOUBLE) / cohort_size, 6)
+                   AS ltv_per_user
+        FROM cum
+    """,
+    # Replays pacf_by_type: the pacf_daily CTE chain keyed by
+    # event_type throughout (per-type mean centering, calendar pairs
+    # within type, per-type lag spine/denominator), then ONE recursive
+    # CTE carrying event_type through the Durbin-Levinson phi state —
+    # the croston_intermittent per-key recursion device fused with the
+    # pacf_daily decimal-list ring.
+    "pacf_by_type": """
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        st AS (
+            SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1),
+        dev AS (
+            SELECT d.event_type, d.day, s.n_days,
+                   round(d.n - CAST(s.tot_n AS DOUBLE) / s.n_days, 6)
+                       AS d0
+            FROM daily d JOIN st s USING (event_type)),
+        nums AS (
+            SELECT c.event_type,
+                   CAST(date_diff('day', p.day, c.day) AS INTEGER)
+                       AS lag,
+                   SUM(CAST(round(c.d0 * p.d0, 6) AS DECIMAL(18,6)))
+                       AS num_dec
+            FROM dev c JOIN dev p
+              ON p.event_type = c.event_type
+             AND date_diff('day', p.day, c.day) BETWEEN 1 AND 7
+            GROUP BY 1, 2),
+        spine AS (
+            SELECT st.event_type, CAST(gs.lag AS INTEGER) AS lag,
+                   st.n_days
+            FROM st, generate_series(1, 7) AS gs(lag)),
+        den AS (
+            SELECT event_type,
+                   SUM(CAST(round(d0 * d0, 6) AS DECIMAL(18,6)))
+                       AS den_dec
+            FROM dev GROUP BY 1),
+        acf AS (
+            SELECT s.event_type, s.lag, s.n_days,
+                   round(CAST(n.num_dec AS DOUBLE)
+                         / nullif(CAST(d.den_dec AS DOUBLE), 0.0), 6)
+                       AS acf
+            FROM spine s
+            LEFT JOIN nums n ON n.event_type = s.event_type
+                            AND n.lag = s.lag
+            JOIN den d ON d.event_type = s.event_type),
+        rl AS (
+            SELECT event_type,
+                   list(CAST(acf AS DECIMAL(18,6)) ORDER BY lag) AS r,
+                   CAST(COUNT(acf) AS INTEGER) AS n_ok
+            FROM acf GROUP BY 1),
+        rec AS (
+            SELECT event_type, 1 AS k, r, n_ok, [r[1]] AS phi,
+                   CAST(r[1] AS DOUBLE) AS pacf
+            FROM rl WHERE n_ok >= 1
+            UNION ALL
+            SELECT q.event_type, q.k, q.r, q.n_ok,
+                   list_append(
+                       list_transform(generate_series(1, q.k - 1),
+                           j -> CAST(round(q.phi[j]
+                                - CAST(q.pacf_d AS DECIMAL(18,6))
+                                  * q.phi[q.k - j], 6)
+                                AS DECIMAL(18,6))),
+                       CAST(q.pacf_d AS DECIMAL(18,6))) AS phi,
+                   CAST(q.pacf_d AS DOUBLE) AS pacf
+            FROM (
+                SELECT r.event_type, r.k + 1 AS k, r.r, r.n_ok, r.phi,
+                       floor(CAST(r.r[r.k + 1]
+                                  - list_sum(list_transform(
+                                      generate_series(1, r.k),
+                                      j -> r.phi[j] * r.r[r.k + 1 - j]))
+                                  AS DOUBLE)
+                             / CAST(1 - list_sum(list_transform(
+                                      generate_series(1, r.k),
+                                      j -> r.phi[j] * r.r[j]))
+                                  AS DOUBLE)
+                             * 1000000.0 + 0.5) / 1000000.0 AS pacf_d
+                FROM rec r WHERE r.k < r.n_ok
+            ) q)
+        SELECT a.event_type, a.lag, a.n_days, a.acf, rec.pacf
+        FROM acf a LEFT JOIN rec ON rec.event_type = a.event_type
+                                AND rec.k = a.lag
     """,
     # Replays croston_intermittent: nonzero-demand days of the
     # top-tail slice, LAG intervals, the two-series decimal recurrence

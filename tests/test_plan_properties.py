@@ -169,6 +169,17 @@ CROSS_JOIN_ALLOWED = {
     # inherits autocorr_daily's days-relation × broadcast 1-row
     # moments/denominator scalars under its bounded ACF input
     "pacf_daily",
+    # --- round 12 ---
+    # 1-row vocab totals × broadcast 1-row OLS fit
+    "zipf_fit_slope",
+    # 1-row corpus totals × broadcast 1-row OLS fit
+    "heaps_law_fit",
+    # per-type counts × broadcast 1-row grand total
+    "wilson_ci_proportion",
+    # 1-row step-count aggregates crossed into the single output row
+    "funnel_k_step",
+    # inherits sim_search's corpus × broadcast 3-row probe side
+    "ndcg_at_k",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any

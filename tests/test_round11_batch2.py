@@ -439,9 +439,14 @@ def test_item_cf_cosine_hand_values(spark):
 def test_brown_forsythe_flags_planted_variance_shift(spark):
     """wide = {41×15, 59×15} (median 41 ⇒ z ∈ {0, 18}), tight =
     {49×15, 51×15} (z ∈ {0, 2}): between = 960, within = 2460,
-    W = 58·960/2460 = 22.634146 → reject; identical groups don't."""
+    W = 58·960/2460 = 22.634146 → reject; identical groups don't.
+    Round 12: the gate is F(1, 58) = t(58, .975)² ≈ 4.007 — the
+    general-df₂ upgrade of the old F(1, ∞) = 3.841 convention."""
     from big_data_trend_analysis_spark.operators.drift import (
         brown_forsythe_test,
+    )
+    from big_data_trend_analysis_spark.functions.stats import (
+        Z_975, _G1, _G2, _G3, _G4,
     )
 
     rows, eid = [], 0
@@ -450,7 +455,11 @@ def test_brown_forsythe_flags_planted_variance_shift(spark):
         rows.append((eid, 5, i, "tight", 50.0 + (1 if i % 2 else -1))); eid += 1
     out = {r.event_type: r for r in brown_forsythe_test(_events(spark, rows)).collect()}
     r = out["wide"]
-    assert r.df1 == 1 and r.f_crit == 3.841459
+    inv = 1.0 / 58.0
+    t58 = Z_975 + inv * (_G1 + inv * (_G2 + inv * (_G3 + inv * _G4)))
+    assert r.df1 == 1 and r.df2 == 58
+    assert r.f_crit == round(t58 * t58, 6)
+    assert 4.0 < r.f_crit < 4.02  # honest F(1,58), not the 3.841 limit
     assert r.w_stat == 22.634146
     assert r.mean_z == 9.0 and r.median_g == 41.0
     assert r.reject

@@ -318,7 +318,7 @@ def test_range_cumsum_matches_single_window_and_partitioning(spark):
 
     from pyspark.sql import Window
 
-    from big_data_trend_analysis_spark.operators.drift import _range_cumsum
+    from big_data_trend_analysis_spark.functions.ranks import range_cumsum
 
     rng = random.Random(11)
     rows = [
@@ -343,7 +343,7 @@ def test_range_cumsum_matches_single_window_and_partitioning(spark):
     for n_parts in (1, 4, 32):
         got = {
             r.value: (r.cum_a, r.cum_b)
-            for r in _range_cumsum(
+            for r in range_cumsum(
                 df.repartition(7), "value", ["a", "b"], n_parts=n_parts
             ).collect()
         }

@@ -569,7 +569,7 @@ HEADLINERS: dict[str, str] = {
     # --- round 11 ---
     "kruskal_wallis": (
         "ONE (value, type) hash aggregate collapses the corpus; the "
-        "global rank cumsum is the range-partitioned `_range_cumsum` "
+        "global rank cumsum is the range-partitioned `functions.ranks.range_cumsum` "
         "(per-partition running sums + broadcast offsets — no "
         "unpartitioned window anywhere), and the k-group H terms fold "
         "as 6-dp decimals so H is group-order-independent."
