@@ -2022,3 +2022,136 @@ def sprt_monitor(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+def dunn_posthoc(events: DataFrame, q_fdr: float = 0.05) -> DataFrame:
+    """Dunn's post-hoc test: WHICH groups differ, after
+    ``kruskal_wallis`` says SOME do — pairwise z on the global
+    average ranks with the tie-corrected variance
+
+        z_ij = (R̄_i − R̄_j) / √[ (N(N+1)/12 − Σ(t³−t)/(12(N−1)))
+                                  · (1/n_i + 1/n_j) ] ,
+
+    two-sided p from the A&S 26.2.17 normal tail, and the
+    Benjamini–Hochberg step-up over the k(k−1)/2 pairs (Dunn 1964 +
+    the modern FDR convention in place of Bonferroni). Scale shape:
+    the entire rank machinery is ``kruskal_wallis``'s — ONE
+    (value, type) hash aggregation, the range-partitioned cumsum over
+    the distinct-value relation, doubled average ranks as exact
+    BIGINTs — and everything pairwise runs on the types²-bounded
+    group relation. BH ranks deterministically on
+    (p, type_a, type_b).
+
+    Emits one row per pair: (type_a, type_b, n_a, n_b, rbar_a,
+    rbar_b, z_score, p_value, p_rank, m_tests, p_adj, reject).
+    """
+    from big_data_trend_analysis_spark.functions.ranks import range_cumsum
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    per_vt = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("value", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_value = per_vt.groupBy("value").agg(F.sum("c").alias("n_v"))
+    cum = range_cumsum(per_value, "value", ["n_v"])
+    ranked = cum.select(
+        "value",
+        "n_v",
+        (2 * (F.col("cum_n_v") - F.col("n_v")) + F.col("n_v") + 1).alias(
+            "avgrank2"
+        ),
+    )
+    groups = _materialize(
+        per_vt.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(
+                (
+                    F.col("c").cast("decimal(19,0)")
+                    * F.col("avgrank2").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("rank_sum2"),
+        )
+    )
+    totals = ranked.agg(
+        F.sum("n_v").alias("n_tot"),
+        F.sum(
+            F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            - F.col("n_v").cast("decimal(38,0)")
+        ).alias("tie_sum"),
+    )
+    a = groups.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("rank_sum2").alias("rs2_a"),
+    )
+    b = groups.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("rank_sum2").alias("rs2_b"),
+    )
+    n = F.col("n_tot").cast("double")
+    sigma2 = n * (n + 1) / 12.0 - F.col("tie_sum").cast("double") / (
+        12.0 * (n - 1)
+    )
+    rbar_a = F.round(F.col("rs2_a").cast("double") / (2.0 * F.col("n_a")), 6)
+    rbar_b = F.round(F.col("rs2_b").cast("double") / (2.0 * F.col("n_b")), 6)
+    z = F.round(
+        (rbar_a - rbar_b)
+        / F.nullif(
+            F.sqrt(
+                sigma2
+                * (
+                    F.lit(1.0) / F.col("n_a")
+                    + F.lit(1.0) / F.col("n_b")
+                )
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    pairs = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            rbar_a.alias("rbar_a"),
+            rbar_b.alias("rbar_b"),
+            z.alias("z_score"),
+            F.round(_phi_upper_tail(z), 6).alias("p_value"),
+        )
+    )
+    m = pairs.agg(F.count("p_value").alias("m_tests"))
+    w_rank = Window.orderBy(
+        F.col("p_value").asc(), F.col("type_a").asc(), F.col("type_b").asc()
+    )
+    w_min = Window.orderBy(F.col("p_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        pairs.crossJoin(F.broadcast(m))
+        .select(
+            "*",
+            F.row_number().over(w_rank).alias("p_rank"),
+        )
+        .select(
+            "*",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.min(
+                        F.col("p_value") * F.col("m_tests") / F.col("p_rank")
+                    ).over(w_min),
+                ),
+                6,
+            ).alias("p_adj"),
+        )
+        .withColumn("reject", F.col("p_adj") <= q_fdr)
+    )

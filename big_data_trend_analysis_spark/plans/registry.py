@@ -4455,6 +4455,82 @@ def _txnlog_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _txnlog_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (the Parquet column-bloom / Delta
+    bloom-index mechanic) — the EQUALITY-probe companion to
+    ``txnlog_stats_skipping``'s zone maps, via the ``sources/bloom``
+    sidecar index.
+
+    Four commits land, one file each, bucketed BY EVENT TYPE — so
+    every file's event_id [min, max] spans nearly the whole id range
+    (ids interleave across types) and the zone map CANNOT prune an
+    equality probe on event_type, while the bloom sidecar prunes it
+    to exactly the one file whose bucket holds the probed type. The
+    gate pins all three behaviors: the zone-map range probe over the
+    purchase rows' own id span keeps all 4 files (stats recorded,
+    provably overlapping), the bloom probe for 'purchase' plans
+    exactly 1, and a probe for a value absent everywhere ('refund')
+    plans 0 — with the pruned read's row count and value sum matching
+    the oracle's full-table arithmetic (the superset guarantee made
+    measurable).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_trend_analysis_spark.sources.bloom import (
+        bloom_prune_files,
+        write_bloom_sidecar,
+    )
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    tune_session(spark)
+    root = f"/tmp/bdta_txnbloom_{_gate_suffix(spark, sf_dir)}"
+    _cleanup_at_exit(spark, paths=[root])
+    shutil.rmtree(root, ignore_errors=True)
+    log = TxnLog(root)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    buckets = [("click",), ("error",), ("purchase",), ("signup", "view")]
+    for types in buckets:
+        log.write_commit(
+            events.filter(F.col("event_type").isin(*types)),
+            collect_stats=["event_id"],
+        )
+    write_bloom_sidecar(spark, log, ["event_type"])
+
+    bloom_files = bloom_prune_files(log, {"event_type": "purchase"})
+    absent_files = bloom_prune_files(log, {"event_type": "refund"})
+    span = (
+        events.filter(F.col("event_type") == "purchase")
+        .agg(F.min("event_id"), F.max("event_id"))
+        .collect()[0]
+    )
+    zonemap_files = log.snapshot_files(
+        range_filter={"event_id": (span[0], span[1])}
+    )
+    agg = (
+        spark.read.parquet(*bloom_files)
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return agg.select(
+        "n_rows",
+        "sum_value",
+        F.lit(len(log.snapshot_files())).alias("files_total"),
+        F.lit(len(bloom_files)).alias("files_bloom_scanned"),
+        F.lit(len(zonemap_files)).alias("files_zonemap_kept"),
+        F.lit(len(absent_files)).alias("files_absent_probe"),
+    )
+
+
 def _txnlog_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta ``DESCRIBE HISTORY`` analog: the log introspected as a
     DataFrame — version, stamp, file counts, add/remove deltas,
@@ -4563,6 +4639,15 @@ QUERIES: dict[str, QueryFn] = {
     # M3-competition winner) — OLS trend + theta-line SES + the
     # half-half combination, per type; the croston recursion device.
     "theta_method_forecast": _q(temporal.theta_method_forecast, "events"),
+    # NEW in round 12 (third batch): Dunn's post-hoc pairwise rank
+    # test with BH-FDR — WHICH groups differ after kruskal_wallis
+    # says some do; the KW rank machinery verbatim, pairwise z on the
+    # types^2 relation.
+    "dunn_posthoc": _q(drift.dunn_posthoc, "events"),
+    # NEW in round 12 (third batch): bloom-filter file skipping — the
+    # equality-probe companion to txnlog_stats_skipping's zone maps
+    # (sources/bloom sidecar index; ninth optimizer/layout proof).
+    "txnlog_bloom_skipping": _txnlog_bloom_skipping,
     # NEW in round 11: the staged statistics tier registers (ROADMAP
     # frontier #1-#4) — additive day-of-week Holt-Winters against the
     # DuckDB list-recursive decimal-ring CTE, isotonic PAVA hash-gated
@@ -9593,6 +9678,101 @@ ORACLE_SQL: dict[str, str] = {
             ) q)
         SELECT a.lag, a.n_days, a.acf, rec.pacf
         FROM acf a LEFT JOIN rec ON rec.k = a.lag
+    """,
+    # Replays txnlog_bloom_skipping: the pruned read's aggregates
+    # from raw-events arithmetic plus the pinned planning literals
+    # (4 type-bucketed files; bloom prunes the equality probe to the
+    # 1 purchase file, the id zone map provably keeps all 4, the
+    # absent probe plans 0).
+    "txnlog_bloom_skipping": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sum_value,
+               4 AS files_total,
+               1 AS files_bloom_scanned,
+               4 AS files_zonemap_kept,
+               0 AS files_absent_probe
+        FROM events WHERE event_type = 'purchase'
+    """,
+    # Replays dunn_posthoc: the kruskal_wallis rank CTEs verbatim,
+    # pairwise tie-corrected z on the rounded mean ranks, the
+    # proportions_ztest A&S tail pairing, BH step-up windows.
+    "dunn_posthoc": """
+        WITH pv AS (
+            SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        per_value AS (
+            SELECT value, CAST(SUM(c) AS BIGINT) AS n_v
+            FROM pv GROUP BY 1),
+        rk AS (
+            SELECT value, n_v,
+                   2 * COALESCE(SUM(n_v) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + n_v + 1 AS avgrank2
+            FROM per_value),
+        grp AS (
+            SELECT p.event_type, CAST(SUM(p.c) AS BIGINT) AS n_g,
+                   SUM(CAST(CAST(p.c AS DECIMAL(19,0))
+                            * CAST(r.avgrank2 AS DECIMAL(19,0))
+                            AS DECIMAL(38,0))) AS rank_sum2
+            FROM pv p JOIN rk r USING (value) GROUP BY 1),
+        tot AS (
+            SELECT CAST(SUM(n_v) AS BIGINT) AS n_tot,
+                   SUM(CAST(n_v AS DECIMAL(12,0))
+                       * CAST(n_v AS DECIMAL(12,0))
+                       * CAST(n_v AS DECIMAL(12,0))
+                       - CAST(n_v AS DECIMAL(38,0))) AS tie_sum
+            FROM rk),
+        pr AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.n_g AS n_a, b.n_g AS n_b,
+                   round(CAST(a.rank_sum2 AS DOUBLE) / (2.0 * a.n_g),
+                         6) AS rbar_a,
+                   round(CAST(b.rank_sum2 AS DOUBLE) / (2.0 * b.n_g),
+                         6) AS rbar_b,
+                   round((round(CAST(a.rank_sum2 AS DOUBLE)
+                                / (2.0 * a.n_g), 6)
+                          - round(CAST(b.rank_sum2 AS DOUBLE)
+                                  / (2.0 * b.n_g), 6))
+                         / nullif(sqrt(
+                             (CAST(t.n_tot AS DOUBLE)
+                              * (CAST(t.n_tot AS DOUBLE) + 1) / 12.0
+                              - CAST(t.tie_sum AS DOUBLE)
+                                / (12.0 * (CAST(t.n_tot AS DOUBLE)
+                                           - 1)))
+                             * (1.0 / a.n_g + 1.0 / b.n_g)), 0.0),
+                         6) AS z_score
+            FROM grp a JOIN grp b ON a.event_type < b.event_type,
+                 tot t),
+        pp AS (
+            SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z_score)) AS k
+            FROM pr),
+        pv2 AS (
+            SELECT type_a, type_b, n_a, n_b, rbar_a, rbar_b, z_score,
+                   round(2.0 * exp(-z_score * z_score / 2.0)
+                         * 0.3989422804014327
+                         * (k * (0.319381530 + k * (-0.356563782
+                            + k * (1.781477937 + k * (-1.821255978
+                            + k * 1.330274429))))), 6) AS p_value
+            FROM pp),
+        m AS (SELECT CAST(COUNT(p_value) AS BIGINT) AS m_tests
+              FROM pv2),
+        rkd AS (
+            SELECT pv2.*, m.m_tests,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_value ASC,
+                            type_a ASC, type_b ASC) AS INTEGER)
+                       AS p_rank
+            FROM pv2, m)
+        SELECT type_a, type_b, n_a, n_b, rbar_a, rbar_b, z_score,
+               p_value, p_rank, m_tests,
+               round(least(1.0, MIN(p_value * m_tests / p_rank)
+                     OVER (ORDER BY p_rank DESC
+                           ROWS UNBOUNDED PRECEDING)), 6) AS p_adj,
+               round(least(1.0, MIN(p_value * m_tests / p_rank)
+                     OVER (ORDER BY p_rank DESC
+                           ROWS UNBOUNDED PRECEDING)), 6) <= 0.05
+                   AS reject
+        FROM rkd
     """,
     # Replays theta_method_forecast: per-type integer OLS moments
     # (the ROUNDED slope feeds the intercept — engine order), 6-dp

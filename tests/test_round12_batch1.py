@@ -529,3 +529,70 @@ def test_theta_ses_recursion_replay(spark):
                 q6, rounding=ROUND_HALF_UP
             )
         assert r.level == float(level), r.t
+
+
+# ---------------------------------------------------------------- dunn_posthoc
+
+
+def test_dunn_separates_the_shifted_group(spark):
+    """Groups a/b share a distribution; c sits far above both: the
+    a-c and b-c pairs reject under BH, the a-b pair does not, and the
+    z replays from hand rank arithmetic."""
+    from big_data_trend_analysis_spark.operators.drift import dunn_posthoc
+
+    rows, eid = [], 0
+    for i in range(12):
+        rows.append((eid, 1 + i % 9, eid, "a", float(i % 6))); eid += 1
+        rows.append((eid, 1 + i % 9, eid, "b", float(i % 6) + 0.5)); eid += 1
+        rows.append((eid, 1 + i % 9, eid, "c", 100.0 + i)); eid += 1
+    out = {
+        (r.type_a, r.type_b): r
+        for r in dunn_posthoc(_events(spark, rows)).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "c")].reject and out[("b", "c")].reject
+    assert not out[("a", "b")].reject
+    # c occupies the top 12 global ranks: mean rank = (25+36)/2 = 30.5
+    assert out[("a", "c")].rbar_b == 30.5
+    assert out[("a", "c")].m_tests == 3
+    # BH monotonicity: p_adj is non-decreasing in p_rank
+    ranked = sorted(out.values(), key=lambda r: r.p_rank)
+    assert all(
+        x.p_adj <= y.p_adj for x, y in zip(ranked, ranked[1:])
+    )
+
+
+# ------------------------------------------------------- bloom sidecar index
+
+
+def test_bloom_sidecar_prunes_without_false_negatives(spark, tmp_path):
+    """Every present value keeps its file (no false negative — the
+    superset guarantee), an absent value prunes everything, and a
+    file over the distinct ceiling is conservatively kept."""
+    from big_data_trend_analysis_spark.sources.bloom import (
+        bloom_prune_files,
+        write_bloom_sidecar,
+    )
+    from big_data_trend_analysis_spark.sources.txnlog import TxnLog
+
+    root = str(tmp_path / "tbl")
+    log = TxnLog(root)
+    df1 = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, tag string"
+    )
+    df2 = spark.createDataFrame([(4, "z")], "id long, tag string")
+    log.write_commit(df1)
+    log.write_commit(df2)
+    write_bloom_sidecar(spark, log, ["tag"])
+    all_files = set(log.snapshot_files())
+    assert len(all_files) == 2
+    # no false negatives: each tag keeps at least its own file
+    f_x = set(bloom_prune_files(log, {"tag": "x"}))
+    f_z = set(bloom_prune_files(log, {"tag": "z"}))
+    assert len(f_x) == 1 and len(f_z) == 1 and f_x != f_z
+    assert bloom_prune_files(log, {"tag": "absent"}) == []
+    # ceiling: max_distinct=1 -> file 1 (2 distinct tags) gets no
+    # bloom and is kept even for an absent probe
+    write_bloom_sidecar(spark, log, ["tag"], max_distinct=1)
+    kept = set(bloom_prune_files(log, {"tag": "absent"}))
+    assert len(kept) == 1 and kept == f_x
