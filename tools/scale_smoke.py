@@ -200,6 +200,26 @@ HEAVY_QUERIES = [
     # covered by bench. udtf_bigram_topk is a deliberately linear
     # Python path whose 10× ratio would sit AT the limit by
     # construction; its cost model is documented in bench/BASELINE.)
+    # round-12 additions on the synthesized tiers: keyed D-L/ SES /
+    # power-iteration recurrences, the gap-bounded funnel's user-keyed
+    # joins, corpus-law fits (vocab window + range_cumsum prefix),
+    # rank post-hoc pairs, NDCG's corpus-vs-probes scan, and the
+    # bloom-sidecar build+probe (4 txnlog writes + per-file scans).
+    # (cohort_ltv_curves / adamic_adar_linkpred read the TPC-H
+    # orders/lineitem tier — covered by bench, the copurchase
+    # precedent.)
+    "pacf_by_type",
+    "funnel_k_step",
+    "ab_power_mde",
+    "zipf_fit_slope",
+    "heaps_law_fit",
+    "wilson_ci_proportion",
+    "sprt_monitor",
+    "ndcg_at_k",
+    "markov_steady_state",
+    "theta_method_forecast",
+    "dunn_posthoc",
+    "txnlog_bloom_skipping",
 ]
 
 
