@@ -177,3 +177,28 @@ def f_crit_95_sql(df1_expr: str, df2_expr: str) -> str:
         f" WHEN {v1} = 2.0 THEN {exact2}"
         f" ELSE {y} * {y} * {y} END)"
     )
+
+
+def phi_upper_tail(z: Column) -> Column:
+    """Two-sided normal p-value 2·(1−Φ(|z|)), Abramowitz–Stegun 26.2.17.
+
+    Promoted from ``operators/drift._phi_upper_tail`` in round 12 so
+    non-drift consumers (``operators/trend.mann_kendall_trend``) share
+    it without a cross-operator import (the ``range_cumsum`` promotion
+    precedent). The rational-polynomial approximation (|error| <
+    7.5e-8) uses only exp/sqrt/arithmetic — primitives both engines
+    evaluate to the same double within an ulp, and every consumer
+    rounds to 6 dp (the decay_weight/psi_drift exp/ln discipline).
+    """
+    x = F.abs(z)
+    k = 1.0 / (1.0 + 0.2316419 * x)
+    poly = k * (
+        0.319381530
+        + k
+        * (
+            -0.356563782
+            + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
+        )
+    )
+    pdf = F.exp(-x * x / 2.0) * 0.3989422804014327
+    return 2.0 * pdf * poly

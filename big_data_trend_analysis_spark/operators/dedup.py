@@ -1248,3 +1248,58 @@ def dedup_exact_normalized(documents: DataFrame) -> DataFrame:
         )
         .select("doc_id", "n_copies", "n_distinct_raw")
     )
+
+
+def levenshtein_blocking(part: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Blocked fuzzy entity matching over the part-name vocabulary —
+    the standard two-phase ER shape (block → verify) beside
+    ``fuzzy_token_join``'s neighborhood generation.
+
+    Real entity resolution never runs |names|² levenshtein calls: a
+    cheap BLOCKING key (here the name's last token — the head noun of
+    the TPC-H-ish "adjective noun" part names) partitions the
+    vocabulary so candidate pairs form only within blocks, and the
+    exact ``levenshtein`` verify runs on candidates alone. Recall is
+    exactly "pairs sharing a head noun" by construction — the
+    documented trade every blocking scheme makes (SymSpell's deletion
+    neighborhoods, ``fuzzy_token_join``, are the lossless
+    alternative at radius ≤ 2). Scale shape: ONE corpus-sized
+    aggregation to the distinct-name relation (vocabulary-bounded),
+    then a block-keyed self-join on that tiny relation; the edit
+    distance is a JVM builtin on both engines (identical unit-cost
+    Wagner–Fischer).
+
+    Emits matched pairs (name_a < name_b, lev ≤ ``max_dist``):
+    (block_key, name_a, name_b, n_a, n_b, lev_dist).
+    """
+    names = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    blocked = names.select(
+        "p_name",
+        "n_parts",
+        F.element_at(F.split("p_name", " "), -1).alias("block_key"),
+    )
+    a = blocked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+        "block_key",
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        "block_key",
+    )
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "block_key",
+            "name_a",
+            "name_b",
+            "n_a",
+            "n_b",
+            F.levenshtein("name_a", "name_b").alias("lev_dist"),
+        )
+        .filter(F.col("lev_dist") <= max_dist)
+    )

@@ -582,25 +582,16 @@ def ljung_box_check(events: DataFrame, max_lag: int = 7) -> DataFrame:
 
 
 def _phi_upper_tail(z):
-    """Two-sided normal p-value 2·(1−Φ(|z|)), Abramowitz–Stegun 26.2.17.
+    """Two-sided normal p-value 2·(1−Φ(|z|)) — A&S 26.2.17.
 
-    The rational-polynomial approximation (|error| < 7.5e-8) uses only
-    exp/sqrt/arithmetic — primitives both engines evaluate to the same
-    double within an ulp, and every consumer rounds to 6 dp (the
-    decay_weight/psi_drift exp/ln discipline).
+    Round 12: promoted to ``functions.stats.phi_upper_tail`` so the
+    trend module's Mann–Kendall gate shares it without a cross-operator
+    import; this name stays as the in-module alias every existing
+    drift consumer already binds.
     """
-    x = F.abs(z)
-    k = 1.0 / (1.0 + 0.2316419 * x)
-    poly = k * (
-        0.319381530
-        + k
-        * (
-            -0.356563782
-            + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
-        )
-    )
-    pdf = F.exp(-x * x / 2.0) * 0.3989422804014327
-    return 2.0 * pdf * poly
+    from big_data_trend_analysis_spark.functions.stats import phi_upper_tail
+
+    return phi_upper_tail(z)
 
 
 def benjamini_hochberg(
@@ -2155,3 +2146,288 @@ def dunn_posthoc(events: DataFrame, q_fdr: float = 0.05) -> DataFrame:
         )
         .withColumn("reject", F.col("p_adj") <= q_fdr)
     )
+
+
+def friedman_test(events: DataFrame) -> DataFrame:
+    """Friedman rank test: does ``value`` volume differ across event
+    types once the day-of-week effect is blocked out?
+
+    The repeated-measures member of the rank family — where
+    ``kruskal_wallis`` pools every observation into one global
+    ranking, Friedman ranks WITHIN each block so a strong weekday
+    seasonality (the thing ``seasonal_adjust_dow`` measures) cannot
+    masquerade as a between-group difference. Blocks are the 7
+    weekdays, treatments the event types, and the cell observation is
+    the exact-decimal sum of ``value`` in that (dow, type) cell —
+    order-independent by construction (6-dp rounding before a
+    DECIMAL(38,6) fold, the psi_drift discipline), so the within-block
+    ranking is over exact decimals and replays bit-identically in the
+    oracle. Incomplete blocks (a weekday missing some type) drop —
+    Friedman requires complete blocks. With cell ties the doubled
+    average-rank device (``mann_whitney_u``) keeps ranks exact:
+
+        Q = 3·Σ_j Rj2² / (n·k·(k+1)) − 3·n·(k+1) ,   Rj = Rj2/2
+
+    flagged against χ²(0.95, k−1). Scale shape: ONE corpus-sized hash
+    aggregation to the (dow × type) cell relation (≤ 7·|types| rows);
+    everything after runs on that tiny relation.
+
+    Emits one row per treatment with the verdict repeated:
+    (event_type, rank_sum, n_blocks, k_types, q_stat, df_used,
+    chi2_crit, reject).
+    """
+    cells = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.dayofweek("ts").alias("dow"),
+            "event_type",
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value"), 6).cast("decimal(18,6)")
+            ).alias("cell")
+        )
+    )
+    k_rel = cells.agg(
+        F.countDistinct("event_type").alias("k_types")
+    )
+    complete = (
+        cells.groupBy("dow")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .crossJoin(F.broadcast(k_rel))
+        .filter(F.col("n_cells") == F.col("k_types"))
+        .select("dow")
+    )
+    kept = cells.join(F.broadcast(complete), "dow")
+    # within-block average ranks, exact as doubled ints: group equal
+    # cells, cumulate in cell order, avgrank2 = 2·(cum−c) + c + 1
+    per_cell = kept.groupBy("dow", "cell").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_ord = (
+        Window.partitionBy("dow")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per_cell.select(
+        "dow",
+        "cell",
+        (
+            2 * (F.sum("c").over(w_ord) - F.col("c")) + F.col("c") + 1
+        ).alias("avgrank2"),
+    )
+    rj = (
+        kept.join(ranked, ["dow", "cell"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("avgrank2").cast("decimal(38,0)")).alias(
+                "rank_sum2"
+            )
+        )
+    )
+    totals = rj.agg(
+        F.sum(
+            (
+                F.col("rank_sum2") * F.col("rank_sum2")
+            ).cast("decimal(38,0)")
+        ).alias("sum_rj2_sq"),
+        F.count(F.lit(1)).alias("k_types"),
+    )
+    n_blocks_rel = complete.agg(F.count(F.lit(1)).alias("n_blocks"))
+    nb = F.col("n_blocks").cast("double")
+    kt = F.col("k_types").cast("double")
+    q = F.round(
+        3.0 * F.col("sum_rj2_sq").cast("double") / (nb * kt * (kt + 1))
+        - 3.0 * nb * (kt + 1),
+        6,
+    )
+    crit = F.lit(None).cast("double")
+    for df_used, c in enumerate(_CHI2_95, start=1):
+        crit = F.when(F.col("k_types") - 1 == df_used, F.lit(c)).otherwise(
+            crit
+        )
+    verdict = (
+        totals.crossJoin(F.broadcast(n_blocks_rel))
+        .select(
+            "n_blocks",
+            F.col("k_types").cast("int").alias("k_types"),
+            q.alias("q_stat"),
+            (F.col("k_types") - 1).cast("int").alias("df_used"),
+            crit.alias("chi2_crit"),
+            F.coalesce(q > crit, F.lit(False)).alias("reject"),
+        )
+    )
+    return (
+        rj.select(
+            "event_type",
+            (F.col("rank_sum2").cast("double") / 2.0).alias("rank_sum"),
+        )
+        .crossJoin(F.broadcast(verdict))
+    )
+
+
+def _grand_median(vals: DataFrame):
+    """Exact DISCRETE global median of ``value`` (k = ⌈n/2⌉ order
+    statistic) as a 1-row relation — the range-partitioned cumsum over
+    the distinct-value relation (the ks_test_check layout), so no task
+    ever holds more than its value range."""
+    per_value = vals.groupBy("value").agg(F.count(F.lit(1)).alias("n_v"))
+    cum = range_cumsum(per_value, "value", ["n_v"])
+    n_rel = cum.agg(F.sum("n_v").alias("n_tot"))
+    return (
+        cum.crossJoin(F.broadcast(n_rel))
+        .filter(F.col("cum_n_v") >= F.expr("(n_tot + 1) div 2"))
+        .agg(F.min("value").alias("grand_median"))
+    )
+
+
+def mood_median_test(events: DataFrame) -> DataFrame:
+    """Mood's median test: do the event types straddle the GLOBAL
+    median of ``value`` evenly?
+
+    The coarsest — and most outlier-proof — of the k-group location
+    tests (its 0/1 reduction survives arbitrarily heavy tails that
+    still stretch ``kruskal_wallis``'s rank variance): classify every
+    observation as above / at-or-below the exact discrete global
+    median (the ``winsorize`` k = ⌈n/2⌉ order statistic via the
+    range-partitioned cumsum — scale-safe), then Pearson χ² on the
+    k×2 contingency of exact counts against e_g = n_g·A/N. Cell terms
+    are doubles over exact integers (bit-identical cross-engine),
+    rounded 6 dp, folded in exact decimal; flagged against
+    χ²(0.95, k−1).
+
+    Emits one row per group with the verdict repeated:
+    (event_type, n_g, n_above, grand_median, chi2_stat, df_used,
+    chi2_crit, reject).
+    """
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    med = _grand_median(vals)
+    flagged = vals.crossJoin(F.broadcast(med)).select(
+        "event_type",
+        "grand_median",
+        (F.col("value") > F.col("grand_median")).alias("above"),
+    )
+    groups = flagged.groupBy("event_type", "grand_median").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.count_if(F.col("above")).alias("n_above"),
+    )
+    totals = groups.agg(
+        F.sum("n_g").alias("n_tot"),
+        F.sum("n_above").alias("a_tot"),
+        F.count(F.lit(1)).alias("k_groups"),
+    )
+    e_above = (
+        F.col("n_g").cast("double")
+        * F.col("a_tot").cast("double")
+        / F.col("n_tot")
+    )
+    e_below = (
+        F.col("n_g").cast("double")
+        * (F.col("n_tot") - F.col("a_tot")).cast("double")
+        / F.col("n_tot")
+    )
+    dev = F.col("n_above") - e_above
+    term = (
+        F.round(dev * dev / e_above, 6).cast(_TERM_DEC)
+        + F.round(dev * dev / e_below, 6).cast(_TERM_DEC)
+    )
+    scored = groups.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n_g",
+        "n_above",
+        "grand_median",
+        "k_groups",
+        term.alias("term"),
+    )
+    agg = scored.groupBy("k_groups").agg(
+        F.sum("term").cast("double").alias("chi2_stat")
+    )
+    crit = F.lit(None).cast("double")
+    for df_used, c in enumerate(_CHI2_95, start=1):
+        crit = F.when(F.col("k_groups") - 1 == df_used, F.lit(c)).otherwise(
+            crit
+        )
+    verdict = agg.select(
+        F.round("chi2_stat", 6).alias("chi2_stat"),
+        (F.col("k_groups") - 1).cast("int").alias("df_used"),
+        crit.alias("chi2_crit"),
+        F.coalesce(F.col("chi2_stat") > crit, F.lit(False)).alias(
+            "reject"
+        ),
+    )
+    return scored.select(
+        "event_type", "n_g", "n_above", "grand_median"
+    ).crossJoin(F.broadcast(verdict))
+
+
+def cochran_armitage_trend(events: DataFrame) -> DataFrame:
+    """Cochran–Armitage trend test: does the share of above-median
+    events drift MONOTONICALLY across the week?
+
+    The ordered-alternative member of the experimentation tier —
+    ``chi_square_independence`` asks "is traffic mix independent of
+    weekday?" with k−1 df and no ordering; Cochran–Armitage spends ONE
+    df on the linear-in-scores alternative, which is the question a
+    day-over-day rollout actually poses. Outcome = ``value`` above the
+    exact discrete global median (the ``mood_median_test`` device, so
+    p̄ ≈ ½ and the test is parameter-free); groups = weekday with
+    scores w = 1..7 (``dayofweek``):
+
+        T = Σ w·r − p̄·Σ w·n ,
+        Var = p̄(1−p̄)·(Σ w²·n − (Σ w·n)²/N) ,   z = T/√Var
+
+    — every Σ an exact integer, so T/Var/z are fixed double chains
+    identical on both engines; two-sided p from the A&S normal tail.
+    Scale shape: ONE corpus aggregation to 7 rows after the median's
+    distinct-value cumsum.
+
+    Emits one row per weekday with the verdict repeated:
+    (dow, n_obs, n_succ, grand_median, z_trend, p_value, reject).
+    """
+    vals = events.filter(F.col("value").isNotNull()).select(
+        F.dayofweek("ts").alias("dow"), "value"
+    )
+    med = _grand_median(vals)
+    groups = (
+        vals.crossJoin(F.broadcast(med))
+        .groupBy("dow", "grand_median")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.count_if(F.col("value") > F.col("grand_median")).alias(
+                "n_succ"
+            ),
+        )
+    )
+    totals = groups.agg(
+        F.sum("n_obs").alias("n_tot"),
+        F.sum("n_succ").alias("r_tot"),
+        F.sum(F.col("dow") * F.col("n_succ")).alias("swr"),
+        F.sum(F.col("dow") * F.col("n_obs")).alias("swn"),
+        F.sum(F.col("dow") * F.col("dow") * F.col("n_obs")).alias("swwn"),
+    )
+    pbar = F.col("r_tot").cast("double") / F.col("n_tot")
+    t_stat = F.col("swr").cast("double") - pbar * F.col("swn").cast(
+        "double"
+    )
+    var = (
+        pbar
+        * (1.0 - pbar)
+        * (
+            F.col("swwn").cast("double")
+            - F.col("swn").cast("double")
+            * F.col("swn").cast("double")
+            / F.col("n_tot")
+        )
+    )
+    z = F.round(t_stat / F.nullif(F.sqrt(var), F.lit(0.0)), 6)
+    p = F.round(_phi_upper_tail(z), 6)
+    verdict = totals.select(
+        z.alias("z_trend"),
+        p.alias("p_value"),
+        F.coalesce(F.abs(z) > 1.959964, F.lit(False)).alias("reject"),
+    )
+    return groups.select(
+        "dow", "n_obs", "n_succ", "grand_median"
+    ).crossJoin(F.broadcast(verdict))

@@ -1379,3 +1379,122 @@ def ndcg_at_k(
             6,
         ).alias("ndcg"),
     )
+
+
+def mrr_map_at_k(
+    embeddings: DataFrame,
+    probe_ids: tuple[int, ...] = DEFAULT_PROBES,
+    k: int = 10,
+) -> DataFrame:
+    """MRR and MAP@k over the exact cosine ranking — the other two
+    standard retrieval-eval readouts beside ``ndcg_at_k`` (NDCG grades
+    the whole ranked list; MRR grades the FIRST hit, MAP the
+    precision profile — the triple is what an IR eval sheet reports).
+
+    Relevance is the same binary label match on the ``sim_search``
+    top-k (rounded-sim + vec_id tie-break — deterministic):
+
+        RR   = 1/rank of the first relevant hit (0 if none in top-k),
+        AP@k = Σ_{i relevant} P@i / min(R, k) ,  P@i = cum_rel(i)/i
+
+    with R the corpus relevance budget (label count minus the probe).
+    Scale shape: one corpus scan against the broadcast probes (the
+    ``sim_search`` plan), then every window/aggregate runs on the
+    probes×k relation. Each P@i is an exact-integer ratio rounded
+    6 dp folded in decimal; the fleet means (MRR, MAP) fold the
+    per-probe readouts the same way and ride every row.
+
+    Emits per probe: (probe_id, probe_label, n_relevant,
+    first_rel_rank, rr, ap_at_k, mrr, map_at_k).
+    """
+    ranked = sim_search(embeddings, probe_ids=probe_ids, k=k)
+    labels = embeddings.select("vec_id", "label")
+    probe_labels = labels.filter(F.col("vec_id").isin(*probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+    )
+    label_counts = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    flagged = (
+        ranked.join(F.broadcast(probe_labels), "probe_id")
+        .join(labels, "vec_id")
+        .select(
+            "probe_id",
+            "probe_label",
+            "rnk",
+            (F.col("label") == F.col("probe_label"))
+            .cast("int")
+            .alias("rel"),
+        )
+    )
+    w = (
+        Window.partitionBy("probe_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prec = flagged.select(
+        "probe_id",
+        "probe_label",
+        "rnk",
+        "rel",
+        F.sum("rel").over(w).alias("cum_rel"),
+    )
+    per_probe = prec.groupBy("probe_id", "probe_label").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias(
+            "first_rel_rank"
+        ),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(
+                    F.col("cum_rel").cast("double") / F.col("rnk"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("ap_num"),
+    )
+    scored = per_probe.join(
+        F.broadcast(label_counts),
+        per_probe["probe_label"] == label_counts["label"],
+    ).select(
+        "probe_id",
+        "probe_label",
+        (F.col("n_label") - F.lit(1)).alias("n_relevant"),
+        "first_rel_rank",
+        F.coalesce(
+            F.round(
+                F.lit(1.0) / F.col("first_rel_rank").cast("double"), 6
+            ),
+            F.lit(0.0),
+        ).alias("rr"),
+        F.coalesce(
+            F.round(
+                F.col("ap_num")
+                / F.nullif(
+                    F.least(
+                        F.col("n_label") - F.lit(1), F.lit(k)
+                    ).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("ap_at_k"),
+    )
+    fleet = scored.agg(
+        F.round(
+            F.sum(F.col("rr").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.sum(F.col("ap_at_k").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("map_at_k"),
+    )
+    return scored.crossJoin(F.broadcast(fleet))

@@ -1403,3 +1403,87 @@ def theta_method_forecast(events: DataFrame) -> DataFrame:
         )
 
     return joined.groupBy("event_type").applyInPandas(_ses, schema)
+
+
+def forecast_backtest_mase(events: DataFrame, season: int = 7) -> DataFrame:
+    """Rolling-origin one-step backtest of the two benchmark
+    forecasters — naive (ŷ_t = y_{t−1}) and seasonal-naive
+    (ŷ_t = y_{t−season}) — scored with MASE and sMAPE per event type.
+
+    The evaluation layer the forecast family was missing: Holt,
+    Holt–Winters, theta and croston all EMIT forecasts, but nothing
+    said whether any of them beats the one-liner every forecasting
+    paper scales against. MASE (Hyndman–Koehler) is that scale:
+    MAE of the method over the evaluation window divided by the
+    in-sample MAE of the one-step naive over the whole series — <1
+    beats naive, engine-portably (every |error| is an exact BIGINT
+    count difference, both MAEs are ratios of exact integer sums,
+    and sMAPE's per-day terms are integer ratios rounded 6 dp and
+    folded in exact decimal). Lags are OBSERVATION-indexed over the
+    per-type day order (calendar gaps collapse — documented
+    convention, identical in the oracle). The evaluation window is
+    the days where BOTH forecasters have a lag (obs index > season),
+    so the two MASEs compare on identical days. Scale shape: one
+    corpus-sized aggregation to (type, day), then per-type windows on
+    the calendar-bounded relation.
+
+    Emits one row per (event_type, method):
+    (event_type, method, n_eval, mae, mase, smape).
+    """
+    daily = _daily_counts(events)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(w).alias("t"),
+        F.lag("y", 1).over(w).alias("y_naive"),
+        F.lag("y", season).over(w).alias("y_snaive"),
+    )
+    # in-sample one-step naive MAE over the WHOLE series — the MASE
+    # denominator (Hyndman's Q), one per type
+    scale = (
+        lagged.filter(F.col("y_naive").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.abs(F.col("y") - F.col("y_naive"))).alias("q_num"),
+            F.count(F.lit(1)).alias("q_den"),
+        )
+    )
+    evald = lagged.filter(F.col("t") > season)
+    methods = evald.select(
+        "event_type",
+        F.lit("naive").alias("method"),
+        "y",
+        F.col("y_naive").alias("fc"),
+    ).unionByName(
+        evald.select(
+            "event_type",
+            F.lit("snaive").alias("method"),
+            "y",
+            F.col("y_snaive").alias("fc"),
+        )
+    )
+    err = F.abs(F.col("y") - F.col("fc"))
+    smape_term = F.round(
+        2.0
+        * err.cast("double")
+        / (F.abs(F.col("y")) + F.abs(F.col("fc"))).cast("double"),
+        6,
+    ).cast("decimal(18,6)")
+    scored = methods.groupBy("event_type", "method").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(err).alias("e_sum"),
+        F.sum(smape_term).alias("s_sum"),
+    )
+    mae = F.col("e_sum").cast("double") / F.col("n_eval")
+    q = F.col("q_num").cast("double") / F.col("q_den")
+    return scored.join(scale, "event_type").select(
+        "event_type",
+        "method",
+        "n_eval",
+        F.round(mae, 6).alias("mae"),
+        F.round(mae / F.nullif(q, F.lit(0.0)), 6).alias("mase"),
+        F.round(
+            F.col("s_sum").cast("double") / F.col("n_eval"), 6
+        ).alias("smape"),
+    )

@@ -2120,3 +2120,49 @@ def heaps_law_fit(documents: DataFrame) -> DataFrame:
     )
     fit = _ols_loglog(points, "ln_n", "ln_v")
     return totals.crossJoin(F.broadcast(fit))
+
+
+def weighted_sample_aes(
+    documents: DataFrame, k: int = 20, seed: int = 47
+) -> DataFrame:
+    """Weighted sampling without replacement via Efraimidis–Spirakis
+    exponential keys — the curation sampler where long documents
+    should win proportionally to length, not uniformly.
+
+    A-ES (Efraimidis & Spirakis 2006): draw u_i ~ U(0,1) per row, key
+    k_i = u_i^(1/w_i), keep the k largest keys — exactly a weighted
+    sample without replacement. Computed in the log domain
+    (ln u_i / w_i, same order) with u_i from the portable md5 bucket
+    shared with ``sample_mixture`` (first 60 bits of
+    ``md5(doc_id || ':' || seed)``, +1 so ln never sees 0) — a pure
+    row-local expression: no RNG state, no shuffle for key
+    generation, reproducible across partitionings and engines. The
+    top-k is a global ``ORDER BY (key DESC, doc_id)`` + LIMIT —
+    Spark executes it as TakeOrderedAndProject (per-partition heaps,
+    one k-row reduce; never a full sort at 100 TB). Weight =
+    ``n_chars`` (clamped ≥ 1).
+
+    Emits the k winners: (doc_id, lang, n_chars, es_key).
+    """
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(seed))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (bucket + F.lit(1)).cast("double") / F.lit(float(16**15))
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.log(u) / w
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(key, 6).alias("es_key"),
+            key.alias("_key_raw"),
+        )
+        .orderBy(F.col("_key_raw").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .drop("_key_raw")
+    )

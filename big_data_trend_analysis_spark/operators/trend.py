@@ -423,3 +423,85 @@ def kendall_tau_daily(events: DataFrame) -> DataFrame:
         "n_tied_y",
         tau.alias("tau_b"),
     )
+
+
+def mann_kendall_trend(events: DataFrame) -> DataFrame:
+    """Mann–Kendall trend test per event type: is the daily-count
+    drift SIGNIFICANT, or within what a stationary series shows?
+
+    The significance gate the robust-trend pair was missing —
+    ``theil_sen_slope`` estimates the magnitude and
+    ``kendall_tau_daily`` the order agreement; Mann–Kendall asks
+    whether S = C − D (the same concordant-minus-discordant count over
+    day pairs i < j) could plausibly come from no trend at all:
+
+        Var(S) = (n(n−1)(2n+5) − Σ t(t−1)(2t+5)) / 18 ,
+        z = (S ∓ 1)/√Var  (continuity-corrected toward 0) ,
+
+    two-sided p from the A&S 26.2.17 normal tail. Scale shape is the
+    ``kendall_tau_daily`` layout verbatim: one corpus-sized
+    aggregation to (type, day) counts, the pairwise join bounded by
+    the calendar-sized daily relation, tie groups from a second tiny
+    aggregation on the same relation; S and both tie sums are exact
+    BIGINTs, the z chain runs on doubles cast from them.
+
+    Emits per type: (event_type, n_days, s_stat, var_s, z_mk,
+    p_value, reject).
+    """
+    from big_data_trend_analysis_spark.functions.stats import phi_upper_tail
+    from big_data_trend_analysis_spark.operators.temporal import (
+        _daily_counts,
+    )
+
+    daily = _daily_counts(events).localCheckpoint()
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    s_rel = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            (
+                F.count_if(F.col("yb") > F.col("ya"))
+                - F.count_if(F.col("yb") < F.col("ya"))
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_levels"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_sum"),
+            F.sum("t").alias("n_days"),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    var_s = (
+        nd * (nd - 1) * (2 * nd + 5)
+        - F.col("tie_sum").cast("double")
+    ) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = F.round(
+        F.when(F.col("s_stat") > 0, (s - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    p = F.round(phi_upper_tail(z), 6)
+    return s_rel.join(ties, "event_type").select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        z.alias("z_mk"),
+        p.alias("p_value"),
+        F.coalesce(F.abs(z) > 1.959964, F.lit(False)).alias("reject"),
+    )

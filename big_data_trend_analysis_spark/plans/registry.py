@@ -4394,6 +4394,96 @@ def _aqe_join_switch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shuffle_reuse_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange reuse proven in-gate — the TENTH optimizer proof
+    (runtime bloom / AQE skew / CBO reorder / DPP / coalesce / join
+    switch / WindowGroupLimit / nested prune / bloom skipping).
+
+    A query that references the same grouped relation twice (here a
+    per-type rollup self-joined on the group key — the shape of every
+    "compare each group against the same rollup" readout) must NOT
+    scan and shuffle the fact table twice: Catalyst canonicalizes the
+    two identical Exchange subtrees and the ReuseExchange rule (and
+    AQE's stage-level twin) replaces the second with a
+    ``ReusedExchange``/``ReusedQueryStage`` pointer at the first's
+    materialized output. At 100 TB that is one fact-table shuffle
+    instead of two — the whole cost model of CTE-heavy dashboards.
+    Static broadcast is forced off so BOTH join children keep their
+    hash-partitioned Exchange (a broadcast side would change the
+    second subtree's shape and hide the reuse). The gate pins the
+    plan artifact beside oracle-recomputed aggregates.
+    """
+    from pyspark.sql import functions as F
+
+    tune_session(spark)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.exchange.reuse": "true",
+    }
+    prior = {}
+    for k in confs:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("sum_id"),
+            )
+        )
+        # BOTH sides must consume the full aggregate output: prune one
+        # column from either side and Catalyst rewrites that subtree's
+        # aggregate, the canonicalized Exchanges stop matching, and
+        # the reuse disappears (column pruning beats exchange reuse in
+        # rule order) — so the probe doubles every measure.
+        joined = (
+            agg.alias("a")
+            .join(agg.alias("b"), "event_type")
+            .select(
+                "event_type",
+                F.col("a.n_rows").alias("n_rows"),
+                F.col("a.sum_id").alias("sum_id"),
+                (F.col("a.n_rows") + F.col("b.n_rows")).alias(
+                    "n_rows_doubled"
+                ),
+                (F.col("a.sum_id") + F.col("b.sum_id")).alias(
+                    "sum_id_doubled"
+                ),
+            )
+        )
+        rows = [
+            (
+                r.event_type,
+                r.n_rows,
+                r.sum_id,
+                r.n_rows_doubled,
+                r.sum_id_doubled,
+            )
+            for r in joined.collect()
+        ]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        reused = ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(*r, reused) for r in rows],
+        "event_type string, n_rows long, sum_id long, "
+        "n_rows_doubled long, sum_id_doubled long, "
+        "reuse_planned boolean",
+    )
+
+
 def _txnlog_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-side zone-map pruning (Iceberg column-stats file
     skipping) on the log-backed table.
@@ -4648,6 +4738,39 @@ QUERIES: dict[str, QueryFn] = {
     # equality-probe companion to txnlog_stats_skipping's zone maps
     # (sources/bloom sidecar index; ninth optimizer/layout proof).
     "txnlog_bloom_skipping": _txnlog_bloom_skipping,
+    # NEW in round 12 (fourth batch): the blocked/ordered/robust rank
+    # quartet completing the k-group family — Friedman's within-block
+    # ranks (weekday blocks neutralize the seasonality kruskal_wallis
+    # pools in), Mood's median test (the 0/1 reduction that survives
+    # tails KW's rank variance can't), Cochran-Armitage (ONE df spent
+    # on the linear-in-weekday alternative), and Mann-Kendall (the
+    # significance gate over theil_sen/kendall_tau's S statistic).
+    "friedman_test": _q(drift.friedman_test, "events"),
+    "mood_median_test": _q(drift.mood_median_test, "events"),
+    "cochran_armitage_trend": _q(drift.cochran_armitage_trend, "events"),
+    "mann_kendall_trend": _q(trend.mann_kendall_trend, "events"),
+    # NEW in round 12 (fourth batch): Efraimidis-Spirakis weighted
+    # sampling without replacement (log-domain keys over the portable
+    # md5 bucket — the length-weighted curation sampler beside
+    # sample_mixture's per-stratum rates), blocked fuzzy entity
+    # matching (block key -> candidates -> exact levenshtein verify,
+    # the two-phase ER shape beside fuzzy_token_join's SymSpell), and
+    # exchange reuse (optimizer proof #10: one fact shuffle for a
+    # twice-referenced grouped relation).
+    "weighted_sample_aes": _q(textstats.weighted_sample_aes, "documents"),
+    "levenshtein_blocking": _q(dedup.levenshtein_blocking, "part"),
+    "shuffle_reuse_check": _shuffle_reuse_check,
+    # NEW in round 12 (fourth batch): MRR + MAP@10 over the sim_search
+    # ranking — with ndcg_at_k the full IR eval triple (first hit /
+    # precision profile / graded list) on the embeddings fixture.
+    "mrr_map_at_k": _q(similarity.mrr_map_at_k, "embeddings"),
+    # NEW in round 12 (fourth batch): rolling-origin MASE/sMAPE
+    # backtest of the naive / seasonal-naive benchmarks — the
+    # evaluation layer over the forecast family (every |error| an
+    # exact BIGINT, both MAEs ratios of integer sums).
+    "forecast_backtest_mase": _q(
+        temporal.forecast_backtest_mase, "events"
+    ),
     # NEW in round 11: the staged statistics tier registers (ROADMAP
     # frontier #1-#4) — additive day-of-week Holt-Winters against the
     # DuckDB list-recursive decimal-ring CTE, isotonic PAVA hash-gated
@@ -9774,6 +9897,359 @@ ORACLE_SQL: dict[str, str] = {
                    AS reject
         FROM rkd
     """,
+    # Replays weighted_sample_aes: the same md5-bucket uniform, the
+    # log-domain E-S key, top-20 by (key DESC, doc_id).
+    "weighted_sample_aes": """
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   ln(CAST(('0x' || substring(md5(
+                               CAST(doc_id AS VARCHAR) || ':47'),
+                               1, 15))::BIGINT + 1 AS DOUBLE)
+                      / 1152921504606846976.0)
+                   / CAST(greatest(n_chars, 1) AS DOUBLE) AS key_raw
+            FROM documents)
+        SELECT doc_id, lang, n_chars, round(key_raw, 6) AS es_key
+        FROM keyed ORDER BY key_raw DESC, doc_id ASC LIMIT 20
+    """,
+    # Replays levenshtein_blocking: distinct names, head-noun block
+    # key, within-block pairs, exact levenshtein <= 3.
+    "levenshtein_blocking": """
+        WITH names AS (
+            SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY 1),
+        blocked AS (
+            SELECT p_name, n_parts,
+                   string_split(p_name, ' ')[-1] AS block_key
+            FROM names)
+        SELECT a.block_key, a.p_name AS name_a, b.p_name AS name_b,
+               a.n_parts AS n_a, b.n_parts AS n_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER)
+                   AS lev_dist
+        FROM blocked a JOIN blocked b USING (block_key)
+        WHERE a.p_name < b.p_name
+          AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    # Replays shuffle_reuse_check's aggregates from raw events; the
+    # plan artifact (one materialized exchange for the twice-
+    # referenced rollup) is pinned TRUE — the cbo_reorder convention.
+    "shuffle_reuse_check": """
+        WITH agg AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_id
+            FROM events GROUP BY 1)
+        SELECT event_type, n_rows, sum_id,
+               CAST(n_rows + n_rows AS BIGINT) AS n_rows_doubled,
+               CAST(sum_id + sum_id AS BIGINT) AS sum_id_doubled,
+               TRUE AS reuse_planned
+        FROM agg
+    """,
+    # Replays forecast_backtest_mase: observation-indexed lags over
+    # the per-type day order, integer error sums, 6-dp sMAPE terms
+    # folded in decimal, MASE = eval MAE / in-sample naive MAE.
+    "forecast_backtest_mase": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        lagged AS (
+            SELECT event_type, y,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+                   LAG(y, 1) OVER w AS y_naive,
+                   LAG(y, 7) OVER w AS y_snaive
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        scale AS (
+            SELECT event_type,
+                   CAST(SUM(abs(y - y_naive)) AS BIGINT) AS q_num,
+                   CAST(COUNT(*) AS BIGINT) AS q_den
+            FROM lagged WHERE y_naive IS NOT NULL GROUP BY 1),
+        methods AS (
+            SELECT event_type, 'naive' AS method, y, y_naive AS fc
+            FROM lagged WHERE t > 7
+            UNION ALL
+            SELECT event_type, 'snaive' AS method, y, y_snaive AS fc
+            FROM lagged WHERE t > 7),
+        scored AS (
+            SELECT event_type, method,
+                   CAST(COUNT(*) AS BIGINT) AS n_eval,
+                   CAST(SUM(abs(y - fc)) AS BIGINT) AS e_sum,
+                   SUM(CAST(round(2.0 * CAST(abs(y - fc) AS DOUBLE)
+                            / CAST(abs(y) + abs(fc) AS DOUBLE), 6)
+                            AS DECIMAL(18,6))) AS s_sum
+            FROM methods GROUP BY 1, 2)
+        SELECT s.event_type, s.method, s.n_eval,
+               round(CAST(s.e_sum AS DOUBLE) / s.n_eval, 6) AS mae,
+               round((CAST(s.e_sum AS DOUBLE) / s.n_eval)
+                     / nullif(CAST(sc.q_num AS DOUBLE) / sc.q_den,
+                              0.0), 6) AS mase,
+               round(CAST(s.s_sum AS DOUBLE) / s.n_eval, 6) AS smape
+        FROM scored s JOIN scale sc USING (event_type)
+    """,
+    # Replays friedman_test: exact-decimal (dow, type) cell sums,
+    # complete blocks only, within-block doubled average ranks via the
+    # 1-PRECEDING cumsum device, Q from the exact DECIMAL(38,0)
+    # rank-sum squares, chi2(0.95, k-1) gate.
+    "friedman_test": """
+        WITH cells AS (
+            SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+                   event_type,
+                   SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS cell
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        k AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                         AS k_types
+              FROM cells),
+        complete AS (
+            SELECT dow FROM cells, k GROUP BY dow, k_types
+            HAVING COUNT(*) = k_types),
+        kept AS (
+            SELECT c.* FROM cells c JOIN complete USING (dow)),
+        per_cell AS (
+            SELECT dow, cell, CAST(COUNT(*) AS BIGINT) AS c
+            FROM kept GROUP BY 1, 2),
+        ranked AS (
+            SELECT dow, cell,
+                   2 * COALESCE(SUM(c) OVER (PARTITION BY dow
+                        ORDER BY cell
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + c + 1 AS avgrank2
+            FROM per_cell),
+        rj AS (
+            SELECT kk.event_type,
+                   SUM(CAST(r.avgrank2 AS DECIMAL(38,0)))
+                       AS rank_sum2
+            FROM kept kk JOIN ranked r USING (dow, cell)
+            GROUP BY 1),
+        tot AS (
+            SELECT SUM(CAST(rank_sum2 * rank_sum2 AS DECIMAL(38,0)))
+                       AS sum_rj2_sq,
+                   CAST(COUNT(*) AS BIGINT) AS k_types
+            FROM rj),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks
+               FROM complete),
+        verdict AS (
+            SELECT n_blocks,
+                   CAST(k_types AS INTEGER) AS k_types,
+                   round(3.0 * CAST(sum_rj2_sq AS DOUBLE)
+                         / (CAST(n_blocks AS DOUBLE)
+                            * CAST(k_types AS DOUBLE)
+                            * (CAST(k_types AS DOUBLE) + 1))
+                         - 3.0 * CAST(n_blocks AS DOUBLE)
+                           * (CAST(k_types AS DOUBLE) + 1), 6)
+                       AS q_stat,
+                   CAST(k_types - 1 AS INTEGER) AS df_used,
+                   CASE k_types - 1
+                        WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+                        WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+                        WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+                        WHEN 7 THEN 14.067140 END AS chi2_crit
+            FROM tot, nb)
+        SELECT r.event_type,
+               CAST(r.rank_sum2 AS DOUBLE) / 2.0 AS rank_sum,
+               v.n_blocks, v.k_types, v.q_stat, v.df_used,
+               v.chi2_crit,
+               COALESCE(v.q_stat > v.chi2_crit, FALSE) AS reject
+        FROM rj r, verdict v
+    """,
+    # Replays mood_median_test: the exact discrete global median from
+    # the distinct-value cumsum, k x 2 chi-square on exact counts,
+    # 6-dp cell terms folded in decimal, chi2(0.95, k-1) gate.
+    "mood_median_test": """
+        WITH vals AS (
+            SELECT event_type, value FROM events
+            WHERE value IS NOT NULL),
+        pv AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS n_v
+               FROM vals GROUP BY 1),
+        cum AS (
+            SELECT value,
+                   SUM(n_v) OVER (ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS cum_n_v
+            FROM pv),
+        nt AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n_tot FROM pv),
+        med AS (
+            SELECT MIN(value) AS grand_median
+            FROM cum, nt WHERE cum_n_v >= (n_tot + 1) // 2),
+        grp AS (
+            SELECT event_type, grand_median,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(COUNT(*) FILTER (value > grand_median)
+                        AS BIGINT) AS n_above
+            FROM vals, med GROUP BY 1, 2),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+                   CAST(SUM(n_above) AS BIGINT) AS a_tot,
+                   CAST(COUNT(*) AS BIGINT) AS k_groups
+            FROM grp),
+        terms AS (
+            SELECT g.event_type, g.n_g, g.n_above, g.grand_median,
+                   t.k_groups,
+                   CAST(round((g.n_above
+                               - CAST(g.n_g AS DOUBLE)
+                                 * CAST(t.a_tot AS DOUBLE) / t.n_tot)
+                              * (g.n_above
+                                 - CAST(g.n_g AS DOUBLE)
+                                   * CAST(t.a_tot AS DOUBLE)
+                                   / t.n_tot)
+                              / (CAST(g.n_g AS DOUBLE)
+                                 * CAST(t.a_tot AS DOUBLE) / t.n_tot),
+                              6) AS DECIMAL(18,6))
+                   + CAST(round((g.n_above
+                                 - CAST(g.n_g AS DOUBLE)
+                                   * CAST(t.a_tot AS DOUBLE)
+                                   / t.n_tot)
+                                * (g.n_above
+                                   - CAST(g.n_g AS DOUBLE)
+                                     * CAST(t.a_tot AS DOUBLE)
+                                     / t.n_tot)
+                                / (CAST(g.n_g AS DOUBLE)
+                                   * CAST(t.n_tot - t.a_tot AS DOUBLE)
+                                   / t.n_tot),
+                                6) AS DECIMAL(18,6)) AS term
+            FROM grp g, tot t),
+        agg AS (
+            SELECT k_groups, CAST(SUM(term) AS DOUBLE) AS chi2_raw
+            FROM terms GROUP BY 1),
+        verdict AS (
+            SELECT round(chi2_raw, 6) AS chi2_stat,
+                   CAST(k_groups - 1 AS INTEGER) AS df_used,
+                   CASE k_groups - 1
+                        WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+                        WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+                        WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+                        WHEN 7 THEN 14.067140 END AS chi2_crit,
+                   COALESCE(chi2_raw > CASE k_groups - 1
+                        WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+                        WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+                        WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+                        WHEN 7 THEN 14.067140 END, FALSE) AS reject
+            FROM agg)
+        SELECT t.event_type, t.n_g, t.n_above, t.grand_median,
+               v.chi2_stat, v.df_used, v.chi2_crit, v.reject
+        FROM terms t, verdict v
+    """,
+    # Replays cochran_armitage_trend: above-median outcome against
+    # weekday scores 1..7 — every moment an exact integer, the z chain
+    # spelled in the engine's double order, A&S two-sided tail.
+    "cochran_armitage_trend": """
+        WITH vals AS (
+            SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, value
+            FROM events WHERE value IS NOT NULL),
+        pv AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS n_v
+               FROM vals GROUP BY 1),
+        cum AS (
+            SELECT value,
+                   SUM(n_v) OVER (ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS cum_n_v
+            FROM pv),
+        nt AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n_tot FROM pv),
+        med AS (
+            SELECT MIN(value) AS grand_median
+            FROM cum, nt WHERE cum_n_v >= (n_tot + 1) // 2),
+        grp AS (
+            SELECT dow, grand_median,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   CAST(COUNT(*) FILTER (value > grand_median)
+                        AS BIGINT) AS n_succ
+            FROM vals, med GROUP BY 1, 2),
+        tot AS (
+            SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot,
+                   CAST(SUM(n_succ) AS BIGINT) AS r_tot,
+                   CAST(SUM(dow * n_succ) AS BIGINT) AS swr,
+                   CAST(SUM(dow * n_obs) AS BIGINT) AS swn,
+                   CAST(SUM(dow * dow * n_obs) AS BIGINT) AS swwn
+            FROM grp),
+        zc AS (
+            SELECT round((CAST(swr AS DOUBLE)
+                          - CAST(r_tot AS DOUBLE) / n_tot
+                            * CAST(swn AS DOUBLE))
+                         / nullif(sqrt(CAST(r_tot AS DOUBLE) / n_tot
+                                * (1.0 - CAST(r_tot AS DOUBLE)
+                                         / n_tot)
+                                * (CAST(swwn AS DOUBLE)
+                                   - CAST(swn AS DOUBLE)
+                                     * CAST(swn AS DOUBLE) / n_tot)),
+                                0.0), 6) AS z_trend
+            FROM tot),
+        pp AS (
+            SELECT z_trend,
+                   1.0 / (1.0 + 0.2316419 * abs(z_trend)) AS k
+            FROM zc),
+        verdict AS (
+            SELECT z_trend,
+                   round(2.0 * exp(-z_trend * z_trend / 2.0)
+                         * 0.3989422804014327
+                         * (k * (0.319381530 + k * (-0.356563782
+                            + k * (1.781477937 + k * (-1.821255978
+                            + k * 1.330274429))))), 6) AS p_value,
+                   COALESCE(abs(z_trend) > 1.959964, FALSE) AS reject
+            FROM pp)
+        SELECT g.dow, g.n_obs, g.n_succ, g.grand_median,
+               v.z_trend, v.p_value, v.reject
+        FROM grp g, verdict v
+    """,
+    # Replays mann_kendall_trend: S = C - D over the daily pairs,
+    # tie-corrected Var(S), continuity-corrected z, A&S tail.
+    "mann_kendall_trend": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        s_rel AS (
+            SELECT a.event_type,
+                   CAST(COUNT(*) FILTER (b.y > a.y) AS BIGINT)
+                   - CAST(COUNT(*) FILTER (b.y < a.y) AS BIGINT)
+                       AS s_stat
+            FROM daily a
+            JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY 1),
+        lv AS (
+            SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2),
+        ties AS (
+            SELECT event_type,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_sum,
+                   CAST(SUM(t) AS BIGINT) AS n_days
+            FROM lv GROUP BY 1),
+        zc AS (
+            SELECT s.event_type, t.n_days, s.s_stat,
+                   round((CAST(t.n_days AS DOUBLE) * (t.n_days - 1)
+                          * (2 * CAST(t.n_days AS DOUBLE) + 5)
+                          - CAST(t.tie_sum AS DOUBLE)) / 18.0, 6)
+                       AS var_s,
+                   round(CASE
+                        WHEN s.s_stat > 0 THEN
+                            (CAST(s.s_stat AS DOUBLE) - 1)
+                            / sqrt((CAST(t.n_days AS DOUBLE)
+                                    * (t.n_days - 1)
+                                    * (2 * CAST(t.n_days AS DOUBLE)
+                                       + 5)
+                                    - CAST(t.tie_sum AS DOUBLE))
+                                   / 18.0)
+                        WHEN s.s_stat < 0 THEN
+                            (CAST(s.s_stat AS DOUBLE) + 1)
+                            / sqrt((CAST(t.n_days AS DOUBLE)
+                                    * (t.n_days - 1)
+                                    * (2 * CAST(t.n_days AS DOUBLE)
+                                       + 5)
+                                    - CAST(t.tie_sum AS DOUBLE))
+                                   / 18.0)
+                        ELSE 0.0 END, 6) AS z_mk
+            FROM s_rel s JOIN ties t USING (event_type)),
+        pp AS (
+            SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z_mk)) AS k
+            FROM zc)
+        SELECT event_type, n_days, s_stat, var_s, z_mk,
+               round(2.0 * exp(-z_mk * z_mk / 2.0)
+                     * 0.3989422804014327
+                     * (k * (0.319381530 + k * (-0.356563782
+                        + k * (1.781477937 + k * (-1.821255978
+                        + k * 1.330274429))))), 6) AS p_value,
+               COALESCE(abs(z_mk) > 1.959964, FALSE) AS reject
+        FROM pp
+    """,
     # Replays theta_method_forecast: per-type integer OLS moments
     # (the ROUNDED slope feeds the intercept — engine order), 6-dp
     # trend evaluations, theta line in exact decimal, and the SES
@@ -10002,6 +10478,70 @@ ORACLE_SQL: dict[str, str] = {
                round(rb.dcg / nullif(COALESCE(i.idcg, 0.0), 0.0), 6)
                    AS ndcg
         FROM rb LEFT JOIN ideal i ON i.probe_id = rb.probe_id
+    """,
+    # Replays mrr_map_at_k: the sim_search scored/ranked CTEs at
+    # k=10, binary label relevance, cum-precision window, per-probe
+    # RR/AP and the decimal-folded fleet means.
+    "mrr_map_at_k": f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv,
+                   label AS probe_label
+            FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+            SELECT p.probe_id, p.probe_label, e.vec_id, e.label,
+                   {_COSINE.format(a="p.pv", b="CAST(e.embedding AS DOUBLE[])")} AS sim
+            FROM embeddings e CROSS JOIN probes p
+            WHERE e.vec_id <> p.probe_id),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                          ORDER BY sim DESC, vec_id ASC) AS rnk
+            FROM scored),
+        fl AS (
+            SELECT probe_id, probe_label, rnk,
+                   CASE WHEN label = probe_label THEN 1 ELSE 0 END
+                       AS rel
+            FROM ranked WHERE rnk <= 10),
+        pr AS (
+            SELECT probe_id, probe_label, rnk, rel,
+                   SUM(rel) OVER (PARTITION BY probe_id ORDER BY rnk
+                        ROWS UNBOUNDED PRECEDING) AS cum_rel
+            FROM fl),
+        pp AS (
+            SELECT probe_id, probe_label,
+                   MIN(CASE WHEN rel = 1 THEN rnk END)
+                       AS first_rel_rank,
+                   CAST(SUM(CASE WHEN rel = 1
+                            THEN CAST(round(CAST(cum_rel AS DOUBLE)
+                                            / rnk, 6)
+                                      AS DECIMAL(18,6))
+                            ELSE CAST(0.0 AS DECIMAL(18,6)) END)
+                        AS DOUBLE) AS ap_num
+            FROM pr GROUP BY 1, 2),
+        lc AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+            FROM embeddings GROUP BY 1),
+        sc AS (
+            SELECT p.probe_id, p.probe_label,
+                   lc.n_label - 1 AS n_relevant,
+                   p.first_rel_rank,
+                   COALESCE(round(1.0 / CAST(p.first_rel_rank
+                                             AS DOUBLE), 6), 0.0)
+                       AS rr,
+                   COALESCE(round(p.ap_num
+                            / nullif(CAST(least(lc.n_label - 1, 10)
+                                          AS DOUBLE), 0.0), 6), 0.0)
+                       AS ap_at_k
+            FROM pp p JOIN lc ON lc.label = p.probe_label),
+        fleet AS (
+            SELECT round(CAST(SUM(CAST(rr AS DECIMAL(18,6)))
+                              AS DOUBLE) / COUNT(*), 6) AS mrr,
+                   round(CAST(SUM(CAST(ap_at_k AS DECIMAL(18,6)))
+                              AS DOUBLE) / COUNT(*), 6) AS map_at_k
+            FROM sc)
+        SELECT sc.probe_id, sc.probe_label, sc.n_relevant,
+               sc.first_rel_rank, sc.rr, sc.ap_at_k,
+               fleet.mrr, fleet.map_at_k
+        FROM sc, fleet
     """,
     # Replays wilson_ci_proportion: per-type counts, 1-row total,
     # the Wilson interval over the shared Z_975 literal in the same

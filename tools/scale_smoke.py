@@ -220,6 +220,13 @@ HEAVY_QUERIES = [
     "theta_method_forecast",
     "dunn_posthoc",
     "txnlog_bloom_skipping",
+    # round-12 fourth batch: the discrete-median cumsums (mood /
+    # cochran ride the full distinct-value relation), the probes-vs-
+    # corpus retrieval eval, and the corpus-wide E-S top-k.
+    "mood_median_test",
+    "cochran_armitage_trend",
+    "mrr_map_at_k",
+    "weighted_sample_aes",
 ]
 
 
