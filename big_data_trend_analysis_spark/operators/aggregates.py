@@ -1840,3 +1840,70 @@ def item_cf_neighbors(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def lorenz_gini(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality readout every "whale analysis" starts from (how far is
+    the revenue Lorenz curve from the diagonal?).
+
+    Per-customer revenue folds as exact DECIMAL(18,2) (the engine's
+    money discipline), and the Gini uses the discrete formula over
+    revenues sorted ascending,
+
+        G = 2·Σᵢ i·xᵢ / (n·Σ xᵢ) − (n+1)/n ,
+
+    with the rank sum computed EXACTLY from the distinct-revenue
+    relation: a tied block of c customers at revenue v occupying
+    ranks (m+1..m+c) contributes v·(c·m + c(c+1)/2) — so the whole
+    statistic needs only ``range_cumsum`` over distinct revenues
+    (no unpartitioned window, no per-row ranks), and every term is a
+    DECIMAL(18,2) times an exact integer folded in DECIMAL(38,2).
+    The final G is one fixed double chain over the exact totals.
+
+    Emits ONE row: (n_customers, total_revenue, gini).
+    """
+    from big_data_trend_analysis_spark.functions.ranks import range_cumsum
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    per_rev = per_cust.groupBy("rev").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = range_cumsum(per_rev, "rev", ["c"])
+    # tied block at rev with count c ends at cum_c: ranks m+1..m+c
+    # with m = cum_c - c; Σ ranks = c·m + c(c+1)/2 (exact BIGINT)
+    rank_sum = F.expr(
+        "c * (cum_c - c) + (c * (c + 1)) div 2"
+    ).cast("decimal(19,0)")
+    terms = cum.select(
+        (F.col("rev").cast("decimal(18,2)") * rank_sum)
+        .cast("decimal(38,2)")
+        .alias("ix"),
+        (
+            F.col("rev").cast("decimal(18,2)")
+            * F.col("c").cast("decimal(10,0)")
+        )
+        .cast("decimal(38,2)")
+        .alias("xt"),
+        F.col("c").alias("c"),
+    )
+    tot = terms.agg(
+        F.sum("ix").alias("s_ix"),
+        F.sum("xt").alias("s_x"),
+        F.sum("c").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    g = F.round(
+        2.0
+        * F.col("s_ix").cast("double")
+        / (n * F.col("s_x").cast("double"))
+        - (n + 1.0) / n,
+        6,
+    )
+    return tot.select(
+        F.col("n").alias("n_customers"),
+        F.col("s_x").cast("double").alias("total_revenue"),
+        g.alias("gini"),
+    )

@@ -2431,3 +2431,165 @@ def cochran_armitage_trend(events: DataFrame) -> DataFrame:
     return groups.select(
         "dow", "n_obs", "n_succ", "grand_median"
     ).crossJoin(F.broadcast(verdict))
+
+
+def granger_check(
+    events: DataFrame,
+    target: str = "purchase",
+    driver: str = "view",
+) -> DataFrame:
+    """Lag-1 Granger causality: do yesterday's ``driver`` counts help
+    predict today's ``target`` counts beyond the target's own lag?
+
+    The cross-series completion of the correlation pair —
+    ``spearman_daily_corr`` measures co-movement, Granger asks the
+    DIRECTIONAL question (the funnel hypothesis "views drive
+    purchases" as a testable restriction). Standard nested-OLS F:
+
+        restricted   y_t = a + b·y_{t−1}
+        unrestricted y_t = a + b·y_{t−1} + c·x_{t−1}
+        F = (RSS_r − RSS_u) / (RSS_u/(n−3))   vs   F(1, n−3, 0.95)
+
+    on the day-aligned (inner-joined) daily series, lags
+    observation-indexed over the joined calendar. Every raw moment
+    (Σy, Σy², Σuy, …) is an exact BIGINT; centered moments, the
+    Cramer 2×2 solve and both RSS are fixed double chains over them —
+    identical on both engines — and the gate is the shared
+    ``functions.stats.f_crit_95`` closed form. Scale shape: one
+    corpus aggregation to the two daily series, everything after on
+    the calendar-bounded join.
+
+    Emits ONE row: (n_obs, rss_r, rss_u, f_stat, df2, f_crit,
+    reject).
+    """
+    from big_data_trend_analysis_spark.functions.stats import (
+        f_crit_95,
+    )
+
+    daily = (
+        events.filter(F.col("event_type").isin(target, driver))
+        .groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(
+            F.count_if(F.col("event_type") == target).alias("y"),
+            F.count_if(F.col("event_type") == driver).alias("x"),
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y").over(w).alias("u"),
+        F.lag("x").over(w).alias("v"),
+    ).filter(F.col("u").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("u") * F.col("y")).alias("suy"),
+        F.sum(F.col("v") * F.col("y")).alias("svy"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+    )
+    n = F.col("n").cast("double")
+    sy = F.col("sy").cast("double")
+    su = F.col("su").cast("double")
+    sv = F.col("sv").cast("double")
+    cyy = F.col("syy").cast("double") - sy * sy / n
+    cuu = F.col("suu").cast("double") - su * su / n
+    cvv = F.col("svv").cast("double") - sv * sv / n
+    cuy = F.col("suy").cast("double") - su * sy / n
+    cvy = F.col("svy").cast("double") - sv * sy / n
+    cuv = F.col("suv").cast("double") - su * sv / n
+    rss_r = cyy - cuy * cuy / F.nullif(cuu, F.lit(0.0))
+    det = cuu * cvv - cuv * cuv
+    b1 = (cuy * cvv - cvy * cuv) / F.nullif(det, F.lit(0.0))
+    b2 = (cvy * cuu - cuy * cuv) / F.nullif(det, F.lit(0.0))
+    rss_u = cyy - b1 * cuy - b2 * cvy
+    f_stat = F.round(
+        (rss_r - rss_u)
+        / F.nullif(rss_u / (n - 3.0), F.lit(0.0)),
+        6,
+    )
+    crit = f_crit_95(F.lit(1), F.col("n") - 3)
+    return m.select(
+        F.col("n").alias("n_obs"),
+        F.round(rss_r, 6).alias("rss_r"),
+        F.round(rss_u, 6).alias("rss_u"),
+        f_stat.alias("f_stat"),
+        (F.col("n") - 3).cast("int").alias("df2"),
+        F.round(crit, 6).alias("f_crit"),
+        F.coalesce(f_stat > crit, F.lit(False)).alias("reject"),
+    )
+
+
+def odds_ratio_ci(events: DataFrame) -> DataFrame:
+    """Weekend odds ratio with the Woolf confidence interval: how much
+    likelier is an above-median ``value`` on a weekend?
+
+    The effect-size readout the 2×2 tests skip —
+    ``chi_square_independence`` says WHETHER the table is dependent,
+    the OR says HOW MUCH, with a CI a dashboard can threshold:
+
+        OR = (a·d)/(b·c) ,
+        CI = exp(ln OR ± z·√(1/a + 1/b + 1/c + 1/d))   (Woolf 1955)
+
+    over exposure = weekend (``dayofweek`` ∈ {1, 7}) × outcome =
+    value above the exact discrete global median (the
+    ``mood_median_test`` device — parameter-free, p̄ ≈ ½). All four
+    cells are exact counts from ONE aggregation after the median's
+    distinct-value cumsum; OR/CI are fixed exp/ln chains rounded
+    6 dp. ``significant`` flags a CI that excludes 1 (computed from
+    the ROUNDED bounds — deterministic both sides).
+
+    Emits ONE row: (n_a, n_b, n_c, n_d, odds_ratio, ci_lo, ci_hi,
+    significant).
+    """
+    vals = events.filter(F.col("value").isNotNull()).select(
+        F.dayofweek("ts").isin(1, 7).alias("weekend"), "value"
+    )
+    med = _grand_median(
+        events.filter(F.col("value").isNotNull()).select("value")
+    )
+    cells = vals.crossJoin(F.broadcast(med)).agg(
+        F.count_if(
+            F.col("weekend") & (F.col("value") > F.col("grand_median"))
+        ).alias("n_a"),
+        F.count_if(
+            F.col("weekend")
+            & ~(F.col("value") > F.col("grand_median"))
+        ).alias("n_b"),
+        F.count_if(
+            ~F.col("weekend")
+            & (F.col("value") > F.col("grand_median"))
+        ).alias("n_c"),
+        F.count_if(
+            ~F.col("weekend")
+            & ~(F.col("value") > F.col("grand_median"))
+        ).alias("n_d"),
+    )
+    a = F.col("n_a").cast("double")
+    b = F.col("n_b").cast("double")
+    c = F.col("n_c").cast("double")
+    d = F.col("n_d").cast("double")
+    ln_or = F.log(
+        F.nullif(a * d, F.lit(0.0)) / F.nullif(b * c, F.lit(0.0))
+    )
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    lo = F.round(F.exp(ln_or - 1.959964 * se), 6)
+    hi = F.round(F.exp(ln_or + 1.959964 * se), 6)
+    return cells.select(
+        "n_a",
+        "n_b",
+        "n_c",
+        "n_d",
+        F.round(
+            a * d / F.nullif(b * c, F.lit(0.0)), 6
+        ).alias("odds_ratio"),
+        lo.alias("ci_lo"),
+        hi.alias("ci_hi"),
+        F.coalesce(
+            (lo > 1.0) | (hi < 1.0), F.lit(False)
+        ).alias("significant"),
+    )

@@ -278,3 +278,93 @@ def adamic_adar_linkpred(
             "aa_score",
         )
     )
+
+
+def connected_components(
+    lineitem: DataFrame, iters: int = 6, min_support: int = 2
+) -> DataFrame:
+    """Connected components of the part co-purchase graph via
+    fixed-iteration min-label propagation — the "how many product
+    families does the basket data actually contain" readout
+    completing the graph family (pagerank ranks, triangles cluster,
+    Adamic–Adar predicts; components PARTITION).
+
+    Nodes are the parts present in any order; an edge joins two parts
+    co-purchased in ≥ ``min_support`` distinct orders (the
+    ``copurchase_lift`` pair derivation at part granularity — a count
+    cut that keeps the graph sparse where brand-level pairs are
+    near-complete). Each of the ``iters`` rounds every node takes the
+    MIN label over itself and its neighbors, so after d rounds
+    label(v) = min node id within graph distance ≤ d — the exact
+    bounded-radius semantics the oracle replays with a ≤ d-hop
+    reachability CTE (the ``recursive_cte_reach`` device), identical
+    whether or not the graph has converged. Scale shape: the pair
+    relation derives from ONE basket aggregation; each round is one
+    src-keyed equi-join + one min-aggregation on the node-sized label
+    relation, lineage truncated per round (``localCheckpoint``, the
+    pagerank/dedup_clusters discipline) — the standard scalable CC
+    loop (GraphX/GraphFrames run exactly this shape).
+
+    Emits one row per part: (node, component, component_size,
+    n_components).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    baskets = _materialize(
+        lineitem.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("basket")
+        )
+    )
+    pairs = _materialize(
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(basket, (x, i) ->"
+                    " transform(slice(basket, i + 2, size(basket)),"
+                    " y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    edges = _materialize(
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("pb").alias("src"), F.col("pa").alias("dst")
+            )
+        )
+    )
+    labels = (
+        lineitem.select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        msgs = edges.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    ncomp = sizes.agg(F.count(F.lit(1)).alias("n_components"))
+    return (
+        labels.join(sizes, "label")
+        .crossJoin(F.broadcast(ncomp))
+        .select(
+            "node",
+            F.col("label").alias("component"),
+            "component_size",
+            "n_components",
+        )
+    )

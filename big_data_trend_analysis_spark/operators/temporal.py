@@ -1487,3 +1487,96 @@ def forecast_backtest_mase(events: DataFrame, season: int = 7) -> DataFrame:
             F.col("s_sum").cast("double") / F.col("n_eval"), 6
         ).alias("smape"),
     )
+
+
+def log_rank_test(events: DataFrame) -> DataFrame:
+    """Log-rank test: do two user cohorts CHURN at different rates?
+
+    The significance companion ``survival_km`` was missing — KM draws
+    the curves, log-rank says whether they differ. Cohorts are
+    users WITH vs WITHOUT a signup event (the onboarding question);
+    the survival convention is ``survival_km``'s exactly: a user's
+    last active day is their churn event, last-corpus-day users are
+    right-censored. At each churn day t the group-1 death count is
+    compared with its hypergeometric expectation under H₀,
+
+        e₁(t) = d·n₁/n ,
+        v₁(t) = d·(n₁/n)·(1 − n₁/n)·(n − d)/(n − 1) ,
+        χ² = (Σ(d₁ − e₁))² / Σ v₁   vs   χ²(0.95, 1) = 3.841459.
+
+    Scale shape: ONE corpus aggregation to per-user (last_day,
+    cohort), ONE re-aggregation to per-day group death counts, suffix
+    sums on the bounded days relation for the at-risk counts. Per-day
+    e/v are fixed double chains over exact integers rounded 6 dp and
+    folded in exact decimal.
+
+    Emits ONE row: (n_users_g1, n_users_g0, obs_g1, exp_g1,
+    var_sum, chi2_stat, reject).
+    """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.date_trunc("DAY", "ts")).alias("last_day"),
+        F.max(
+            (F.col("event_type") == "signup").cast("int")
+        ).alias("g"),
+    )
+    per_day = _materialize(
+        per_user.groupBy(F.col("last_day").alias("day")).agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.count_if(F.col("g") == 1).alias("c_g1"),
+        )
+    )
+    max_day = per_day.agg(F.max("day").alias("max_day"))
+    w_desc = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_day.crossJoin(F.broadcast(max_day)).select(
+        "day",
+        F.sum("c_all").over(w_desc).alias("n_risk"),
+        F.sum("c_g1").over(w_desc).alias("n_risk_g1"),
+        F.when(F.col("day") < F.col("max_day"), F.col("c_all"))
+        .otherwise(F.lit(0))
+        .alias("d_all"),
+        F.when(F.col("day") < F.col("max_day"), F.col("c_g1"))
+        .otherwise(F.lit(0))
+        .alias("d_g1"),
+    ).filter(F.col("d_all") > 0)
+    share = F.col("n_risk_g1").cast("double") / F.col("n_risk")
+    e1 = F.col("d_all").cast("double") * share
+    v1 = (
+        F.col("d_all").cast("double")
+        * share
+        * (1.0 - share)
+        * (F.col("n_risk") - F.col("d_all")).cast("double")
+        / F.nullif((F.col("n_risk") - 1).cast("double"), F.lit(0.0))
+    )
+    terms = risk.select(
+        "d_g1",
+        F.round(e1, 6).cast("decimal(18,6)").alias("e1"),
+        F.round(F.coalesce(v1, F.lit(0.0)), 6)
+        .cast("decimal(18,6)")
+        .alias("v1"),
+    )
+    cohorts = per_user.agg(
+        F.count_if(F.col("g") == 1).alias("n_users_g1"),
+        F.count_if(F.col("g") == 0).alias("n_users_g0"),
+    )
+    agg = terms.agg(
+        F.sum("d_g1").alias("obs_g1"),
+        F.sum("e1").cast("double").alias("exp_g1"),
+        F.sum("v1").cast("double").alias("var_sum"),
+    )
+    dev = F.col("obs_g1").cast("double") - F.col("exp_g1")
+    chi2 = F.round(
+        dev * dev / F.nullif(F.col("var_sum"), F.lit(0.0)), 6
+    )
+    return agg.crossJoin(F.broadcast(cohorts)).select(
+        "n_users_g1",
+        "n_users_g0",
+        "obs_g1",
+        F.round("exp_g1", 6).alias("exp_g1"),
+        F.round("var_sum", 6).alias("var_sum"),
+        chi2.alias("chi2_stat"),
+        F.coalesce(chi2 > 3.841459, F.lit(False)).alias("reject"),
+    )

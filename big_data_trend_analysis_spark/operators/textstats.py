@@ -2166,3 +2166,143 @@ def weighted_sample_aes(
         .limit(k)
         .drop("_key_raw")
     )
+
+
+def naive_bayes_lang(
+    documents: DataFrame, seed: int = 31, test_frac: float = 0.2
+) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained and
+    evaluated in ONE declarative plan — the train/score/confusion
+    archetype of a curation-pipeline quality model (the learned
+    upgrade path from ``lang_id_multi``'s fixed profiles and the
+    plumbing ``quality_classifier_score`` assumes).
+
+    Deterministic md5-bucket split (the ``split_train_val_test``
+    device, seed 31, 80/20); training is two hash aggregations
+    (per-lang doc priors, per-(token, lang) Laplace counts); scoring
+    joins the exploded test tokens against the vocab×langs count
+    relation and folds per-(doc, lang) log-likelihoods
+
+        score = ln P(lang) + Σ_tok ln (cnt(tok, lang) + 1)/(tot_l + V)
+
+    as 6-dp decimal terms (order-independent); argmax per doc is a
+    doc-keyed window ranked (score DESC, lang ASC). Scale shape: the
+    corpus explodes once ×|langs| (a bounded constant), the model
+    relations are vocabulary-bounded, and the confusion matrix is a
+    |langs|² aggregate with accuracy riding every row.
+
+    Emits one row per confusion cell: (lang_true, lang_pred, n_docs,
+    n_test, accuracy).
+    """
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    test_cut = int(test_frac * 1_000_000)
+    tagged = documents.select(
+        "doc_id", "lang", "text", (bucket < test_cut).alias("is_test")
+    )
+    train = tagged.filter(~F.col("is_test"))
+    test = tagged.filter(F.col("is_test"))
+
+    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot_docs = priors.agg(F.sum("n_docs").alias("n_total"))
+    lang_priors = priors.crossJoin(F.broadcast(tot_docs)).select(
+        F.col("lang").alias("lang_pred"),
+        F.round(
+            F.log(
+                F.col("n_docs").cast("double") / F.col("n_total")
+            ),
+            6,
+        ).alias("ln_prior"),
+    )
+    train_toks = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tok_counts = train_toks.groupBy("tok", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lang_totals = train_toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("tot_l")
+    )
+    vocab = train_toks.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("v_size")
+    )
+
+    test_toks = test.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    # tokens x langs: the bounded-constant explosion; unseen (tok,
+    # lang) pairs fall back to the pure-smoothing term via the left
+    # join's NULL -> 0
+    crossed = test_toks.crossJoin(
+        F.broadcast(
+            lang_totals.select(
+                F.col("lang").alias("lang_pred"), "tot_l"
+            )
+        )
+    ).join(
+        tok_counts.select(
+            "tok", F.col("lang").alias("lang_pred"), "cnt"
+        ),
+        ["tok", "lang_pred"],
+        "left",
+    )
+    term = F.round(
+        F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+            / (F.col("tot_l") + F.col("v_size")).cast("double")
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    scores = (
+        crossed.crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang_true", "lang_pred")
+        .agg(F.sum(term).alias("ll_sum"))
+        .join(F.broadcast(lang_priors), "lang_pred")
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang_pred",
+            F.round(
+                F.col("ll_sum").cast("double") + F.col("ln_prior"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang_pred").asc()
+    )
+    preds = scores.select(
+        "doc_id",
+        "lang_true",
+        "lang_pred",
+        F.row_number().over(w).alias("rnk"),
+    ).filter(F.col("rnk") == 1)
+    cells = preds.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    acc = cells.agg(
+        F.sum("n_docs").alias("n_test"),
+        F.sum(
+            F.when(
+                F.col("lang_true") == F.col("lang_pred"),
+                F.col("n_docs"),
+            ).otherwise(F.lit(0))
+        ).alias("n_correct"),
+    ).select(
+        "n_test",
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_test"), 6
+        ).alias("accuracy"),
+    )
+    return cells.crossJoin(F.broadcast(acc))

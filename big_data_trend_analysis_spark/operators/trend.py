@@ -505,3 +505,194 @@ def mann_kendall_trend(events: DataFrame) -> DataFrame:
         p.alias("p_value"),
         F.coalesce(F.abs(z) > 1.959964, F.lit(False)).alias("reject"),
     )
+
+
+def runs_test(events: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: is the daily series'
+    above/below-median sequence RANDOM, or does it streak?
+
+    The randomness gate the trend family reads before anything else —
+    too FEW runs means positive serial dependence (streaks: the thing
+    ``mann_kendall_trend`` may mistake for trend), too MANY means
+    oscillation. Days at the exact per-type discrete median (the
+    ``brown_forsythe`` k = ⌈n/2⌉ order statistic on the per-type
+    daily relation) drop, the sign sequence's run count comes from
+    one lag window over the calendar-bounded series, and
+
+        E[R] = 2·n₁·n₂/N + 1 ,
+        Var  = 2n₁n₂(2n₁n₂ − N) / (N²(N−1)) ,   z = (R − E)/√Var
+
+    — every count an exact BIGINT, the z chain a fixed double
+    expression, two-sided p from the A&S 26.2.17 tail. Scale shape:
+    ONE corpus aggregation to (type, day); medians, signs, runs and
+    moments all live on that calendar-bounded relation.
+
+    Emits per type: (event_type, n_pos, n_neg, n_runs, z_runs,
+    p_value, reject).
+    """
+    from big_data_trend_analysis_spark.functions.stats import phi_upper_tail
+    from big_data_trend_analysis_spark.operators.temporal import (
+        _daily_counts,
+    )
+
+    daily = _daily_counts(events).localCheckpoint()
+    per_y = daily.groupBy("event_type", "y").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_y.select(
+        "event_type", "y", "c", F.sum("c").over(w_ord).alias("cum")
+    )
+    n_rel = per_y.groupBy("event_type").agg(F.sum("c").alias("n_days"))
+    med = (
+        cum.join(n_rel, "event_type")
+        .filter(F.col("cum") >= F.expr("(n_days + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("y").alias("median_y"))
+    )
+    signed = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(F.col("y") != F.col("median_y"))
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("y") > F.col("median_y"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    runs = signed.select(
+        "event_type",
+        "s",
+        (F.col("s") != F.lag("s").over(w_day))
+        .cast("int")
+        .alias("switch"),
+    )
+    grp = runs.groupBy("event_type").agg(
+        F.count_if(F.col("s") == 1).alias("n_pos"),
+        F.count_if(F.col("s") == -1).alias("n_neg"),
+        (F.sum(F.coalesce(F.col("switch"), F.lit(0))) + 1).alias(
+            "n_runs"
+        ),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    nn = n1 + n2
+    e_r = 2.0 * n1 * n2 / nn + 1.0
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) / (nn * nn * (nn - 1.0))
+    )
+    z = F.round(
+        (F.col("n_runs") - e_r)
+        / F.nullif(F.sqrt(var_r), F.lit(0.0)),
+        6,
+    )
+    p = F.round(phi_upper_tail(z), 6)
+    return grp.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        z.alias("z_runs"),
+        p.alias("p_value"),
+        F.coalesce(F.abs(z) > 1.959964, F.lit(False)).alias("reject"),
+    )
+
+
+def hurst_exponent(
+    events: DataFrame, block_sizes: tuple[int, ...] = (1, 2, 4, 8)
+) -> DataFrame:
+    """Hurst exponent of the daily event-count series by the
+    aggregated-variance method — the long-memory diagnostic that says
+    whether the traffic series mean-reverts (H < ½), random-walks
+    (H ≈ ½) or trends persistently (H > ½).
+
+    Variance of block means at aggregation levels m ∈ ``block_sizes``
+    scales as m^(2H−2) for a self-similar series, so H = 1 + slope/2
+    of the (ln m, ln var_m) OLS fit. Blocks are complete windows of
+    the observation-indexed daily series ((t−1) div m — a single
+    days×|m| relation via one explode, no per-m scans); block means
+    are exact-integer ratios rounded 6 dp, their moments fold in
+    exact decimal, and the 4-point OLS runs over rounded ln
+    coordinates with decimal-folded products (both engines evaluate
+    identical double chains). Degenerate variances clamp at 1e-6 (the
+    PSI guard). Scale shape: ONE corpus aggregation to the calendar-
+    bounded daily relation; everything after is days-sized.
+
+    Emits one row per block size with H repeated:
+    (m, n_blocks, var_m, hurst).
+    """
+    sizes = F.array(*[F.lit(m) for m in block_sizes])
+    daily = (
+        events.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(
+            "y",
+            F.row_number()
+            .over(Window.orderBy("day"))
+            .alias("t"),
+        )
+    )
+    blocks = (
+        daily.select("y", "t", F.explode(sizes).alias("m"))
+        .groupBy("m", F.expr("(t - 1) div m").alias("blk"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("sy"))
+        .filter(F.col("cnt") == F.col("m"))
+    )
+    b = F.round(F.col("sy").cast("double") / F.col("m"), 6)
+    moments = blocks.select(
+        "m",
+        b.cast("decimal(18,6)").alias("b"),
+        F.round(b * b, 6).cast("decimal(28,6)").alias("bb"),
+    ).groupBy("m").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum("bb").cast("double").alias("sbb"),
+    )
+    k = F.col("k").cast("double")
+    var_m = (
+        F.col("sbb") - F.col("sb") * F.col("sb") / k
+    ) / F.nullif(k - 1.0, F.lit(0.0))
+    # single-block sizes carry no variance information (k - 1 = 0
+    # would NULL-poison the fit differently per engine) - drop them
+    pts = moments.filter(F.col("k") >= 2).select(
+        "m",
+        F.col("k").alias("n_blocks"),
+        F.round(var_m, 6).alias("var_m"),
+        F.round(F.log(F.col("m").cast("double")), 6).alias("lx"),
+        F.round(
+            F.log(F.greatest(F.lit(1e-6), var_m)), 6
+        ).alias("ly"),
+    )
+    ols = pts.select(
+        F.lit(1).alias("one"),
+        F.col("lx").cast("decimal(18,6)").alias("x"),
+        F.col("ly").cast("decimal(18,6)").alias("yv"),
+        F.round(F.col("lx") * F.col("ly"), 6)
+        .cast("decimal(28,6)")
+        .alias("xy"),
+        F.round(F.col("lx") * F.col("lx"), 6)
+        .cast("decimal(28,6)")
+        .alias("xx"),
+    ).agg(
+        F.count(F.lit(1)).alias("p"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("yv").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    p = F.col("p").cast("double")
+    slope = (p * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        p * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    hurst = ols.select(
+        F.round(F.lit(1.0) + slope / 2.0, 6).alias("hurst")
+    )
+    return pts.select("m", "n_blocks", "var_m").crossJoin(
+        F.broadcast(hurst)
+    )

@@ -4749,6 +4749,30 @@ QUERIES: dict[str, QueryFn] = {
     "mood_median_test": _q(drift.mood_median_test, "events"),
     "cochran_armitage_trend": _q(drift.cochran_armitage_trend, "events"),
     "mann_kendall_trend": _q(trend.mann_kendall_trend, "events"),
+    # NEW in round 12 (sixth batch): the log-rank survival-curve
+    # comparison (the significance companion survival_km lacked),
+    # the aggregated-variance Hurst exponent (long-memory diagnostic
+    # over the daily series), the weekend odds ratio with the Woolf
+    # CI (effect size where chi_square only tests), and a multinomial
+    # naive-Bayes language classifier trained AND evaluated in one
+    # declarative plan (md5 split, Laplace counts, decimal-folded
+    # log-likelihoods, doc-keyed argmax, confusion + accuracy).
+    "log_rank_test": _q(temporal.log_rank_test, "events"),
+    "hurst_exponent": _q(trend.hurst_exponent, "events"),
+    "odds_ratio_ci": _q(drift.odds_ratio_ci, "events"),
+    "naive_bayes_lang": _q(textstats.naive_bayes_lang, "documents"),
+    # NEW in round 12 (fifth batch): fixed-iteration min-label
+    # connected components on the part co-purchase graph (the
+    # partition readout completing pagerank/triangles/adamic-adar;
+    # oracle = the <= d-hop reachability CTE), the Wald-Wolfowitz
+    # runs test (the randomness gate under the trend family), the
+    # customer-revenue Lorenz/Gini concentration (exact rank sums
+    # from range_cumsum tied blocks), and lag-1 Granger causality
+    # (nested-OLS F on exact integer moments, f_crit_95 gate).
+    "connected_components": _q(graph.connected_components, "lineitem"),
+    "runs_test": _q(trend.runs_test, "events"),
+    "lorenz_gini": _q(aggregates.lorenz_gini, "orders"),
+    "granger_check": _q(drift.granger_check, "events"),
     # NEW in round 12 (fourth batch): Efraimidis-Spirakis weighted
     # sampling without replacement (log-domain keys over the portable
     # md5 bucket — the length-weighted curation sampler beside
@@ -4771,14 +4795,14 @@ QUERIES: dict[str, QueryFn] = {
     "forecast_backtest_mase": _q(
         temporal.forecast_backtest_mase, "events"
     ),
-    # NEW in round 11: the staged statistics tier registers (ROADMAP
-    # frontier #1-#4) — additive day-of-week Holt-Winters against the
-    # DuckDB list-recursive decimal-ring CTE, isotonic PAVA hash-gated
-    # through the minimax identity, and the maxFilesPerTrigger
-    # admission-ledger streaming gate.
-    "holt_winters_dow": _q(temporal.holt_winters_dow, "events"),
-    "isotonic_daily_fit": _isotonic_daily_fit,
-    "stream_rate_limited_live": _stream_rate_limited_live,
+    # Round-12 re-rows (window): every drift-module consumer of the
+    # promoted functions/stats.phi_upper_tail (the _phi_upper_tail
+    # delegation changed their transitive fingerprints) plus pacf's
+    # drift-side ACF relation — the ledger flags them stale, so they
+    # re-enter the driver window.
+    "brown_forsythe_test": _q(drift.brown_forsythe_test, "events"),
+    "pacf_daily": _q(drift.pacf_daily, "events"),
+    "mann_whitney_u": _q(drift.mann_whitney_u, "events"),
     # CHANGED in round 11 (ADVICE r10 / VERDICT directives):
     # ab_test_welch gates on the Welch-df t quantile (t_crit_975) and
     # emits t_crit; ks_test_check shares the new range-partitioned
@@ -4799,24 +4823,19 @@ QUERIES: dict[str, QueryFn] = {
     "page_hinkley": _q(drift.page_hinkley, "events"),
     "permutation_test_mean": _q(drift.permutation_test_mean, "events"),
     "cuped_adjusted_ab": _q(drift.cuped_adjusted_ab, "events"),
-    "user_activity_islands": _q(windows.user_activity_islands, "events"),
-    "gopher_quality_rules": _q(textstats.gopher_quality_rules, "documents"),
-    "paragraph_dedup": _q(textstats.paragraph_dedup, "documents"),
+    "benjamini_hochberg": _q(drift.benjamini_hochberg, "events"),
+    "changepoint_cusum": _q(drift.changepoint_cusum, "events"),
+    "mcnemar_test": _q(drift.mcnemar_test, "events"),
     "ccnet_perplexity_buckets": _q(
         textstats.ccnet_perplexity_buckets, "documents"
     ),
-    "dsir_importance_weights": _q(
-        textstats.dsir_importance_weights, "documents"
-    ),
-    # NEW in round 11 (third batch): Croston intermittent-demand
-    # forecasting (the zero-heavy series the Holt family can't model),
-    # conversion-latency quantiles, Kendall tau-b trend concordance,
-    # and the paired-proportion + sample-ratio experiment health gates.
+    "srm_check": _q(drift.srm_check, "events"),
+    # Window fillers (unchanged since their last green rows — the
+    # ledger certifies; they pad the 48 stale-or-new entries to the
+    # driver's 50).
     "croston_intermittent": _q(temporal.croston_intermittent, "events"),
     "funnel_time_to_convert": _q(temporal.funnel_time_to_convert, "events"),
     "kendall_tau_daily": _q(trend.kendall_tau_daily, "events"),
-    "mcnemar_test": _q(drift.mcnemar_test, "events"),
-    "srm_check": _q(drift.srm_check, "events"),
     # NEW in round 11 (third batch, optimizer proofs #7/#8): rank-limit
     # pushdown (WindowGroupLimit keeps per-group top-k heaps BEFORE the
     # shuffle) and nested-schema pruning (untouched struct fields never
@@ -4831,19 +4850,18 @@ QUERIES: dict[str, QueryFn] = {
     # (the dispersion companion to kruskal_wallis; gate = the exact
     # F(k-1, inf) quantile chi2/(k-1)).
     "item_cf_neighbors": _q(aggregates.item_cf_neighbors, "lineitem"),
-    "brown_forsythe_test": _q(drift.brown_forsythe_test, "events"),
-    # NEW in round 11 (fourth batch): Durbin-Levinson PACF — the
-    # Box-Jenkins AR-order diagnostic completing the correlogram pair;
-    # the phi recursion rides a DECIMAL list through a recursive CTE
-    # on the oracle side (the holt_winters ring device).
-    "pacf_daily": _q(drift.pacf_daily, "events"),
-    # Round-12 re-rows: mann_whitney_u / benjamini_hochberg /
-    # changepoint_cusum share drift-module helpers touched by the
-    # range_cumsum promotion and the f_crit/SPRT additions — the
-    # fingerprint ledger flags them stale, so they re-enter.
-    "mann_whitney_u": _q(drift.mann_whitney_u, "events"),
-    "benjamini_hochberg": _q(drift.benjamini_hochberg, "events"),
-    "changepoint_cusum": _q(drift.changepoint_cusum, "events"),
+    # Rotated out in round 12 (unchanged since their round-11 green
+    # rows — the fingerprint ledger certifies; displaced by the
+    # phi_upper_tail re-rows and the round-12 batches).
+    "holt_winters_dow": _q(temporal.holt_winters_dow, "events"),
+    "isotonic_daily_fit": _isotonic_daily_fit,
+    "stream_rate_limited_live": _stream_rate_limited_live,
+    "user_activity_islands": _q(windows.user_activity_islands, "events"),
+    "gopher_quality_rules": _q(textstats.gopher_quality_rules, "documents"),
+    "paragraph_dedup": _q(textstats.paragraph_dedup, "documents"),
+    "dsir_importance_weights": _q(
+        textstats.dsir_importance_weights, "documents"
+    ),
     # NEW in round 10: incremental dedup stage-fusion re-row (VERDICT
     # r9 #5) and the split/curation closure re-rows sharing textstats
     # helpers touched by the md5-bucket rework.
@@ -9896,6 +9914,509 @@ ORACLE_SQL: dict[str, str] = {
                            ROWS UNBOUNDED PRECEDING)), 6) <= 0.05
                    AS reject
         FROM rkd
+    """,
+    # Replays naive_bayes_lang: the md5 split, Laplace counts,
+    # decimal-folded log-likelihoods, doc-keyed argmax, confusion
+    # matrix + accuracy.
+    "naive_bayes_lang": f"""
+        WITH tagged AS (
+            SELECT doc_id, lang, text,
+                   {_split_bucket_sql("doc_id", 31)} < 200000
+                       AS is_test
+            FROM documents),
+        train AS (SELECT * FROM tagged WHERE NOT is_test),
+        test AS (SELECT * FROM tagged WHERE is_test),
+        priors AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM train GROUP BY 1),
+        totd AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total
+                 FROM priors),
+        lp AS (
+            SELECT lang AS lang_pred,
+                   round(ln(CAST(n_docs AS DOUBLE) / n_total), 6)
+                       AS ln_prior
+            FROM priors, totd),
+        tt AS (
+            SELECT lang, UNNEST(string_split(text, ' ')) AS tok
+            FROM train),
+        tc AS (
+            SELECT tok, lang AS lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tt GROUP BY 1, 2),
+        lt AS (
+            SELECT lang AS lang_pred, CAST(COUNT(*) AS BIGINT)
+                       AS tot_l
+            FROM tt GROUP BY 1),
+        vs AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_size
+               FROM tt),
+        et AS (
+            SELECT doc_id, lang AS lang_true,
+                   UNNEST(string_split(text, ' ')) AS tok
+            FROM test),
+        crossed AS (
+            SELECT e.doc_id, e.lang_true, l.lang_pred, l.tot_l,
+                   COALESCE(c.cnt, 0) AS cnt
+            FROM et e CROSS JOIN lt l
+            LEFT JOIN tc c
+              ON c.tok = e.tok AND c.lang_pred = l.lang_pred),
+        scores AS (
+            SELECT cr.doc_id, cr.lang_true, cr.lang_pred,
+                   round(CAST(SUM(CAST(round(ln(
+                            CAST(cnt + 1 AS DOUBLE)
+                            / CAST(tot_l + v_size AS DOUBLE)), 6)
+                            AS DECIMAL(28,6))) AS DOUBLE)
+                         + ANY_VALUE(lp.ln_prior), 6) AS score
+            FROM crossed cr
+            JOIN lp ON lp.lang_pred = cr.lang_pred, vs
+            GROUP BY 1, 2, 3),
+        preds AS (
+            SELECT doc_id, lang_true, lang_pred,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, lang_pred ASC) AS rnk
+            FROM scores),
+        cells AS (
+            SELECT lang_true, lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM preds WHERE rnk = 1 GROUP BY 1, 2),
+        acc AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS n_test,
+                   round(CAST(SUM(CASE WHEN lang_true = lang_pred
+                                  THEN n_docs ELSE 0 END) AS DOUBLE)
+                         / SUM(n_docs), 6) AS accuracy
+            FROM cells)
+        SELECT c.lang_true, c.lang_pred, c.n_docs, a.n_test,
+               a.accuracy
+        FROM cells c, acc a
+    """,
+    # Replays log_rank_test: per-user (last_day, cohort), per-day
+    # group deaths, suffix-sum at-risk counts, hypergeometric e/v
+    # folds, 1-df chi-square.
+    "log_rank_test": """
+        WITH pu AS (
+            SELECT user_id, MAX(date_trunc('day', ts)) AS last_day,
+                   MAX(CASE WHEN event_type = 'signup' THEN 1
+                            ELSE 0 END) AS g
+            FROM events GROUP BY 1),
+        pd AS (
+            SELECT last_day AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c_all,
+                   CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c_g1
+            FROM pu GROUP BY 1),
+        md AS (SELECT MAX(day) AS max_day FROM pd),
+        risk AS (
+            SELECT day,
+                   SUM(c_all) OVER (ORDER BY day DESC
+                        ROWS UNBOUNDED PRECEDING) AS n_risk,
+                   SUM(c_g1) OVER (ORDER BY day DESC
+                        ROWS UNBOUNDED PRECEDING) AS n_risk_g1,
+                   CASE WHEN day < max_day THEN c_all ELSE 0 END
+                       AS d_all,
+                   CASE WHEN day < max_day THEN c_g1 ELSE 0 END
+                       AS d_g1
+            FROM pd, md),
+        t AS (
+            SELECT d_g1,
+                   CAST(round(CAST(d_all AS DOUBLE)
+                              * (CAST(n_risk_g1 AS DOUBLE) / n_risk),
+                              6) AS DECIMAL(18,6)) AS e1,
+                   CAST(round(COALESCE(
+                        CAST(d_all AS DOUBLE)
+                        * (CAST(n_risk_g1 AS DOUBLE) / n_risk)
+                        * (1.0 - CAST(n_risk_g1 AS DOUBLE) / n_risk)
+                        * CAST(n_risk - d_all AS DOUBLE)
+                        / nullif(CAST(n_risk - 1 AS DOUBLE), 0.0),
+                        0.0), 6) AS DECIMAL(18,6)) AS v1
+            FROM risk WHERE d_all > 0),
+        coh AS (
+            SELECT CAST(COUNT(*) FILTER (g = 1) AS BIGINT)
+                       AS n_users_g1,
+                   CAST(COUNT(*) FILTER (g = 0) AS BIGINT)
+                       AS n_users_g0
+            FROM pu),
+        agg AS (
+            SELECT CAST(SUM(d_g1) AS BIGINT) AS obs_g1,
+                   CAST(SUM(e1) AS DOUBLE) AS exp_g1,
+                   CAST(SUM(v1) AS DOUBLE) AS var_sum
+            FROM t)
+        SELECT coh.n_users_g1, coh.n_users_g0, agg.obs_g1,
+               round(agg.exp_g1, 6) AS exp_g1,
+               round(agg.var_sum, 6) AS var_sum,
+               round((CAST(agg.obs_g1 AS DOUBLE) - agg.exp_g1)
+                     * (CAST(agg.obs_g1 AS DOUBLE) - agg.exp_g1)
+                     / nullif(agg.var_sum, 0.0), 6) AS chi2_stat,
+               COALESCE(round((CAST(agg.obs_g1 AS DOUBLE)
+                               - agg.exp_g1)
+                              * (CAST(agg.obs_g1 AS DOUBLE)
+                                 - agg.exp_g1)
+                              / nullif(agg.var_sum, 0.0), 6)
+                        > 3.841459, FALSE) AS reject
+        FROM agg, coh
+    """,
+    # Replays hurst_exponent: the days x |m| block explode, rounded
+    # block means folded in decimal, per-m variance, 4-point OLS on
+    # rounded ln coordinates, H = 1 + slope/2.
+    "hurst_exponent": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1),
+        seq AS (
+            SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY day)
+                           AS BIGINT) AS t
+            FROM daily),
+        blocks AS (
+            SELECT mm.m, (t - 1) // mm.m AS blk,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM seq, (SELECT UNNEST([1, 2, 4, 8]) AS m) mm
+            GROUP BY 1, 2
+            HAVING COUNT(*) = mm.m),
+        moments AS (
+            SELECT m, CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(CAST(round(CAST(sy AS DOUBLE) / m, 6)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS sb,
+                   CAST(SUM(CAST(round(round(CAST(sy AS DOUBLE) / m,
+                                             6)
+                                       * round(CAST(sy AS DOUBLE)
+                                               / m, 6), 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sbb
+            FROM blocks GROUP BY 1),
+        pts AS (
+            SELECT m, k AS n_blocks,
+                   round((sbb - sb * sb / CAST(k AS DOUBLE))
+                         / nullif(CAST(k AS DOUBLE) - 1.0, 0.0), 6)
+                       AS var_m,
+                   round(ln(CAST(m AS DOUBLE)), 6) AS lx,
+                   round(ln(greatest(1e-6,
+                        (sbb - sb * sb / CAST(k AS DOUBLE))
+                        / nullif(CAST(k AS DOUBLE) - 1.0, 0.0))), 6)
+                       AS ly
+            FROM moments WHERE k >= 2),
+        ols AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS p,
+                   CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sx,
+                   CAST(SUM(CAST(ly AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sy,
+                   CAST(SUM(CAST(round(lx * ly, 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sxy,
+                   CAST(SUM(CAST(round(lx * lx, 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sxx
+            FROM pts),
+        h AS (
+            SELECT round(1.0
+                         + (CAST(p AS DOUBLE) * sxy - sx * sy)
+                           / nullif(CAST(p AS DOUBLE) * sxx
+                                    - sx * sx, 0.0) / 2.0, 6)
+                       AS hurst
+            FROM ols)
+        SELECT pts.m, pts.n_blocks, pts.var_m, h.hurst
+        FROM pts, h
+    """,
+    # Replays odds_ratio_ci: weekend x above-median 2x2 over the
+    # grand-median cumsum, Woolf interval in the engine's exp/ln
+    # order.
+    "odds_ratio_ci": """
+        WITH vals AS (
+            SELECT CAST(dayofweek(ts) + 1 AS INTEGER) IN (1, 7)
+                       AS weekend,
+                   value
+            FROM events WHERE value IS NOT NULL),
+        pv AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS n_v
+               FROM vals GROUP BY 1),
+        cum AS (
+            SELECT value,
+                   SUM(n_v) OVER (ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS cum_n_v
+            FROM pv),
+        nt AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n_tot FROM pv),
+        med AS (
+            SELECT MIN(value) AS grand_median
+            FROM cum, nt WHERE cum_n_v >= (n_tot + 1) // 2),
+        cells AS (
+            SELECT CAST(COUNT(*) FILTER (weekend
+                        AND value > grand_median) AS BIGINT) AS n_a,
+                   CAST(COUNT(*) FILTER (weekend
+                        AND NOT (value > grand_median)) AS BIGINT)
+                       AS n_b,
+                   CAST(COUNT(*) FILTER (NOT weekend
+                        AND value > grand_median) AS BIGINT) AS n_c,
+                   CAST(COUNT(*) FILTER (NOT weekend
+                        AND NOT (value > grand_median)) AS BIGINT)
+                       AS n_d
+            FROM vals, med)
+        SELECT n_a, n_b, n_c, n_d,
+               round(CAST(n_a AS DOUBLE) * CAST(n_d AS DOUBLE)
+                     / nullif(CAST(n_b AS DOUBLE)
+                              * CAST(n_c AS DOUBLE), 0.0), 6)
+                   AS odds_ratio,
+               round(exp(ln(nullif(CAST(n_a AS DOUBLE)
+                                   * CAST(n_d AS DOUBLE), 0.0)
+                            / nullif(CAST(n_b AS DOUBLE)
+                                     * CAST(n_c AS DOUBLE), 0.0))
+                         - 1.959964
+                           * sqrt(1.0 / CAST(n_a AS DOUBLE)
+                                  + 1.0 / CAST(n_b AS DOUBLE)
+                                  + 1.0 / CAST(n_c AS DOUBLE)
+                                  + 1.0 / CAST(n_d AS DOUBLE))), 6)
+                   AS ci_lo,
+               round(exp(ln(nullif(CAST(n_a AS DOUBLE)
+                                   * CAST(n_d AS DOUBLE), 0.0)
+                            / nullif(CAST(n_b AS DOUBLE)
+                                     * CAST(n_c AS DOUBLE), 0.0))
+                         + 1.959964
+                           * sqrt(1.0 / CAST(n_a AS DOUBLE)
+                                  + 1.0 / CAST(n_b AS DOUBLE)
+                                  + 1.0 / CAST(n_c AS DOUBLE)
+                                  + 1.0 / CAST(n_d AS DOUBLE))), 6)
+                   AS ci_hi,
+               COALESCE(round(exp(ln(nullif(CAST(n_a AS DOUBLE)
+                                   * CAST(n_d AS DOUBLE), 0.0)
+                            / nullif(CAST(n_b AS DOUBLE)
+                                     * CAST(n_c AS DOUBLE), 0.0))
+                         - 1.959964
+                           * sqrt(1.0 / CAST(n_a AS DOUBLE)
+                                  + 1.0 / CAST(n_b AS DOUBLE)
+                                  + 1.0 / CAST(n_c AS DOUBLE)
+                                  + 1.0 / CAST(n_d AS DOUBLE))), 6)
+                        > 1.0
+                        OR round(exp(ln(nullif(CAST(n_a AS DOUBLE)
+                                   * CAST(n_d AS DOUBLE), 0.0)
+                            / nullif(CAST(n_b AS DOUBLE)
+                                     * CAST(n_c AS DOUBLE), 0.0))
+                         + 1.959964
+                           * sqrt(1.0 / CAST(n_a AS DOUBLE)
+                                  + 1.0 / CAST(n_b AS DOUBLE)
+                                  + 1.0 / CAST(n_c AS DOUBLE)
+                                  + 1.0 / CAST(n_d AS DOUBLE))), 6)
+                        < 1.0, FALSE) AS significant
+        FROM cells
+    """,
+    # Replays granger_check: day-aligned lag-1 series, exact BIGINT
+    # raw moments, centered-moment Cramer solve and nested RSS in the
+    # engine's double order, f_crit_95 closed-form gate.
+    "granger_check": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase')
+                        AS BIGINT) AS y,
+                   CAST(COUNT(*) FILTER (event_type = 'view')
+                        AS BIGINT) AS x
+            FROM events WHERE event_type IN ('purchase', 'view')
+            GROUP BY 1),
+        lagged AS (
+            SELECT y, LAG(y) OVER (ORDER BY day) AS u,
+                   LAG(x) OVER (ORDER BY day) AS v
+            FROM daily),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(u) AS BIGINT) AS su,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(u * u) AS BIGINT) AS suu,
+                   CAST(SUM(v * v) AS BIGINT) AS svv,
+                   CAST(SUM(u * y) AS BIGINT) AS suy,
+                   CAST(SUM(v * y) AS BIGINT) AS svy,
+                   CAST(SUM(u * v) AS BIGINT) AS suv
+            FROM lagged WHERE u IS NOT NULL),
+        cm AS (
+            SELECT n,
+                   CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cyy,
+                   CAST(suu AS DOUBLE) - CAST(su AS DOUBLE)
+                       * CAST(su AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cuu,
+                   CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+                       * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cvv,
+                   CAST(suy AS DOUBLE) - CAST(su AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cuy,
+                   CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cvy,
+                   CAST(suv AS DOUBLE) - CAST(su AS DOUBLE)
+                       * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cuv
+            FROM m),
+        fit AS (
+            SELECT n, cyy,
+                   cyy - cuy * cuy / nullif(cuu, 0.0) AS rss_r,
+                   cyy - ((cuy * cvv - cvy * cuv)
+                          / nullif(cuu * cvv - cuv * cuv, 0.0)) * cuy
+                       - ((cvy * cuu - cuy * cuv)
+                          / nullif(cuu * cvv - cuv * cuv, 0.0)) * cvy
+                       AS rss_u
+            FROM cm),
+        fs AS (
+            SELECT n, rss_r, rss_u,
+                   round((rss_r - rss_u)
+                         / nullif(rss_u / (CAST(n AS DOUBLE) - 3.0),
+                                  0.0), 6) AS f_stat,
+                   """ + f_crit_95_sql("1", "n - 3") + """ AS crit
+            FROM fit)
+        SELECT n AS n_obs, round(rss_r, 6) AS rss_r,
+               round(rss_u, 6) AS rss_u, f_stat,
+               CAST(n - 3 AS INTEGER) AS df2,
+               round(crit, 6) AS f_crit,
+               COALESCE(f_stat > crit, FALSE) AS reject
+        FROM fs
+    """,
+    # Replays connected_components: the same basket-pair edge
+    # derivation, then label(v) = min node within graph distance <= 6
+    # via a bounded-hop reachability CTE (min-label propagation after
+    # d rounds IS the radius-d ball minimum).
+    "connected_components": """
+        WITH RECURSIVE b AS (
+            SELECT l_orderkey,
+                   list_sort(list_distinct(list(l_partkey))) AS basket
+            FROM lineitem GROUP BY 1),
+        pc AS (
+            SELECT u.a AS pa, v.a AS pb, COUNT(*) AS n_ab
+            FROM b, UNNEST(basket) AS u(a), UNNEST(basket) AS v(a)
+            WHERE u.a < v.a GROUP BY 1, 2),
+        e AS (
+            SELECT pa AS src, pb AS dst FROM pc WHERE n_ab >= 2
+            UNION ALL
+            SELECT pb AS src, pa AS dst FROM pc WHERE n_ab >= 2),
+        nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+        reach(node, other, hops) AS (
+            SELECT node, node, 0 FROM nodes
+            UNION
+            SELECT r.node, e.dst, r.hops + 1
+            FROM reach r JOIN e ON e.src = r.other
+            WHERE r.hops < 6),
+        lbl AS (
+            SELECT node, MIN(other) AS component FROM reach
+            GROUP BY 1),
+        sizes AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT)
+                       AS component_size
+            FROM lbl GROUP BY 1),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_components
+               FROM sizes)
+        SELECT l.node, l.component, s.component_size, nc.n_components
+        FROM lbl l JOIN sizes s USING (component), nc
+    """,
+    # Replays runs_test: per-type discrete median of daily counts,
+    # sign sequence, lag-switch run count, exact-count z chain, A&S
+    # tail.
+    "runs_test": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        per_y AS (
+            SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS c
+            FROM daily GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, y, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY y
+                        ROWS UNBOUNDED PRECEDING) AS cumc
+            FROM per_y),
+        nr AS (
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_days
+            FROM per_y GROUP BY 1),
+        med AS (
+            SELECT c2.event_type, MIN(c2.y) AS median_y
+            FROM cum c2 JOIN nr USING (event_type)
+            WHERE c2.cumc >= (n_days + 1) // 2
+            GROUP BY 1),
+        signed AS (
+            SELECT d.event_type, d.day,
+                   CASE WHEN d.y > m.median_y THEN 1 ELSE -1 END AS s
+            FROM daily d JOIN med m USING (event_type)
+            WHERE d.y <> m.median_y),
+        switches AS (
+            SELECT event_type, s,
+                   CASE WHEN s <> LAG(s) OVER (
+                            PARTITION BY event_type ORDER BY day)
+                        THEN 1 ELSE 0 END AS switch
+            FROM signed),
+        grp AS (
+            SELECT event_type,
+                   CAST(COUNT(*) FILTER (s = 1) AS BIGINT) AS n_pos,
+                   CAST(COUNT(*) FILTER (s = -1) AS BIGINT) AS n_neg,
+                   CAST(SUM(COALESCE(switch, 0)) + 1 AS BIGINT)
+                       AS n_runs
+            FROM switches GROUP BY 1),
+        zc AS (
+            SELECT event_type, n_pos, n_neg, n_runs,
+                   round((n_runs
+                          - (2.0 * CAST(n_pos AS DOUBLE)
+                             * CAST(n_neg AS DOUBLE)
+                             / (CAST(n_pos AS DOUBLE)
+                                + CAST(n_neg AS DOUBLE)) + 1.0))
+                         / nullif(sqrt(
+                             2.0 * CAST(n_pos AS DOUBLE)
+                             * CAST(n_neg AS DOUBLE)
+                             * (2.0 * CAST(n_pos AS DOUBLE)
+                                * CAST(n_neg AS DOUBLE)
+                                - (CAST(n_pos AS DOUBLE)
+                                   + CAST(n_neg AS DOUBLE)))
+                             / ((CAST(n_pos AS DOUBLE)
+                                 + CAST(n_neg AS DOUBLE))
+                                * (CAST(n_pos AS DOUBLE)
+                                   + CAST(n_neg AS DOUBLE))
+                                * ((CAST(n_pos AS DOUBLE)
+                                    + CAST(n_neg AS DOUBLE))
+                                   - 1.0))), 0.0), 6) AS z_runs
+            FROM grp),
+        pp AS (
+            SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z_runs)) AS k
+            FROM zc)
+        SELECT event_type, n_pos, n_neg, n_runs, z_runs,
+               round(2.0 * exp(-z_runs * z_runs / 2.0)
+                     * 0.3989422804014327
+                     * (k * (0.319381530 + k * (-0.356563782
+                        + k * (1.781477937 + k * (-1.821255978
+                        + k * 1.330274429))))), 6) AS p_value,
+               COALESCE(abs(z_runs) > 1.959964, FALSE) AS reject
+        FROM pp
+    """,
+    # Replays lorenz_gini: exact decimal revenue, tied-block rank
+    # sums over the distinct-revenue cumsum, the discrete-Gini double
+    # chain.
+    "lorenz_gini": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1),
+        pr AS (
+            SELECT rev, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pc GROUP BY 1),
+        cum AS (
+            SELECT rev, c,
+                   SUM(c) OVER (ORDER BY rev
+                        ROWS UNBOUNDED PRECEDING) AS cum_c
+            FROM pr),
+        terms AS (
+            SELECT CAST(CAST(rev AS DECIMAL(18,2))
+                        * CAST(c * (cum_c - c) + (c * (c + 1)) // 2
+                               AS DECIMAL(19,0))
+                        AS DECIMAL(38,2)) AS ix,
+                   CAST(CAST(rev AS DECIMAL(18,2))
+                        * CAST(c AS DECIMAL(10,0))
+                        AS DECIMAL(38,2)) AS xt,
+                   c
+            FROM cum),
+        tot AS (
+            SELECT SUM(ix) AS s_ix, SUM(xt) AS s_x,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM terms)
+        SELECT n AS n_customers,
+               CAST(s_x AS DOUBLE) AS total_revenue,
+               round(2.0 * CAST(s_ix AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(s_x AS DOUBLE))
+                     - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE),
+                     6) AS gini
+        FROM tot
     """,
     # Replays weighted_sample_aes: the same md5-bucket uniform, the
     # log-domain E-S key, top-20 by (key DESC, doc_id).

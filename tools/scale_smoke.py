@@ -227,6 +227,14 @@ HEAVY_QUERIES = [
     "cochran_armitage_trend",
     "mrr_map_at_k",
     "weighted_sample_aes",
+    # round-12 fifth batch: the basket-pair edge build + 6 label-
+    # propagation rounds (the heaviest iterative plan of the round)
+    # and the distinct-revenue Gini cumsum.
+    "connected_components",
+    "lorenz_gini",
+    # round-12 sixth batch: the corpus x |langs| scoring explode is
+    # the round's heaviest text plan.
+    "naive_bayes_lang",
 ]
 
 
