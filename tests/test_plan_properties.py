@@ -180,6 +180,31 @@ CROSS_JOIN_ALLOWED = {
     "funnel_k_step",
     # inherits sim_search's corpus × broadcast 3-row probe side
     "ndcg_at_k",
+    # types² pairwise inequality join (the theta_segment_overlap
+    # shape) + tiny relations × broadcast 1-row totals/m-count
+    "dunn_posthoc",
+    # ≤7·|types| cell relation × broadcast k-count/complete-block
+    # spine + 1-row verdict
+    "friedman_test",
+    # corpus counts × broadcast 1-row grand-median, then × 1-row
+    # verdict (the kruskal_wallis verdict shape)
+    "mood_median_test",
+    "cochran_armitage_trend",
+    # probes×k eval rows × broadcast 1-row fleet means (plus
+    # sim_search's corpus × broadcast probe side inside)
+    "mrr_map_at_k",
+    # node-sized label relation × broadcast 1-row component count
+    "connected_components",
+    # bounded days relation × broadcast 1-row censor day + 1-row
+    # cohort totals (the survival_km shape)
+    "log_rank_test",
+    # days×|m| block moments × broadcast 1-row OLS fit
+    "hurst_exponent",
+    # 1-row 2×2 cells × broadcast 1-row grand-median
+    "odds_ratio_ci",
+    # |langs|² confusion cells × broadcast 1-row accuracy + the
+    # bounded ×|langs| scoring explode (broadcast lang totals)
+    "naive_bayes_lang",
 }
 
 #: Pure row-at-a-time pipelines: scan → project/filter → sink. Any

@@ -646,6 +646,27 @@ HEADLINERS: dict[str, str] = {
         "over a broadcast 1-row total — two corpus scans, both "
         "hash-aggregated."
     ),
+    "shuffle_reuse_check": (
+        "the twice-referenced rollup materializes ONE exchange: the "
+        "second SMJ child is a ReusedExchange pointer at the first's "
+        "shuffle output — visible in the executed plan the gate pins. "
+        "Both sides consume the full aggregate output on purpose; "
+        "prune a column from either and column pruning rewrites that "
+        "subtree, the canonical forms diverge, and the reuse (and the "
+        "saved fact-table scan) silently disappears."
+    ),
+    "weighted_sample_aes": (
+        "scan → row-local E-S key projection → TakeOrderedAndProject: "
+        "the weighted sample adds ZERO shuffle — per-partition k-row "
+        "heaps and one k-row reduce, the same plan at 60k rows and "
+        "100 TB."
+    ),
+    "mood_median_test": (
+        "the grand median is the k = ⌈n/2⌉ order statistic over the "
+        "distinct-value relation via the range-partitioned cumsum — no "
+        "unpartitioned window anywhere; the k×2 contingency is one "
+        "count_if aggregation with the verdict broadcast back."
+    ),
 }
 
 
