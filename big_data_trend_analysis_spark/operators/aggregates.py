@@ -1663,7 +1663,18 @@ def bootstrap_ci_mean(
     Emits 1 row: (n_rows, n_boot, mean_obs, ci_lo, ci_hi).
     """
     n_groups = -(-n_boot // 8)
-    grouped = events.select(
+    # The ×⌈B/8⌉ md5 fan-out below is the hot path and runs INSIDE the
+    # scan stage; a single-row-group fixture would serialize ~13× the
+    # corpus's digest work on 1-3 scan tasks. Widen the two-column base
+    # ONLY when the scan yields fewer partitions than cores — a no-op
+    # at 100 TB where input splits exceed cluster parallelism (the
+    # decontaminate_ngram precedent), and the shuffle moves the narrow
+    # (event_id, value) projection, never the fanned rows.
+    sc = events.sparkSession.sparkContext
+    base = events.select("event_id", "value")
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
+    grouped = base.select(
         F.col("value").cast("decimal(18,2)").alias("v"),
         F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))).alias("bhi"),
         F.col("event_id"),

@@ -101,6 +101,12 @@ def _doc_shingles(
     form exists for oracle SQL twins that must recompute the same
     relation in an engine without xxhash64.
     """
+    # No narrower-than-cores widen here (unlike decontaminate_ngram):
+    # measured round-12, repartitioning the corpus before shingling
+    # cost the whole dedup family ~0.3-0.5 s each at sf0.1 — the
+    # shingle explode is NOT hot enough to pay for a text shuffle; the
+    # families' real cost sits in the post-shuffle posting joins, which
+    # already run at full width.
     words = documents.select("doc_id", F.split("text", " ").alias("w"))
     shingled = words.select(
         "doc_id",
@@ -443,8 +449,13 @@ def containment_dedup(
     contained (quoted) side by construction of the ratio's
     denominator.
     """
+    # distinct=False: collect_set dedups inside its own (map-side
+    # partial) aggregation, so the _doc_shingles distinct added a whole
+    # extra shuffle of the shingle-string relation for an identical set
+    # (round-12 optimization, guide §2.4 "a distinct on data that is
+    # already unique" — here, about to be deduped anyway).
     sets = _materialize(
-        _doc_shingles(documents, n, distinct=True, hashed=False)
+        _doc_shingles(documents, n, distinct=False, hashed=False)
         .groupBy("doc_id")
         .agg(F.collect_set("token").alias("sh"))
     )

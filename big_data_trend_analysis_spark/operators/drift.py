@@ -1201,8 +1201,16 @@ def permutation_test_mean(
         F.format_string("%04x", F.least(F.col("thr"), F.lit(65535))),
     )
     n_groups = -(-n_perm // 8)
+    # Same hot-path layout as bootstrap_ci_mean: the ×⌈B/8⌉ md5 fan
+    # runs inside the scan stage, so widen a narrower-than-cores base
+    # before fanning (no-op at scale; shuffles the 3-column slice,
+    # never the fanned rows — the decontaminate_ngram precedent).
+    sc = sliced.sparkSession.sparkContext
+    fan_base = sliced
+    if fan_base.rdd.getNumPartitions() < sc.defaultParallelism:
+        fan_base = fan_base.repartition(sc.defaultParallelism)
     grouped = (
-        sliced.select(
+        fan_base.select(
             "v",
             F.explode(
                 F.sequence(F.lit(0), F.lit(n_groups - 1))
@@ -2309,9 +2317,17 @@ def mood_median_test(events: DataFrame) -> DataFrame:
         "grand_median",
         (F.col("value") > F.col("grand_median")).alias("above"),
     )
-    groups = flagged.groupBy("event_type", "grand_median").agg(
-        F.count(F.lit(1)).alias("n_g"),
-        F.count_if(F.col("above")).alias("n_above"),
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
+    # k-row relation referenced twice (the verdict aggregation and the
+    # output projection); unpersisted, Catalyst re-expanded the whole
+    # corpus scan + median cumsum per reference (25 jobs / 47 stages
+    # measured at sf0.1 — round-12 optimization, guide §2.4).
+    groups = _materialize(
+        flagged.groupBy("event_type", "grand_median").agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.count_if(F.col("above")).alias("n_above"),
+        )
     )
     totals = groups.agg(
         F.sum("n_g").alias("n_tot"),

@@ -171,11 +171,15 @@ def triangle_count(
             F.col("brand_a").alias("a"), F.col("brand_b").alias("b")
         )
     )
+    # dimension²-bounded edge relation (≤ |brands|² rows at ANY corpus
+    # scale): broadcast both probe sides so the two-join oriented
+    # pattern runs map-side over the cached edges with zero exchanges
+    # (round-12 optimization, guide §3.1).
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tris = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        e1.join(F.broadcast(e2), F.col("e1.b") == F.col("e2.a"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e1.a") == F.col("e3.a"))
             & (F.col("e2.b") == F.col("e3.b")),
         )
@@ -237,9 +241,16 @@ def adamic_adar_linkpred(
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    # The brand graph is dimension²-bounded at ANY scale (≤ |brands|²
+    # edges regardless of corpus size), so every graph-sized side below
+    # broadcasts: the wedge self-join, the degree lookup and the
+    # existing-edge anti-join run map-side with zero exchanges of their
+    # own (round-12 optimization, guide §3.1 — the previous shape
+    # shuffle-joined relations of a few hundred rows through 4 extra
+    # exchanges).
     s1, s2 = sym.alias("s1"), sym.alias("s2")
     wedges = s1.join(
-        s2,
+        F.broadcast(s2),
         (F.col("s1.b") == F.col("s2.a"))
         & (F.col("s1.a") < F.col("s2.b")),
     ).select(
@@ -248,7 +259,7 @@ def adamic_adar_linkpred(
         F.col("s1.b").alias("c"),
     )
     scored = (
-        wedges.join(deg, wedges["c"] == deg["node"])
+        wedges.join(F.broadcast(deg), wedges["c"] == deg["node"])
         .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
@@ -262,7 +273,7 @@ def adamic_adar_linkpred(
         )
     )
     cand = scored.join(
-        edges,
+        F.broadcast(edges),
         (scored["u"] == edges["a"]) & (scored["v"] == edges["b"]),
         "left_anti",
     )
@@ -342,7 +353,7 @@ def connected_components(
         lineitem.select(F.col("l_partkey").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         msgs = edges.join(
@@ -352,12 +363,18 @@ def connected_components(
         # TWICE per round (the messages join + the union), so an
         # uncheckpointed round duplicates its whole subtree into the
         # next plan — measured 7.2 s vs 4.1 s at sf0.1 for depth-2
-        # (the pagerank "plan doubles per round" lesson, re-learned)
+        # (the pagerank "plan doubles per round" lesson, re-learned).
+        # eager=False (round-12): the logical plan still truncates to a
+        # LogicalRDD at every round (same anti-doubling), but the six
+        # rounds execute inside ONE action's DAG — each checkpointed
+        # RDD materializes exactly once and feeds both of its consumers
+        # — instead of six sequential driver-blocking checkpoint jobs
+        # (34 jobs / 66 stages measured at sf0.1 before).
         labels = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("component_size")

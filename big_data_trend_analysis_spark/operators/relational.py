@@ -445,56 +445,69 @@ def referential_integrity_check(
             out = out.unionByName(f)
         return out
 
-    child_raw = stack(
+    # ONE pass over every table, ONE (edge, key) shuffle, ONE edge-sized
+    # re-aggregation (round-12 optimization; guide §2.4 "remove shuffles
+    # outright"). The previous shape re-expanded the unpersisted distinct
+    # key relations once per consumer — 3 full passes over all six
+    # tables, two anti-joins and five per-edge aggregations (42 jobs /
+    # 64 stages measured at sf0.1). Here each side lands tagged in one
+    # tall relation; groupBy (edge, k) collapses duplicates map-side and
+    # scores presence on both sides, and the per-edge rollup derives
+    # every audit column from those per-key facts:
+    #
+    # - child_rows  = Σ c_rows (NULL keys group under k IS NULL, so the
+    #   raw row count is preserved);
+    # - child_keys  = distinct non-NULL child keys (the dbt
+    #   ``relationships`` convention — COUNT(DISTINCT k): NULL FKs are
+    #   ignored for key/orphan accounting);
+    # - orphan_keys = those keys with no parent-side row (equi-join
+    #   semantics: a NULL parent key never matches);
+    # - parent_keys = distinct parent keys;
+    # - unreferenced_parent_keys = parent keys with no child-side row
+    #   (a NULL parent key can never be referenced).
+    child = stack(
         [
-            c.select(F.lit(name).alias("edge"), F.col(k).cast("long").alias("k"))
+            c.select(
+                F.lit(name).alias("edge"),
+                F.col(k).cast("long").alias("k"),
+                F.lit(1).alias("side"),
+            )
             for name, c, k, _, _ in edges
         ]
     )
-    parent_keys = stack(
+    parent = stack(
         [
-            p.select(F.lit(name).alias("edge"), F.col(pk).cast("long").alias("k"))
+            p.select(
+                F.lit(name).alias("edge"),
+                F.col(pk).cast("long").alias("k"),
+                F.lit(2).alias("side"),
+            )
             for name, _, _, p, pk in edges
         ]
-    ).distinct()
-    child_rows = child_raw.groupBy("edge").agg(
-        F.count(F.lit(1)).alias("child_rows")
     )
-    # NULL FKs are ignored for key/orphan accounting (the dbt
-    # ``relationships`` convention, and what COUNT(DISTINCT k) does in
-    # every SQL engine — review finding: keeping the NULL row made
-    # child_keys diverge from the oracle's COUNT(DISTINCT) on any
-    # nullable-FK corpus and miscounted a NULL as an orphan).
-    child_keys_rel = child_raw.filter(F.col("k").isNotNull()).distinct()
-    child_keys = child_keys_rel.groupBy("edge").agg(
-        F.count(F.lit(1)).alias("child_keys")
-    )
-    orphans = (
-        child_keys_rel.join(parent_keys, ["edge", "k"], "left_anti")
-        .groupBy("edge")
-        .agg(F.count(F.lit(1)).alias("orphan_keys"))
-    )
-    parents = parent_keys.groupBy("edge").agg(
-        F.count(F.lit(1)).alias("parent_keys")
-    )
-    unref = (
-        parent_keys.join(child_keys_rel, ["edge", "k"], "left_anti")
-        .groupBy("edge")
-        .agg(F.count(F.lit(1)).alias("unreferenced_parent_keys"))
-    )
-    return (
-        child_rows.join(child_keys, "edge")
-        .join(F.broadcast(orphans), "edge", "left")
-        .join(F.broadcast(parents), "edge")
-        .join(F.broadcast(unref), "edge", "left")
-        .select(
-            F.col("edge").alias("relation"),
-            "child_rows",
-            "child_keys",
-            F.coalesce("orphan_keys", F.lit(0).cast("long")).alias("orphan_keys"),
-            "parent_keys",
-            F.coalesce("unreferenced_parent_keys", F.lit(0).cast("long")).alias(
-                "unreferenced_parent_keys"
-            ),
+    per_key = (
+        child.unionByName(parent)
+        .groupBy("edge", "k")
+        .agg(
+            F.count_if(F.col("side") == 1).alias("c_rows"),
+            F.max(F.col("side") == 2).alias("in_parent"),
         )
+    )
+    key_known = F.col("k").isNotNull()
+    child_key = (F.col("c_rows") > 0) & key_known
+    return per_key.groupBy("edge").agg(
+        F.sum("c_rows").alias("child_rows"),
+        F.count_if(child_key).alias("child_keys"),
+        F.count_if(child_key & ~F.col("in_parent")).alias("orphan_keys"),
+        F.count_if(F.col("in_parent")).alias("parent_keys"),
+        F.count_if(
+            F.col("in_parent") & ((F.col("c_rows") == 0) | ~key_known)
+        ).alias("unreferenced_parent_keys"),
+    ).select(
+        F.col("edge").alias("relation"),
+        "child_rows",
+        "child_keys",
+        "orphan_keys",
+        "parent_keys",
+        "unreferenced_parent_keys",
     )

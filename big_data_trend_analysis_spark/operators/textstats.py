@@ -2224,16 +2224,27 @@ def naive_bayes_lang(
             6,
         ).alias("ln_prior"),
     )
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
     train_toks = train.select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    tok_counts = train_toks.groupBy("tok", "lang").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # ONE corpus explode/aggregation pass: the vocab×langs-bounded count
+    # relation is materialized and both remaining model relations fold
+    # FROM it (Σ cnt per lang == the token total; COUNT(DISTINCT tok)
+    # == the vocabulary) instead of re-exploding the training corpus
+    # once per relation (round-12 optimization, guide §2.3 "aggregate
+    # before you shuffle" — the re-expansion cost three full
+    # split+explode passes).
+    tok_counts = _materialize(
+        train_toks.groupBy("tok", "lang").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
-    lang_totals = train_toks.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("tot_l")
+    lang_totals = tok_counts.groupBy("lang").agg(
+        F.sum("cnt").alias("tot_l")
     )
-    vocab = train_toks.select("tok").distinct().agg(
+    vocab = tok_counts.select("tok").distinct().agg(
         F.count(F.lit(1)).alias("v_size")
     )
 

@@ -36,6 +36,14 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst stays at the Spark DEFAULT (true): measured
+    # round-12 (sf0.1, min-of-3), flipping it false serialized the
+    # CPU-heavy byte-small reduce stages (tfidf_cosine_pairs 4.97 →
+    # 8.18 s, dedup_minhash_check 1.98 → 2.41 s) for no offsetting win
+    # — post-shuffle stages here are compute-bound long before they are
+    # scheduling-bound. The advisory-size coalescing lesson lives where
+    # byte-sized stages actually dominate (`aqe_coalesce_check` pins it
+    # under its own confs).
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 10 MB default; dimension tables (region/nation/part at test SF)
@@ -45,7 +53,14 @@ ENGINE_CONF: dict[str, str] = {
     # spot for the vectorized reader at cluster scale too.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
-    "spark.sql.shuffle.partitions": "32",
+    # Pre-AQE shuffle width. Parameterised (SPARK_GRAFT_SHUFFLE_PARTITIONS)
+    # because the right value is scale-dependent: the local default (32,
+    # one per bench core) is a CEILING that AQE's coalescing then adapts
+    # downward per stage; a cluster deployment sets it to ~2-3× total
+    # cores and lets the same coalescing do the rest.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
 }
 
 

@@ -43,7 +43,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PKG = "big_data_trend_analysis_spark"
 LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "green_ledger.json")
 #: Size of the driver's correctness window (first N registry entries).
-WINDOW = 50
+#: Build rounds 1-11 verified only the first 50 registry entries per
+#: round, hence the rotation policy that forced changed/new queries to
+#: the front. From round 12 on (the OPTIMIZATION phase) the driver
+#: re-runs EVERY declared query against the DuckDB oracle each round —
+#: CORRECTNESS_r12+ covers the full inventory — so the window is the
+#: whole registry and front-of-registry rotation is no longer the
+#: re-verification mechanism. The ledger itself stays load-bearing as
+#: the per-query fingerprint/green-round bookkeeping (`stale_or_new`
+#: still reports exactly which queries the next driver run must prove).
+WINDOW = 10_000
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)")
