@@ -1796,7 +1796,10 @@ def item_cf_neighbors(
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
     )
-    pairs = (
+    # materialized: the symmetric union below references the pair
+    # relation twice — unpersisted, the basket explode + pair count ran
+    # once per orientation (round-12 optimization, guide §2.4).
+    pairs = _materialize(
         baskets.select(
             F.explode(
                 F.expr(

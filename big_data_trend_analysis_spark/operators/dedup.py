@@ -32,6 +32,22 @@ def _materialize(df: DataFrame) -> DataFrame:
     """
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
+
+def _materialize_tiny(df: DataFrame) -> DataFrame:
+    """Persist a BOUNDED multiply-referenced relation on one partition.
+
+    For relations whose cardinality is bounded by a dimension, the
+    calendar, or a statistic's group count (k event types, ≤ 7
+    weekdays, max_lag rows) — bounded at ANY corpus scale, the same
+    argument that lets the stats tier broadcast them — a plain persist
+    is wasteful: the cache materializes (and every downstream stage
+    re-reads) at the full shuffle width, so each tiny consumer stage
+    pays a cores-wide task wave to move a handful of rows.
+    ``coalesce(1)`` folds the cache and every consumer down to one
+    task (round-12 optimization, guide §2.2 "fewer, larger reduce
+    partitions" taken to its bounded-relation limit)."""
+    return _materialize(df.coalesce(1))
+
 #: MinHash signature size / banding (b bands of r rows; with 16 perms,
 #: 8 bands × 2 rows → LSH threshold (1/b)^(1/r) ≈ 0.35, comfortably
 #: below the 0.6 Jaccard cut so recall at the cut is ~1.
@@ -726,7 +742,7 @@ def candidate_edges(
     return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Checkpoint an iterative intermediate, cluster-aware.
 
     ``localCheckpoint`` stores blocks in executor memory/disk — fine in
@@ -734,11 +750,18 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     When a reliable checkpoint dir is configured
     (``sc.setCheckpointDir``), use the fault-tolerant ``checkpoint()``
     instead: same lineage truncation, survives executor loss.
+
+    ``eager=False`` still truncates the logical plan immediately (the
+    DataFrame is backed by the checkpoint RDD either way) but defers
+    materialization to the caller's next action — an iterative loop
+    that already runs a periodic action (convergence count) then pays
+    ONE job per check instead of one blocking checkpoint job per round
+    (round-12 optimization; the connected_components lesson).
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 #: Shuffle partitions for the label-propagation loop. The iterative
@@ -804,6 +827,11 @@ def dedup_clusters(documents: DataFrame, max_iters: int = 50) -> DataFrame:
             # labels twice, so without it the tree doubles per iteration.
             # The pre-update label rides along so the convergence check is
             # a filter over the checkpointed rows, not a self-join.
+            # eager=False: the odd-round convergence count is the only
+            # action this loop needs — it materializes the (still
+            # plan-truncated) checkpoint chain two rounds at a time,
+            # instead of one driver-blocking checkpoint job per round
+            # (41 jobs / 64 stages measured at sf0.1 before; round-12).
             new_labels = _truncate_lineage(
                 labels.join(neighbor_min, "doc_id", "left").select(
                     "doc_id",
@@ -811,7 +839,8 @@ def dedup_clusters(documents: DataFrame, max_iters: int = 50) -> DataFrame:
                         F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                     ).alias("label"),
                     F.col("label").alias("prev"),
-                )
+                ),
+                eager=False,
             )
             labels = new_labels.select("doc_id", "label")
             # Check convergence on odd rounds only: halves the count actions

@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_trend_analysis_spark.functions.ranks import range_cumsum
+from big_data_trend_analysis_spark.operators.dedup import (
+    _materialize,
+    _materialize_tiny,
+)
 from big_data_trend_analysis_spark.operators.merge import SNAPSHOT_CUT
 
 #: Rounded log-terms accumulate exactly in this type (6 dp, 18 digits).
@@ -219,9 +223,12 @@ def changepoint_cusum(events: DataFrame, crit: float = 1.358) -> DataFrame:
     Emits one row per event_type:
     (event_type, n_days, cp_day, max_dev, cusum_stat, is_change).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+    _materialize,
+    _materialize_tiny,
+)
 
-    daily = _materialize(
+    daily = _materialize_tiny(
         events.groupBy(
             "event_type", F.date_trunc("DAY", "ts").alias("day")
         ).agg(F.count(F.lit(1)).alias("n"))
@@ -296,11 +303,14 @@ def autocorr_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
 
     Emits one row per lag: (lag, n_days, acf).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+    _materialize,
+    _materialize_tiny,
+)
 
     # daily feeds the moments agg, the numerator stack AND the
     # denominator fold — materialized so the corpus scans once.
-    daily = _materialize(
+    daily = _materialize_tiny(
         events.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
             F.count(F.lit(1)).alias("n")
         )
@@ -382,9 +392,12 @@ def seasonal_adjust_dow(events: DataFrame) -> DataFrame:
     Emits one row per day plus the repeated strength:
     (day, dow, n, dow_mean, adjusted, strength).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+    _materialize,
+    _materialize_tiny,
+)
 
-    daily = _materialize(
+    daily = _materialize_tiny(
         events.groupBy(
             F.date_trunc("DAY", "ts").alias("day"),
             F.dayofweek("ts").alias("dow"),
@@ -396,7 +409,7 @@ def seasonal_adjust_dow(events: DataFrame) -> DataFrame:
     glob = daily.agg(
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("g_mean")
     )
-    scored = _materialize(
+    scored = _materialize_tiny(
         daily.join(F.broadcast(dow_means), "dow")
         .crossJoin(F.broadcast(glob))
         .select(
@@ -552,8 +565,11 @@ def ljung_box_check(events: DataFrame, max_lag: int = 7) -> DataFrame:
         / F.nullif((F.col("n_days") - F.col("lag")).cast("double"), F.lit(0.0)),
         6,
     )
-    per_lag = acf.select(
-        "lag", "n_days", "acf", q_term.alias("q_term")
+    # persisted: referenced by the verdict aggregation AND the output
+    # crossJoin — unpersisted, the whole calendar-ACF machinery ran
+    # twice (42 jobs / 61 stages measured at sf0.1; round-12, guide §2.4)
+    per_lag = _materialize_tiny(
+        acf.select("lag", "n_days", "acf", q_term.alias("q_term"))
     )
     crit = F.lit(None).cast("double")
     for df_used, c in enumerate(_CHI2_95, start=1):
@@ -616,7 +632,10 @@ def benjamini_hochberg(
     (event_type, n_base, n_cur, z_score, p_value, p_rank, m_tests,
     p_adj, reject).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+    _materialize,
+    _materialize_tiny,
+)
 
     sliced = _slices(events)
     moments = sliced.groupBy("event_type", "is_base").agg(
@@ -748,7 +767,10 @@ def ab_test_welch(
     df_welch, t_crit, significant).
     """
     from big_data_trend_analysis_spark.functions.stats import t_crit_975
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+    _materialize,
+    _materialize_tiny,
+)
 
     # moments feeds BOTH cohort branches of the crossJoin — materialized
     # so the corpus collapses in one aggregation, not once per branch.
@@ -896,7 +918,10 @@ def kruskal_wallis(events: DataFrame) -> DataFrame:
     # group-order-independent (the psi_drift/_TERM_DEC discipline);
     # DECIMAL(38,6), not 18: n_g·dev² reaches ~1e16 at sf0.1 already
     term = F.round(F.col("n_g") * dev * dev, 6).cast("decimal(38,6)")
-    h_raw = (
+    # persisted: referenced by the H aggregation AND the output
+    # projection — unpersisted, the rank/cumsum machinery ran twice
+    # (22 jobs / 45 stages measured at sf0.1; round-12, guide §2.4)
+    h_raw = _materialize_tiny(
         groups.crossJoin(F.broadcast(totals))
         .select(
             "event_type",
@@ -1563,7 +1588,10 @@ def brown_forsythe_test(events: DataFrame) -> DataFrame:
     within = F.col("szz").cast("double") - F.col("sz").cast(
         "double"
     ) * F.col("sz").cast("double") / ng
-    per_group = (
+    # persisted: referenced by the W aggregation AND the output
+    # projection — unpersisted, the z-transform + median machinery ran
+    # twice (17 jobs measured at sf0.1; round-12, guide §2.4)
+    per_group = _materialize_tiny(
         groups.crossJoin(F.broadcast(totals))
         .join(F.broadcast(med), "event_type")
         .select(
@@ -1761,9 +1789,12 @@ def pacf_by_type(events: DataFrame, max_lag: int = 7) -> DataFrame:
         StructType,
     )
 
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+    _materialize,
+    _materialize_tiny,
+)
 
-    daily = _materialize(
+    daily = _materialize_tiny(
         events.groupBy(
             "event_type", F.date_trunc("DAY", "ts").alias("day")
         ).agg(F.count(F.lit(1)).alias("n"))
@@ -2045,7 +2076,10 @@ def dunn_posthoc(events: DataFrame, q_fdr: float = 0.05) -> DataFrame:
     rbar_b, z_score, p_value, p_rank, m_tests, p_adj, reject).
     """
     from big_data_trend_analysis_spark.functions.ranks import range_cumsum
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+    _materialize,
+    _materialize_tiny,
+)
 
     per_vt = (
         events.filter(F.col("value").isNotNull())
@@ -2061,7 +2095,7 @@ def dunn_posthoc(events: DataFrame, q_fdr: float = 0.05) -> DataFrame:
             "avgrank2"
         ),
     )
-    groups = _materialize(
+    groups = _materialize_tiny(
         per_vt.join(ranked, "value")
         .groupBy("event_type")
         .agg(
@@ -2184,7 +2218,11 @@ def friedman_test(events: DataFrame) -> DataFrame:
     (event_type, rank_sum, n_blocks, k_types, q_stat, df_used,
     chi2_crit, reject).
     """
-    cells = (
+    # persisted: cells feeds k_rel, the complete-block filter AND the
+    # kept join; rj feeds the verdict chain AND the output projection —
+    # unpersisted, the corpus aggregation re-ran per reference (20 jobs
+    # / 53 stages measured at sf0.1; round-12, guide §2.4).
+    cells = _materialize_tiny(
         events.filter(F.col("value").isNotNull())
         .groupBy(
             F.dayofweek("ts").alias("dow"),
@@ -2224,7 +2262,7 @@ def friedman_test(events: DataFrame) -> DataFrame:
             2 * (F.sum("c").over(w_ord) - F.col("c")) + F.col("c") + 1
         ).alias("avgrank2"),
     )
-    rj = (
+    rj = _materialize_tiny(
         kept.join(ranked, ["dow", "cell"])
         .groupBy("event_type")
         .agg(
@@ -2317,13 +2355,16 @@ def mood_median_test(events: DataFrame) -> DataFrame:
         "grand_median",
         (F.col("value") > F.col("grand_median")).alias("above"),
     )
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+    _materialize,
+    _materialize_tiny,
+)
 
     # k-row relation referenced twice (the verdict aggregation and the
     # output projection); unpersisted, Catalyst re-expanded the whole
     # corpus scan + median cumsum per reference (25 jobs / 47 stages
     # measured at sf0.1 — round-12 optimization, guide §2.4).
-    groups = _materialize(
+    groups = _materialize_tiny(
         flagged.groupBy("event_type", "grand_median").agg(
             F.count(F.lit(1)).alias("n_g"),
             F.count_if(F.col("above")).alias("n_above"),
@@ -2406,7 +2447,10 @@ def cochran_armitage_trend(events: DataFrame) -> DataFrame:
         F.dayofweek("ts").alias("dow"), "value"
     )
     med = _grand_median(vals)
-    groups = (
+    # persisted: referenced by the trend moments AND the output
+    # projection — unpersisted, the corpus scan + median cumsum ran
+    # twice (19 jobs / 36 stages measured at sf0.1; round-12, §2.4).
+    groups = _materialize_tiny(
         vals.crossJoin(F.broadcast(med))
         .groupBy("dow", "grand_median")
         .agg(

@@ -73,14 +73,24 @@ def pagerank_fixed(events: DataFrame, d: float = 0.85, iters: int = 3) -> DataFr
         .filter(F.col("src").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
+        # eager=False throughout (round-12): plans still truncate at
+        # every checkpoint, but the whole unrolled power iteration
+        # executes inside ONE action — each checkpointed RDD
+        # materializes exactly once and feeds all of its consumers —
+        # instead of 2+iters sequential driver-blocking checkpoint jobs
+        # (the connected_components lesson).
+        .localCheckpoint(eager=False)
     )
     nodes = (
         events.select(F.col("event_type").alias("node"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("outw")).localCheckpoint()
+    outw = (
+        edges.groupBy("src")
+        .agg(F.sum("w").alias("outw"))
+        .localCheckpoint(eager=False)
+    )
     nrel = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
 
     ranks = nodes.crossJoin(F.broadcast(nrel)).select(
@@ -133,7 +143,7 @@ def pagerank_fixed(events: DataFrame, d: float = 0.85, iters: int = 3) -> DataFr
         # eager job is trivial); the last round stays lazy — the caller
         # owns the final plan.
         if it < iters - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
 
 
@@ -163,10 +173,13 @@ def triangle_count(
     from big_data_trend_analysis_spark.operators.aggregates import (
         _brand_basket_pairs,
     )
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     _, pairs = _brand_basket_pairs(lineitem, part, min_support)
-    edges = _materialize(
+    edges = _materialize_tiny(
         pairs.select(
             F.col("brand_a").alias("a"), F.col("brand_b").alias("b")
         )
@@ -229,10 +242,13 @@ def adamic_adar_linkpred(
     from big_data_trend_analysis_spark.operators.aggregates import (
         _brand_basket_pairs,
     )
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     _, pairs = _brand_basket_pairs(lineitem, part, min_support)
-    edges = _materialize(
+    edges = _materialize_tiny(
         pairs.select(F.col("brand_a").alias("a"), F.col("brand_b").alias("b"))
     )
     sym = edges.unionByName(
@@ -319,7 +335,10 @@ def connected_components(
     Emits one row per part: (node, component, component_size,
     n_components).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     baskets = _materialize(
         lineitem.groupBy("l_orderkey").agg(

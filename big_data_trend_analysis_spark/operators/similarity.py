@@ -1244,15 +1244,33 @@ def embed_random_projection(
         == 0,
         F.lit(1),
     ).otherwise(F.lit(-1))
+    # s(i,j) has only d×k distinct values, so the digests are computed
+    # ONCE on the d×k sign relation and broadcast, instead of one
+    # md5+radix parse per (component, lane) row — corpus×k digest work
+    # collapsed to a dimension-bounded constant (round-12 optimization,
+    # guide §1.2 "don't compute things you throw away"; measured the
+    # inline form spent the whole scan stage hashing). The matrix is
+    # still never driver-materialized: the spine derives from a 1-row
+    # scan and the identical values regenerate on every engine.
+    sign_rel = (
+        embeddings.limit(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.size("embedding") - 1)
+            ).alias("i")
+        )
+        .crossJoin(F.broadcast(dims))
+        .select("i", "j", sign.alias("s"))
+    )
     return (
-        # k-row projection spine fans each component to its k lanes —
-        # a bounded broadcast nested loop (allowlisted beside the
-        # scalar broadcasts in the plan audit).
-        comps.crossJoin(F.broadcast(dims))
+        # (i, j)-keyed broadcast hash join fans each component to its k
+        # lanes — bounded broadcast (allowlisted beside the scalar
+        # broadcasts in the plan audit).
+        comps.join(F.broadcast(sign_rel), "i")
         .select(
             "vec_id",
             "j",
-            F.round(F.col("x").cast("double") * sign, 6)
+            F.round(F.col("x").cast("double") * F.col("s"), 6)
             .cast("decimal(18,6)")
             .alias("term"),
         )

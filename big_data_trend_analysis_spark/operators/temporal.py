@@ -385,12 +385,15 @@ def survival_km(events: DataFrame) -> DataFrame:
     Emits one row per observed day:
     (day, n_risk, d_churned, hazard, s_km).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     last_days = events.groupBy("user_id").agg(
         F.max(F.date_trunc("DAY", "ts")).alias("last_day")
     )
-    per_day = _materialize(
+    per_day = _materialize_tiny(
         last_days.groupBy(F.col("last_day").alias("day")).agg(
             F.count(F.lit(1)).alias("c")
         )
@@ -449,7 +452,10 @@ def rfm_segmentation(orders: DataFrame) -> DataFrame:
     monetary, r_q, f_q, m_q, segment).
     """
     from big_data_trend_analysis_spark.functions.numeric import exact_sum
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     # per_cust feeds both the anchor rollup and the RFM projection —
     # materialized so the orders corpus aggregates once.
@@ -1513,7 +1519,10 @@ def log_rank_test(events: DataFrame) -> DataFrame:
     Emits ONE row: (n_users_g1, n_users_g0, obs_g1, exp_g1,
     var_sum, chi2_stat, reject).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     per_user = events.groupBy("user_id").agg(
         F.max(F.date_trunc("DAY", "ts")).alias("last_day"),
@@ -1521,7 +1530,7 @@ def log_rank_test(events: DataFrame) -> DataFrame:
             (F.col("event_type") == "signup").cast("int")
         ).alias("g"),
     )
-    per_day = _materialize(
+    per_day = _materialize_tiny(
         per_user.groupBy(F.col("last_day").alias("day")).agg(
             F.count(F.lit(1)).alias("c_all"),
             F.count_if(F.col("g") == 1).alias("c_g1"),

@@ -261,7 +261,10 @@ def bm25_rank(
     then summed as DECIMAL so the doc score is independent of term
     addition order; ties rank by doc_id.
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     # Materialized: referenced twice (scores + df derivation), and only
     # O(matching_docs × |terms|) rows survive the term filter.
@@ -331,7 +334,10 @@ def cooccurrence_pmi(
     PMI uses exact integer counts, so ``ln((c_ab·N)/(df_a·df_b))`` is
     deterministic; ties break lexicographically.
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     dt = _materialize(
         documents.select(
@@ -1222,7 +1228,10 @@ def collocation_llr(
     Emits the ``top_k`` pairs by G² (ties lexicographic):
     (rnk, w1, w2, k11, llr).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     toks = documents.select(
         F.filter(F.split("text", " "), lambda t: t != "").alias("arr")
@@ -1310,11 +1319,14 @@ def dataset_mixing_weights(
     Emits one row per source: (source, n_docs, n_tokens, token_share,
     target_share, weight, capped_weight, effective_tokens).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     # per_src feeds both the totals rollup and the weights projection —
     # materialized so the corpus tokenizes once.
-    per_src = _materialize(
+    per_src = _materialize_tiny(
         documents.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(n_tokens("text")).alias("n_tokens"),
@@ -1579,6 +1591,7 @@ def tfidf_cosine_pairs(
     from big_data_trend_analysis_spark.operators.dedup import (
         _doc_shingles,
         _materialize,
+        _materialize_tiny,
     )
 
     # hashed=True: every downstream shuffle (tf/df aggregation, the
@@ -1780,7 +1793,10 @@ def paragraph_dedup(
             " ", F.slice(F.col("w"), F.col("idx") * seg_words + 1, seg_words)
         ).alias("seg"),
     ).select("doc_id", "idx", "seg", F.md5("seg").alias("fp"))
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     segs = _materialize(segs)
     docfreq = (
@@ -2224,7 +2240,10 @@ def naive_bayes_lang(
             6,
         ).alias("ln_prior"),
     )
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     train_toks = train.select(
         "lang", F.explode(F.split("text", " ")).alias("tok")

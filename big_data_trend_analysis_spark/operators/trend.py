@@ -189,12 +189,15 @@ def trend_anomaly(
     hash-checks the full scoring surface even when the fixtures'
     near-uniform traffic flags nothing.
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     # counts feeds both the moment roll-up and the scoring join; pruning
     # differentiates the two branches' exchanges, so without persisting
     # the |windows × types| rollup the fact table scans twice.
-    counts = _materialize(
+    counts = _materialize_tiny(
         events.groupBy(
             F.window("ts", window_width).getField("start").alias("window_start"),
             F.col("event_type"),
@@ -242,9 +245,12 @@ def theil_sen_slope(events: DataFrame) -> DataFrame:
     Emits one row per event_type:
     (event_type, n_days, n_pairs, sen_slope).
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
-    daily = _materialize(
+    daily = _materialize_tiny(
         events.groupBy(
             "event_type", F.date_trunc("DAY", "ts").alias("day")
         ).agg(F.count(F.lit(1)).alias("n"))

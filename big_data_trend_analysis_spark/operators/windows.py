@@ -182,7 +182,10 @@ def gapfill_locf(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     oracle recomputes the spine with ``generate_series`` and LOCF with
     ``last_value(… IGNORE NULLS)`` — exact equality.
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
     # The bucket relation is referenced three times (bounds, the type
     # spine, the actuals join). Per-branch column pruning makes each
@@ -190,7 +193,7 @@ def gapfill_locf(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     # never collapses them and the fact table would scan three times —
     # persisting the |types × buckets|-row rollup (KBs) keeps the
     # 100 TB scan+aggregate single-pass.
-    daily = _materialize(
+    daily = _materialize_tiny(
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -377,9 +380,12 @@ def gapfill_linear(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     of epoch seconds, so both engines interpolate bit-identically
     after the 6-dp round.
     """
-    from big_data_trend_analysis_spark.operators.dedup import _materialize
+    from big_data_trend_analysis_spark.operators.dedup import (
+        _materialize,
+        _materialize_tiny,
+    )
 
-    daily = _materialize(
+    daily = _materialize_tiny(
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
