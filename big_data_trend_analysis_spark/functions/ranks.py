@@ -49,7 +49,10 @@ def range_cumsum(
     )
     for c in sum_cols:
         local = local.withColumn(f"_lc_{c}", F.sum(c).over(w_loc))
-    local = local.localCheckpoint()
+    # eager=False (round-12): the consumer action materializes the
+    # partition-local pass once (cached RDD shared by the offsets
+    # broadcast and the output join) without a blocking extra job.
+    local = local.localCheckpoint(eager=False)
     ptot = local.groupBy("_pid").agg(
         *[F.sum(c).alias(f"_pt_{c}") for c in sum_cols]
     )

@@ -583,7 +583,10 @@ def incremental_dedup(
     universe = fps_a.unionByName(fps_b)
     w = Window.partitionBy("fp")
     first_owner = universe.withColumn("min_id", F.min("doc_id").over(w))
-    exact = (
+    # persisted (round-12): referenced by the survivor anti-join AND
+    # the final assembly — unpersisted, the fingerprint window subtree
+    # ran twice.
+    exact = _materialize(
         first_owner.join(
             fps_b.select(F.col("doc_id").alias("b_id")),
             F.col("doc_id") == F.col("b_id"),
@@ -631,7 +634,12 @@ def incremental_dedup(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    rare = doc_freq.filter(F.col("df") <= max_df).select("token")
+    # persisted (round-12): joined against BOTH posting sides —
+    # unpersisted, the union + df aggregation over the two posting
+    # caches ran once per side.
+    rare = _materialize(
+        doc_freq.filter(F.col("df") <= max_df).select("token")
+    )
     candidates = _materialize(
         post_b.join(rare, "token")
         .alias("b")

@@ -1014,7 +1014,7 @@ def funnel_time_to_convert(events: DataFrame) -> DataFrame:
                 - F.unix_seconds(F.col("first_view"))
             ).alias("delay_s"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     per_delay = delays.filter(F.col("delay_s").isNotNull()).groupBy(
         "delay_s"
     ).agg(F.count(F.lit(1)).alias("n_d"))

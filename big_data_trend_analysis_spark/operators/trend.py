@@ -397,7 +397,7 @@ def kendall_tau_daily(events: DataFrame) -> DataFrame:
         _daily_counts,
     )
 
-    daily = _daily_counts(events).localCheckpoint()
+    daily = _daily_counts(events).localCheckpoint(eager=False)
     a = daily.select(
         "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
     )
@@ -459,7 +459,7 @@ def mann_kendall_trend(events: DataFrame) -> DataFrame:
         _daily_counts,
     )
 
-    daily = _daily_counts(events).localCheckpoint()
+    daily = _daily_counts(events).localCheckpoint(eager=False)
     a = daily.select(
         "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
     )
@@ -541,7 +541,7 @@ def runs_test(events: DataFrame) -> DataFrame:
         _daily_counts,
     )
 
-    daily = _daily_counts(events).localCheckpoint()
+    daily = _daily_counts(events).localCheckpoint(eager=False)
     per_y = daily.groupBy("event_type", "y").agg(
         F.count(F.lit(1)).alias("c")
     )
