@@ -223,10 +223,6 @@ def changepoint_cusum(events: DataFrame, crit: float = 1.358) -> DataFrame:
     Emits one row per event_type:
     (event_type, n_days, cp_day, max_dev, cusum_stat, is_change).
     """
-    from big_data_trend_analysis_spark.operators.dedup import (
-    _materialize,
-    _materialize_tiny,
-)
 
     daily = _materialize_tiny(
         events.groupBy(
@@ -303,10 +299,6 @@ def autocorr_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
 
     Emits one row per lag: (lag, n_days, acf).
     """
-    from big_data_trend_analysis_spark.operators.dedup import (
-    _materialize,
-    _materialize_tiny,
-)
 
     # daily feeds the moments agg, the numerator stack AND the
     # denominator fold — materialized so the corpus scans once.
@@ -392,10 +384,6 @@ def seasonal_adjust_dow(events: DataFrame) -> DataFrame:
     Emits one row per day plus the repeated strength:
     (day, dow, n, dow_mean, adjusted, strength).
     """
-    from big_data_trend_analysis_spark.operators.dedup import (
-    _materialize,
-    _materialize_tiny,
-)
 
     daily = _materialize_tiny(
         events.groupBy(
@@ -632,10 +620,6 @@ def benjamini_hochberg(
     (event_type, n_base, n_cur, z_score, p_value, p_rank, m_tests,
     p_adj, reject).
     """
-    from big_data_trend_analysis_spark.operators.dedup import (
-    _materialize,
-    _materialize_tiny,
-)
 
     sliced = _slices(events)
     moments = sliced.groupBy("event_type", "is_base").agg(
@@ -680,7 +664,7 @@ def benjamini_hochberg(
     )
     # tested feeds the m-count AND the ranked window — materialized so
     # the corpus-sized moment aggregation runs once.
-    tested = _materialize(
+    tested = _materialize_tiny(
         a.join(b, "event_type", "full").select(
             "event_type",
             "n_base",
@@ -767,14 +751,10 @@ def ab_test_welch(
     df_welch, t_crit, significant).
     """
     from big_data_trend_analysis_spark.functions.stats import t_crit_975
-    from big_data_trend_analysis_spark.operators.dedup import (
-    _materialize,
-    _materialize_tiny,
-)
 
     # moments feeds BOTH cohort branches of the crossJoin — materialized
     # so the corpus collapses in one aggregation, not once per branch.
-    moments = _materialize(
+    moments = _materialize_tiny(
         lineitem.filter(F.col("l_returnflag").isin("R", "N"))
         .groupBy("l_returnflag")
         .agg(
@@ -1789,10 +1769,6 @@ def pacf_by_type(events: DataFrame, max_lag: int = 7) -> DataFrame:
         StructType,
     )
 
-    from big_data_trend_analysis_spark.operators.dedup import (
-    _materialize,
-    _materialize_tiny,
-)
 
     daily = _materialize_tiny(
         events.groupBy(
@@ -2076,10 +2052,6 @@ def dunn_posthoc(events: DataFrame, q_fdr: float = 0.05) -> DataFrame:
     rbar_b, z_score, p_value, p_rank, m_tests, p_adj, reject).
     """
     from big_data_trend_analysis_spark.functions.ranks import range_cumsum
-    from big_data_trend_analysis_spark.operators.dedup import (
-    _materialize,
-    _materialize_tiny,
-)
 
     per_vt = (
         events.filter(F.col("value").isNotNull())
@@ -2355,10 +2327,6 @@ def mood_median_test(events: DataFrame) -> DataFrame:
         "grand_median",
         (F.col("value") > F.col("grand_median")).alias("above"),
     )
-    from big_data_trend_analysis_spark.operators.dedup import (
-    _materialize,
-    _materialize_tiny,
-)
 
     # k-row relation referenced twice (the verdict aggregation and the
     # output projection); unpersisted, Catalyst re-expanded the whole
