@@ -872,7 +872,7 @@ def feature_binning(lineitem: DataFrame, n_buckets: int = 10) -> DataFrame:
                 .rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     ptot = local.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
     offs = ptot.select(

@@ -1571,7 +1571,7 @@ def brown_forsythe_test(events: DataFrame) -> DataFrame:
     # persisted: referenced by the W aggregation AND the output
     # projection — unpersisted, the z-transform + median machinery ran
     # twice (17 jobs measured at sf0.1; round-12, guide §2.4)
-    per_group = _materialize_tiny(
+    per_group = _materialize(
         groups.crossJoin(F.broadcast(totals))
         .join(F.broadcast(med), "event_type")
         .select(

@@ -74,11 +74,13 @@ def pagerank_fixed(events: DataFrame, d: float = 0.85, iters: int = 3) -> DataFr
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         # eager=False throughout (round-12): plans still truncate at
-        # every checkpoint, but the whole unrolled power iteration
-        # executes inside ONE action — each checkpointed RDD
-        # materializes exactly once and feeds all of its consumers —
-        # instead of 2+iters sequential driver-blocking checkpoint jobs
-        # (the connected_components lesson).
+        # every checkpoint. With AQE on (session default) each lazy
+        # checkpoint call still materializes its upstream shuffle map
+        # stages at call time (toRdd resolves the final physical plan);
+        # what eager=False skips is the per-checkpoint driver-blocking
+        # RESULT job — the final result stages all run inside the
+        # consumer action (ADVICE r12: the win is the skipped blocking
+        # jobs, not zero work at call time).
         .localCheckpoint(eager=False)
     )
     nodes = (
@@ -384,11 +386,11 @@ def connected_components(
         # next plan — measured 7.2 s vs 4.1 s at sf0.1 for depth-2
         # (the pagerank "plan doubles per round" lesson, re-learned).
         # eager=False (round-12): the logical plan still truncates to a
-        # LogicalRDD at every round (same anti-doubling), but the six
-        # rounds execute inside ONE action's DAG — each checkpointed
-        # RDD materializes exactly once and feeds both of its consumers
-        # — instead of six sequential driver-blocking checkpoint jobs
-        # (34 jobs / 66 stages measured at sf0.1 before).
+        # LogicalRDD at every round (same anti-doubling). With AQE on,
+        # each lazy checkpoint still runs its upstream shuffle map
+        # stages at call time — what eager=False removes is the six
+        # sequential driver-blocking RESULT jobs (34 jobs / 66 stages
+        # measured at sf0.1 before; ADVICE r12 pinned the mechanism).
         labels = (
             labels.unionByName(msgs)
             .groupBy("node")

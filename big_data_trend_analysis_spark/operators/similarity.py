@@ -1215,6 +1215,13 @@ def embed_random_projection(
     order-independent.
 
     Emits one row per (vec_id, j): (vec_id, j, proj).
+
+    PRECONDITION (ADVICE r12): every embedding has the same dimension
+    d. Both the √d normalizer (``d_size``) and the projection spine
+    derive d from an arbitrary single row — a ragged corpus would
+    silently truncate longer rows' tails (spine) and mis-normalize
+    (d_size). The embeddings fixture is fixed-d by construction
+    (TESTDATA.md); a ragged deployment must validate d upstream.
     """
     comps = embeddings.select(
         "vec_id",

@@ -393,7 +393,7 @@ def survival_km(events: DataFrame) -> DataFrame:
     last_days = events.groupBy("user_id").agg(
         F.max(F.date_trunc("DAY", "ts")).alias("last_day")
     )
-    per_day = _materialize_tiny(
+    per_day = _materialize(
         last_days.groupBy(F.col("last_day").alias("day")).agg(
             F.count(F.lit(1)).alias("c")
         )

@@ -695,7 +695,7 @@ def unigram_perplexity(documents: DataFrame) -> DataFrame:
     cnts = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     total = cnts.agg(F.sum("cnt").alias("total"))
     bits = (
@@ -765,7 +765,7 @@ def bigram_perplexity(documents: DataFrame, lam: float = 0.7) -> DataFrame:
     uni = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cu"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     total = uni.agg(F.sum("cu").alias("total"))
     pairs = F.zip_with(
@@ -779,7 +779,7 @@ def bigram_perplexity(documents: DataFrame, lam: float = 0.7) -> DataFrame:
     cb = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cb"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     cc = cb.groupBy("w1").agg(F.sum("cb").alias("cc"))
     probs = (
@@ -901,7 +901,7 @@ def bpe_merge_rounds(documents: DataFrame, rounds: int = 2) -> DataFrame:
     sym0 = F.concat(
         F.lit("  "), F.concat_ws("  ", F.split(F.col("w"), "")), F.lit("  ")
     )
-    vocab = words.select("freq", sym0.alias("s")).localCheckpoint(eager=False)
+    vocab = words.select("freq", sym0.alias("s")).localCheckpoint()
 
     learned = []
     for r in range(1, rounds + 1):
@@ -920,7 +920,7 @@ def bpe_merge_rounds(documents: DataFrame, rounds: int = 2) -> DataFrame:
             .agg(F.sum("freq").alias("pf"))
             .orderBy(F.desc("pf"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         learned.append(
             best.select(
@@ -938,7 +938,7 @@ def bpe_merge_rounds(documents: DataFrame, rounds: int = 2) -> DataFrame:
             vocab = (
                 vocab.crossJoin(F.broadcast(best))
                 .select("freq", merged.alias("s"))
-                .localCheckpoint(eager=False)
+                .localCheckpoint()
             )
     out = learned[0]
     for df in learned[1:]:
@@ -993,7 +993,7 @@ def _bpe_encoded_vocab(doc_words: DataFrame, rounds: int) -> DataFrame:
     sym0 = F.concat(
         F.lit("  "), F.concat_ws("  ", F.split(F.col("w"), "")), F.lit("  ")
     )
-    vocab = words.select("w", "freq", sym0.alias("s")).localCheckpoint(eager=False)
+    vocab = words.select("w", "freq", sym0.alias("s")).localCheckpoint()
 
     for _ in range(rounds):
         arr = vocab.withColumn("a", F.split(F.trim(F.col("s")), "  "))
@@ -1011,7 +1011,7 @@ def _bpe_encoded_vocab(doc_words: DataFrame, rounds: int) -> DataFrame:
             .agg(F.sum("freq").alias("pf"))
             .orderBy(F.desc("pf"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         pat = F.concat(
             F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" ")
@@ -1023,7 +1023,7 @@ def _bpe_encoded_vocab(doc_words: DataFrame, rounds: int) -> DataFrame:
         vocab = (
             vocab.crossJoin(F.broadcast(best))
             .select("w", "freq", merged.alias("s"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
 
     return vocab.select(
@@ -1854,7 +1854,7 @@ def ccnet_perplexity_buckets(documents: DataFrame) -> DataFrame:
     """
     from big_data_trend_analysis_spark.functions.ranks import range_cumsum
 
-    ppl = unigram_perplexity(documents).localCheckpoint(eager=False)
+    ppl = unigram_perplexity(documents).localCheckpoint()
     per_bits = ppl.groupBy("bits_per_token").agg(
         F.count(F.lit(1)).alias("n_b")
     )

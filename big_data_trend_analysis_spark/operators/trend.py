@@ -197,7 +197,7 @@ def trend_anomaly(
     # counts feeds both the moment roll-up and the scoring join; pruning
     # differentiates the two branches' exchanges, so without persisting
     # the |windows × types| rollup the fact table scans twice.
-    counts = _materialize_tiny(
+    counts = _materialize(
         events.groupBy(
             F.window("ts", window_width).getField("start").alias("window_start"),
             F.col("event_type"),
@@ -250,7 +250,7 @@ def theil_sen_slope(events: DataFrame) -> DataFrame:
         _materialize_tiny,
     )
 
-    daily = _materialize_tiny(
+    daily = _materialize(
         events.groupBy(
             "event_type", F.date_trunc("DAY", "ts").alias("day")
         ).agg(F.count(F.lit(1)).alias("n"))
@@ -397,7 +397,7 @@ def kendall_tau_daily(events: DataFrame) -> DataFrame:
         _daily_counts,
     )
 
-    daily = _daily_counts(events).localCheckpoint(eager=False)
+    daily = _daily_counts(events).localCheckpoint()
     a = daily.select(
         "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
     )

@@ -193,7 +193,7 @@ def gapfill_locf(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     # never collapses them and the fact table would scan three times —
     # persisting the |types × buckets|-row rollup (KBs) keeps the
     # 100 TB scan+aggregate single-pass.
-    daily = _materialize_tiny(
+    daily = _materialize(
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -385,7 +385,7 @@ def gapfill_linear(events: DataFrame, width: str = "10 minutes") -> DataFrame:
         _materialize_tiny,
     )
 
-    daily = _materialize_tiny(
+    daily = _materialize(
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -3791,9 +3791,14 @@ _SQL_PS = """
 #: cut has no fixture analogue (types are single words), so the part
 #: cut is p_size = 15 alone; the region scope and the correlated
 #: min-cost subquery — the archetype — are intact.
-_SQL_Q2 = (
-    "WITH ps AS (" + _SQL_PS + ")"
-    + """
+#: Q2 body references ``ps`` twice (outer join tree + the correlated
+#: MIN subquery). Split from the WITH prefix so the Spark wrapper can
+#: register a PERSISTED ps view (per-branch column pruning
+#: differentiates the two CTE expansions' exchanges, so Catalyst's
+#: ReuseExchange never collapses them and the lineitem aggregation ran
+#: twice — round-13, guide §2.4; the oracle keeps the single WITH
+#: string, same relation by construction).
+_SQL_Q2_BODY = """
     SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
            p_partkey, p_brand, CAST(ps_supplycost AS DOUBLE) AS supplycost
     FROM {part}
@@ -3811,7 +3816,8 @@ _SQL_Q2 = (
           WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 """
-)
+
+_SQL_Q2 = "WITH ps AS (" + _SQL_PS + ")" + _SQL_Q2_BODY
 
 
 def _sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3824,13 +3830,24 @@ def _sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining aggregation of lineitem. Region/nation dims
     broadcast into both the outer and the subquery join trees. The
     cost compare is DECIMAL = DECIMAL — exact on both engines.
+
+    The ps relation is PERSISTED and registered as a view (round-13):
+    the outer tree and the decorrelated subquery prune ps differently,
+    so ReuseExchange never fired and the lineitem aggregation ran
+    twice (18 parquet scans in the before plan). ps is
+    |parts × suppliers|-bounded — orders of magnitude below the fact
+    at any scale.
     """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
     tune_session(spark)
     for t in ("lineitem", "part", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    _materialize(
+        spark.sql(_SQL_PS.format(lineitem="lineitem_v"))
+    ).createOrReplaceTempView("ps")
     return spark.sql(
-        _SQL_Q2.format(
-            lineitem="lineitem_v",
+        _SQL_Q2_BODY.format(
             part="part_v",
             supplier="supplier_v",
             nation="nation_v",
@@ -3894,22 +3911,31 @@ def _sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and the "fraction" threshold is share > 1/400 of the scoped total,
 #: expressed multiplicatively (SUM·400 > total) so both engines compare
 #: exact decimals.
-_SQL_Q11 = (
-    "WITH ps AS (" + _SQL_PS + "),"
+#: Q11 splits like Q2: ``scoped`` is referenced by both the per-part
+#: rollup and the HAVING scalar — the Spark wrapper persists it once
+#: (round-13, guide §2.4); the oracle keeps the single WITH string.
+_SQL_Q11_SCOPED = (
+    "WITH ps AS (" + _SQL_PS + ")"
     + """
-    scoped AS (
-        SELECT ps_partkey,
-               CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4)) AS val
-        FROM ps
-        JOIN {supplier} ON s_suppkey = ps_suppkey
-        JOIN {nation} ON s_nationkey = n_nationkey
-        WHERE n_name = 'NATION_8')
+    SELECT ps_partkey,
+           CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4)) AS val
+    FROM ps
+    JOIN {supplier} ON s_suppkey = ps_suppkey
+    JOIN {nation} ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_8'
+"""
+)
+
+_SQL_Q11_BODY = """
     SELECT ps_partkey, CAST(SUM(val) AS DOUBLE) AS value
     FROM scoped
     GROUP BY ps_partkey
     HAVING SUM(val) * 400 > (SELECT SUM(val) FROM scoped)
     ORDER BY value DESC
 """
+
+_SQL_Q11 = (
+    "WITH scoped AS (" + _SQL_Q11_SCOPED + ")" + _SQL_Q11_BODY
 )
 
 
@@ -3917,19 +3943,31 @@ def _sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL surface #15: TPC-H Q11 — HAVING against a global scalar.
 
     The group filter references an uncorrelated aggregate of the SAME
-    relation: Catalyst evaluates the scoped CTE once for the scalar
-    (a one-row broadcast into the HAVING predicate) and once for the
-    per-part rollup. The threshold compare is decimal·int vs decimal
-    — exact, no double boundary.
+    relation: the scalar (a one-row broadcast into the HAVING
+    predicate) and the per-part rollup both read the scoped relation.
+    The threshold compare is decimal·int vs decimal — exact, no double
+    boundary.
+
+    scoped is PERSISTED and registered as a view (round-13): the two
+    CTE expansions prune differently, so ReuseExchange never fired and
+    the whole lineitem→ps→scoped pipeline ran twice (6 parquet scans
+    in the before plan). scoped is |parts|-bounded.
     """
+    from big_data_trend_analysis_spark.operators.dedup import _materialize
+
     tune_session(spark)
     for t in ("lineitem", "supplier", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
-    return spark.sql(
-        _SQL_Q11.format(
-            lineitem="lineitem_v", supplier="supplier_v", nation="nation_v"
+    _materialize(
+        spark.sql(
+            _SQL_Q11_SCOPED.format(
+                lineitem="lineitem_v",
+                supplier="supplier_v",
+                nation="nation_v",
+            )
         )
-    )
+    ).createOrReplaceTempView("scoped")
+    return spark.sql(_SQL_Q11_BODY)
 
 
 #: TPC-H Q16 (parts/supplier relationship), adapted: the excluded

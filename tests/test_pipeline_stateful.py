@@ -216,6 +216,7 @@ def test_decay_formula_across_two_updates(spark):
     assert score == pytest.approx(10 * 0.9 + 4)
 
 
+@pytest.mark.slow  # multi-minute drain; slow tier (pyproject.toml)
 def test_expiring_token_scores_evicts_idle_keys(spark, tmp_path):
     """Processing-time TTL: a key idle for a full TTL must fire its
     timeout branch in the next micro-batch — emitting a final

@@ -15,6 +15,12 @@ import pytest
 
 from big_data_trend_analysis_spark.plans.registry import QUERIES
 
+# Slow tier (see pyproject.toml): the plans fixture constructs all 304
+# query DataFrames (txnlog/stream gates execute their fixture writes
+# and drains at construction — ~16 min). Run explicitly: pytest -m slow.
+pytestmark = pytest.mark.slow
+
+
 #: Queries whose plan legitimately contains a cross join: the build
 #: side is a broadcast of O(probes) rows (sim_search/ann_ivf) or a
 #: 1-row scalar (tfidf's corpus-size N), i.e. a map-side scan pattern.

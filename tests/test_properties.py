@@ -20,6 +20,11 @@ from big_data_trend_analysis_spark.functions.text import quality_score
 from big_data_trend_analysis_spark.operators.dedup import dedup_exact
 from big_data_trend_analysis_spark.operators.skew import salted_join
 
+# Slow tier (see pyproject.toml): every hypothesis example is a Spark
+# job; the module totals ~30 min. Run explicitly: pytest -m slow.
+pytestmark = pytest.mark.slow
+
+
 SETTINGS = settings(
     max_examples=12,
     deadline=None,

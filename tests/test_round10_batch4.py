@@ -298,6 +298,7 @@ def test_random_projection_is_linear_and_deterministic(spark):
 # ------------------------------------------------ incremental dedup fix
 
 
+@pytest.mark.slow  # multi-minute drain; slow tier (pyproject.toml)
 def test_incremental_dedup_exact_copies_do_not_mask_near_match(spark):
     """Review regression: verbatim batch copies must not inflate
     shingle df past the rare cut and suppress a genuine near-dup —

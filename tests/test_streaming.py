@@ -679,6 +679,7 @@ def test_jdbc_roundtrip_against_postgres_jsonb(spark, sf_dir):
     assert agg(back) == agg(events)
 
 
+@pytest.mark.slow  # multi-minute drain; slow tier (pyproject.toml)
 def test_stream_stream_left_outer_join_parity(spark, sf_dir, tmp_path):
     """The watermarked LEFT OUTER stream-stream join must equal the
     batch outer join: matched purchases carry their signup time,

@@ -190,6 +190,7 @@ def test_cdc_compact_ties_break_on_event_id(spark):
     assert len(out) == 1 and out[0].event_id == 9
 
 
+@pytest.mark.slow  # multi-minute drain; slow tier (pyproject.toml)
 def test_cdc_apply_is_batch_partition_invariant(spark, tmp_path):
     """THE CDC apply invariant: any partition of the changelog into
     any number of ordered micro-batches converges to the same final
