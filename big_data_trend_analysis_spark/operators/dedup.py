@@ -586,21 +586,37 @@ def incremental_dedup(
     deployment swaps in xxhash64 shingles unchanged.
     """
     fp = F.md5("text").alias("fp")
-    fps_a = archive.select("doc_id", fp)
-    fps_b = batch.select("doc_id", fp)
+    # Tagged union (round-13, guide §2.4): ONE fp-keyed window pass
+    # serves both fingerprint consumers. The old shape shuffled the
+    # corpus-sized fingerprint relation by fp for the first-owner
+    # window, then AGAIN by doc_id for a batch-membership semi-join
+    # (plus a third fp shuffle of the archive side for the
+    # representative window below). An is_b tag makes batch
+    # membership a row-local predicate, and a conditional min over
+    # the same window frame yields the archive-side representative —
+    # three corpus shuffles fold into one.
+    fps_a = archive.select("doc_id", fp, F.lit(False).alias("is_b"))
+    fps_b = batch.select("doc_id", fp, F.lit(True).alias("is_b"))
     universe = fps_a.unionByName(fps_b)
     w = Window.partitionBy("fp")
-    first_owner = universe.withColumn("min_id", F.min("doc_id").over(w))
+    # persisted: referenced by the exact path AND the archive-rep
+    # path — unpersisted, the union + fp window subtree ran per
+    # consumer.
+    tagged = _materialize(
+        universe.select(
+            "doc_id",
+            "is_b",
+            F.min("doc_id").over(w).alias("min_id"),
+            F.min(F.when(~F.col("is_b"), F.col("doc_id")))
+            .over(w)
+            .alias("min_a_id"),
+        )
+    )
     # persisted (round-12): referenced by the survivor anti-join AND
     # the final assembly — unpersisted, the fingerprint window subtree
     # ran twice.
     exact = _materialize(
-        first_owner.join(
-            fps_b.select(F.col("doc_id").alias("b_id")),
-            F.col("doc_id") == F.col("b_id"),
-            "left_semi",
-        )
-        .filter(F.col("min_id") < F.col("doc_id"))
+        tagged.filter(F.col("is_b") & (F.col("min_id") < F.col("doc_id")))
         .select("doc_id", F.col("min_id").alias("exact_match"))
     )
     # ONE materialized flat shingle explode per side (VERDICT r9 watch
@@ -627,11 +643,13 @@ def incremental_dedup(
     # min match_id over a duplicate group IS the min-id representative
     # — while df counts become evidence over distinct documents on
     # both sides, and the archive explode shrinks.
-    reps_a = (
-        fps_a.withColumn("min_a", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("min_a"))
-        .select("doc_id")
-    )
+    # min_a_id over the shared tagged window = min ARCHIVE doc_id per
+    # fp (batch rows are nulled out of the conditional min), so the
+    # representative set is identical to the old archive-only window
+    # — without its extra fp shuffle of fps_a.
+    reps_a = tagged.filter(
+        ~F.col("is_b") & (F.col("doc_id") == F.col("min_a_id"))
+    ).select("doc_id")
     post_a = _materialize(
         _doc_shingles(archive, n, distinct=True, hashed=False).join(
             reps_a, "doc_id", "left_semi"

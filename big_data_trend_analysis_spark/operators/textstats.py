@@ -1599,16 +1599,28 @@ def tfidf_cosine_pairs(
     # 8-byte longs instead of 3-word strings; term identity is never
     # emitted, so the oracle twin replays the un-hashed relation and
     # compares only ids/counts/cosines (the dedup-family layout).
-    tf = _materialize(
+    tf = (
         _doc_shingles(documents, n=3, distinct=False, hashed=True)
         .select("doc_id", F.col("token").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df via an unordered count window over the SAME term-keyed
+    # exchange the aggregation-join pair used to need twice (round-13,
+    # guide §2.4 "two operations keyed the same way can share one
+    # exchange"): the old shape shuffled tf by term for the df
+    # aggregation AND joined the result back onto tf — at fixture
+    # scale a broadcast-join build job, at 100 TB a second full
+    # shuffle of the posting relation (the df side is vocab-sized but
+    # the probe side re-partitions). count(*) over (partition by term)
+    # is the same df per posting row from ONE term shuffle, no sort
+    # (full-frame count needs no ordering). tf itself is no longer
+    # persisted: the window's exchange is the single consumer of the
+    # tf aggregation, so the cache bought nothing.
+    w_term = Window.partitionBy("term")
     posting = _materialize(
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -1623,10 +1635,15 @@ def tfidf_cosine_pairs(
             .alias("w"),
         )
     )
-    norms = posting.groupBy("doc_id").agg(
-        F.sum(
-            (F.col("w") * F.col("w")).cast("decimal(38,12)")
-        ).alias("norm2")
+    # norms is referenced twice (the doc_a and doc_b sides of the
+    # scored join); unpersisted, the posting cache re-aggregated per
+    # side (round-13, guide §2.4).
+    norms = _materialize(
+        posting.groupBy("doc_id").agg(
+            F.sum(
+                (F.col("w") * F.col("w")).cast("decimal(38,12)")
+            ).alias("norm2")
+        )
     )
     rare = posting.filter(F.col("df") <= df_max)
     cand = (

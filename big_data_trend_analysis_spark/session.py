@@ -45,6 +45,19 @@ ENGINE_CONF: dict[str, str] = {
     # byte-sized stages actually dominate (`aqe_coalesce_check` pins it
     # under its own confs).
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE for CACHED plans too (stock conf, default false): without it
+    # every persisted relation materializes — and every consumer
+    # re-reads — at the fixed pre-AQE shuffle width, so the engine's
+    # many small multiply-referenced caches (_materialize) paid
+    # cores-wide task waves regardless of size (measured round-13:
+    # sql_tpch_q2's ps cache 146 tasks → 62, the k-row stat caches
+    # likewise). With it, AQE coalesces the cached plan's output by
+    # BYTES — tiny relations collapse to one partition, corpus-sized
+    # ones stay wide — the scale-adaptive version of what the
+    # hand-placed coalesce(1)/repartition(1) did for provably-bounded
+    # relations only. Exchange reuse inside cached plans is unaffected;
+    # results are unchanged (physical-only).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 10 MB default; dimension tables (region/nation/part at test SF)
     # broadcast automatically, and `broadcast()` hints cover the rest.
